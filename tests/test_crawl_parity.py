@@ -1,0 +1,95 @@
+"""Crawl-ordering + URL-seen-set parity (the north-rule correctness gate).
+
+Three-way check:
+1. ``reference_bfs`` (literal transcription of the reference FIFO loop)
+   == ``oracle_crawl`` with infinite politeness budget, per seed.
+2. Ray engine ``crawl()`` == ``oracle_crawl``: fetch order bit-for-bit
+   (round, discovery_seq, url) and seen-set sorted-hash equality, both
+   with infinite budget and with a finite politeness budget.
+3. Determinism across parallelism: same result at different fetch
+   concurrency.
+"""
+
+import numpy as np
+import pytest
+
+from web_crawler_ray.oracle.reference_oracle import oracle_crawl, reference_bfs
+from web_crawler_ray.pipelines.crawl import crawl
+from web_crawler_ray.sources import synth_world as W
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    tbl, robots, seeds = W.world(seed=42, n_hosts=5, pages_per_host_base=20)
+    pages_by_url = {r["url"]: r for r in tbl.to_pylist()}
+    return tbl, robots, seeds, pages_by_url
+
+
+def test_oracle_matches_reference_bfs(small_world):
+    tbl, robots, seeds, by_url = small_world
+    for seed_url in seeds:
+        ref_visited, ref_seen = reference_bfs(by_url, seed_url, max_pages=50, max_depth=3)
+        order, seen_hashes, _ = oracle_crawl(
+            by_url, {}, [seed_url], max_pages=50, max_depth=3, round_seconds=None)
+        assert [u for (_, _, u) in order] == ref_visited
+        from web_crawler_ray.functions.hashing import hash64
+        assert seen_hashes == sorted(hash64(u) for u in ref_seen)
+
+
+def _run_engine(tbl, robots, seeds, **kw):
+    res = crawl(tbl, robots, seeds, keep_pages=False, **kw)
+    order = list(zip(res.visited.column("round").to_pylist(),
+                     res.visited.column("discovery_seq").to_pylist(),
+                     res.visited.column("url").to_pylist()))
+    return order, res.seen_snapshot, res.stats
+
+
+def test_engine_matches_oracle_unbounded(small_world):
+    tbl, robots, seeds, by_url = small_world
+    o_order, o_seen, o_stats = oracle_crawl(by_url, robots, seeds,
+                                            max_pages=200, max_depth=3,
+                                            round_seconds=None)
+    e_order, e_seen, e_stats = _run_engine(tbl, robots, seeds,
+                                           max_pages=200, max_depth=3,
+                                           round_seconds=None)
+    assert e_order == o_order
+    assert np.array_equal(e_seen, np.array(o_seen, dtype=np.uint64))
+    assert e_stats["fetched"] == o_stats["fetched"]
+
+
+def test_engine_matches_oracle_politeness_budget(small_world):
+    tbl, robots, seeds, by_url = small_world
+    o_order, o_seen, _ = oracle_crawl(by_url, robots, seeds,
+                                      max_pages=120, max_depth=3, round_seconds=4.0)
+    e_order, e_seen, _ = _run_engine(tbl, robots, seeds,
+                                     max_pages=120, max_depth=3, round_seconds=4.0)
+    assert e_order == o_order
+    assert np.array_equal(e_seen, np.array(o_seen, dtype=np.uint64))
+
+
+def test_engine_deterministic_across_concurrency(small_world):
+    tbl, robots, seeds, _ = small_world
+    a = _run_engine(tbl, robots, seeds, max_pages=80, max_depth=2,
+                    round_seconds=4.0, fetch_concurrency=1, n_seen_shards=2)
+    b = _run_engine(tbl, robots, seeds, max_pages=80, max_depth=2,
+                    round_seconds=4.0, fetch_concurrency=4, n_seen_shards=8)
+    assert a[0] == b[0]
+    assert np.array_equal(a[1], b[1])
+
+
+def test_max_pages_cap(small_world):
+    tbl, robots, seeds, by_url = small_world
+    e_order, _, stats = _run_engine(tbl, robots, seeds, max_pages=7, max_depth=3)
+    assert len(e_order) == 7 == stats["fetched"]
+    o_order, _, _ = oracle_crawl(by_url, robots, seeds, max_pages=7, max_depth=3)
+    assert e_order == o_order
+
+
+def test_robots_disallow_respected(small_world):
+    tbl, robots, seeds, _ = small_world
+    e_order, _, _ = _run_engine(tbl, robots, seeds, max_pages=500, max_depth=3)
+    # hosts with 'Disallow: /private' must never fetch /private paths
+    blocked = [h for h, r in robots.items() if "Disallow: /private" in r]
+    for _, _, url in e_order:
+        for h in blocked:
+            assert not (h in url and "/private" in url), url

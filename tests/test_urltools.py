@@ -1,0 +1,59 @@
+"""F2-F5 semantics (site-crawler.service.js / link-explorer.service.js)."""
+
+from web_crawler_ray.functions import urltools as U
+
+
+def test_canonicalize():
+    assert U.canonicalize("https://a.example/x/y?q=1#f") == "https://a.example/x/y"
+    assert U.canonicalize("javascript:void(0)") is None
+    assert U.canonicalize("mailto:a@b.c") is None
+    assert U.canonicalize("tel:+1555") is None
+    assert U.canonicalize("ftp://a/b") is None
+
+
+def test_same_domain_www_symmetry():
+    assert U.same_domain("a.example", "a.example")
+    assert U.same_domain("www.a.example", "a.example")
+    assert U.same_domain("a.example", "www.a.example")
+    assert not U.same_domain("b.example", "a.example")
+
+
+def test_exclusions():
+    assert U.should_exclude("https://a.example/logo.png")
+    assert U.should_exclude("https://a.example/files.PDF")
+    assert U.should_exclude("https://a.example/blog/hello")
+    assert U.should_exclude("https://a.example/products/1")  # '/product' substring
+    assert not U.should_exclude("https://a.example/contact")
+
+
+def test_priority_tiers():
+    assert U.priority_tier("https://a.example/contact") == 1
+    assert U.priority_tier("https://a.example/our/locations") == 1
+    assert U.priority_tier("https://a.example/about") == 2
+    assert U.priority_tier("https://a.example/about/us") == 1  # high beats medium
+    assert U.priority_tier("https://a.example/x") == 3
+
+
+def test_explorer_rank():
+    assert U.explorer_rank("https://a.example/offices") == 1
+    assert U.explorer_rank("https://a.example/global") == 2
+    assert U.explorer_rank("https://a.example/company") == 3
+    assert U.explorer_rank("https://a.example/careers") == 4
+    assert U.explorer_rank("https://a.example/zzz") == 999
+
+
+def test_resolve_href():
+    assert U.resolve_href("/x", "https://a.example/p/q") == "https://a.example/x"
+    assert U.resolve_href("y", "https://a.example/p/q") == "https://a.example/p/y"
+    assert U.resolve_href("https://b.example/z", "https://a.example/") == "https://b.example/z"
+    assert U.resolve_href("mailto:x@y.z", "https://a.example/") is None
+    assert U.resolve_href("#top", "https://a.example/") is None
+
+
+def test_add_url_columns():
+    import pyarrow as pa
+    t = pa.table({"url": ["https://a.example/contact", "https://b.example/logo.png"]})
+    out = U.add_url_columns(t)
+    assert out.column("host").to_pylist() == ["a.example", "b.example"]
+    assert out.column("excluded").to_pylist() == [False, True]
+    assert out.column("priority").to_pylist() == [1, 3]

@@ -1,0 +1,368 @@
+"""Round-based BFS crawl frontier on Ray Data (F6/F7/F10/F11/F12/F14).
+
+The reference's sequential FIFO BFS (site-crawler.service.js:129-194)
+is re-expressed as frontier ROUNDS: each round gates the frontier
+through robots + politeness actors, fetches the granted slice as a Ray
+Dataset ``map_batches`` actor-pool stage, extracts links, and feeds the
+seen-set shards to build the next frontier. Crawl ordering parity with
+the sequential loop comes from ``discovery_seq``: a FIFO BFS queue is
+exactly (depth, discovery_seq) order, so processing rounds in
+discovery_seq order reproduces the reference fetch order bit-for-bit
+(proved against the oracle in tests/test_crawl_parity.py).
+
+Scale notes (10^10-URL frontier, multi-node):
+- Page CONTENT never touches the driver: fetch → link-extract →
+  extract/spans/write runs as streaming Dataset stages; per-round pages
+  are checkpointed to partitioned parquet (resume = skip complete
+  rounds).
+- Frontier METADATA (url, host, depth, seq — tens of bytes/row) is
+  handled per-round; in this single-node build the round bookkeeping
+  (sort by seq, per-host budget take, seq assignment) runs vectorized
+  on the driver, which holds only the CURRENT round's frontier. At
+  10^10 scale the same three ops are the documented shuffle plan:
+  ``sort(discovery_seq)`` + ``groupby(host).map_groups(head(grant))``
+  + a distributed prefix-sum for seq assignment — all keyed by `host`,
+  the single partitioning key reused across rounds (skew: Zipf hosts
+  are capped per round by the politeness budget itself, which is the
+  natural salt).
+- Seen set / robots / politeness are actor pools; ONE batched RPC per
+  shard per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.hashing import hash64_many
+from ..functions.urltools import (
+    canonicalize, host_of, resolve_href, same_domain, should_exclude,
+)
+from ..state.politeness import Politeness
+from ..state.robots_cache import RobotsCache
+from ..state.seen import SeenSet
+from ..stages.extract import extract_hrefs
+
+FRONTIER_COLS = ("url", "url_hash", "host", "path", "depth", "discovery_seq")
+
+
+def _frontier_table(urls, hosts, depths, seqs) -> pa.Table:
+    urls = list(urls)
+    paths = [urlsplit(u).path or "/" for u in urls]
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "url_hash": pa.array(hash64_many(urls), pa.uint64()),
+        "host": pa.array(list(hosts), pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "depth": pa.array(list(depths), pa.int32()),
+        "discovery_seq": pa.array(list(seqs), pa.int64()),
+    })
+
+
+# Per-worker zero-copy cache of the page store: ray.get of a pyarrow Table is
+# zero-copy from the object store, and caching by ObjectRef avoids re-resolving
+# it for every task. In production this stage is an HTTP/browser fetch actor
+# pool (the reference's Puppeteer/Playwright singletons); the page-store join
+# exists only as the sandbox stand-in for the network.
+_PAGES_CACHE: dict[str, tuple[pa.Table, np.ndarray]] = {}
+
+
+def _page_store(pages_ref) -> tuple[pa.Table, np.ndarray]:
+    key = pages_ref.hex()
+    hit = _PAGES_CACHE.get(key)
+    if hit is None:
+        tbl: pa.Table = ray.get(pages_ref)
+        hit = (tbl, tbl.column("url_hash").to_numpy())  # sorted keys
+        _PAGES_CACHE.clear()
+        _PAGES_CACHE[key] = hit
+    return hit
+
+
+class FetchStage:
+    """Stateless fetch stage (S1/S2 stand-in): frontier rows -> page rows via
+    searchsorted lookup against the shared page store (no per-task copy)."""
+
+    def __init__(self, pages_ref):
+        self.pages_ref = pages_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pages, keys = _page_store(self.pages_ref)
+        h = batch.column("url_hash").to_numpy()
+        pos = np.searchsorted(keys, h)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        found = keys[pos_c] == h
+        rows = pages.take(pa.array(pos_c[found]))
+        # align: found rows get page content; missing get 404-like empties
+        n = len(batch)
+        status = np.full(n, 404, dtype=np.int16)
+        status[found] = rows.column("status").to_numpy()
+        html = [""] * n
+        xhr = [None] * n
+        fi = np.flatnonzero(found)
+        h_col = rows.column("html").to_pylist()
+        x_col = rows.column("xhr_json").to_pylist()
+        for k, i in enumerate(fi):
+            html[i] = h_col[k] or ""
+            xhr[i] = x_col[k]
+        out = batch.append_column("status", pa.array(status, pa.int16()))
+        out = out.append_column("html", pa.array(html, pa.large_string()))
+        out = out.append_column("xhr_json", pa.array(xhr, pa.large_string()))
+        return out
+
+
+def _links_batch(batch: pa.Table) -> pa.Table:
+    """F1-F4 over fetched pages: hrefs -> canonical same-domain non-excluded
+    links with (parent_rank, link_idx) provenance; in-page first-seen dedup."""
+    urls = batch.column("url").to_pylist()
+    hosts = batch.column("host").to_pylist()
+    depths = batch.column("depth").to_pylist()
+    ranks = batch.column("fetch_rank").to_pylist()
+    statuses = batch.column("status").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    o_url, o_host, o_depth, o_rank, o_idx = [], [], [], [], []
+    for url, host, depth, rank, st, html in zip(urls, hosts, depths, ranks, statuses, htmls):
+        if st != 200 or not html:
+            continue
+        local: set[str] = set()
+        idx = 0
+        for href in extract_hrefs(html):
+            absu = resolve_href(href, url)
+            if absu is None:
+                continue
+            canon = canonicalize(absu)
+            if canon is None or canon in local:
+                continue
+            lh = host_of(canon)
+            if not same_domain(lh, host) or should_exclude(canon):
+                continue
+            local.add(canon)
+            o_url.append(canon)
+            o_host.append(host)   # same-domain: crawl tree stays on the seed host
+            o_depth.append(depth + 1)
+            o_rank.append(rank)
+            o_idx.append(idx)
+            idx += 1
+    return pa.table({
+        "url": pa.array(o_url, pa.string()),
+        "host": pa.array(o_host, pa.string()),
+        "depth": pa.array(o_depth, pa.int32()),
+        "parent_rank": pa.array(o_rank, pa.int64()),
+        "link_idx": pa.array(o_idx, pa.int32()),
+    })
+
+
+@dataclass
+class CrawlResult:
+    visited: pa.Table                 # (round, discovery_seq, url, host, depth)
+    pages: "rd.Dataset | None"        # fetched pages (url, html, xhr, provenance)
+    seen_snapshot: np.ndarray         # sorted uint64 url hashes
+    stats: dict = field(default_factory=dict)
+    metrics: list = field(default_factory=list)
+
+
+def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str],
+          max_pages: int = 10_000, max_depth: int = 3,
+          round_seconds: float | None = None,
+          n_seen_shards: int = 4, fetch_concurrency: int = 4,
+          checkpoint_dir: str | None = None,
+          keep_pages: bool = True) -> CrawlResult:
+    """Run the round-based BFS. ``pages_store`` must be sorted by url_hash.
+
+    ``round_seconds=None`` ⇒ infinite politeness budget (pure reference
+    BFS order); otherwise per-host budget = floor(round_seconds / delay)
+    on the deterministic virtual clock (see state/politeness.py).
+    """
+    pages_ref = ray.put(pages_store)
+    robots = RobotsCache.options(num_cpus=0.1).remote(robots_by_host)
+    seen = SeenSet(n_shards=n_seen_shards)
+    politeness = Politeness.options(num_cpus=0.1).remote(
+        round_seconds if round_seconds is not None else float("inf"))
+
+    # seed the frontier (enqueue-time seen insertion, reference :136)
+    s_urls, s_hosts = [], []
+    for s in seeds:
+        c = canonicalize(s)
+        if c is not None:
+            s_urls.append(c)
+            s_hosts.append(host_of(c))
+    s_hashes = hash64_many(s_urls)
+    new_mask = seen.check_and_add(s_hashes)
+    keep = np.flatnonzero(new_mask)
+    frontier = _frontier_table(
+        [s_urls[i] for i in keep], [s_hosts[i] for i in keep],
+        [0] * len(keep), list(range(len(keep))))
+    next_seq = len(keep)
+
+    # install explicit robots crawl-delays into the politeness buckets
+    all_hosts = sorted(set(s_hosts))
+    ray.get(politeness.set_delays.remote(ray.get(robots.delays.remote(all_hosts))))
+    delays_known: set[str] = set(all_hosts)
+
+    visited_parts: list[pa.Table] = []
+    page_datasets: list[rd.Dataset] = []
+    metrics: list[dict] = []
+    n_fetched = 0
+    rnd = 0
+    max_rounds = 10_000
+
+    while frontier.num_rows and n_fetched < max_pages and rnd < max_rounds:
+        rows_in = frontier.num_rows
+        # depth gate (permanent drop; already in seen)
+        active = frontier.filter(pc.less_equal(frontier.column("depth"), max_depth))
+        if active.num_rows == 0:
+            break
+        active = active.sort_by("discovery_seq")
+
+        # robots gate — ONE batched actor call for the round
+        hosts_l = active.column("host").to_pylist()
+        new_hosts = sorted(set(hosts_l) - delays_known)
+        if new_hosts:
+            ray.get(politeness.set_delays.remote(ray.get(robots.delays.remote(new_hosts))))
+            delays_known.update(new_hosts)
+        allowed = ray.get(robots.check.remote(hosts_l, active.column("path").to_pylist()))
+        active = active.filter(pa.array(allowed))
+        if active.num_rows == 0:
+            break
+
+        # politeness: per-host grant, take first g per host in seq order
+        hosts_l = active.column("host").to_pylist()
+        counts: dict[str, int] = {}
+        for h in hosts_l:
+            counts[h] = counts.get(h, 0) + 1
+        grant = ray.get(politeness.grant.remote(counts))
+        taken_mask = np.zeros(active.num_rows, dtype=bool)
+        used: dict[str, int] = {}
+        for i, h in enumerate(hosts_l):
+            u = used.get(h, 0)
+            if u < grant.get(h, 0):
+                used[h] = u + 1
+                taken_mask[i] = True
+        fetch_tbl = active.filter(pa.array(taken_mask))
+        deferred = active.filter(pa.array(~taken_mask))
+
+        # global cap in seq order
+        room = max_pages - n_fetched
+        if fetch_tbl.num_rows > room:
+            fetch_tbl = fetch_tbl.slice(0, room)
+        if fetch_tbl.num_rows == 0:
+            break
+        fetch_tbl = fetch_tbl.append_column(
+            "fetch_rank", pa.array(np.arange(fetch_tbl.num_rows), pa.int64()))
+
+        # --- the distributed part: fetch + link-extract as Dataset stages ---
+        n_blocks = max(1, min(fetch_concurrency, fetch_tbl.num_rows // 64 + 1))
+        ds = rd.from_arrow(fetch_tbl, override_num_blocks=n_blocks)
+        ds = ds.map_batches(FetchStage(pages_ref),
+                            batch_format="pyarrow", batch_size=256, num_cpus=1)
+        ds = ds.materialize()  # pinned once; reused for links + downstream extract
+        links = ds.map_batches(_links_batch, batch_format="pyarrow").take_all()
+
+        if checkpoint_dir:
+            ds.write_parquet(os.path.join(checkpoint_dir, f"round={rnd}", "pages"))
+        if keep_pages:
+            page_datasets.append(ds)
+
+        visited_parts.append(pa.table({
+            "round": pa.array([rnd] * fetch_tbl.num_rows, pa.int32()),
+            "discovery_seq": fetch_tbl.column("discovery_seq"),
+            "url": fetch_tbl.column("url"),
+            "host": fetch_tbl.column("host"),
+            "depth": fetch_tbl.column("depth"),
+        }))
+        n_fetched += fetch_tbl.num_rows
+
+        # --- next frontier: dedup in-round, seen-filter, assign seqs ---
+        new_frontier = deferred
+        if links and n_fetched < max_pages:
+            lt = pa.Table.from_pylist(links)
+            lt = lt.sort_by([("parent_rank", "ascending"), ("link_idx", "ascending")])
+            urls_l = lt.column("url").to_pylist()
+            first_ix, seen_local = [], set()
+            for i, u in enumerate(urls_l):
+                if u not in seen_local:
+                    seen_local.add(u)
+                    first_ix.append(i)
+            lt = lt.take(pa.array(first_ix))
+            cand_urls = lt.column("url").to_pylist()
+            cand_hashes = hash64_many(cand_urls)
+            fresh = seen.check_and_add(cand_hashes)  # one RPC per shard
+            ix = np.flatnonzero(fresh)
+            if len(ix):
+                lt2 = lt.take(pa.array(ix))
+                seqs = list(range(next_seq, next_seq + lt2.num_rows))
+                next_seq += lt2.num_rows
+                add = _frontier_table(lt2.column("url").to_pylist(),
+                                      lt2.column("host").to_pylist(),
+                                      lt2.column("depth").to_pylist(), seqs)
+                new_frontier = pa.concat_tables([deferred, add]) if deferred.num_rows else add
+        frontier = new_frontier
+
+        metrics.append({"round": rnd, "stage": "fetch", "rows_in": rows_in,
+                        "rows_out": int(fetch_tbl.num_rows),
+                        "frontier_next": int(frontier.num_rows),
+                        "seen": seen.cardinality()})
+        if checkpoint_dir:
+            _write_checkpoint(checkpoint_dir, rnd, frontier, visited_parts[-1],
+                              seen, metrics[-1])
+        rnd += 1
+
+    visited = (pa.concat_tables(visited_parts) if visited_parts
+               else pa.table({"round": pa.array([], pa.int32()),
+                              "discovery_seq": pa.array([], pa.int64()),
+                              "url": pa.array([], pa.string()),
+                              "host": pa.array([], pa.string()),
+                              "depth": pa.array([], pa.int32())}))
+    pages = None
+    if keep_pages and page_datasets:
+        pages = page_datasets[0]
+        for d in page_datasets[1:]:
+            pages = pages.union(d)
+    stats = {"fetched": n_fetched, "rounds": rnd, "seen": seen.cardinality(),
+             "politeness": ray.get(politeness.get_all_stats.remote())}
+    return CrawlResult(visited=visited, pages=pages,
+                       seen_snapshot=seen.snapshot(), stats=stats, metrics=metrics)
+
+
+def _write_checkpoint(ckpt_dir: str, rnd: int, frontier: pa.Table,
+                      visited_delta: pa.Table, seen: SeenSet, metric: dict) -> None:
+    """Per-round, per-partition resumable layout (SURVEY §4.2.4):
+    checkpoint/round=R/{frontier,visited,seen}.parquet + _COMPLETE marker."""
+    d = os.path.join(ckpt_dir, f"round={rnd}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(frontier, os.path.join(d, "frontier.parquet"))
+    pq.write_table(visited_delta, os.path.join(d, "visited.parquet"))
+    pq.write_table(pa.table({"url_hash": pa.array(seen.snapshot(), pa.uint64())}),
+                   os.path.join(d, "seen.parquet"))
+    with open(os.path.join(d, "metrics.json"), "w") as f:
+        json.dump(metric, f)
+    with open(os.path.join(d, "_COMPLETE"), "w") as f:
+        f.write("ok")
+
+
+def resume_info(ckpt_dir: str) -> dict | None:
+    """Max complete round's frontier + seen + fetched count (resume entry)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    rounds = sorted(int(n.split("=")[1]) for n in os.listdir(ckpt_dir)
+                    if n.startswith("round=")
+                    and os.path.exists(os.path.join(ckpt_dir, n, "_COMPLETE")))
+    if not rounds:
+        return None
+    r = rounds[-1]
+    d = os.path.join(ckpt_dir, f"round={r}")
+    return {
+        "round": r,
+        "frontier": pq.read_table(os.path.join(d, "frontier.parquet")),
+        "seen": pq.read_table(os.path.join(d, "seen.parquet")).column("url_hash").to_numpy(),
+        "fetched": sum(pq.read_table(os.path.join(ckpt_dir, f"round={i}", "visited.parquet")).num_rows
+                       for i in rounds),
+    }

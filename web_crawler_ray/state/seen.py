@@ -1,0 +1,184 @@
+"""Sharded URL-seen set: cuckoo-filter fast path + exact backing set.
+
+The reference's seen set is a single in-process JS ``Set`` of canonical
+URLs (site-crawler.service.js:134-136).  The north star requires a
+sharded cuckoo-filter seen set (bloom fallback for spill shards) keyed
+by canonicalized-URL hash, materializable per checkpoint as a sorted
+uint64 column for bit-for-bit comparison.
+
+Design (scale story):
+- shard = ``url_hash % n_shards``; shards are Ray actors, so at cluster
+  scale each node holds a slice of the 10^10-key set. 16-bit
+  fingerprints × 4-slot buckets ≈ 2.3 bytes/key in the filter.
+- The cuckoo filter has NO false negatives (an evicted-to-overflow
+  fingerprint goes to the bloom sidecar, which also has no false
+  negatives), so "filter says absent" ⇒ definitely new — the common
+  case costs one vectorized numpy probe, no set lookup.
+- "filter says present" (real hit or ~0.05% false positive) falls back
+  to the exact per-shard hash set, which is also what ``snapshot()``
+  materializes for the parity gate. At 10^10 keys the exact layer is
+  the spill tier: ~8 GB/shard × 10 shards/node in this layout — the
+  docstring contract is that spilled shards answer only via
+  bloom+cuckoo (approximate, still no false negatives on the bloom
+  side, so correctness degrades only by re-crawling nothing — false
+  POSITIVES skip URLs, bounded by the fp rate stated above).
+
+Membership + insert are one message per shard per round
+(``check_and_add`` over a deduped hash batch), not per URL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from ..functions.hashing import fingerprint16
+
+_MIX = np.uint64(0x5BD1E995)
+
+
+class CuckooFilter:
+    """Vectorized-probe cuckoo filter: 4-slot buckets, 16-bit fingerprints."""
+
+    def __init__(self, n_buckets_log2: int = 16, max_kicks: int = 500, seed: int = 7):
+        self.nb = 1 << n_buckets_log2
+        self.mask = np.uint64(self.nb - 1)
+        self.table = np.zeros((self.nb, 4), dtype=np.uint16)
+        self.max_kicks = max_kicks
+        self.rng = np.random.default_rng(seed)
+        self.overflow: set[int] = set()  # bloom-tier stand-in for kicked-out fps
+        self.count = 0
+
+    def _index(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        fp = fingerprint16(h)
+        i1 = (h & self.mask).astype(np.int64)
+        alt = (fp.astype(np.uint64) * _MIX) & self.mask
+        i2 = (i1 ^ alt.astype(np.int64)) & int(self.mask)
+        return fp, i1, i2
+
+    def contains_many(self, h: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._index(h)
+        b1 = self.table[i1]            # (n,4) gathers
+        b2 = self.table[i2]
+        hit = (b1 == fp[:, None]).any(axis=1) | (b2 == fp[:, None]).any(axis=1)
+        if self.overflow:
+            for k in np.flatnonzero(~hit):
+                if int(fp[k]) in self.overflow:
+                    hit[k] = True
+        return hit
+
+    def insert_many(self, h: np.ndarray) -> None:
+        fp, i1, i2 = self._index(h)
+        for k in range(len(h)):
+            self._insert_one(int(fp[k]), int(i1[k]), int(i2[k]))
+        self.count += len(h)
+
+    def _insert_one(self, fp: int, i1: int, i2: int) -> None:
+        for idx in (i1, i2):
+            row = self.table[idx]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        # kick loop
+        idx = i1 if self.rng.integers(2) else i2
+        for _ in range(self.max_kicks):
+            slot = int(self.rng.integers(4))
+            fp, self.table[idx, slot] = int(self.table[idx, slot]), fp
+            idx = (idx ^ int((np.uint64(fp) * _MIX) & self.mask)) & (self.nb - 1)
+            row = self.table[idx]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        self.overflow.add(fp)  # spill tier (bloom stand-in, exact on fp)
+
+
+class _SeenShardImpl:
+    """One shard of the URL-seen set (plain class; wrapped by ray.remote)."""
+
+    def __init__(self, shard_id: int, n_buckets_log2: int = 16):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(n_buckets_log2, seed=1000 + shard_id)
+        self.exact: set[int] = set()
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Bool mask: True where the hash was NEW (and is now inserted).
+
+        Input must be deduplicated by the caller within the batch.
+        """
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        maybe = self.filter.contains_many(h)
+        new = np.ones(len(h), dtype=bool)
+        ex = self.exact
+        for i in np.flatnonzero(maybe):
+            if int(h[i]) in ex:
+                new[i] = False
+        fresh = h[new]
+        ex.update(int(x) for x in fresh)
+        if len(fresh):
+            self.filter.insert_many(fresh)
+        return new
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.uint64)
+        maybe = self.filter.contains_many(h)
+        out = np.zeros(len(h), dtype=bool)
+        for i in np.flatnonzero(maybe):
+            out[i] = int(h[i]) in self.exact
+        return out
+
+    def snapshot(self) -> np.ndarray:
+        """Sorted uint64 hashes — the bit-for-bit checkpoint artifact."""
+        return np.sort(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
+
+    def cardinality(self) -> int:
+        return len(self.exact)
+
+
+SeenShard = ray.remote(_SeenShardImpl)
+
+
+class SeenSet:
+    """Driver-side handle over the shard actor pool."""
+
+    def __init__(self, n_shards: int = 8, n_buckets_log2: int = 14):
+        self.n_shards = n_shards
+        self.shards = [
+            SeenShard.options(num_cpus=0.1).remote(i, n_buckets_log2)
+            for i in range(n_shards)
+        ]
+
+    def _route(self, hashes: np.ndarray):
+        sid = (hashes % np.uint64(self.n_shards)).astype(np.int64)
+        return sid
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Vector check-and-insert across shards; preserves input order.
+
+        One RPC per shard per call (not per URL): the caller batches a
+        whole frontier round.
+        """
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        sid = self._route(h)
+        out = np.zeros(len(h), dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.n_shards):
+            ix = np.flatnonzero(sid == s)
+            if len(ix):
+                futs.append(self.shards[s].check_and_add.remote(h[ix]))
+                idxs.append(ix)
+        for ix, mask in zip(idxs, ray.get(futs)):
+            out[ix] = mask
+        return out
+
+    def snapshot(self) -> np.ndarray:
+        parts = ray.get([s.snapshot.remote() for s in self.shards])
+        return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
+
+    def cardinality(self) -> int:
+        return int(sum(ray.get([s.cardinality.remote() for s in self.shards])))
