@@ -1,0 +1,148 @@
+"""D2/D3/D4 + content-hash + training-data dedup semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from web_crawler_ray.stages import dedup as D
+
+
+def test_similarity_weights_verbatim():
+    a = {"location_address": "100 Main Street", "location_name": "Acme",
+         "postcode": "62701", "latitude": "37.0", "longitude": "-122.0"}
+    assert D.similarity(a, dict(a)) == 1.0
+    # only postcode present on both -> weight 0.1/0.1
+    b1 = {"postcode": "62701"}
+    b2 = {"postcode": "62-701"}
+    assert D.similarity(b1, b2) == 1.0  # normalized postcodes equal
+    b3 = {"postcode": "99999"}
+    assert D.similarity(b1, b3) == 0.0
+    # coords within 100 m => proximity 1.0
+    c1 = {"latitude": "37.0000", "longitude": "-122.0000"}
+    c2 = {"latitude": "37.0005", "longitude": "-122.0000"}  # ~55 m
+    assert D.similarity(c1, c2) == 1.0
+    # ~2.5 km => 1 - 2.5/5 = ~0.5
+    c3 = {"latitude": "37.0225", "longitude": "-122.0000"}
+    assert abs(D.similarity(c1, c3) - 0.5) < 0.01
+
+
+def test_fuzzy_greedy_order_dependence():
+    # greedy scan: first unprocessed row absorbs all matches
+    rows = [
+        {"name": "Acme HQ", "address": "100 Main Street, Springfield",
+         "latitude": "37.0", "longitude": "-122.0", "postal_code": "62701",
+         "source_url": "a", "discovery_seq": 0},
+        {"name": "Acme HQ", "address": "100 Main St, Springfield",
+         "latitude": "37.0001", "longitude": "-122.0", "postal_code": "62701",
+         "source_url": "b", "discovery_seq": 1},
+        {"name": "Other Co", "address": "999 Elm Road, Denver",
+         "latitude": "39.7", "longitude": "-105.0", "postal_code": "80201",
+         "source_url": "c", "discovery_seq": 2},
+    ]
+    out = D.fuzzy_dedup_greedy(rows)
+    assert len(out) == 2
+    merged = out[0]
+    assert merged["merged_from"] == 2
+    # longest value wins (enhanced-dedup:119-127)
+    assert merged["address"] == "100 Main Street, Springfield"
+    assert merged["source_url"] == "a, b"
+
+
+def test_fuzzy_blocked_matches_global(ray_session):
+    """Blocked execution == global greedy when no pair crosses blocks."""
+    rows = []
+    for i in range(30):
+        city = ["Springfield", "Denver", "Austin"][i % 3]
+        post = ["62701", "80201", "73301"][i % 3]
+        rows.append({"name": f"Acme {i % 3}", "address": f"{100 + i % 3} Main Street, {city}",
+                     "latitude": "", "longitude": "", "postal_code": post,
+                     "source_url": f"u{i}", "discovery_seq": i})
+    global_out = D.fuzzy_dedup_greedy(sorted(rows, key=lambda r: r["discovery_seq"]))
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    blocked = D.fuzzy_dedup(ds).to_pandas()
+    assert len(blocked) == len(global_out)
+    g = {(r["name"], r["address"]) for r in global_out}
+    b = set(zip(blocked["name"], blocked["address"]))
+    assert g == b
+
+
+def test_d2_canonical_merge(ray_session):
+    df = pd.DataFrame([
+        {"location_name": "Acme", "location_address": "1 Main St",
+         "street_or_city": "Springfield", "postcode": "62701",
+         "latitude": "", "longitude": "", "state": "", "discovery_seq": 1},
+        {"location_name": "Acme", "location_address": "1 Main St",
+         "street_or_city": "Springfield", "postcode": "62701",
+         "latitude": "37.0", "longitude": "-122.0", "state": "IL", "discovery_seq": 2},
+    ])
+    ds = rd.from_pandas(df).map_batches(D.add_canonical_key, batch_format="pyarrow")
+    out = D.dedup_canonical(ds).to_pandas()
+    assert len(out) == 1
+    # first-seen base, later dup fills empties
+    assert out.iloc[0]["latitude"] == "37.0"
+    assert out.iloc[0]["state"] == "IL"
+
+
+def test_content_hash_stage(ray_session):
+    shards = [D.ContentHashShard.remote() for _ in range(2)]
+    stage = D.ContentDedupStage(shards, text_col="text")
+    b1 = pa.table({"text": ["a", "b", "a", "c"]})
+    out1 = stage(b1)
+    assert out1.column("text").to_pylist() == ["a", "b", "c"]
+    b2 = pa.table({"text": ["c", "d"]})
+    out2 = stage(b2)
+    assert out2.column("text").to_pylist() == ["d"]
+
+
+def test_exact_dedup(ray_session):
+    df = pd.DataFrame({"doc_id": [3, 1, 2, 5, 4],
+                       "text": ["x", "x", "y", "y", "z"]})
+    out = D.exact_dedup(rd.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 4]
+
+
+def test_minhash_finds_near_dups(ray_session):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest before sunset tonight ") * 3
+    near = base.replace("lazy", "sleepy")
+    other = "completely different text about quarterly financial results " * 6
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    pairs = D.minhash_candidate_pairs(rd.from_pandas(df)).to_pandas()
+    assert (1, 2) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert D.jaccard(base, near) > 0.7
+    assert D.jaccard(base, other) < 0.2
+
+
+def test_simhash_hamming():
+    a = D.simhash64("the quick brown fox jumps over the lazy dog " * 4)
+    b = D.simhash64("the quick brown fox jumps over the sleepy dog " * 4)
+    c = D.simhash64("completely unrelated quarterly financial review text " * 4)
+    assert D.hamming64(a, b) < D.hamming64(a, c)
+    assert D.simhash64("") == 0
+
+
+def test_d4_cross_page(ray_session):
+    df = pd.DataFrame([
+        {"location_address": "100 Main Street Springfield", "location_name": "",
+         "phone": "", "discovery_seq": 0},
+        {"location_address": "100 Main Street, Springfield!", "location_name": "Acme",
+         "phone": "555", "discovery_seq": 1},
+        {"location_address": "short", "location_name": "", "phone": "", "discovery_seq": 2},
+    ])
+    out = D.dedup_cross_page(rd.from_pandas(df)).to_pandas()
+    # the two squash-equal rows collapse to the more-complete one; the short
+    # (unkeyed) row passes through
+    assert len(out) == 2
+    kept = out[out["location_address"].str.contains("Main")]
+    assert kept.iloc[0]["location_name"] == "Acme"
+
+
+@pytest.fixture(scope="module")
+def ray_session():
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    yield

@@ -1,0 +1,123 @@
+"""S6/S8/F8/E11/E12/E14 coverage."""
+
+import json
+
+import pyarrow as pa
+
+from web_crawler_ray.functions.domlite import parse
+from web_crawler_ray.sources import readers as R
+from web_crawler_ray.stages import extract_api as API
+from web_crawler_ray.stages import extract_contact as CT
+from web_crawler_ray.stages import extract_pdf as PDF
+
+
+def test_high_value_paths():
+    urls = R.expand_high_value_paths("https://acme.example/some/page")
+    assert "https://acme.example/contact" in urls
+    assert len(urls) == 22
+
+
+def test_is_location_link():
+    assert R.is_location_link("/global-offices", "")
+    assert R.is_location_link("/x", "Find Us here")
+    assert not R.is_location_link("/pricing", "Plans")
+
+
+def test_sitemap_parse():
+    xml = """<urlset>
+      <loc>https://a.example/contact</loc>
+      <loc>https://a.example/logo.png</loc>
+      <loc> https://a.example/about </loc>
+    </urlset>"""
+    urls = R.parse_sitemap(xml)
+    assert urls == ["https://a.example/contact", "https://a.example/about"]
+    assert R.sitemap_candidates("https://a.example/x")[0] == "https://a.example/sitemap.xml"
+
+
+def test_bulk_csv_aliases():
+    b = pa.table({"Company Name": ["Acme", "NoUrl"],
+                  "Website": ["https://a.example ", None]})
+    out = R.normalize_bulk_batch(b)
+    assert out.column("company_name").to_pylist() == ["Acme"]
+    assert out.column("url").to_pylist() == ["https://a.example"]
+    b2 = pa.table({"name": [None], "url": ["https://b.example"]})
+    assert R.normalize_bulk_batch(b2).column("company_name").to_pylist() == ["Unknown"]
+
+
+def test_pdf_extractor():
+    text = """Annual Report
+
+Our Offices
+Acme Springfield
+100 Main Street
+Springfield, IL 62701
+
+Head Office
+742 Evergreen Terrace
+Springfield, IL 62704
+tel: 555-1234
+"""
+    rows = PDF.extract_pdf_locations(text, "https://a.example/report.pdf")
+    assert len(rows) >= 2
+    assert all(r["extraction_method"] == "pdf" for r in rows)
+    assert any("USA" == r["country"] for r in rows)  # city-state-zip family
+    assert PDF.has_address_components("100 Main Street")
+    assert not PDF.has_address_components("hello world")
+
+
+def test_contact_extractor():
+    html = """<body>
+    <p> Call (555) 123-4567 or +31 20 123 4567 </p>
+    <p> Hours: 9am - 5pm </p>
+    <p> Monday - Friday: 9:00 AM - 5:00 PM </p>
+    <p> Fax: +1 555 222 3333 </p>
+    <p> write to sales@acme.com but never bot@example.com </p>
+    <p> Contact: Jane Doe </p>
+    <a href="https://twitter.com/acme"> tw </a>
+    <a href="https://partner.example/page"> partner </a>
+    <span itemprop="openingHours" content="Mo-Fr 09:00-17:00"> x </span>
+    </body>"""
+    doc = parse(html)
+    info = CT.extract_contact_info(doc)
+    assert "(555) 123-4567" in info["phone"]
+    assert "sales@acme.com" in info["email"]
+    assert all("example.com" not in e for e in info["email"])
+    assert any("9:00 AM - 5:00 PM" in h for h in info["hours"])
+    assert "Mo-Fr 09:00-17:00" in info["hours"]
+    assert info["fax"] and info["fax"][0].startswith("+1 555")
+    assert "https://partner.example" in info["website"]
+    assert all("twitter" not in w for w in info["website"])
+    assert info["social"] == ["https://twitter.com/acme"]
+    assert info["contact_person"] == "Jane Doe"
+
+
+def test_api_json_normalizer():
+    data = {"results": [
+        {"storeName": "Acme 1", "street": "1 Main St", "city": "Springfield",
+         "zip": "62701", "countryCode": "us", "lat": "37.5", "lng": "-122.25",
+         "phoneNumber": "555"},
+        {"nothing": True},
+    ]}
+    rows = API.parse_json_locations(data, "https://a.example/api/locations")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["name"] == "Acme 1"
+    assert r["address"] == "1 Main St, Springfield, 62701"
+    assert r["country"] == "USA"
+    assert r["latitude"] == "37.5"
+
+
+def test_api_geojson():
+    gj = {"type": "FeatureCollection", "features": [
+        {"geometry": {"coordinates": [-122.25, 37.5]},
+         "properties": {"name": "HQ", "address": "1 Plaza", "country": "GB"}},
+    ]}
+    rows = API.parse_json_locations(gj, "u")
+    assert rows[0]["latitude"] == "37.5" and rows[0]["longitude"] == "-122.25"
+    assert rows[0]["country"] == "GBR"
+
+
+def test_api_candidates():
+    urls = API.candidate_urls("https://acme.example/page")
+    assert "https://acme.example/api/locations" in urls
+    assert len(urls) == len(API.API_CANDIDATE_PATHS)

@@ -1,0 +1,127 @@
+"""Text-analysis + similarity-search stages (training-data ops)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from web_crawler_ray.stages import similarity as S
+from web_crawler_ray.stages import textstats as T
+
+
+def test_token_counts():
+    assert T.token_count("a b  c") == 3
+    assert T.token_count("") == 0
+    assert T.token_count("   ") == 0
+    assert T.token_count(" one ") == 1
+    assert T.bpe_ish_token_count("hello, world 42") == 5  # hello , world 4 2
+
+
+def test_text_stats_batch():
+    t = pa.table({"text": ["Hello, World!", ""]})
+    out = T.text_stats_batch(t)
+    assert out.column("n_tokens").to_pylist() == [2, 0]
+    assert out.column("n_punct").to_pylist() == [2, 0]
+    assert out.column("punct_ratio").to_pylist()[0] == 2 / 13
+
+
+def test_lang_id():
+    lid = T.LangIdStage()
+    assert lid.guess("the cat and the dog are in the house") == "en"
+    assert lid.guess("der hund und die katze sind nicht im haus") == "de"
+    assert lid.guess("le chat est dans la maison pour le moment") == "fr"
+    assert lid.guess("el perro y el gato en la casa") == "es"
+    assert lid.guess("zzz qqq") == "unknown"
+    assert lid.guess("") == "unknown"
+
+
+def test_quality_score_bands():
+    good = ("This is a reasonably long paragraph of normal English text that "
+            "should score well on all of the quality heuristics used here.")
+    assert T.doc_quality_score(good) == 1.0
+    assert T.doc_quality_score("") == 0.0
+    assert T.doc_quality_score("!!! ??? ***") < 0.5
+
+
+def test_fingerprint_deterministic():
+    t = pa.table({"text": ["the quick brown fox jumps over the lazy dog again",
+                           "the quick brown fox jumps over the lazy dog again",
+                           "something else entirely different here now ok yes"]})
+    out = T.fingerprint_batch(t).column("fingerprint").to_pylist()
+    assert out[0] == out[1] != out[2]
+
+
+def _embedding_ds(n=60, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    # plant near-dups: vec 1 ~ vec 0, vec 11 ~ vec 10
+    m[1] = m[0] + rng.standard_normal(d) * 0.01
+    m[11] = m[10] * 1.5
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.astype(np.float32).tolist() for r in m]})
+    return rd.from_pandas(df), m
+
+
+def test_brute_force_topk(ray_session):
+    ds, m = _embedding_ds()
+    q = {0: m[0], 10: m[10]}
+    out = S.brute_force_topk(ds, q, k=3)
+    assert len(out) == 6
+    g0 = out[out["query_id"] == 0]
+    assert list(g0["vec_id"])[:2] == [0, 1]      # self then planted near-dup
+    assert g0.iloc[0]["score"] == 1.0
+    g10 = out[out["query_id"] == 10]
+    assert list(g10["vec_id"])[:2] == [10, 11]   # scaled copy: cosine 1.0
+
+
+def test_lsh_recall_vs_brute_force(ray_session):
+    ds, m = _embedding_ds(n=120)
+    q = {0: m[0], 10: m[10], 20: m[20]}
+    exact = S.brute_force_topk(ds, q, k=5)
+    approx = S.lsh_bucket_topk(ds, q, k=5, n_bits=6)
+    hits = 0
+    for qid in q:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a) / len(e)
+    assert hits / len(q) >= 0.5  # recall floor at 6 bits + 1-bit probes
+
+
+def test_near_dup_pairs(ray_session):
+    ds, m = _embedding_ds()
+    pairs = S.near_dup_pairs(ds, threshold=0.98)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got and (10, 11) in got
+
+
+def test_multimodal_plumbing(ray_session):
+    from web_crawler_ray.stages import multimodal as M
+    refs = [f"m://h/{i}" for i in range(20)]
+    tbl = M.synth_media_table(refs)
+    ds = rd.from_arrow(tbl)
+    feats = ds.map_batches(M.MediaFeatureStage, batch_format="pyarrow",
+                           batch_size=8, concurrency=1).to_pandas()
+    assert len(feats) == 20
+    assert all(len(f) == M.MediaFeatureStage.FEATURE_DIM for f in feats["features"])
+    assert "payload" not in feats.columns  # heavy bytes dropped after decode
+    frames = ds.map_batches(M.FrameSampleStage(fps=2.0), batch_format="pyarrow").to_pandas()
+    vids = tbl.filter(pa.compute.equal(tbl.column("media_type"), "video"))
+    assert (len(frames) > 0) == (vids.num_rows > 0)
+    resized = ds.map_batches(M.ImageResizeStage(max_side=128),
+                             batch_format="pyarrow").to_pandas()
+    assert (resized["out_width"] <= 128).all()
+    import pytest
+    with pytest.raises(NotImplementedError):
+        M.MediaFeatureStage(decoder="pil")
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ray_session():
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    yield

@@ -1,0 +1,80 @@
+"""Flagship pipeline: crawl -> classify -> extract -> dedup -> enrich -> quality.
+
+Ray-Data restatement of ``POST /api/crawl`` + site-wide crawl
+(crawler.service.js:24-201,283-426; SURVEY §3.4):
+
+    seeds -> round-based BFS (pipelines/crawl.py: seen shards, robots,
+             politeness actors)
+          -> pages Dataset
+    pages -> classify (F13) -> ExtractStage (E1,E2,E4,E8,E9,inline)
+          -> confidence >= 0.70 filter (P1)
+          -> blocked fuzzy dedup at 0.85 (D3)
+          -> geocode enrich (N13 synthetic) -> quality (A2)
+    pages -> SpanAssemblyStage -> interleaved (doc_id, spans) documents
+
+Everything after the crawl is a lazy streaming Dataset chain — no
+driver materialization of page content; consume with write_parquet /
+to_pandas on the (small) final locations.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources import synth_world as W
+from ..stages.classify import classify_batch
+from ..stages.dedup import fuzzy_dedup
+from ..stages.enrich import GeocodeEnrichStage, add_quality
+from ..stages.extract import ExtractStage, SpanAssemblyStage
+from .crawl import CrawlResult, crawl
+
+
+def _conf_filter(batch: pa.Table) -> pa.Table:
+    """P1 (crawler.service.js:402-404): keep confidence >= 0.70."""
+    return batch.filter(pc.greater_equal(batch.column("confidence"), 0.70))
+
+
+def extract_locations(pages: rd.Dataset, fuzzy: bool = True,
+                      extract_concurrency: int | None = None) -> rd.Dataset:
+    """pages -> final enriched location records (lazy)."""
+    locs = pages.map_batches(ExtractStage(), batch_format="pyarrow",
+                             batch_size=64, num_cpus=1)
+    locs = locs.map_batches(_conf_filter, batch_format="pyarrow")
+    if fuzzy:
+        locs = fuzzy_dedup(locs)  # D3: groupby(block).map_groups greedy@0.85
+    locs = locs.map_batches(GeocodeEnrichStage, batch_format="pyarrow",
+                            batch_size=512,
+                            concurrency=extract_concurrency or 2)
+    return locs.map_batches(add_quality, batch_format="pyarrow")
+
+
+def assemble_documents(pages: rd.Dataset) -> rd.Dataset:
+    """pages -> interleaved text+media span documents (input_hint shape)."""
+    return pages.map_batches(SpanAssemblyStage(), batch_format="pyarrow",
+                             batch_size=64)
+
+
+def run_flagship(seed: int = 42, n_hosts: int = 8, pages_per_host_base: int = 30,
+                 max_pages: int = 10_000, max_depth: int = 3,
+                 round_seconds: float | None = None,
+                 fetch_concurrency: int = 4,
+                 checkpoint_dir: str | None = None) -> dict:
+    """Build the synthetic world, crawl it, extract everything.
+
+    Returns dict(crawl=CrawlResult, locations=Dataset, documents=Dataset,
+    pages=Dataset)."""
+    pages_store, robots, seeds = W.world(seed=seed, n_hosts=n_hosts,
+                                         pages_per_host_base=pages_per_host_base)
+    res: CrawlResult = crawl(pages_store, robots, seeds,
+                             max_pages=max_pages, max_depth=max_depth,
+                             round_seconds=round_seconds,
+                             fetch_concurrency=fetch_concurrency,
+                             checkpoint_dir=checkpoint_dir)
+    pages = res.pages
+    classified = pages.map_batches(classify_batch, batch_format="pyarrow")
+    locations = extract_locations(classified)
+    documents = assemble_documents(pages)
+    return {"crawl": res, "locations": locations, "documents": documents,
+            "pages": pages}

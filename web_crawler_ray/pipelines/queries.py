@@ -1,0 +1,402 @@
+"""Query layer for the driver harness: one entry per implemented operator
+family (SURVEY §2.6-§2.8 + training-data ops), each with a DuckDB oracle
+where SQL-expressible.
+
+Determinism rules for oracle parity (driver hashes values after sorting
+columns by name):
+- every aggregate/computed column is explicitly named identically in
+  the Ray code and the SQL;
+- float sums are only taken over integral-valued doubles (exact in
+  IEEE); ratios are single divisions of integers (bit-identical);
+- cosine scores are computed in float64 on both sides and rounded to 4
+  decimals; top-k results carry deterministic tie-breaks (score desc,
+  id asc).
+
+Relational wrappers map to the reference UI's client-side query ops
+(CustomDataGrid.jsx filter/sort/paginate/distinct) and the backend
+aggregations (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages import dedup as D
+from ..stages import similarity as S
+from ..stages import textstats as T
+
+
+def _rp(sf_dir: str, name: str, **kw) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", **kw)
+
+
+# ---------------------------------------------------------------------------
+# Relational ops (P1/O1-O4/A1/A3/A6/A7 analogs on the driver tables)
+# ---------------------------------------------------------------------------
+
+def q_filter_events(sf_dir: str):
+    """P1-style row filter, vectorized in map_batches (column-pruned read)."""
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("value"), 0.7)),
+        batch_format="pyarrow")
+
+
+def q_groupby_count_lang(sf_dir: str):
+    """A3 extraction-stats analog: count per group."""
+    ds = _rp(sf_dir, "documents", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_distinct_sources(sf_dir: str):
+    """A7 distinct values (UI filter dropdowns)."""
+    ds = _rp(sf_dir, "documents", columns=["source"])
+    return ds.groupby("source").aggregate(Count(alias_name="n")).drop_columns(["n"])
+
+
+def q_topk_orders(sf_dir: str):
+    """O2 top-k: sort desc + limit with deterministic tie-break."""
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_sort_paginate_events(sf_dir: str):
+    """O3/O4 sort + offset/limit pagination (split_at_indices on the sorted set)."""
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts"])
+    ds = ds.sort(["ts", "event_id"])
+    _, rest = ds.split_at_indices([100])
+    return rest.limit(50)
+
+
+def q_lineitem_summary(sf_dir: str):
+    """A1/A6-style grouped summary (TPC-H Q1 shape). sum_qty is exact
+    (integral doubles); price extrema avoid float-sum order sensitivity."""
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    return (ds.groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                         Count(alias_name="n_rows"),
+                         Max("l_extendedprice", alias_name="max_price"),
+                         Min("l_extendedprice", alias_name="min_price")))
+
+
+def q_join_orders_customers(sf_dir: str):
+    """Broadcast hash join (small side via ray.put) + grouped count —
+    the documented no-shuffle join pattern for dimension tables."""
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        segs = [lk.get(k, "") for k in batch.column("o_custkey").to_pylist()]
+        return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("c_mktsegment").aggregate(Count(alias_name="n_orders")))
+
+
+def q_hash_join_orders_nation(sf_dir: str):
+    """Distributed hash join (Dataset.join) orders⋈customer, grouped by
+    nation key — the both-sides-large path."""
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j = orders.join(cust, join_type="inner", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    return j.groupby("c_nationkey").aggregate(Count(alias_name="n_orders"))
+
+
+def q_doc_length_buckets(sf_dir: str):
+    """A1 quality-bucket analog over documents.n_chars."""
+    ds = _rp(sf_dir, "documents", columns=["n_chars"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        n = t.column("n_chars").to_numpy()
+        b = np.where(n < 500, "short", np.where(n < 2000, "medium", "long"))
+        return pa.table({"bucket": pa.array(b.tolist(), pa.string())})
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+             .groupby("bucket").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact text dedup: keep min doc_id per identical text."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = D.exact_dedup(ds, id_col="doc_id", text_col="text")
+    return out.select_columns(["doc_id"])
+
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token counting (SQL-reproducible)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = [T.token_count(x) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(toks, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_text_stats(sf_dir: str):
+    """Char/punct counts + punct_ratio (single int/int division)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_chars = np.array([len(x or "") for x in texts], np.int64)
+        n_punct = np.array([len(T._PUNCT_RE.findall(x or "")) for x in texts], np.int64)
+        ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_chars": pa.array(n_chars),
+                         "n_punct": pa.array(n_punct),
+                         "punct_ratio": pa.array(ratio, pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+N_ANN_QUERIES = 4
+ANN_K = 5
+
+
+def _query_vectors(sf_dir: str) -> dict[int, np.ndarray]:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(N_ANN_QUERIES)
+    return {int(r.vec_id): np.asarray(list(r.embedding), np.float64)
+            for r in df.itertuples()}
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k (query matrix broadcast, per-batch matmul).
+    Compared on (query_id, vec_id) membership; scores float64-rounded."""
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = S.brute_force_topk(ds, _query_vectors(sf_dir), ANN_K)
+    return out[["query_id", "vec_id"]].reset_index(drop=True)
+
+
+NEAR_DUP_TAU = 0.35  # driver embeddings are random (max pair cosine ≈0.48 at
+# sf0.001); τ sits in the tail so the checked result is non-trivial. Real
+# corpora use τ≈0.9 (see stages/similarity.py near_dup_pairs default).
+
+
+def q_near_dup_embeddings(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs at τ=NEAR_DUP_TAU."""
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = S.near_dup_pairs(ds, threshold=NEAR_DUP_TAU)
+    return df[["id_a", "id_b"]]
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup: candidate pairs verified at Jaccard ≥ 0.8,
+    then keep the min doc_id per connected component (non-SQL; rows-only
+    driver check + pytest assertions vs brute-force Jaccard)."""
+    import pyarrow.parquet as pq
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = D.minhash_candidate_pairs(ds).to_pandas()
+    tt = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tt.column("doc_id").to_pylist(), tt.column("text").to_pylist()))
+    # verify candidates (small set) + union-find on the verified pairs
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs.itertuples():
+        if D.jaccard(texts.get(r.id_a, ""), texts.get(r.id_b, "")) >= 0.8:
+            union(int(r.id_a), int(r.id_b))
+    all_ids = sorted(texts)
+    keep = [i for i in all_ids if find(i) == i]
+    return pd.DataFrame({"doc_id": keep})
+
+
+def q_simhash(sf_dir: str):
+    """SimHash fingerprints (rows-only check; Hamming properties in pytest)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(D.SimHashStage(), batch_format="pyarrow") \
+             .select_columns(["doc_id", "simhash"])
+
+
+def q_lang_id(sf_dir: str):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(T.LangIdStage, batch_format="pyarrow",
+                          concurrency=2).select_columns(["doc_id", "lang_guess"])
+
+
+def q_fingerprints(sf_dir: str):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(T.fingerprint_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "fingerprint"])
+
+
+def q_doc_quality(sf_dir: str):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(T.quality_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "doc_quality"])
+
+
+# ---------------------------------------------------------------------------
+# Crawl-engine queries (synthetic world derived from sf; rows-only checks —
+# bit-for-bit parity is enforced by tests/test_crawl_parity.py)
+# ---------------------------------------------------------------------------
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+_CRAWL_CACHE: dict[float, dict] = {}
+
+
+def _crawl_for(sf_dir: str) -> dict:
+    from .flagship import run_flagship
+    sf = _sf_of(sf_dir)
+    if sf not in _CRAWL_CACHE:
+        n_hosts = max(4, min(48, int(400 * sf)))
+        base = max(16, int(2400 * sf))
+        _CRAWL_CACHE.clear()
+        _CRAWL_CACHE[sf] = run_flagship(n_hosts=n_hosts, pages_per_host_base=base,
+                                        max_pages=100_000, round_seconds=60.0)
+    return _CRAWL_CACHE[sf]
+
+
+def q_crawl_visited(sf_dir: str):
+    return _crawl_for(sf_dir)["crawl"].visited
+
+
+def q_crawl_locations(sf_dir: str):
+    return _crawl_for(sf_dir)["locations"]
+
+
+def q_crawl_spans(sf_dir: str):
+    docs = _crawl_for(sf_dir)["documents"]
+
+    def flat(t: pa.Table) -> pa.Table:
+        ids, kinds, texts, refs, offs = [], [], [], [], []
+        for did, spans in zip(t.column("doc_id").to_pylist(),
+                              t.column("spans").to_pylist()):
+            for s in spans:
+                ids.append(did)
+                kinds.append(s["kind"])
+                texts.append(s["text"])
+                refs.append(s["media_ref"])
+                offs.append(s["offset"])
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "text": pa.array(texts, pa.string()),
+                         "media_ref": pa.array(refs, pa.string()),
+                         "offset": pa.array(offs, pa.int32())})
+
+    return docs.map_batches(flat, batch_format="pyarrow")
+
+
+def q_crawl_seen(sf_dir: str):
+    snap = _crawl_for(sf_dir)["crawl"].seen_snapshot
+    return pa.table({"url_hash": pa.array(snap, pa.uint64())})
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+def registry() -> dict:
+    return {
+        "filter_events": q_filter_events,
+        "groupby_count_lang": q_groupby_count_lang,
+        "distinct_sources": q_distinct_sources,
+        "topk_orders": q_topk_orders,
+        "sort_paginate_events": q_sort_paginate_events,
+        "lineitem_summary": q_lineitem_summary,
+        "join_orders_customers": q_join_orders_customers,
+        "hash_join_orders_nation": q_hash_join_orders_nation,
+        "doc_length_buckets": q_doc_length_buckets,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "text_stats": q_text_stats,
+        "ann_topk": q_ann_topk,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "doc_quality": q_doc_quality,
+        "crawl_visited": q_crawl_visited,
+        "crawl_locations": q_crawl_locations,
+        "crawl_spans": q_crawl_spans,
+        "crawl_seen": q_crawl_seen,
+    }
+
+
+ORACLES: dict[str, str] = {
+    "filter_events":
+        "SELECT event_id, event_type, value FROM events WHERE value >= 0.7",
+    "groupby_count_lang":
+        "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+    "distinct_sources":
+        "SELECT DISTINCT source FROM documents",
+    "topk_orders":
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "sort_paginate_events":
+        "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 50 OFFSET 100",
+    "lineitem_summary":
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity)::DOUBLE AS sum_qty, "
+        "count(*)::BIGINT AS n_rows, max(l_extendedprice) AS max_price, "
+        "min(l_extendedprice) AS min_price "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "join_orders_customers":
+        "SELECT c_mktsegment, count(*)::BIGINT AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+    "hash_join_orders_nation":
+        "SELECT c_nationkey, count(*)::BIGINT AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey",
+    "doc_length_buckets":
+        "SELECT CASE WHEN n_chars < 500 THEN 'short' "
+        "WHEN n_chars < 2000 THEN 'medium' ELSE 'long' END AS bucket, "
+        "count(*)::BIGINT AS n FROM documents GROUP BY 1",
+    "dedup_exact":
+        "SELECT doc_id FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1",
+    "token_counts":
+        "SELECT doc_id, (CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens "
+        "FROM documents",
+    "text_stats":
+        "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        "(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::BIGINT AS n_punct, "
+        "CASE WHEN length(text) > 0 THEN "
+        "(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE "
+        "/ length(text) ELSE 0.0 END AS punct_ratio "
+        "FROM documents",
+    "ann_topk":
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+        f"ORDER BY vec_id LIMIT {N_ANN_QUERIES}) "
+        f"SELECT query_id, vec_id FROM q CROSS JOIN embeddings "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY "
+        f"list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) DESC, vec_id) "
+        f"<= {ANN_K}",
+    "near_dup_embeddings":
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) "
+        f">= {NEAR_DUP_TAU}",
+}

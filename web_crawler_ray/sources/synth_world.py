@@ -305,9 +305,9 @@ def gen_page(plan: PagePlan, seed: int) -> dict:
     hrefs: list[str] = []
     others = [p for p in plan.host_paths if p != plan.path]
     if plan.path == "/":
-        chosen = others  # homepage links everything
+        chosen = others[:10]  # homepage links a slice; the rest is deeper BFS
     else:
-        k = min(len(others), rng.randint(2, 6))
+        k = min(len(others), rng.randint(2, 8))
         chosen = rng.sample(others, k) if others else []
     for p in chosen:
         if rng.random() < 0.5:
@@ -398,6 +398,38 @@ def world(seed: int = 42, n_hosts: int = 8, pages_per_host_base: int = 30):
     tbl = pages_table(plans, seed)
     tbl = tbl.sort_by("url_hash")  # page-store lookup key order
     seeds = [f"https://h{i:04d}.example/" for i in range(n_hosts)]
+    return tbl, robots, seeds
+
+
+def world_parallel(seed: int = 42, n_hosts: int = 64, pages_per_host_base: int = 1200):
+    """Bench-scale world: page generation fanned out as a Ray Dataset job
+    (generation is pure per-(host,path) — embarrassingly parallel), collected
+    once into the sorted page-store table. Ray must already be initialised."""
+    import ray.data as rd
+
+    plans, robots = build_plan(seed, n_hosts, pages_per_host_base)
+    rows = [{"host": p.host, "path": p.path} for p in plans]
+    by_host = {p.host: p for p in plans}
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for host, path in zip(batch.column("host").to_pylist(),
+                              batch.column("path").to_pylist()):
+            proto = by_host[host]
+            plan = PagePlan(url=f"https://{host}{path}", host=host, path=path,
+                            host_paths=proto.host_paths, all_hosts=proto.all_hosts)
+            out_rows.append(gen_page(plan, seed))
+        cols = {name: [r[name] for r in out_rows] for name in PAGES_SCHEMA.names}
+        return pa.table(cols, schema=PAGES_SCHEMA)
+
+    ds = rd.from_arrow(pa.table({"host": [r["host"] for r in rows],
+                                 "path": [r["path"] for r in rows]}))
+    ds = ds.repartition(max(8, len(rows) // 512))
+    tables = [b for b in ds.map_batches(gen, batch_format="pyarrow",
+                                        batch_size=512).iter_batches(
+        batch_size=4096, batch_format="pyarrow")]
+    tbl = pa.concat_tables(tables).combine_chunks().sort_by("url_hash")
+    seeds = [f"https://{h}/" for h in sorted({p.host for p in plans})]
     return tbl, robots, seeds
 
 

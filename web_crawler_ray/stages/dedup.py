@@ -89,11 +89,22 @@ def dedup_canonical(ds, key: str = "canonical_key"):
 # D3: fuzzy dedup — verbatim pairwise kernel + blocked distribution
 # ---------------------------------------------------------------------------
 
+def _g(loc: dict, *keys):
+    """Field lookup across raw (address/name/postal_code) and enriched
+    (location_address/location_name/postcode) row shapes."""
+    for k in keys:
+        v = loc.get(k)
+        if v not in (None, ""):
+            return v
+    return None
+
+
 def similarity(loc1: dict, loc2: dict) -> float:
     """enhanced-deduplication.service.js:46-95, weights verbatim."""
     total_w = 0.0
     score = 0.0
-    a1, a2 = loc1.get("location_address"), loc2.get("location_address")
+    a1 = _g(loc1, "location_address", "address")
+    a2 = _g(loc2, "location_address", "address")
     if a1 and a2:
         score += levenshtein_ratio(dedup_norm_enhanced(a1), dedup_norm_enhanced(a2)) * 0.4
         total_w += 0.4
@@ -107,11 +118,13 @@ def similarity(loc1: dict, loc2: dict) -> float:
             total_w += 0.3
         except ValueError:
             pass
-    n1, n2 = loc1.get("location_name"), loc2.get("location_name")
+    n1 = _g(loc1, "location_name", "name")
+    n2 = _g(loc2, "location_name", "name")
     if n1 and n2:
         score += levenshtein_ratio(n1.lower(), n2.lower()) * 0.2
         total_w += 0.2
-    p1, p2 = loc1.get("postcode"), loc2.get("postcode")
+    p1 = _g(loc1, "postcode", "postal_code")
+    p2 = _g(loc2, "postcode", "postal_code")
     if p1 and p2:
         score += (1.0 if dedup_norm_postcode(p1) == dedup_norm_postcode(p2) else 0.0) * 0.1
         total_w += 0.1
@@ -123,7 +136,10 @@ def _merge_fuzzy(locs: list[dict]) -> dict:
     if len(locs) == 1:
         return dict(locs[0])
     merged = dict(locs[0])
-    for f in _D2_FIELDS:
+    fields = [f for f in _D2_FIELDS if f in locs[0]] or \
+        [f for f in ("name", "address", "latitude", "longitude", "country",
+                     "postal_code", "state", "city", "activity") if f in locs[0]]
+    for f in fields:
         vals = [l.get(f) for l in locs if l.get(f) not in (None, "") and str(l.get(f))]
         if vals:
             merged[f] = sorted(vals, key=lambda v: len(str(v)), reverse=True)[0]
@@ -164,7 +180,7 @@ def block_key(loc: dict) -> str:
     coarse geo cell (0.05° ≈ 5 km, the haversine cutoff), else city prefix.
     A true duplicate pair (sim ≥ .85) shares postcode, sits within 5 km, or
     shares a city string — validated on fixtures (test_dedup.py)."""
-    p = loc.get("postcode")
+    p = _g(loc, "postcode", "postal_code")
     if p:
         return "p:" + dedup_norm_postcode(p)
     la, lo = loc.get("latitude"), loc.get("longitude")
@@ -173,7 +189,7 @@ def block_key(loc: dict) -> str:
             return f"g:{round(float(la) / 0.05)}:{round(float(lo) / 0.05)}"
         except ValueError:
             pass
-    c = (loc.get("street_or_city") or loc.get("location_address") or "")[:16].lower()
+    c = (_g(loc, "street_or_city", "city") or _g(loc, "location_address", "address") or "")[:16].lower()
     return "c:" + re.sub(r"[^a-z0-9]", "", c)
 
 

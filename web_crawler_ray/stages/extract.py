@@ -601,7 +601,9 @@ class ExtractStage:
     shared by all extractors; html is dropped on output (SURVEY §7.4.6).
     """
 
-    def __init__(self, methods: tuple[str, ...] = ("structured", "heuristic", "map", "xhr", "inline")):
+    def __init__(self, methods: tuple[str, ...] = ("structured", "composite",
+                                                   "heuristic", "advanced",
+                                                   "map", "xhr", "inline")):
         self.methods = frozenset(methods)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -621,10 +623,16 @@ class ExtractStage:
                 if "structured" in self.methods:
                     page_locs += extract_jsonld(doc, url)
                     page_locs += extract_microdata(doc, url)
+                if "composite" in self.methods:
+                    from .extract_composite import extract_composite
+                    page_locs += extract_composite(doc, url)
                 if "inline" in self.methods:
                     page_locs += extract_inline_script(doc, url)
                 if "heuristic" in self.methods:
                     page_locs += extract_heuristic(doc, url)
+                if "advanced" in self.methods:
+                    from .extract_advanced import advanced_location_rows
+                    page_locs += advanced_location_rows(doc, html, url)
                 if "map" in self.methods:
                     page_locs += extract_map_coords(doc, url)
                 if "xhr" in self.methods and xhr and (needs_js_rendering(html, doc)

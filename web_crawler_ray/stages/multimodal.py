@@ -1,0 +1,119 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (SURVEY add-on).
+
+Image/audio/video live as ``large_binary`` columns with metadata struct
+columns; decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages. The decode kernels themselves are STUBBED
+(``decoder="fake"`` — this container has no image/audio libs; a real
+deployment passes ``decoder="pil"``/"av" and the import-gated branch
+raises ``NotImplementedError`` if the lib is missing). The Ray-side
+plumbing — schemas, batch sizing for large binary rows, actor
+``__init__`` state, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("media_type", pa.string()),      # image | audio | video
+    ("payload", pa.large_binary()),   # opaque encoded bytes
+    ("width", pa.int32()),            # typed metadata (nullable)
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+def synth_media_table(refs: list[str], seed: int = 42) -> pa.Table:
+    """Deterministic fake payloads for media refs (the sandbox 'blob store')."""
+    types, payloads, widths, heights, durs = [], [], [], [], []
+    for r in refs:
+        h = hashlib.blake2b(f"{seed}|{r}".encode(), digest_size=16).digest()
+        t = ("image", "audio", "video")[h[0] % 3]
+        types.append(t)
+        payloads.append(h * (8 + h[1] % 8))  # 128-256 bytes of deterministic noise
+        widths.append(64 + h[2] * 4 if t != "audio" else 0)
+        heights.append(64 + h[3] * 4 if t != "audio" else 0)
+        durs.append(1000 + h[4] * 100 if t != "image" else 0)
+    return pa.table({"media_ref": pa.array(refs, pa.string()),
+                     "media_type": pa.array(types, pa.string()),
+                     "payload": pa.array(payloads, pa.large_binary()),
+                     "width": pa.array(widths, pa.int32()),
+                     "height": pa.array(heights, pa.int32()),
+                     "duration_ms": pa.array(durs, pa.int32())}).cast(MEDIA_SCHEMA)
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    ``__init__`` loads the decoder ONCE per actor (model-weights
+    analogue). Use small ``batch_size`` (e.g. 32) with this stage —
+    payload bytes dominate block size. Emits a fixed-width float32
+    feature vector + decoded metadata.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder != "fake":
+            try:  # pragma: no cover - import-gated real path
+                raise ImportError(decoder)
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"decoder '{decoder}' not available in this environment; "
+                    "use decoder='fake' (deterministic stub)") from e
+        self.decoder = decoder
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        # deterministic fake "embedding": bytes -> blake2b -> 16 floats in [0,1)
+        h = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM * 4).digest()
+        u = np.frombuffer(h, dtype=np.uint32).astype(np.float64)
+        return (u / 2**32).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = [self._features(p or b"") for p in payloads]
+        out = batch.drop_columns(["payload"])  # features replace heavy bytes
+        return out.append_column(
+            "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32())))
+
+
+class ImageResizeStage:
+    """Resize plumbing: validates metadata, computes target dims, stubs pixels."""
+
+    def __init__(self, max_side: int = 256, decoder: str = "fake"):
+        self.max_side = max_side
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy().astype(np.float64)
+        h = batch.column("height").to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1))
+        return (batch
+                .append_column("out_width", pa.array((w * scale).astype(np.int32)))
+                .append_column("out_height", pa.array((h * scale).astype(np.int32))))
+
+
+class FrameSampleStage:
+    """Video frame-sampling plumbing: 1 row per sampled frame timestamp."""
+
+    def __init__(self, fps: float = 1.0):
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        durs = batch.column("duration_ms").to_pylist()
+        o_ref, o_ts = [], []
+        for r, t, d in zip(refs, types, durs):
+            if t != "video" or not d:
+                continue
+            step = int(1000 / self.fps)
+            for ts in range(0, int(d), step):
+                o_ref.append(r)
+                o_ts.append(ts)
+        return pa.table({"media_ref": pa.array(o_ref, pa.string()),
+                         "frame_ts_ms": pa.array(o_ts, pa.int32())})

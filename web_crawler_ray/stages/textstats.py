@@ -1,0 +1,185 @@
+"""Text analysis for training-data pipelines (token counts, quality,
+language-ID, fingerprinting) — vectorized ``map_batches`` stages over the
+``documents`` table.
+
+Computations are defined so the SQL-expressible ones (token/punct/char
+counts, ratios) are bit-reproducible by the DuckDB oracle: counts are
+integers, ratios are IEEE float64 divisions of those integers.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS_SPLIT = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")  # ASCII punctuation blocks
+_WORD_RE = re.compile(r"[a-z0-9']+")
+
+# Compact stopword sets for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+           "was", "on", "are", "with", "as", "this", "be", "at", "by"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "für", "auf", "im", "dem", "des"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "de",
+           "que", "pour", "dans", "qui", "au", "pas", "sur"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que",
+           "en", "por", "con", "para", "no", "se", "del"},
+}
+EN_STOP = STOPWORDS["en"]
+
+
+def token_count(text: str) -> int:
+    """Whitespace tokenization (SQL-reproducible)."""
+    if not text or not text.strip():
+        return 0
+    return len(_WS_SPLIT.split(text.strip()))
+
+
+_BPE_ISH = re.compile(r"[A-Za-z]+|\d|[^\sA-Za-z\d]")
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """BPE-ish regex token count: alpha runs, single digits, single symbols."""
+    return len(_BPE_ISH.findall(text or ""))
+
+
+def text_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens, n_punct, punct_ratio, stop_ratio, mean_token_len, upper_ratio."""
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    n_tokens = np.zeros(n, np.int64)
+    n_bpe = np.zeros(n, np.int64)
+    n_punct = np.zeros(n, np.int64)
+    n_upper = np.zeros(n, np.int64)
+    n_chars = np.zeros(n, np.int64)
+    n_stop = np.zeros(n, np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        n_punct[i] = len(_PUNCT_RE.findall(t))
+        n_upper[i] = sum(1 for c in t if c.isupper())
+        toks = _WS_SPLIT.split(t.strip()) if t.strip() else []
+        n_tokens[i] = len(toks)
+        n_bpe[i] = len(_BPE_ISH.findall(t))
+        low = t.lower()
+        words = _WORD_RE.findall(low)
+        n_stop[i] = sum(1 for w in words if w in EN_STOP)
+    out = batch
+    out = out.append_column("n_tokens", pa.array(n_tokens))
+    out = out.append_column("n_bpe_tokens", pa.array(n_bpe))
+    out = out.append_column("n_punct", pa.array(n_punct))
+    out = out.append_column("punct_ratio", pa.array(
+        np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)))
+    out = out.append_column("n_stopwords", pa.array(n_stop))
+    out = out.append_column("upper_ratio", pa.array(
+        np.where(n_chars > 0, n_upper / np.maximum(n_chars, 1), 0.0)))
+    return out
+
+
+def doc_quality_score(text: str) -> float:
+    """Composite quality heuristic in [0,1]: length band + low punct +
+    healthy stopword ratio + mean word length band (C4/Gopher-style rules,
+    public heuristics)."""
+    if not text:
+        return 0.0
+    n = len(text)
+    toks = _WS_SPLIT.split(text.strip()) if text.strip() else []
+    if not toks:
+        return 0.0
+    words = _WORD_RE.findall(text.lower())
+    stop_r = (sum(1 for w in words if w in EN_STOP) / len(words)) if words else 0.0
+    punct_r = len(_PUNCT_RE.findall(text)) / n
+    mean_len = sum(len(t) for t in toks) / len(toks)
+    score = 0.0
+    if 50 <= n <= 100_000:
+        score += 0.3
+    if 0.01 <= stop_r <= 0.6:
+        score += 0.3
+    if punct_r <= 0.2:
+        score += 0.2
+    if 2.0 <= mean_len <= 12.0:
+        score += 0.2
+    return round(score, 2)
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    scores = [doc_quality_score(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("doc_quality", pa.array(scores, pa.float64()))
+
+
+class LangIdStage:
+    """Stopword-hit language heuristic (actor stage: sets compiled once)."""
+
+    def __init__(self):
+        self.sets = {k: frozenset(v) for k, v in STOPWORDS.items()}
+
+    def guess(self, text: str) -> str:
+        words = _WORD_RE.findall((text or "").lower())
+        if not words:
+            return "unknown"
+        best, best_n = "unknown", 0
+        for lang in ("en", "de", "fr", "es"):  # fixed order = deterministic ties
+            n = sum(1 for w in words if w in self.sets[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        guesses = [self.guess(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_guess", pa.array(guesses, pa.string()))
+
+
+_B = 1_000_003
+_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Document fingerprint: min of Rabin-Karp rolling hashes over word
+    windows (winnowing-lite; order-sensitive, whitespace-insensitive)."""
+    words = _WORD_RE.findall((text or "").lower())
+    if not words:
+        return 0
+    hs = [hash(w) & 0xFFFFFFFF for w in words]  # per-word base hash
+    if len(hs) < window:
+        window = len(hs)
+    pw = pow(_B, window - 1, _MOD)
+    cur = 0
+    for i in range(window):
+        cur = (cur * _B + hs[i]) % _MOD
+    best = cur
+    for i in range(window, len(hs)):
+        cur = ((cur - hs[i - window] * pw) * _B + hs[i]) % _MOD
+        if cur < best:
+            best = cur
+    return best
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    import hashlib
+
+    def fp(t: str) -> int:
+        # deterministic per-word hash (hash() is seed-dependent -> use blake2b)
+        words = _WORD_RE.findall((t or "").lower())
+        if not words:
+            return 0
+        hs = [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=4).digest(), "big")
+              for w in words]
+        window = min(8, len(hs))
+        pw = pow(_B, window - 1, _MOD)
+        cur = 0
+        for i in range(window):
+            cur = (cur * _B + hs[i]) % _MOD
+        best = cur
+        for i in range(window, len(hs)):
+            cur = ((cur - hs[i - window] * pw) * _B + hs[i]) % _MOD
+            if cur < best:
+                best = cur
+        return best
+
+    fps = [fp(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("fingerprint", pa.array(np.array(fps, np.uint64)))
