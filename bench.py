@@ -61,7 +61,7 @@ def headline(num_cpus: int) -> dict:
                 n_seen_shards=8)
     classified = res.pages.map_batches(classify_batch, batch_format="pyarrow",
                                        batch_size=64)
-    locs = extract_locations(classified, extract_concurrency=max(2, num_cpus // 4))
+    locs = extract_locations(classified)
     n_locs = locs.count()
     docs = assemble_documents(res.pages)
     n_spans = docs.count()

@@ -146,3 +146,30 @@ def ray_session():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     yield
+
+
+def test_sim_feat_equals_similarity():
+    """The fast kernel must return values identical to the verbatim one
+    (above-threshold: exact equality; below: both below)."""
+    import random
+    rng = random.Random(9)
+    streets = ["100 Main Street", "100 Main St", "5 Oak Ave", ""]
+    names = ["Acme", "Acme HQ", "", "Other"]
+    posts = ["62701", "80201", ""]
+    rows = []
+    for _ in range(40):
+        lat = rng.choice(["", "37.0", "37.0005", "39.7"])
+        lon = "" if not lat else "-122.0"
+        rows.append({"address": rng.choice(streets), "name": rng.choice(names),
+                     "postal_code": rng.choice(posts),
+                     "latitude": lat, "longitude": lon})
+    memo = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ref = D.similarity(rows[i], rows[j])
+            fast = D._sim_feat(D._FuzzyFeat(rows[i]), D._FuzzyFeat(rows[j]),
+                               0.85, memo)
+            if ref >= 0.85 or fast >= 0.85:
+                assert abs(ref - fast) < 1e-12, (rows[i], rows[j], ref, fast)
+            else:
+                assert fast < 0.85

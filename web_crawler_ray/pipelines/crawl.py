@@ -89,7 +89,12 @@ def _page_store(pages_ref) -> tuple[pa.Table, np.ndarray]:
 
 class FetchStage:
     """Stateless fetch stage (S1/S2 stand-in): frontier rows -> page rows via
-    searchsorted lookup against the shared page store (no per-task copy)."""
+    searchsorted lookup against the shared page store (no per-task copy).
+
+    Link extraction (F1-F4) is FUSED into the fetch task — one Dataset job
+    per frontier round instead of two — emitting the canonical same-domain
+    non-excluded outlinks as a per-page list column (in-page first-seen
+    dedup preserved, document order = discovery_seq tiebreak)."""
 
     def __init__(self, pages_ref):
         self.pages_ref = pages_ref
@@ -113,51 +118,37 @@ class FetchStage:
         for k, i in enumerate(fi):
             html[i] = h_col[k] or ""
             xhr[i] = x_col[k]
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        links: list[list[str]] = []
+        for i in range(n):
+            if status[i] != 200 or not html[i]:
+                links.append([])
+                continue
+            links.append(_canonical_links(html[i], urls[i], hosts[i]))
         out = batch.append_column("status", pa.array(status, pa.int16()))
         out = out.append_column("html", pa.array(html, pa.large_string()))
         out = out.append_column("xhr_json", pa.array(xhr, pa.large_string()))
+        out = out.append_column("links_canon", pa.array(links, pa.list_(pa.string())))
         return out
 
 
-def _links_batch(batch: pa.Table) -> pa.Table:
-    """F1-F4 over fetched pages: hrefs -> canonical same-domain non-excluded
-    links with (parent_rank, link_idx) provenance; in-page first-seen dedup."""
-    urls = batch.column("url").to_pylist()
-    hosts = batch.column("host").to_pylist()
-    depths = batch.column("depth").to_pylist()
-    ranks = batch.column("fetch_rank").to_pylist()
-    statuses = batch.column("status").to_pylist()
-    htmls = batch.column("html").to_pylist()
-    o_url, o_host, o_depth, o_rank, o_idx = [], [], [], [], []
-    for url, host, depth, rank, st, html in zip(urls, hosts, depths, ranks, statuses, htmls):
-        if st != 200 or not html:
+def _canonical_links(html: str, url: str, host: str) -> list[str]:
+    """F1-F4 for one page: document order, in-page first-seen dedup."""
+    local: set[str] = set()
+    out: list[str] = []
+    for href in extract_hrefs(html):
+        absu = resolve_href(href, url)
+        if absu is None:
             continue
-        local: set[str] = set()
-        idx = 0
-        for href in extract_hrefs(html):
-            absu = resolve_href(href, url)
-            if absu is None:
-                continue
-            canon = canonicalize(absu)
-            if canon is None or canon in local:
-                continue
-            lh = host_of(canon)
-            if not same_domain(lh, host) or should_exclude(canon):
-                continue
-            local.add(canon)
-            o_url.append(canon)
-            o_host.append(host)   # same-domain: crawl tree stays on the seed host
-            o_depth.append(depth + 1)
-            o_rank.append(rank)
-            o_idx.append(idx)
-            idx += 1
-    return pa.table({
-        "url": pa.array(o_url, pa.string()),
-        "host": pa.array(o_host, pa.string()),
-        "depth": pa.array(o_depth, pa.int32()),
-        "parent_rank": pa.array(o_rank, pa.int64()),
-        "link_idx": pa.array(o_idx, pa.int32()),
-    })
+        canon = canonicalize(absu)
+        if canon is None or canon in local:
+            continue
+        if not same_domain(host_of(canon), host) or should_exclude(canon):
+            continue
+        local.add(canon)
+        out.append(canon)
+    return out
 
 
 @dataclass
@@ -259,12 +250,22 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
             "fetch_rank", pa.array(np.arange(fetch_tbl.num_rows), pa.int64()))
 
         # --- the distributed part: fetch + link-extract as Dataset stages ---
-        n_blocks = max(1, min(fetch_concurrency, fetch_tbl.num_rows // 64 + 1))
+        # blocks sized ~192 pages: small enough to balance the downstream
+        # extract stage (its per-page cost dwarfs fetch), large enough to
+        # amortize task dispatch; decoupled from fetch_concurrency
+        n_blocks = max(1, min(256, fetch_tbl.num_rows // 192 + 1))
         ds = rd.from_arrow(fetch_tbl, override_num_blocks=n_blocks)
         ds = ds.map_batches(FetchStage(pages_ref),
                             batch_format="pyarrow", batch_size=256, num_cpus=1)
         ds = ds.materialize()  # pinned once; reused for links + downstream extract
-        links = ds.map_batches(_links_batch, batch_format="pyarrow").take_all()
+        # link metadata only (html stays in the object store)
+        link_rows = ds.select_columns(["host", "depth", "fetch_rank",
+                                       "links_canon"]).take_all()
+        links = []
+        for r in link_rows:
+            for idx, u in enumerate(r["links_canon"]):
+                links.append({"url": u, "host": r["host"], "depth": r["depth"] + 1,
+                              "parent_rank": r["fetch_rank"], "link_idx": idx})
 
         if checkpoint_dir:
             ds.write_parquet(os.path.join(checkpoint_dir, f"round={rnd}", "pages"))

@@ -26,7 +26,7 @@ import ray.data as rd
 from ..sources import synth_world as W
 from ..stages.classify import classify_batch
 from ..stages.dedup import fuzzy_dedup
-from ..stages.enrich import GeocodeEnrichStage, add_quality
+from ..stages.enrich import add_quality, geocode_enrich_batch
 from ..stages.extract import ExtractStage, SpanAssemblyStage
 from .crawl import CrawlResult, crawl
 
@@ -36,17 +36,15 @@ def _conf_filter(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.greater_equal(batch.column("confidence"), 0.70))
 
 
-def extract_locations(pages: rd.Dataset, fuzzy: bool = True,
-                      extract_concurrency: int | None = None) -> rd.Dataset:
+def extract_locations(pages: rd.Dataset, fuzzy: bool = True) -> rd.Dataset:
     """pages -> final enriched location records (lazy)."""
     locs = pages.map_batches(ExtractStage(), batch_format="pyarrow",
                              batch_size=64, num_cpus=1)
     locs = locs.map_batches(_conf_filter, batch_format="pyarrow")
     if fuzzy:
         locs = fuzzy_dedup(locs)  # D3: groupby(block).map_groups greedy@0.85
-    locs = locs.map_batches(GeocodeEnrichStage, batch_format="pyarrow",
-                            batch_size=512,
-                            concurrency=extract_concurrency or 2)
+    locs = locs.map_batches(geocode_enrich_batch, batch_format="pyarrow",
+                            batch_size=512)
     return locs.map_batches(add_quality, batch_format="pyarrow")
 
 

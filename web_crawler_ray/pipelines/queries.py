@@ -309,6 +309,21 @@ def q_crawl_spans(sf_dir: str):
     return docs.map_batches(flat, batch_format="pyarrow")
 
 
+def q_crawl_extraction_stats(sf_dir: str):
+    """A3: count per extraction_method over the crawl's locations."""
+    from ray.data.aggregate import Count
+    locs = _crawl_for(sf_dir)["locations"]
+    return locs.groupby("extraction_method").aggregate(Count(alias_name="n"))
+
+
+def q_crawl_quality_report(sf_dir: str):
+    """A1: quality-bucket counts + mean score (data-quality:114-136)."""
+    from ..stages.enrich import quality_report
+    rep = quality_report(_crawl_for(sf_dir)["locations"])
+    import pandas as pd
+    return pd.DataFrame([rep])
+
+
 def q_crawl_seen(sf_dir: str):
     snap = _crawl_for(sf_dir)["crawl"].seen_snapshot
     return pa.table({"url_hash": pa.array(snap, pa.uint64())})
@@ -343,6 +358,8 @@ def registry() -> dict:
         "crawl_locations": q_crawl_locations,
         "crawl_spans": q_crawl_spans,
         "crawl_seen": q_crawl_seen,
+        "crawl_extraction_stats": q_crawl_extraction_stats,
+        "crawl_quality_report": q_crawl_quality_report,
     }
 
 

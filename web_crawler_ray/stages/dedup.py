@@ -156,8 +156,77 @@ def _merge_fuzzy(locs: list[dict]) -> dict:
     return merged
 
 
+class _FuzzyFeat:
+    """Per-row precomputed similarity features (normalization + parses are
+    hoisted out of the O(n²) loop; values identical to ``similarity``)."""
+
+    __slots__ = ("addr", "lat", "lon", "name", "post")
+
+    def __init__(self, loc: dict):
+        a = _g(loc, "location_address", "address")
+        self.addr = dedup_norm_enhanced(a) if a else None
+        la, lo = loc.get("latitude"), loc.get("longitude")
+        self.lat = self.lon = None
+        if la and lo:
+            try:
+                self.lat, self.lon = float(la), float(lo)
+            except ValueError:
+                pass
+        n = _g(loc, "location_name", "name")
+        self.name = n.lower() if n else None
+        p = _g(loc, "postcode", "postal_code")
+        self.post = dedup_norm_postcode(p) if p else None
+
+
+def _sim_feat(f1: _FuzzyFeat, f2: _FuzzyFeat, threshold: float,
+              lev_memo: dict) -> float:
+    """Same value as ``similarity`` on the original rows, with (a) a
+    memo on Levenshtein pairs and (b) an exact upper-bound early exit:
+    lev_ratio(s1,s2) <= 1 - |len1-len2|/max_len, so if the score with
+    that bound already misses the threshold, the DP is skipped."""
+    total_w = 0.0
+    fixed = 0.0
+    lev_terms = []  # (weight, s1, s2)
+    if f1.addr is not None and f2.addr is not None:
+        lev_terms.append((0.4, f1.addr, f2.addr))
+        total_w += 0.4
+    if f1.lat is not None and f2.lat is not None:
+        d = haversine_km(f1.lat, f1.lon, f2.lat, f2.lon)
+        fixed += (1.0 if d < 0.1 else max(0.0, 1 - d / 5)) * 0.3
+        total_w += 0.3
+    if f1.name is not None and f2.name is not None:
+        lev_terms.append((0.2, f1.name, f2.name))
+        total_w += 0.2
+    if f1.post is not None and f2.post is not None:
+        fixed += (1.0 if f1.post == f2.post else 0.0) * 0.1
+        total_w += 0.1
+    if total_w == 0:
+        return 0.0
+    ub = fixed
+    for w, s1, s2 in lev_terms:
+        ub += w * (1.0 if s1 == s2 else
+                   1.0 - abs(len(s1) - len(s2)) / max(len(s1), len(s2), 1))
+    if ub / total_w < threshold:
+        return 0.0  # cannot reach threshold; exact value not needed
+    score = fixed
+    for w, s1, s2 in lev_terms:
+        key = (s1, s2)
+        r = lev_memo.get(key)
+        if r is None:
+            r = levenshtein_ratio(s1, s2)
+            lev_memo[key] = r
+        score += w * r
+    return score / total_w
+
+
 def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
-    """Greedy O(n²) clustering in input order (enhanced-dedup:7-41)."""
+    """Greedy O(n²) clustering in input order (enhanced-dedup:7-41).
+
+    Output identical to the naive pairwise form (asserted in tests);
+    features precomputed, Levenshtein memoized across repeated strings.
+    """
+    feats = [_FuzzyFeat(l) for l in locs]
+    lev_memo: dict = {}
     merged = []
     processed: set[int] = set()
     for i in range(len(locs)):
@@ -167,7 +236,7 @@ def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
         for j in range(i + 1, len(locs)):
             if j in processed:
                 continue
-            if similarity(locs[i], locs[j]) >= threshold:
+            if _sim_feat(feats[i], feats[j], threshold, lev_memo) >= threshold:
                 dups.append(j)
                 processed.add(j)
         merged.append(_merge_fuzzy([locs[k] for k in dups]))
@@ -176,21 +245,29 @@ def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
 
 
 def block_key(loc: dict) -> str:
-    """Blocking key for distributed fuzzy dedup: normalized postcode, else
-    coarse geo cell (0.05° ≈ 5 km, the haversine cutoff), else city prefix.
-    A true duplicate pair (sim ≥ .85) shares postcode, sits within 5 km, or
-    shares a city string — validated on fixtures (test_dedup.py)."""
+    """Blocking key for distributed fuzzy dedup: source host ∥ (normalized
+    postcode, else coarse geo cell (0.05° ≈ 5 km, the haversine cutoff),
+    else city prefix).
+
+    Host scoping is faithful: the reference's fuzzy dedup runs within ONE
+    crawl/site (crawler.service.js:187-190 site-wide at 0.85) and never
+    across sites, so cross-host pairs are out of scope by construction —
+    and it bounds block sizes at web scale (a block is one host × one
+    postcode). Within-block scan follows global discovery_seq order."""
+    from urllib.parse import urlsplit
+    src = (loc.get("source_url") or "").split(",")[0].strip()
+    host = urlsplit(src).netloc if src else ""
     p = _g(loc, "postcode", "postal_code")
     if p:
-        return "p:" + dedup_norm_postcode(p)
+        return f"{host}|p:" + dedup_norm_postcode(p)
     la, lo = loc.get("latitude"), loc.get("longitude")
     if la and lo:
         try:
-            return f"g:{round(float(la) / 0.05)}:{round(float(lo) / 0.05)}"
+            return f"{host}|g:{round(float(la) / 0.05)}:{round(float(lo) / 0.05)}"
         except ValueError:
             pass
     c = (_g(loc, "street_or_city", "city") or _g(loc, "location_address", "address") or "")[:16].lower()
-    return "c:" + re.sub(r"[^a-z0-9]", "", c)
+    return f"{host}|c:" + re.sub(r"[^a-z0-9]", "", c)
 
 
 def _fuzzy_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -201,15 +278,30 @@ def _fuzzy_group(g: pd.DataFrame) -> pd.DataFrame:
                              and c in res.columns], errors="ignore")
 
 
+def _fuzzy_host_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-host task: fine-grained blocking runs INSIDE the task as a pandas
+    groupby — Ray-level groups stay coarse (one per host), avoiding the
+    per-group distributed-groupby overhead over thousands of tiny blocks."""
+    outs = [_fuzzy_group(sub) for _, sub in g.groupby("fuzzy_block", sort=True)]
+    return pd.concat(outs, ignore_index=True) if outs else g.iloc[0:0]
+
+
 def fuzzy_dedup(ds):
-    """D3 distributed: block-key groupby, greedy scan per block in global
-    discovery_seq order."""
+    """D3 distributed: shuffle keyed by HOST (the crawl's single partition
+    key — the reference dedups within one site, crawler.service.js:187-190),
+    with postcode/geo-cell/city blocking applied within the host task.
+    Skew note: a host's per-round size is already capped by the politeness
+    budget; a pathological host can be salted into (host, postcode-range)
+    sub-shards without changing results because blocks never span salts."""
     def add_key(batch: pa.Table) -> pa.Table:
-        keys = [block_key(r) for r in batch.to_pylist()]
-        return batch.append_column("fuzzy_block", pa.array(keys, pa.string()))
+        rows = batch.to_pylist()
+        keys = [block_key(r) for r in rows]
+        hosts = [k.split("|", 1)[0] for k in keys]
+        out = batch.append_column("fuzzy_block", pa.array(keys, pa.string()))
+        return out.append_column("fuzzy_host", pa.array(hosts, pa.string()))
     return (ds.map_batches(add_key, batch_format="pyarrow")
-              .groupby("fuzzy_block")
-              .map_groups(_fuzzy_group, batch_format="pandas"))
+              .groupby("fuzzy_host")
+              .map_groups(_fuzzy_host_group, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------

@@ -49,10 +49,16 @@ def synthetic_geocode(address: str, name: str = "") -> dict:
 
 
 class GeocodeEnrichStage:
-    """Actor-pool stage: locations_raw -> final enriched records.
+    """Enrichment stage: locations_raw -> final enriched records.
 
-    ``__init__`` holds the memo cache (once per actor — the reference's
-    30-day Redis geocode cache); ``__call__`` enriches a batch.
+    The memo cache is the reference's 30-day Redis geocode cache. With a
+    REAL geocoder (rate-limited HTTP) this runs as an actor pool
+    (``map_batches(GeocodeEnrichStage, concurrency=N)``) so the session +
+    cache live once per actor; the sandbox's synthetic geocoder is pure
+    CPU, so the flagship uses the stateless-task form
+    (``geocode_enrich_batch`` below, per-worker memo) — elastic, no
+    actor-pool startup, and it keeps the upstream extract stages from
+    being fused into a small fixed pool.
     """
 
     def __init__(self):
@@ -128,6 +134,16 @@ _EMPTY_ENRICHED = pa.table({
     "phone": pa.array([], pa.string()),
     "email": pa.array([], pa.string()),
 })
+
+_WORKER_ENRICH: list = []  # per-worker-process GeocodeEnrichStage singleton
+
+
+def geocode_enrich_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of GeocodeEnrichStage (memo cached per worker)."""
+    if not _WORKER_ENRICH:
+        _WORKER_ENRICH.append(GeocodeEnrichStage())
+    return _WORKER_ENRICH[0](batch)
+
 
 # --- A2 quality score (data-quality.service.js:7-48, weights verbatim) ------
 

@@ -212,6 +212,10 @@ def _heur_text_patterns(doc: Doc) -> list[dict]:
     for line in lines[:1000]:
         if len(line) < 20 or len(line) > 300:
             continue
+        # every _ADDR_PATTERNS family requires a digit (and looksLikeAddress
+        # gates on one): a digit-free line can never match — cheap pre-gate
+        if _DIGIT_RE.search(line) is None:
+            continue
         if any(rx.search(line) for rx in _ADDR_PATTERNS) and looks_like_address(line):
             out.append({"name": "", "street": re.sub(r"\s+", " ", line), "confidence": 0.6})
     return out

@@ -161,6 +161,8 @@ def extract_body_patterns(doc: Doc, url: str) -> list[dict]:
     from urllib.parse import urlsplit
     out = []
     body = doc.body_text()
+    if not any(c.isdigit() for c in body):
+        return out  # all 5 patterns require digits — skip the regex scans
     host = urlsplit(url).netloc
     for rx in _BODY_PATTERNS:
         for idx, m in enumerate(rx.findall(body) if rx.groups == 0 else
