@@ -39,3 +39,51 @@ def test_checkpoint_and_resume(tmp_path):
 
 def test_resume_info_empty(tmp_path):
     assert resume_info(str(tmp_path / "nope")) is None
+
+
+def test_resume_equals_uninterrupted(tmp_path):
+    """capped/interrupted run + resumed run ≡ one uninterrupted run:
+    resumed fetch order continues exactly, final seen sets equal."""
+    import numpy as np
+    import pyarrow as pa
+
+    tbl, robots, seeds = W.world(seed=21, n_hosts=4, pages_per_host_base=16)
+    full = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                 round_seconds=6.0, keep_pages=False)
+    ck = str(tmp_path / "ck")
+    part1 = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                  round_seconds=6.0, checkpoint_dir=ck, keep_pages=False)
+    # simulate a crash after round k: drop checkpoints beyond k
+    import os, shutil
+    rounds = sorted(int(d.split("=")[1]) for d in os.listdir(ck))
+    k = rounds[len(rounds) // 2]
+    for r in rounds:
+        if r > k:
+            shutil.rmtree(os.path.join(ck, f"round={r}"))
+    resumed = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                    round_seconds=6.0, keep_pages=False, resume_from=ck)
+    # fetch order of resumed == uninterrupted rounds > k
+    fv = full.visited
+    tail = fv.filter(pa.compute.greater(fv.column("round"), k))
+    assert resumed.visited.column("url").to_pylist() == tail.column("url").to_pylist()
+    assert resumed.visited.column("round").to_pylist() == tail.column("round").to_pylist()
+    assert np.array_equal(resumed.seen_snapshot, full.seen_snapshot)
+    # stats report the CUMULATIVE fetched count (restored + new)
+    assert resumed.stats["fetched"] == full.stats["fetched"]
+    assert resumed.visited.num_rows == full.stats["fetched"] - full.visited.filter(
+        pa.compute.less_equal(fv.column("round"), k)).num_rows
+
+
+def test_cap_final_round_links_enter_seen():
+    """Reference enqueues the final fetched pages' links into the seen set
+    before exiting (site-crawler:163-168) — engine must match the oracle
+    when the cap truncates mid-crawl."""
+    import numpy as np
+    from web_crawler_ray.oracle.reference_oracle import oracle_crawl
+    tbl, robots, seeds = W.world(seed=23, n_hosts=3, pages_per_host_base=14)
+    by_url = {r["url"]: r for r in tbl.to_pylist()}
+    for cap in (3, 7, 11):
+        e = crawl(tbl, robots, seeds, max_pages=cap, max_depth=3, keep_pages=False)
+        o_order, o_seen, _ = oracle_crawl(by_url, robots, seeds,
+                                          max_pages=cap, max_depth=3)
+        assert np.array_equal(e.seen_snapshot, np.array(o_seen, dtype=np.uint64)), cap

@@ -93,3 +93,18 @@ def test_robots_disallow_respected(small_world):
     for _, _, url in e_order:
         for h in blocked:
             assert not (h in url and "/private" in url), url
+
+
+def test_engine_matches_oracle_with_backoff(small_world):
+    """F12 exponential failure backoff: engine == oracle under budgeted
+    politeness with per-host failure halving."""
+    tbl, robots, seeds, by_url = small_world
+    o_order, o_seen, _ = oracle_crawl(by_url, robots, seeds, max_pages=150,
+                                      max_depth=3, round_seconds=4.0, backoff=True)
+    res = crawl(tbl, robots, seeds, max_pages=150, max_depth=3,
+                round_seconds=4.0, backoff=True, keep_pages=False)
+    e_order = list(zip(res.visited.column("round").to_pylist(),
+                       res.visited.column("discovery_seq").to_pylist(),
+                       res.visited.column("url").to_pylist()))
+    assert e_order == o_order
+    assert np.array_equal(res.seen_snapshot, np.array(o_seen, dtype=np.uint64))

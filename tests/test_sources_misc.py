@@ -121,3 +121,28 @@ def test_api_candidates():
     urls = API.candidate_urls("https://acme.example/page")
     assert "https://acme.example/api/locations" in urls
     assert len(urls) == len(API.API_CANDIDATE_PATHS)
+
+
+def test_explore_top_k():
+    urls = ["https://a.example/pricing", "https://a.example/careers",
+            "https://a.example/about", "https://a.example/offices",
+            "https://a.example/global", "https://a.example/zzz"]
+    top = R.explore_top_k(urls, k=3)
+    assert top == ["https://a.example/offices", "https://a.example/global",
+                   "https://a.example/about"]
+
+
+def test_storage_switch(tmp_path):
+    import pyarrow as pa
+    import pytest
+    from web_crawler_ray.sources import storage as ST
+    t = pa.table({"a": [1, 2, 3]})
+    p = str(tmp_path / "t")
+    ST.write_table(t, p, fmt="parquet", complete_marker=True)
+    assert ST.is_complete(p)
+    assert ST.read_table(p, fmt="parquet").equals(t)
+    if not ST.HAS_LANCE:
+        with pytest.raises(NotImplementedError):
+            ST.write_table(t, str(tmp_path / "l"), fmt="lance")
+    with pytest.raises(ValueError):
+        ST.write_table(t, p, fmt="orc")

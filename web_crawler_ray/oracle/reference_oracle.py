@@ -88,10 +88,11 @@ class _Entry:
 
 def oracle_crawl(pages_by_url: dict[str, dict], robots_by_host: dict[str, str],
                  seeds: list[str], max_pages: int = 10_000, max_depth: int = 3,
-                 round_seconds: float | None = None):
+                 round_seconds: float | None = None, backoff: bool = False):
     """The round-based crawl spec, sequential. Returns
     (fetch_order [(round, seq, url)], seen sorted-hash list, stats dict)."""
     rules = {h: RobotsRules(t) for h, t in robots_by_host.items()}
+    failures: dict[str, int] = {}
 
     def budget(host: str) -> int:
         if round_seconds is None:
@@ -100,7 +101,11 @@ def oracle_crawl(pages_by_url: dict[str, dict], robots_by_host: dict[str, str],
         # explicit Crawl-delay wins; otherwise the reference's fixed 1 s loop delay
         delay = r.crawl_delay if (r is not None and r.crawl_delay is not None) \
             else DEFAULT_FIXED_DELAY
-        return max(1, math.floor(round_seconds / max(delay, 0.3)))
+        b = max(1, math.floor(round_seconds / max(delay, 0.3)))
+        f = failures.get(host, 0)
+        if f:
+            b = max(1, b >> min(f, 10))  # exponential backoff, floor 1
+        return b
 
     seen: set[str] = set()
     frontier: list[_Entry] = []
@@ -143,17 +148,26 @@ def oracle_crawl(pages_by_url: dict[str, dict], robots_by_host: dict[str, str],
         fetch_list = taken[:room]
         # fetch + discover
         new_entries: list[_Entry] = []
+        round_fails: dict[str, int] = {}
+        round_ok: set[str] = set()
         for e in fetch_list:
             fetch_order.append((rnd, e.seq, e.url))
             n_fetched += 1
             page = pages_by_url.get(e.url)
             if page is None or page["status"] != 200 or not page["html"]:
+                round_fails[e.host] = round_fails.get(e.host, 0) + 1
                 continue
+            round_ok.add(e.host)
             for link in _page_links(page, e.host):
                 if link not in seen:
                     seen.add(link)
                     new_entries.append(_Entry(link, host_of(link), e.depth + 1, next_seq))
                     next_seq += 1
+        if backoff:
+            for h, nf in round_fails.items():
+                failures[h] = failures.get(h, 0) + nf
+            for h in round_ok - set(round_fails):
+                failures[h] = 0
         if n_fetched >= max_pages:
             break
         frontier = deferred + new_entries

@@ -130,6 +130,8 @@ class FetchStage:
         out = out.append_column("html", pa.array(html, pa.large_string()))
         out = out.append_column("xhr_json", pa.array(xhr, pa.large_string()))
         out = out.append_column("links_canon", pa.array(links, pa.list_(pa.string())))
+        ok = [bool(status[i] == 200 and html[i]) for i in range(n)]
+        out = out.append_column("fetch_ok", pa.array(ok, pa.bool_()))
         return out
 
 
@@ -165,12 +167,26 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
           round_seconds: float | None = None,
           n_seen_shards: int = 4, fetch_concurrency: int = 4,
           checkpoint_dir: str | None = None,
-          keep_pages: bool = True) -> CrawlResult:
+          keep_pages: bool = True,
+          resume_from: str | None = None,
+          backoff: bool = False) -> CrawlResult:
     """Run the round-based BFS. ``pages_store`` must be sorted by url_hash.
 
     ``round_seconds=None`` ⇒ infinite politeness budget (pure reference
     BFS order); otherwise per-host budget = floor(round_seconds / delay)
     on the deterministic virtual clock (see state/politeness.py).
+
+    ``backoff=True`` enables the F12 implied-API exponential failure
+    backoff: a host's next-round budget is halved per fetch failure
+    recorded this round (floor 1), reset on an all-success round — the
+    oracle mirrors this exactly (parity-tested).
+
+    ``resume_from``: a checkpoint dir from a prior run — the crawl
+    continues from the max complete round (frontier + seen set + fetched
+    count restored; earlier rounds' pages are already on disk there).
+    The resumed run's fetch order is exactly the rounds the interrupted
+    run would have executed next (tests/test_checkpoint.py asserts
+    capped-run + resumed-run ≡ one uninterrupted run).
     """
     pages_ref = ray.put(pages_store)
     robots = RobotsCache.options(num_cpus=0.1).remote(robots_by_host)
@@ -178,20 +194,32 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     politeness = Politeness.options(num_cpus=0.1).remote(
         round_seconds if round_seconds is not None else float("inf"))
 
-    # seed the frontier (enqueue-time seen insertion, reference :136)
-    s_urls, s_hosts = [], []
-    for s in seeds:
-        c = canonicalize(s)
-        if c is not None:
-            s_urls.append(c)
-            s_hosts.append(host_of(c))
-    s_hashes = hash64_many(s_urls)
-    new_mask = seen.check_and_add(s_hashes)
-    keep = np.flatnonzero(new_mask)
-    frontier = _frontier_table(
-        [s_urls[i] for i in keep], [s_hosts[i] for i in keep],
-        [0] * len(keep), list(range(len(keep))))
-    next_seq = len(keep)
+    info = resume_info(resume_from) if resume_from else None
+    if info is not None:
+        frontier = info["frontier"]
+        seen.bulk_add(info["seen"])
+        n_fetched = info["fetched"]
+        rnd = info["round"] + 1
+        seqs = frontier.column("discovery_seq")
+        next_seq = int(pc.max(seqs).as_py()) + 1 if frontier.num_rows else 0
+        s_hosts = frontier.column("host").to_pylist()
+    else:
+        # seed the frontier (enqueue-time seen insertion, reference :136)
+        s_urls, s_hosts = [], []
+        for s in seeds:
+            c = canonicalize(s)
+            if c is not None:
+                s_urls.append(c)
+                s_hosts.append(host_of(c))
+        s_hashes = hash64_many(s_urls)
+        new_mask = seen.check_and_add(s_hashes)
+        keep = np.flatnonzero(new_mask)
+        frontier = _frontier_table(
+            [s_urls[i] for i in keep], [s_hosts[i] for i in keep],
+            [0] * len(keep), list(range(len(keep))))
+        next_seq = len(keep)
+        n_fetched = 0
+        rnd = 0
 
     # install explicit robots crawl-delays into the politeness buckets
     all_hosts = sorted(set(s_hosts))
@@ -201,9 +229,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     visited_parts: list[pa.Table] = []
     page_datasets: list[rd.Dataset] = []
     metrics: list[dict] = []
-    n_fetched = 0
-    rnd = 0
-    max_rounds = 10_000
+    max_rounds = rnd + 10_000
 
     while frontier.num_rows and n_fetched < max_pages and rnd < max_rounds:
         rows_in = frontier.num_rows
@@ -240,10 +266,15 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         fetch_tbl = active.filter(pa.array(taken_mask))
         deferred = active.filter(pa.array(~taken_mask))
 
-        # global cap in seq order
+        # global cap in seq order; the sliced-off remainder goes back to the
+        # deferred frontier so a checkpoint written this round is complete
+        # for resume (the capped run itself never fetches them)
         room = max_pages - n_fetched
         if fetch_tbl.num_rows > room:
+            overflow = fetch_tbl.slice(room)
             fetch_tbl = fetch_tbl.slice(0, room)
+            deferred = (pa.concat_tables([deferred, overflow])
+                        if deferred.num_rows else overflow)
         if fetch_tbl.num_rows == 0:
             break
         fetch_tbl = fetch_tbl.append_column(
@@ -260,7 +291,19 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         ds = ds.materialize()  # pinned once; reused for links + downstream extract
         # link metadata only (html stays in the object store)
         link_rows = ds.select_columns(["host", "depth", "fetch_rank",
-                                       "links_canon"]).take_all()
+                                       "fetch_ok", "links_canon"]).take_all()
+        if backoff:
+            fails: dict[str, int] = {}
+            ok_hosts: set[str] = set()
+            for r in link_rows:
+                if not r["fetch_ok"]:
+                    fails[r["host"]] = fails.get(r["host"], 0) + 1
+                else:
+                    ok_hosts.add(r["host"])
+            calls = [politeness.record_failure.remote(h, n) for h, n in fails.items()]
+            calls += [politeness.record_success.remote(h) for h in ok_hosts - set(fails)]
+            if calls:
+                ray.get(calls)
         links = []
         for r in link_rows:
             for idx, u in enumerate(r["links_canon"]):
@@ -282,8 +325,12 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         n_fetched += fetch_tbl.num_rows
 
         # --- next frontier: dedup in-round, seen-filter, assign seqs ---
+        # Runs even when the cap was just reached: the reference enqueues the
+        # final fetched pages' links into allDiscoveredUrls BEFORE the loop
+        # exits (site-crawler.service.js:163-168 runs for page #maxPages) —
+        # the seen set must include them for bit-for-bit parity.
         new_frontier = deferred
-        if links and n_fetched < max_pages:
+        if links:
             lt = pa.Table.from_pylist(links)
             lt = lt.sort_by([("parent_rank", "ascending"), ("link_idx", "ascending")])
             urls_l = lt.column("url").to_pylist()
@@ -336,13 +383,23 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
 def _write_checkpoint(ckpt_dir: str, rnd: int, frontier: pa.Table,
                       visited_delta: pa.Table, seen: SeenSet, metric: dict) -> None:
     """Per-round, per-partition resumable layout (SURVEY §4.2.4):
-    checkpoint/round=R/{frontier,visited,seen}.parquet + _COMPLETE marker."""
+    checkpoint/round=R/{frontier,visited,seen}.parquet + _COMPLETE marker.
+    Goes through the storage switch (parquet default; lance when the
+    package is available — identical logical schema, SURVEY §7.0)."""
+    from ..sources.storage import DEFAULT_FORMAT, HAS_LANCE, write_table
+    fmt = DEFAULT_FORMAT if (DEFAULT_FORMAT != "lance" or HAS_LANCE) else "parquet"
     d = os.path.join(ckpt_dir, f"round={rnd}")
     os.makedirs(d, exist_ok=True)
-    pq.write_table(frontier, os.path.join(d, "frontier.parquet"))
-    pq.write_table(visited_delta, os.path.join(d, "visited.parquet"))
-    pq.write_table(pa.table({"url_hash": pa.array(seen.snapshot(), pa.uint64())}),
-                   os.path.join(d, "seen.parquet"))
+    if fmt == "parquet":  # flat single-file layout kept for resume_info compat
+        pq.write_table(frontier, os.path.join(d, "frontier.parquet"))
+        pq.write_table(visited_delta, os.path.join(d, "visited.parquet"))
+        pq.write_table(pa.table({"url_hash": pa.array(seen.snapshot(), pa.uint64())}),
+                       os.path.join(d, "seen.parquet"))
+    else:  # pragma: no cover - lance path (not installed in sandbox)
+        write_table(frontier, os.path.join(d, "frontier"), fmt=fmt)
+        write_table(visited_delta, os.path.join(d, "visited"), fmt=fmt)
+        write_table(pa.table({"url_hash": pa.array(seen.snapshot(), pa.uint64())}),
+                    os.path.join(d, "seen"), fmt=fmt)
     with open(os.path.join(d, "metrics.json"), "w") as f:
         json.dump(metric, f)
     with open(os.path.join(d, "_COMPLETE"), "w") as f:

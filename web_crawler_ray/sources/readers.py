@@ -53,6 +53,16 @@ def is_location_link(href: str, text: str) -> bool:
         any(k in t for k in LOCATION_LINK_KEYWORDS)
 
 
+def explore_top_k(urls: list[str], k: int = 5) -> list[str]:
+    """F5+F9: regex-rank priority sort (stable within rank, as V8's
+    Array.sort comparator is for these sizes) then top-k slice
+    (link-explorer:121-155; k=5 at crawler.service.js:321, 10 at
+    professional-crawler:68)."""
+    from ..functions.urltools import explorer_rank
+    ranked = sorted(enumerate(urls), key=lambda t: (explorer_rank(t[1]), t[0]))
+    return [u for _, u in ranked[:k]]
+
+
 # --- S6 sitemap --------------------------------------------------------------
 
 SITEMAP_PATHS = ("/sitemap.xml", "/sitemap_index.xml", "/sitemap/sitemap.xml")

@@ -1,0 +1,79 @@
+"""Storage layer: one interface, parquet backend now, lance behind the
+same switch (SURVEY §7.0 — the `lance` package is not installed in this
+sandbox; the north rule's "Lance-backed frontier table" is honored by
+writing the IDENTICAL logical schema through this switch, with the
+lance branch import-gated).
+
+Layout contract (resumability): every logical table is a DIRECTORY of
+part files (or a lance dataset dir) plus an optional ``_COMPLETE``
+marker — a rerun lists complete partitions and skips them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - not installed in this sandbox
+    import lance  # type: ignore
+    HAS_LANCE = True
+except ImportError:
+    lance = None
+    HAS_LANCE = False
+
+DEFAULT_FORMAT = os.environ.get("GRAFT_STORAGE_FORMAT", "parquet")
+
+
+def write_table(table: pa.Table, path: str, fmt: str = DEFAULT_FORMAT,
+                complete_marker: bool = False) -> None:
+    """Write one pyarrow Table as a dataset directory at ``path``."""
+    if fmt == "lance":
+        if not HAS_LANCE:
+            raise NotImplementedError(
+                "lance is not installed in this environment; the logical "
+                "schema is identical — use fmt='parquet' (default)")
+        lance.write_dataset(table, path, mode="overwrite")  # pragma: no cover
+    elif fmt == "parquet":
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-0.parquet"))
+    else:
+        raise ValueError(f"unknown storage format: {fmt}")
+    if complete_marker:
+        with open(os.path.join(path, "_COMPLETE"), "w") as f:
+            f.write("ok")
+
+
+def read_table(path: str, fmt: str = DEFAULT_FORMAT,
+               columns: list[str] | None = None) -> pa.Table:
+    if fmt == "lance":
+        if not HAS_LANCE:
+            raise NotImplementedError("lance is not installed")
+        return lance.dataset(path).to_table(columns=columns)  # pragma: no cover
+    if os.path.isdir(path):
+        return pq.read_table(path, columns=columns)
+    return pq.read_table(path, columns=columns)
+
+
+def write_dataset(ds, path: str, fmt: str = DEFAULT_FORMAT) -> None:
+    """Ray Dataset sink through the same switch (streaming, many parts)."""
+    if fmt == "lance":
+        if not HAS_LANCE:
+            raise NotImplementedError("lance is not installed")
+        ds.write_lance(path)  # pragma: no cover (ray>=2.38 API)
+    else:
+        ds.write_parquet(path)
+
+
+def read_dataset(path: str, fmt: str = DEFAULT_FORMAT, **kw):
+    import ray.data as rd
+    if fmt == "lance":
+        if not HAS_LANCE:
+            raise NotImplementedError("lance is not installed")
+        return rd.read_lance(path, **kw)  # pragma: no cover
+    return rd.read_parquet(path, **kw)
+
+
+def is_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_COMPLETE"))

@@ -176,6 +176,10 @@ class SeenSet:
             out[ix] = mask
         return out
 
+    def bulk_add(self, hashes: np.ndarray) -> None:
+        """Seed the shards from a checkpoint snapshot (resume path)."""
+        self.check_and_add(np.asarray(hashes, dtype=np.uint64))
+
     def snapshot(self) -> np.ndarray:
         parts = ray.get([s.snapshot.remote() for s in self.shards])
         return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
