@@ -637,6 +637,11 @@ class ExtractStage:
                 if "advanced" in self.methods:
                     from .extract_advanced import advanced_location_rows
                     page_locs += advanced_location_rows(doc, html, url)
+                if "universal" in self.methods:
+                    # E7: not in the default chain (unreachable from any route
+                    # in the reference); opt-in via methods=(... ,"universal")
+                    from .extract_universal import extract_universal
+                    page_locs += extract_universal(doc, url)
                 if "map" in self.methods:
                     page_locs += extract_map_coords(doc, url)
                 if "xhr" in self.methods and xhr and (needs_js_rendering(html, doc)
