@@ -108,3 +108,20 @@ def test_engine_matches_oracle_with_backoff(small_world):
                        res.visited.column("url").to_pylist()))
     assert e_order == o_order
     assert np.array_equal(res.seen_snapshot, np.array(o_seen, dtype=np.uint64))
+
+
+def test_engine_matches_oracle_medium_world():
+    """Zipf-skewed 12-host world (~500 pages): ordering + seen parity under a
+    politeness budget — exercises multi-round deferral on the skewed host."""
+    tbl, robots, seeds = W.world(seed=77, n_hosts=12, pages_per_host_base=60)
+    by_url = {r["url"]: r for r in tbl.to_pylist()}
+    o_order, o_seen, o_stats = oracle_crawl(by_url, robots, seeds,
+                                            max_pages=100_000, max_depth=3,
+                                            round_seconds=8.0)
+    e_order, e_seen, e_stats = _run_engine(tbl, robots, seeds,
+                                           max_pages=100_000, max_depth=3,
+                                           round_seconds=8.0,
+                                           fetch_concurrency=4, n_seen_shards=8)
+    assert e_order == o_order
+    assert np.array_equal(e_seen, np.array(o_seen, dtype=np.uint64))
+    assert e_stats["fetched"] == o_stats["fetched"] > 200
