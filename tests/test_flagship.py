@@ -1,0 +1,34 @@
+"""End-to-end flagship pipeline: output determinism across parallelism."""
+
+import pandas as pd
+
+from web_crawler_ray.pipelines.flagship import run_flagship
+
+
+def _locations(fetch_concurrency: int) -> pd.DataFrame:
+    out = run_flagship(seed=42, n_hosts=4, pages_per_host_base=14,
+                       max_pages=1000, round_seconds=30.0,
+                       fetch_concurrency=fetch_concurrency)
+    df = out["locations"].to_pandas()
+    cols = sorted(c for c in df.columns if c not in ("fuzzy_block", "fuzzy_host"))
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_flagship_deterministic_across_concurrency():
+    a = _locations(1)
+    b = _locations(4)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_flagship_outputs_shape():
+    out = run_flagship(seed=42, n_hosts=3, pages_per_host_base=10,
+                       max_pages=100, round_seconds=30.0)
+    locs = out["locations"].to_pandas()
+    assert {"location_name", "location_address", "latitude", "longitude",
+            "country_iso3", "footprint", "quality_score", "extraction_method",
+            "confidence"} <= set(locs.columns)
+    assert (locs["confidence"] >= 0.70).all()  # P1 gate applied
+    docs = out["documents"].to_pandas()
+    assert set(docs.columns) == {"doc_id", "spans"}
+    assert out["crawl"].stats["fetched"] == len(docs)
