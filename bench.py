@@ -24,7 +24,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench world ~55k pages: heavy enough that extract compute dominates the
 # fixed per-round driver overhead (scaling-efficiency requirement)
 BENCH_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "96"))
-BENCH_BASE = int(os.environ.get("GRAFT_BENCH_BASE", "4200"))
+BENCH_BASE = int(os.environ.get("GRAFT_BENCH_BASE", "6800"))
 
 
 def _sf_of(sf_dir: str) -> float:

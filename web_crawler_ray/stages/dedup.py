@@ -441,16 +441,37 @@ def _minhash_params(n_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]
 _WORD_RE = re.compile(r"\w+")
 
 
+_WORD_HASH_CACHE: dict[str, int] = {}
+_SHINGLE_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingles -> 64-bit hashes (vector input to minhash)."""
+    """k-word shingles -> 64-bit hashes.
+
+    Vectorized: one blake2b per DISTINCT word (process-wide cache — real
+    corpora repeat words heavily), then the k-gram hash is a numpy
+    rolling polynomial combine of the word hashes (wraparound uint64
+    multiply-add). Deterministic across processes; uniformity equals the
+    underlying blake2b word hashes.
+    """
     words = _WORD_RE.findall((text or "").lower())
     if len(words) < k:
         words = words + [""] * (k - len(words))
-    sh = [" ".join(words[i:i + k]) for i in range(max(1, len(words) - k + 1))]
-    out = np.empty(len(sh), dtype=np.uint64)
-    for i, s in enumerate(sh):
-        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-    return out
+    cache = _WORD_HASH_CACHE
+    wh = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            if len(cache) < 1_000_000:
+                cache[w] = h
+        wh[i] = h
+    n = max(1, len(words) - k + 1)
+    with np.errstate(over="ignore"):
+        acc = wh[0:n].copy()
+        for j in range(1, k):
+            acc = acc * _SHINGLE_B + wh[j:j + n]
+    return acc
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
