@@ -1,0 +1,97 @@
+"""Window operators (stream-shaped) + cuckoo-filter seen-set properties."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings, strategies as st
+
+from web_crawler_ray.state.seen import CuckooFilter, _SeenShardImpl
+from web_crawler_ray.stages import windows as WIN
+
+
+def _events_df():
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # user 1: two sessions (gap 45 min), user 2: one session
+    for m in (0, 5, 10, 55, 60):
+        rows.append({"user_id": 1, "ts": base + pd.Timedelta(minutes=m),
+                     "event_type": "a", "value": 0.5, "event_id": len(rows)})
+    for m in (0, 20):
+        rows.append({"user_id": 2, "ts": base + pd.Timedelta(minutes=m),
+                     "event_type": "b", "value": 1.5, "event_id": len(rows)})
+    return pd.DataFrame(rows)
+
+
+def test_session_count():
+    ds = rd.from_pandas(_events_df())
+    out = WIN.session_count(ds, gap_minutes=30.0).to_pandas()
+    got = dict(zip(out["user_id"], out["n_sessions"]))
+    assert got == {1: 2, 2: 1}
+
+
+def test_tumbling_window():
+    ds = rd.from_pandas(_events_df())
+    out = WIN.tumbling_window_agg(ds, key_col="event_type", unit="hour").to_pandas()
+    a = out[out["event_type"] == "a"].sort_values("window_start")
+    assert list(a["n_events"]) == [4, 1]  # minutes 0-55 in hour 0, minute 60 in hour 1
+    b = out[out["event_type"] == "b"]
+    assert list(b["n_events"]) == [2]
+
+
+def test_sliding_window():
+    ds = rd.from_pandas(_events_df())
+    out = WIN.sliding_window_counts(ds, size_minutes=60, hop_minutes=30).to_pandas()
+    # every event appears in exactly size/hop = 2 windows
+    assert out["n_events"].sum() == 2 * len(_events_df())
+
+
+def test_cuckoo_no_false_negatives():
+    cf = CuckooFilter(n_buckets_log2=10)
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 63, size=2000, dtype=np.int64).astype(np.uint64)
+    cf.insert_many(keys)
+    assert cf.contains_many(keys).all()  # NO false negatives, even with kicks
+
+
+def test_cuckoo_overflow_path_still_no_false_negatives():
+    cf = CuckooFilter(n_buckets_log2=4, max_kicks=20)  # 64 slots, force overflow
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 1 << 63, size=300, dtype=np.int64).astype(np.uint64)
+    cf.insert_many(keys)
+    assert len(cf.overflow) > 0  # spill tier exercised
+    assert cf.contains_many(keys).all()
+
+
+def test_seen_shard_check_and_add():
+    sh = _SeenShardImpl(0, n_buckets_log2=8)
+    a = np.array([1, 2, 3], dtype=np.uint64)
+    assert sh.check_and_add(a).all()
+    assert not sh.check_and_add(a).any()      # idempotent: all already seen
+    b = np.array([3, 4], dtype=np.uint64)
+    assert list(sh.check_and_add(b)) == [False, True]
+    assert list(sh.snapshot()) == [1, 2, 3, 4]
+    assert sh.cardinality() == 4
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=200))
+def test_seen_shard_equals_python_set(keys):
+    """Shard semantics == plain set semantics for any insertion sequence."""
+    sh = _SeenShardImpl(0, n_buckets_log2=6)
+    ref: set[int] = set()
+    arr = np.array(keys, dtype=np.uint64)
+    # feed in chunks with intra-chunk duplicates removed (the caller contract)
+    for i in range(0, len(arr), 37):
+        chunk = arr[i:i + 37]
+        _, idx = np.unique(chunk, return_index=True)
+        chunk = chunk[np.sort(idx)]
+        got = sh.check_and_add(chunk)
+        exp = []
+        for k in chunk:
+            k = int(k)
+            exp.append(k not in ref)
+            ref.add(k)
+        assert list(got) == exp
+    assert sorted(ref) == list(sh.snapshot())

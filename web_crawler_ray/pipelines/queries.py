@@ -125,6 +125,64 @@ def q_doc_length_buckets(sf_dir: str):
              .groupby("bucket").aggregate(Count(alias_name="n"))
 
 
+def q_tumbling_events(sf_dir: str):
+    """Tumbling event-time window aggregate (stream-shaped op; no native
+    Ray Data windows — bucket in map_batches + one groupby)."""
+    from ..stages.windows import tumbling_window_agg
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return tumbling_window_agg(ds, key_col="event_type", unit="hour")
+
+
+def q_session_counts(sf_dir: str):
+    """Gap-based sessionization (30 min) per user."""
+    from ..stages.windows import session_count
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    return session_count(ds, gap_minutes=30.0)
+
+
+def q_topk_per_segment(sf_dir: str):
+    """Per-group top-k (F9 shape with an oracle): top 2 orders by price per
+    market segment via broadcast join + groupby.map_groups."""
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        segs = [lk.get(k, "") for k in batch.column("o_custkey").to_pylist()]
+        return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(2)
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("c_mktsegment").map_groups(top2, batch_format="pandas"))
+    return out.select_columns(["c_mktsegment", "o_orderkey", "o_totalprice"])
+
+
+def q_union_filters(sf_dir: str):
+    """Set op (union of disjoint filters) — ds.union."""
+    ds = _rp(sf_dir, "events", columns=["event_id", "value"])
+    hi = ds.map_batches(lambda t: t.filter(pc.greater_equal(t.column("value"), 0.9)),
+                        batch_format="pyarrow")
+    lo = ds.map_batches(lambda t: t.filter(pc.less_equal(t.column("value"), 0.1)),
+                        batch_format="pyarrow")
+    return hi.union(lo)
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic hash sampling (1-in-20 by doc_id) — the reproducible
+    sampling pattern for pipeline debugging at scale."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        mask = (t.column("doc_id").to_numpy() % 20) == 0
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -344,6 +402,11 @@ def registry() -> dict:
         "join_orders_customers": q_join_orders_customers,
         "hash_join_orders_nation": q_hash_join_orders_nation,
         "doc_length_buckets": q_doc_length_buckets,
+        "tumbling_events": q_tumbling_events,
+        "session_counts": q_session_counts,
+        "topk_per_segment": q_topk_per_segment,
+        "union_filters": q_union_filters,
+        "hash_sample": q_hash_sample,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "text_stats": q_text_stats,
@@ -390,6 +453,26 @@ ORACLES: dict[str, str] = {
         "SELECT CASE WHEN n_chars < 500 THEN 'short' "
         "WHEN n_chars < 2000 THEN 'medium' ELSE 'long' END AS bucket, "
         "count(*)::BIGINT AS n FROM documents GROUP BY 1",
+    "tumbling_events":
+        "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+        "count(*)::BIGINT AS n_events, min(value) AS min_value, "
+        "max(value) AS max_value FROM events GROUP BY 1, 2",
+    "session_counts":
+        "SELECT user_id, count(*)::BIGINT AS n_sessions FROM ("
+        "  SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL "
+        "    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS s "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ") WHERE s = 1 GROUP BY user_id",
+    "topk_per_segment":
+        "SELECT c_mktsegment, o_orderkey, o_totalprice FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "QUALIFY row_number() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 2",
+    "union_filters":
+        "SELECT event_id, value FROM events WHERE value >= 0.9 "
+        "UNION ALL SELECT event_id, value FROM events WHERE value <= 0.1",
+    "hash_sample":
+        "SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0",
     "dedup_exact":
         "SELECT doc_id FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1",
