@@ -52,12 +52,15 @@ from ..state.robots_cache import RobotsCache
 from ..state.seen import SeenSet
 from ..stages.extract import extract_hrefs
 
-FRONTIER_COLS = ("url", "url_hash", "host", "path", "depth", "discovery_seq")
+FRONTIER_COLS = ("url", "url_hash", "host", "path", "depth", "discovery_seq",
+                 "parent_url_hash")
 
 
-def _frontier_table(urls, hosts, depths, seqs) -> pa.Table:
+def _frontier_table(urls, hosts, depths, seqs, parent_hashes=None) -> pa.Table:
     urls = list(urls)
     paths = [urlsplit(u).path or "/" for u in urls]
+    if parent_hashes is None:
+        parent_hashes = np.zeros(len(urls), dtype=np.uint64)  # seeds: no parent
     return pa.table({
         "url": pa.array(urls, pa.string()),
         "url_hash": pa.array(hash64_many(urls), pa.uint64()),
@@ -65,6 +68,8 @@ def _frontier_table(urls, hosts, depths, seqs) -> pa.Table:
         "path": pa.array(paths, pa.string()),
         "depth": pa.array(list(depths), pa.int32()),
         "discovery_seq": pa.array(list(seqs), pa.int64()),
+        "parent_url_hash": pa.array(np.asarray(parent_hashes, dtype=np.uint64),
+                                    pa.uint64()),
     })
 
 
@@ -321,6 +326,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
             "url": fetch_tbl.column("url"),
             "host": fetch_tbl.column("host"),
             "depth": fetch_tbl.column("depth"),
+            "parent_url_hash": fetch_tbl.column("parent_url_hash"),
         }))
         n_fetched += fetch_tbl.num_rows
 
@@ -348,9 +354,13 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
                 lt2 = lt.take(pa.array(ix))
                 seqs = list(range(next_seq, next_seq + lt2.num_rows))
                 next_seq += lt2.num_rows
+                # lineage: parent_url_hash = hash of the fetching page
+                fetched_hashes = fetch_tbl.column("url_hash").to_numpy()
+                parents = fetched_hashes[lt2.column("parent_rank").to_numpy()]
                 add = _frontier_table(lt2.column("url").to_pylist(),
                                       lt2.column("host").to_pylist(),
-                                      lt2.column("depth").to_pylist(), seqs)
+                                      lt2.column("depth").to_pylist(), seqs,
+                                      parent_hashes=parents)
                 new_frontier = pa.concat_tables([deferred, add]) if deferred.num_rows else add
         frontier = new_frontier
 
@@ -368,7 +378,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
                               "discovery_seq": pa.array([], pa.int64()),
                               "url": pa.array([], pa.string()),
                               "host": pa.array([], pa.string()),
-                              "depth": pa.array([], pa.int32())}))
+                              "depth": pa.array([], pa.int32()),
+                              "parent_url_hash": pa.array([], pa.uint64())}))
     pages = None
     if keep_pages and page_datasets:
         pages = page_datasets[0]
