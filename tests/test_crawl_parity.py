@@ -125,3 +125,22 @@ def test_engine_matches_oracle_medium_world():
     assert e_order == o_order
     assert np.array_equal(e_seen, np.array(o_seen, dtype=np.uint64))
     assert e_stats["fetched"] == o_stats["fetched"] > 200
+
+
+def test_engine_matches_oracle_priority_order(small_world):
+    """Priority-frontier mode: rounds ordered by (F4 tier, discovery_seq)."""
+    tbl, robots, seeds, by_url = small_world
+    o_order, o_seen, _ = oracle_crawl(by_url, robots, seeds, max_pages=60,
+                                      max_depth=3, round_seconds=4.0,
+                                      order="priority")
+    res = crawl(tbl, robots, seeds, max_pages=60, max_depth=3,
+                round_seconds=4.0, order="priority", keep_pages=False)
+    e_order = list(zip(res.visited.column("round").to_pylist(),
+                       res.visited.column("discovery_seq").to_pylist(),
+                       res.visited.column("url").to_pylist()))
+    assert e_order == o_order
+    assert np.array_equal(res.seen_snapshot, np.array(o_seen, dtype=np.uint64))
+    # priority mode actually reorders vs fifo at the same budget
+    f_order, _, _ = oracle_crawl(by_url, robots, seeds, max_pages=60,
+                                 max_depth=3, round_seconds=4.0, order="fifo")
+    assert f_order != o_order

@@ -95,3 +95,29 @@ def test_seen_shard_equals_python_set(keys):
             ref.add(k)
         assert list(got) == exp
     assert sorted(ref) == list(sh.snapshot())
+
+
+def test_bloom_no_false_negatives():
+    from web_crawler_ray.state.seen import BloomFilter
+    bf = BloomFilter(n_bits_log2=16, k=4)
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 1 << 63, size=3000, dtype=np.int64).astype(np.uint64)
+    bf.insert_many(keys)
+    assert bf.contains_many(keys).all()
+    other = rng.integers(0, 1 << 63, size=3000, dtype=np.int64).astype(np.uint64)
+    fp = bf.contains_many(other).mean()
+    assert fp < 0.05  # 64k bits / 3000 keys, k=4 -> low fp
+
+
+def test_seen_shard_spill_to_bloom():
+    """Spilled shard keeps the no-false-negative contract: previously seen
+    keys are never reported NEW after the exact set spills to bloom."""
+    sh = _SeenShardImpl(0, n_buckets_log2=12, spill_threshold=100)
+    rng = np.random.default_rng(8)
+    all_keys = rng.integers(0, 1 << 63, size=600, dtype=np.int64).astype(np.uint64)
+    for i in range(0, 600, 50):
+        chunk = all_keys[i:i + 50]
+        assert sh.check_and_add(chunk).all()  # fresh keys all new
+    assert sh.bloom is not None and sh.spilled_count > 0
+    # nothing previously inserted is ever NEW again
+    assert not sh.check_and_add(all_keys).any()

@@ -80,15 +80,18 @@ def reference_bfs(pages_by_url: dict[str, dict], start_url: str,
 
 
 class _Entry:
-    __slots__ = ("url", "host", "depth", "seq")
+    __slots__ = ("url", "host", "depth", "seq", "prio")
 
     def __init__(self, url, host, depth, seq):
         self.url, self.host, self.depth, self.seq = url, host, depth, seq
+        from ..functions.urltools import priority_tier
+        self.prio = priority_tier(url)
 
 
 def oracle_crawl(pages_by_url: dict[str, dict], robots_by_host: dict[str, str],
                  seeds: list[str], max_pages: int = 10_000, max_depth: int = 3,
-                 round_seconds: float | None = None, backoff: bool = False):
+                 round_seconds: float | None = None, backoff: bool = False,
+                 order: str = "fifo"):
     """The round-based crawl spec, sequential. Returns
     (fetch_order [(round, seq, url)], seen sorted-hash list, stats dict)."""
     rules = {h: RobotsRules(t) for h, t in robots_by_host.items()}
@@ -124,7 +127,10 @@ def oracle_crawl(pages_by_url: dict[str, dict], robots_by_host: dict[str, str],
     while frontier and n_fetched < max_pages:
         # depth gate (permanent drop; stays in seen)
         active = [e for e in frontier if e.depth <= max_depth]
-        active.sort(key=lambda e: e.seq)
+        if order == "priority":
+            active.sort(key=lambda e: (e.prio, e.seq))
+        else:
+            active.sort(key=lambda e: e.seq)
         # robots gate (permanent drop)
         gated = []
         for e in active:

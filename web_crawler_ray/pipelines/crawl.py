@@ -45,7 +45,8 @@ import ray.data as rd
 
 from ..functions.hashing import hash64_many
 from ..functions.urltools import (
-    canonicalize, host_of, resolve_href, same_domain, should_exclude,
+    canonicalize, host_of, priority_tier, resolve_href, same_domain,
+    should_exclude,
 )
 from ..state.politeness import Politeness
 from ..state.robots_cache import RobotsCache
@@ -68,6 +69,7 @@ def _frontier_table(urls, hosts, depths, seqs, parent_hashes=None) -> pa.Table:
         "path": pa.array(paths, pa.string()),
         "depth": pa.array(list(depths), pa.int32()),
         "discovery_seq": pa.array(list(seqs), pa.int64()),
+        "priority": pa.array([priority_tier(u) for u in urls], pa.int8()),
         "parent_url_hash": pa.array(np.asarray(parent_hashes, dtype=np.uint64),
                                     pa.uint64()),
     })
@@ -174,12 +176,19 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
           checkpoint_dir: str | None = None,
           keep_pages: bool = True,
           resume_from: str | None = None,
-          backoff: bool = False) -> CrawlResult:
+          backoff: bool = False,
+          order: str = "fifo") -> CrawlResult:
     """Run the round-based BFS. ``pages_store`` must be sorted by url_hash.
 
     ``round_seconds=None`` ⇒ infinite politeness budget (pure reference
     BFS order); otherwise per-host budget = floor(round_seconds / delay)
     on the deterministic virtual clock (see state/politeness.py).
+
+    ``order``: ``"fifo"`` (default) reproduces the reference BFS order;
+    ``"priority"`` processes each round in (F4 priority tier,
+    discovery_seq) order — the "priority frontier" form, folding the
+    reference's phase-2 prioritizeUrls ordering (site-crawler:84-124)
+    into the frontier itself. Both orders are oracle-parity-tested.
 
     ``backoff=True`` enables the F12 implied-API exponential failure
     backoff: a host's next-round budget is halved per fetch failure
@@ -242,7 +251,11 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         active = frontier.filter(pc.less_equal(frontier.column("depth"), max_depth))
         if active.num_rows == 0:
             break
-        active = active.sort_by("discovery_seq")
+        if order == "priority":
+            active = active.sort_by([("priority", "ascending"),
+                                     ("discovery_seq", "ascending")])
+        else:
+            active = active.sort_by("discovery_seq")
 
         # robots gate — ONE batched actor call for the round
         hosts_l = active.column("host").to_pylist()

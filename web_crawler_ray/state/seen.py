@@ -94,13 +94,64 @@ class CuckooFilter:
         self.overflow.add(fp)  # spill tier (bloom stand-in, exact on fp)
 
 
+class BloomFilter:
+    """Plain bit-array bloom (k derived double-hashes) — the spill tier for
+    shards whose exact set exceeds its memory budget. No false negatives."""
+
+    def __init__(self, n_bits_log2: int = 24, k: int = 4):
+        self.mask = np.uint64((1 << n_bits_log2) - 1)
+        self.bits = np.zeros(1 << (n_bits_log2 - 3), dtype=np.uint8)
+        self.k = k
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.uint64)
+        h1 = h & self.mask
+        h2 = ((h >> np.uint64(32)) * _MIX) & self.mask
+        pos = np.empty((self.k, len(h)), dtype=np.uint64)
+        for i in range(self.k):
+            pos[i] = (h1 + np.uint64(i) * h2) & self.mask
+        return pos
+
+    def insert_many(self, h: np.ndarray) -> None:
+        pos = self._positions(h).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+    def contains_many(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(h)
+        hit = np.ones(pos.shape[1], dtype=bool)
+        for i in range(self.k):
+            byte = self.bits[(pos[i] >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte & (1 << (pos[i] & np.uint64(7))).astype(np.uint8)) != 0
+        return hit
+
+
 class _SeenShardImpl:
     """One shard of the URL-seen set (plain class; wrapped by ray.remote)."""
 
-    def __init__(self, shard_id: int, n_buckets_log2: int = 16):
+    def __init__(self, shard_id: int, n_buckets_log2: int = 16,
+                 spill_threshold: int | None = None):
         self.shard_id = shard_id
         self.filter = CuckooFilter(n_buckets_log2, seed=1000 + shard_id)
         self.exact: set[int] = set()
+        self.spill_threshold = spill_threshold
+        self.bloom: BloomFilter | None = None  # spill tier, engaged on demand
+        self.spilled_count = 0
+
+    def _maybe_spill(self) -> None:
+        """When the exact set exceeds its budget, move it into the bloom
+        spill tier: membership stays false-negative-free; false positives
+        (bounded by bloom/cuckoo fp rates) can only SKIP a URL — never
+        re-crawl one. Exactness (and snapshot parity) is degraded for the
+        spilled keys, which is the documented large-scale trade
+        (SCALE.md); tests pin the spill path's no-false-negative property."""
+        if self.spill_threshold is not None and len(self.exact) > self.spill_threshold:
+            if self.bloom is None:
+                self.bloom = BloomFilter()
+            arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+            self.bloom.insert_many(arr)
+            self.spilled_count += len(self.exact)
+            self.exact.clear()
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Bool mask: True where the hash was NEW (and is now inserted).
@@ -113,13 +164,18 @@ class _SeenShardImpl:
         maybe = self.filter.contains_many(h)
         new = np.ones(len(h), dtype=bool)
         ex = self.exact
+        bloom = self.bloom
         for i in np.flatnonzero(maybe):
-            if int(h[i]) in ex:
+            k = int(h[i])
+            if k in ex:
                 new[i] = False
+            elif bloom is not None and bool(bloom.contains_many(h[i:i + 1])[0]):
+                new[i] = False  # spilled (or bloom fp — skips, never re-crawls)
         fresh = h[new]
         ex.update(int(x) for x in fresh)
         if len(fresh):
             self.filter.insert_many(fresh)
+        self._maybe_spill()
         return new
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
