@@ -32,3 +32,20 @@ def test_flagship_outputs_shape():
     docs = out["documents"].to_pandas()
     assert set(docs.columns) == {"doc_id", "spans"}
     assert out["crawl"].stats["fetched"] == len(docs)
+
+
+def test_content_dedup_documents():
+    """North-star content-hash dedup service wired into the document path:
+    mirror pages (identical html at different urls) collapse to one doc."""
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.pipelines.flagship import assemble_documents
+    html = "<html><body><p> the same mirrored body </p></body></html>"
+    pages = rd.from_arrow(pa.table({
+        "url": [f"https://h.example/mirror{i}" for i in range(4)] + ["https://h.example/other"],
+        "html": [html] * 4 + ["<html><body><p> unique </p></body></html>"],
+    }))
+    docs = assemble_documents(pages, content_dedup=True).to_pandas()
+    assert len(docs) == 2
+    no_dedup = assemble_documents(pages, content_dedup=False).to_pandas()
+    assert len(no_dedup) == 5

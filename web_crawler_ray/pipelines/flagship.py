@@ -48,8 +48,20 @@ def extract_locations(pages: rd.Dataset, fuzzy: bool = True) -> rd.Dataset:
     return locs.map_batches(add_quality, batch_format="pyarrow")
 
 
-def assemble_documents(pages: rd.Dataset) -> rd.Dataset:
-    """pages -> interleaved text+media span documents (input_hint shape)."""
+def assemble_documents(pages: rd.Dataset, content_dedup: bool = False,
+                       n_dedup_shards: int = 4) -> rd.Dataset:
+    """pages -> interleaved text+media span documents (input_hint shape).
+
+    ``content_dedup=True`` routes pages through the stateful content-hash
+    dedup actor-pool stage first (north-star dedup service): pages whose
+    html bytes were already seen anywhere in the run are dropped before
+    span assembly (mirror/alias pages at web scale)."""
+    if content_dedup:
+        from ..stages.dedup import ContentDedupStage, ContentHashShard
+        shards = [ContentHashShard.options(num_cpus=0.1).remote()
+                  for _ in range(n_dedup_shards)]
+        pages = pages.map_batches(ContentDedupStage(shards, text_col="html"),
+                                  batch_format="pyarrow", batch_size=256)
     return pages.map_batches(SpanAssemblyStage(), batch_format="pyarrow",
                              batch_size=64)
 
