@@ -18,11 +18,10 @@ import json
 import random
 from dataclasses import dataclass, field
 
-import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import hash64, hash64_many
-from ..functions.urltools import host_of, priority_tier
+from ..functions.hashing import hash64
+from ..functions.urltools import priority_tier
 
 STREETS = ["Main", "Oak", "Maple", "Cedar", "Elm", "Washington", "Lake", "Hill", "Park", "River"]
 STREET_TYPES = ["Street", "Avenue", "Road", "Boulevard", "Drive", "Lane"]

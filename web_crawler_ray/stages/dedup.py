@@ -37,7 +37,6 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 
 from ..functions.normalize import (

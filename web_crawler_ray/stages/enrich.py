@@ -16,9 +16,7 @@ from __future__ import annotations
 
 import re
 
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
 from ..functions.normalize import (

@@ -21,7 +21,6 @@ import json
 import re
 from urllib.parse import parse_qs, urlsplit
 
-import numpy as np
 import pyarrow as pa
 
 from ..functions.domlite import Doc, Node, parse

@@ -12,7 +12,6 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 _WS_SPLIT = re.compile(r"\s+")
