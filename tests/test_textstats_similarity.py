@@ -125,3 +125,30 @@ def ray_session():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     yield
+
+
+def test_training_pipeline_curate(ray_session):
+    from web_crawler_ray.pipelines.training_data import curate
+    base = ("this is a normal english document with the usual words and it "
+            "should be long enough to pass the quality filter of the pipeline ")
+    near = base.replace("normal", "typical")
+    rows = [
+        {"doc_id": 1, "text": base * 2},
+        {"doc_id": 2, "text": base * 2},              # exact dup of 1
+        {"doc_id": 3, "text": (near * 2)},            # near dup of 1
+        {"doc_id": 4, "text": "der hund und die katze sind nicht im haus " * 6},  # not en
+        {"doc_id": 5, "text": "!!! ??? *** !!!"},     # low quality
+        {"doc_id": 6, "text": "a completely different english story about the "
+                              "river and the mountain that should survive easily " * 2},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = curate(ds, jaccard_tau=0.75)
+    df = out["dataset"].to_pandas()
+    kept = set(df["doc_id"])
+    assert 1 in kept            # representative of the dup cluster
+    assert 2 not in kept        # exact dup removed
+    assert 3 not in kept and 3 in out["dropped_near_dups"]
+    assert 4 not in kept        # language filter
+    assert 5 not in kept        # quality filter
+    assert 6 in kept
+    assert "n_tokens" in df.columns

@@ -57,3 +57,23 @@ def test_add_url_columns():
     assert out.column("host").to_pylist() == ["a.example", "b.example"]
     assert out.column("excluded").to_pylist() == [False, True]
     assert out.column("priority").to_pylist() == [1, 3]
+
+
+from hypothesis import given, strategies as st
+
+
+@given(st.text(alphabet="abcdefghij:/.?#%~ -_", max_size=60))
+def test_canonicalize_total_and_idempotent(s):
+    c = U.canonicalize(s)  # never raises
+    if c is not None:
+        c2 = U.canonicalize(c)
+        assert c2 == c  # canonical form is a fixed point
+        assert "#" not in c and "?" not in c
+
+
+@given(st.sampled_from(["/a", "a", "//h.example/x", "#f", "https://b.example/y",
+                        "mailto:a@b", "javascript:x", "tel:1", ""]),
+       st.sampled_from(["https://a.example/", "https://a.example/p/q"]))
+def test_resolve_href_absolute_or_none(href, base):
+    r = U.resolve_href(href, base)
+    assert r is None or r.startswith(("http://", "https://"))

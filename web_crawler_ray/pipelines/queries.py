@@ -286,6 +286,16 @@ def q_minhash_dedup(sf_dir: str):
     return pd.DataFrame({"doc_id": keep})
 
 
+def q_training_pipeline(sf_dir: str):
+    """Composed curation pipeline: lang filter -> quality filter -> exact
+    dedup -> MinHash near-dup removal -> token stats (rows-only check;
+    stage semantics individually oracle-/pytest-checked)."""
+    from .training_data import curate
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = curate(ds)["dataset"]
+    return out.select_columns(["doc_id", "n_tokens", "n_punct"])
+
+
 def q_simhash(sf_dir: str):
     """SimHash fingerprints (rows-only check; Hamming properties in pytest)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
@@ -413,6 +423,7 @@ def registry() -> dict:
         "ann_topk": q_ann_topk,
         "near_dup_embeddings": q_near_dup_embeddings,
         "minhash_dedup": q_minhash_dedup,
+        "training_pipeline": q_training_pipeline,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
