@@ -301,8 +301,11 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         # --- the distributed part: fetch + link-extract as Dataset stages ---
         # blocks sized ~192 pages: small enough to balance the downstream
         # extract stage (its per-page cost dwarfs fetch), large enough to
-        # amortize task dispatch; decoupled from fetch_concurrency
-        n_blocks = max(1, min(256, fetch_tbl.num_rows // 192 + 1))
+        # amortize task dispatch. fetch_concurrency bounds the round's task
+        # fan-out (the production knob: HTTP/browser pool size), results are
+        # identical at any value (determinism test).
+        n_blocks = max(1, min(max(16, fetch_concurrency * 8),
+                              fetch_tbl.num_rows // 192 + 1))
         ds = rd.from_arrow(fetch_tbl, override_num_blocks=n_blocks)
         ds = ds.map_batches(FetchStage(pages_ref),
                             batch_format="pyarrow", batch_size=256, num_cpus=1)
