@@ -614,8 +614,9 @@ class ExtractStage:
         htmls = batch.column("html").to_pylist()
         xhrs = batch.column("xhr_json").to_pylist() if "xhr_json" in batch.column_names else [None] * len(urls)
         seqs = batch.column("discovery_seq").to_pylist() if "discovery_seq" in batch.column_names else [0] * len(urls)
+        ptypes = batch.column("page_type").to_pylist() if "page_type" in batch.column_names else [""] * len(urls)
         rows: list[dict] = []
-        for url, html, xhr, seq in zip(urls, htmls, xhrs, seqs):
+        for url, html, xhr, seq, ptype in zip(urls, htmls, xhrs, seqs, ptypes):
             if not html:
                 page_locs = []
                 if "xhr" in self.methods and xhr:
@@ -623,9 +624,11 @@ class ExtractStage:
             else:
                 doc = parse(html)
                 page_locs = []
+                n_structured = 0
                 if "structured" in self.methods:
                     page_locs += extract_jsonld(doc, url)
                     page_locs += extract_microdata(doc, url)
+                    n_structured = len(page_locs)  # the reference's `locations1`
                 if "composite" in self.methods:
                     from .extract_composite import extract_composite
                     page_locs += extract_composite(doc, url)
@@ -643,9 +646,15 @@ class ExtractStage:
                     page_locs += extract_universal(doc, url)
                 if "map" in self.methods:
                     page_locs += extract_map_coords(doc, url)
+                # crawler.service.js:383-398: Playwright-XHR runs when the
+                # page needs JS, OR the STRUCTURED pass found nothing
+                # (locations1), OR it's a location page (classified type or
+                # url substring)
+                is_location_page = (ptype == "locations"
+                                    or "location" in url or "office" in url)
                 if "xhr" in self.methods and xhr and (needs_js_rendering(html, doc)
-                                                      or not page_locs
-                                                      or "location" in url or "office" in url):
+                                                      or n_structured == 0
+                                                      or is_location_page):
                     page_locs += extract_xhr(xhr, url)
             for j, loc in enumerate(page_locs):
                 loc.setdefault("activity", "")
