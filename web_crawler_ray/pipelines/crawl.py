@@ -380,10 +380,15 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
                 new_frontier = pa.concat_tables([deferred, add]) if deferred.num_rows else add
         frontier = new_frontier
 
+        per_host: dict[str, int] = {}
+        for h in fetch_tbl.column("host").to_pylist():
+            per_host[h] = per_host.get(h, 0) + 1
         metrics.append({"round": rnd, "stage": "fetch", "rows_in": rows_in,
                         "rows_out": int(fetch_tbl.num_rows),
                         "frontier_next": int(frontier.num_rows),
-                        "seen": seen.cardinality()})
+                        "seen": seen.cardinality(),
+                        "n_hosts": len(per_host),
+                        "per_host": per_host})  # per-partition lineage (host = partition key)
         if checkpoint_dir:
             _write_checkpoint(checkpoint_dir, rnd, frontier, visited_parts[-1],
                               seen, metrics[-1])
