@@ -215,3 +215,37 @@ def test_span_assembly_interleaving():
     offs = [s["offset"] for s in spans]
     assert offs == sorted(offs) and len(set(offs)) == len(offs)
     assert spans[2]["offset"] == len("hello world") + 1
+
+
+def test_pdf_routing_in_extract_stage():
+    """P3: application/pdf (or pdf-ish url) pages route to the E11 extractor."""
+    import pyarrow as pa
+    pdf_text = ("Our Offices\nAcme Springfield\n100 Main Street\n"
+                "Springfield, IL 62701\n")
+    batch = pa.table({
+        "url": ["https://a.example/report.pdf", "https://a.example/contact"],
+        "html": [pdf_text,
+                 '<div class="contact-info"> 742 Evergreen Terrace, Springfield, IL 62704 </div>'],
+        "xhr_json": [None, None],
+        "discovery_seq": [0, 1],
+        "content_type": ["application/pdf", "text/html"],
+    })
+    out = E.ExtractStage()(batch).to_pylist()
+    methods = {r["source_url"]: {x["extraction_method"] for x in out
+                                 if x["source_url"] == r["source_url"]}
+               for r in out}
+    assert "pdf" in methods["https://a.example/report.pdf"]
+    assert "pdf" not in methods.get("https://a.example/contact", set())
+
+
+def test_url_routing_predicates():
+    from web_crawler_ray.functions import urltools as U
+    assert U.is_pdf_url("https://a.example/x.PDF")
+    assert U.is_pdf_url("https://a.example/x.pdf?dl=1")
+    assert U.is_pdf_url("https://a.example/pdf/annual")
+    assert not U.is_pdf_url("https://a.example/x.html")
+    assert U.is_document_url("https://a.example/a.docx")
+    assert not U.is_document_url("https://a.example/a.html")
+    assert U.is_homepage("https://a.example/")
+    assert U.is_homepage("https://a.example")
+    assert not U.is_homepage("https://a.example/x")

@@ -126,6 +126,28 @@ def explorer_rank(url: str) -> int:
     return 999
 
 
+def is_pdf_url(url: str) -> bool:
+    """P3 (crawler.service.js:113-119)."""
+    low = url.lower()
+    return (low.endswith(".pdf") or ".pdf?" in low or "/pdf/" in low
+            or "doc_financials" in low)
+
+
+def is_document_url(url: str) -> bool:
+    """P3 (crawler.service.js:124-130)."""
+    low = url.lower()
+    return low.endswith((".doc", ".docx", ".txt", ".rtf"))
+
+
+def is_homepage(url: str) -> bool:
+    """P6 (professional-crawler.service.js:238-245): path is '/' or ''."""
+    try:
+        p = urlsplit(url).path
+    except ValueError:
+        return False
+    return p in ("", "/")
+
+
 def resolve_href(href: str, base_url: str) -> str | None:
     """Resolve an in-page href against its page URL (document.querySelectorAll
     yields absolute ``a.href``; stored fixtures keep raw hrefs, so we resolve)."""

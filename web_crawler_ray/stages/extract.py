@@ -615,9 +615,18 @@ class ExtractStage:
         xhrs = batch.column("xhr_json").to_pylist() if "xhr_json" in batch.column_names else [None] * len(urls)
         seqs = batch.column("discovery_seq").to_pylist() if "discovery_seq" in batch.column_names else [0] * len(urls)
         ptypes = batch.column("page_type").to_pylist() if "page_type" in batch.column_names else [""] * len(urls)
+        ctypes = batch.column("content_type").to_pylist() if "content_type" in batch.column_names else [""] * len(urls)
         rows: list[dict] = []
-        for url, html, xhr, seq, ptype in zip(urls, htmls, xhrs, seqs, ptypes):
-            if not html:
+        for url, html, xhr, seq, ptype, ctype in zip(urls, htmls, xhrs, seqs,
+                                                     ptypes, ctypes):
+            from ..functions.urltools import is_pdf_url
+            if (ctype == "application/pdf" or is_pdf_url(url)) and html:
+                # P3 routing: PDF payloads carry extracted text (the
+                # pdf-parse step runs in the fetch pool; sandbox page store
+                # ships text directly) -> E11 extractor
+                from .extract_pdf import extract_pdf_locations
+                page_locs = extract_pdf_locations(html, url)
+            elif not html:
                 page_locs = []
                 if "xhr" in self.methods and xhr:
                     page_locs = extract_xhr(xhr, url)
