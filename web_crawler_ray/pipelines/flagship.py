@@ -36,8 +36,13 @@ def _conf_filter(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.greater_equal(batch.column("confidence"), 0.70))
 
 
-def extract_locations(pages: rd.Dataset, fuzzy: bool = True) -> rd.Dataset:
-    """pages -> final enriched location records (lazy)."""
+def extract_locations(pages: rd.Dataset, fuzzy: bool = True,
+                      early_stop: int | None = None) -> rd.Dataset:
+    """pages -> final enriched location records (lazy).
+
+    ``early_stop``: P7 (professional-crawler.service.js:79-82) — stop at
+    ≥N locations unless fetchAll; expressed as the streaming ``limit``
+    (the honest batch equivalent per SURVEY §2.6)."""
     locs = pages.map_batches(ExtractStage(), batch_format="pyarrow",
                              batch_size=64, num_cpus=1)
     locs = locs.map_batches(_conf_filter, batch_format="pyarrow")
@@ -45,7 +50,10 @@ def extract_locations(pages: rd.Dataset, fuzzy: bool = True) -> rd.Dataset:
         locs = fuzzy_dedup(locs)  # D3: groupby(block).map_groups greedy@0.85
     locs = locs.map_batches(geocode_enrich_batch, batch_format="pyarrow",
                             batch_size=512)
-    return locs.map_batches(add_quality, batch_format="pyarrow")
+    locs = locs.map_batches(add_quality, batch_format="pyarrow")
+    if early_stop is not None:
+        locs = locs.limit(early_stop)
+    return locs
 
 
 def assemble_documents(pages: rd.Dataset, content_dedup: bool = False,

@@ -286,6 +286,23 @@ def q_minhash_dedup(sf_dir: str):
     return pd.DataFrame({"doc_id": keep})
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup pairs: LSH candidate generation + exact
+    3-word-shingle Jaccard verification at τ=0.8 (rows-only check; the
+    kernel is pytest-verified against hand-built near-dups)."""
+    import pyarrow.parquet as pq
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = D.minhash_candidate_pairs(ds).to_pandas()
+    tt = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tt.column("doc_id").to_pylist(), tt.column("text").to_pylist()))
+    out = [(int(r.id_a), int(r.id_b),
+            round(D.jaccard(texts.get(r.id_a, ""), texts.get(r.id_b, "")), 6))
+           for r in pairs.itertuples()]
+    df = pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    df = df[df["jaccard"] >= 0.8]
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_training_pipeline(sf_dir: str):
     """Composed curation pipeline: lang filter -> quality filter -> exact
     dedup -> MinHash near-dup removal -> token stats (rows-only check;
@@ -424,6 +441,7 @@ def registry() -> dict:
         "near_dup_embeddings": q_near_dup_embeddings,
         "minhash_dedup": q_minhash_dedup,
         "training_pipeline": q_training_pipeline,
+        "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
