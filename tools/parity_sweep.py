@@ -1,0 +1,54 @@
+"""Adversarial parity sweep: N random (world, politeness, depth, cap,
+backoff, order) configurations, engine vs oracle, bit-for-bit fetch
+order + seen set. Run: python tools/parity_sweep.py [n_seeds]
+
+Round-1 result: 15/15 OK (see git history)."""
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import numpy as np
+    import ray
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from web_crawler_ray.oracle.reference_oracle import oracle_crawl
+    from web_crawler_ray.pipelines.crawl import crawl
+    from web_crawler_ray.sources import synth_world as W
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    fails = 0
+    for seed in range(100, 100 + n):
+        rng = random.Random(seed)
+        cfg = dict(n_hosts=rng.choice([2, 3, 5, 7]), base=rng.choice([8, 15, 25]),
+                   rs=rng.choice([None, 2.0, 5.0, 13.0]), md=rng.choice([1, 2, 3, 5]),
+                   mp=rng.choice([9, 33, 100000]), bo=rng.choice([False, True]),
+                   order=rng.choice(["fifo", "priority"]))
+        tbl, robots, seeds = W.world(seed=seed, n_hosts=cfg["n_hosts"],
+                                     pages_per_host_base=cfg["base"])
+        by_url = {r["url"]: r for r in tbl.to_pylist()}
+        o_order, o_seen, _ = oracle_crawl(by_url, robots, seeds, max_pages=cfg["mp"],
+                                          max_depth=cfg["md"], round_seconds=cfg["rs"],
+                                          backoff=cfg["bo"], order=cfg["order"])
+        res = crawl(tbl, robots, seeds, max_pages=cfg["mp"], max_depth=cfg["md"],
+                    round_seconds=cfg["rs"], backoff=cfg["bo"], order=cfg["order"],
+                    keep_pages=False, n_seen_shards=rng.choice([1, 3, 8]))
+        e_order = list(zip(res.visited.column("round").to_pylist(),
+                           res.visited.column("discovery_seq").to_pylist(),
+                           res.visited.column("url").to_pylist()))
+        ok = (e_order == o_order and
+              np.array_equal(res.seen_snapshot, np.array(o_seen, dtype=np.uint64)))
+        print(("OK " if ok else "MISMATCH"), seed, cfg)
+        fails += 0 if ok else 1
+    print("FAILS:", fails)
+    ray.shutdown()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
