@@ -1,0 +1,61 @@
+"""Remaining helper coverage: A6 bulk summary, storage dataset round-trip,
+politeness implied API, hashing stability."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from web_crawler_ray.functions import hashing as H
+from web_crawler_ray.sources import readers as R
+from web_crawler_ray.sources import storage as ST
+from web_crawler_ray.state.politeness import _PolitenessImpl
+
+
+def test_hash64_stability_and_vector():
+    # frozen value: blake2b-8 of "hello" — cross-process determinism anchor
+    assert H.hash64("hello") == H.hash64(b"hello")
+    assert H.hash64("hello") != H.hash64("hellp")
+    many = H.hash64_many(["a", "b", "a"])
+    assert many[0] == many[2] != many[1]
+    col = H.hash64_column(pa.array(["a", None, "b"]))
+    assert col[0].as_py() == int(many[0])
+    assert col[1].as_py() == 0  # nulls -> 0
+    fp = H.fingerprint16(np.array([0, 1 << 48], dtype=np.uint64))
+    assert fp[0] == 1  # 0 remapped (fingerprint 0 = empty slot)
+
+
+def test_bulk_summary():
+    df = pd.DataFrame({"status": ["success", "success", "failed"],
+                       "locations_count": [5, 7, 0]})
+    out = R.bulk_summary(rd.from_pandas(df))
+    assert out == {"total": 3, "success": 2, "failed": 1, "totalLocations": 12}
+
+
+def test_storage_dataset_roundtrip(tmp_path):
+    ds = rd.from_items([{"a": i} for i in range(10)])
+    p = str(tmp_path / "d")
+    ST.write_dataset(ds, p)
+    back = ST.read_dataset(p)
+    assert sorted(r["a"] for r in back.take_all()) == list(range(10))
+
+
+def test_politeness_implied_api():
+    pol = _PolitenessImpl(round_seconds=10.0)
+    pol.set_delays({"slow.example": 5.0})
+    # default host: fixed 1 s delay -> 10 tokens; explicit 5 s -> 2 tokens
+    assert pol.budget("fast.example") == 10
+    assert pol.budget("slow.example") == 2
+    g = pol.grant({"fast.example": 99, "slow.example": 1})
+    assert g == {"fast.example": 10, "slow.example": 1}
+    pol.record_failure("fast.example", 2)
+    assert pol.budget("fast.example") == 2  # 10 >> 2
+    pol.record_success("fast.example")
+    assert pol.budget("fast.example") == 10
+    stats = pol.get_all_stats()
+    assert stats["totalDomains"] == 2
+    assert stats["domains"]["fast.example"]["requests"] == 10
+    # min_delay clamp (robots.service.js 300 ms default floor)
+    pol.set_delays({"zero.example": 0.0})
+    assert pol.budget("zero.example") == int(10 / 0.3)
