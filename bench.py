@@ -23,7 +23,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench world ~55k pages: heavy enough that extract compute dominates the
 # fixed per-round driver overhead (scaling-efficiency requirement)
-BENCH_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "96"))
+BENCH_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "384"))
 BENCH_BASE = int(os.environ.get("GRAFT_BENCH_BASE", "6800"))
 
 

@@ -57,9 +57,15 @@ FRONTIER_COLS = ("url", "url_hash", "host", "path", "depth", "discovery_seq",
                  "parent_url_hash")
 
 
+def _fast_path(url: str) -> str:
+    """Path of a canonical http(s) URL (scheme://host[/path], no query/frag)."""
+    i = url.find("/", 8)  # skip 'https://'
+    return url[i:] if i >= 0 else "/"
+
+
 def _frontier_table(urls, hosts, depths, seqs, parent_hashes=None) -> pa.Table:
     urls = list(urls)
-    paths = [urlsplit(u).path or "/" for u in urls]
+    paths = [_fast_path(u) for u in urls]
     if parent_hashes is None:
         parent_hashes = np.zeros(len(urls), dtype=np.uint64)  # seeds: no parent
     return pa.table({
@@ -310,26 +316,39 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         ds = ds.map_batches(FetchStage(pages_ref),
                             batch_format="pyarrow", batch_size=256, num_cpus=1)
         ds = ds.materialize()  # pinned once; reused for links + downstream extract
-        # link metadata only (html stays in the object store)
-        link_rows = ds.select_columns(["host", "depth", "fetch_rank",
-                                       "fetch_ok", "links_canon"]).take_all()
-        if backoff:
-            fails: dict[str, int] = {}
-            ok_hosts: set[str] = set()
-            for r in link_rows:
-                if not r["fetch_ok"]:
-                    fails[r["host"]] = fails.get(r["host"], 0) + 1
-                else:
-                    ok_hosts.add(r["host"])
+        # link metadata only (html stays in the object store); vectorized
+        # explode: list_flatten + list_parent_indices instead of row loops
+        meta_parts = list(ds.select_columns(
+            ["host", "depth", "fetch_rank", "fetch_ok", "links_canon"])
+            .iter_batches(batch_size=65536, batch_format="pyarrow"))
+        meta = pa.concat_tables(meta_parts).combine_chunks() if meta_parts else None
+        if backoff and meta is not None:
+            import collections
+            ok_arr = meta.column("fetch_ok").to_numpy(zero_copy_only=False)
+            host_arr = meta.column("host").to_pylist()
+            fails = collections.Counter(h for h, ok in zip(host_arr, ok_arr) if not ok)
+            ok_hosts = {h for h, ok in zip(host_arr, ok_arr) if ok}
             calls = [politeness.record_failure.remote(h, n) for h, n in fails.items()]
             calls += [politeness.record_success.remote(h) for h in ok_hosts - set(fails)]
             if calls:
                 ray.get(calls)
-        links = []
-        for r in link_rows:
-            for idx, u in enumerate(r["links_canon"]):
-                links.append({"url": u, "host": r["host"], "depth": r["depth"] + 1,
-                              "parent_rank": r["fetch_rank"], "link_idx": idx})
+        links_tbl = None
+        if meta is not None and meta.num_rows:
+            lc = meta.column("links_canon")
+            lc = lc.combine_chunks() if isinstance(lc, pa.ChunkedArray) else lc
+            flat = pc.list_flatten(lc)
+            if len(flat):
+                parents = pc.list_parent_indices(lc)
+                lens = pc.list_value_length(lc).to_numpy(zero_copy_only=False).astype(np.int64)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                link_idx = np.arange(int(lens.sum()), dtype=np.int32) -                     np.repeat(starts, lens).astype(np.int64)
+                links_tbl = pa.table({
+                    "url": flat,
+                    "host": pc.take(meta.column("host"), parents),
+                    "depth": pc.add(pc.take(meta.column("depth"), parents), 1),
+                    "parent_rank": pc.take(meta.column("fetch_rank"), parents),
+                    "link_idx": pa.array(link_idx, pa.int32()),
+                })
 
         if checkpoint_dir:
             ds.write_parquet(os.path.join(checkpoint_dir, f"round={rnd}", "pages"))
@@ -352,16 +371,12 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         # exits (site-crawler.service.js:163-168 runs for page #maxPages) —
         # the seen set must include them for bit-for-bit parity.
         new_frontier = deferred
-        if links:
-            lt = pa.Table.from_pylist(links)
-            lt = lt.sort_by([("parent_rank", "ascending"), ("link_idx", "ascending")])
-            urls_l = lt.column("url").to_pylist()
-            first_ix, seen_local = [], set()
-            for i, u in enumerate(urls_l):
-                if u not in seen_local:
-                    seen_local.add(u)
-                    first_ix.append(i)
-            lt = lt.take(pa.array(first_ix))
+        if links_tbl is not None:
+            lt = links_tbl.sort_by([("parent_rank", "ascending"),
+                                    ("link_idx", "ascending")])
+            # in-round first-seen dedup, vectorized (stable keep="first")
+            dfu = lt.column("url").to_pandas()
+            lt = lt.take(pa.array(np.flatnonzero(~dfu.duplicated().to_numpy())))
             cand_urls = lt.column("url").to_pylist()
             cand_hashes = hash64_many(cand_urls)
             fresh = seen.check_and_add(cand_hashes)  # one RPC per shard
