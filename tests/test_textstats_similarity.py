@@ -152,3 +152,19 @@ def test_training_pipeline_curate(ray_session):
     assert 5 not in kept        # quality filter
     assert 6 in kept
     assert "n_tokens" in df.columns
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    ds, m = _embedding_ds(n=200, d=16, seed=11)
+    q = {0: m[0], 50: m[50], 120: m[120]}
+    exact = S.brute_force_topk(ds, q, k=5)
+    approx = S.ivf_topk(ds, q, k=5, n_lists=8, n_probe=3)
+    hits = 0
+    for qid in q:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a) / len(e)
+    assert hits / len(q) >= 0.6
+    # self-hit must always be found (its own list is the nearest centroid)
+    for qid in q:
+        assert qid in set(approx[approx["query_id"] == qid]["vec_id"])

@@ -140,6 +140,74 @@ def lsh_bucket_topk(ds, queries: dict[int, np.ndarray], k: int, n_bits: int = 8,
     return pd.DataFrame(out, columns=["query_id", id_col, "score"])
 
 
+# --- IVF variant (coarse k-means quantizer, the classic scale path) ----------
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 17) -> np.ndarray:
+    """Tiny deterministic k-means on normalized vectors (cosine ≙ dot)."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                                  replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+class IvfAssignStage:
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        self.centroids = ray.get(centroids_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch.column(self.vec_col)))
+        lists = (np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+                 if m.size else np.zeros(0, np.int32))
+        return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
+
+
+def ivf_topk(ds, queries: dict[int, np.ndarray], k: int, n_lists: int = 16,
+             n_probe: int = 4, sample_size: int = 2048, seed: int = 17,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF ANN: train a coarse quantizer on a sample (driver-side, tiny),
+    broadcast centroids, assign vectors to inverted lists in map_batches,
+    search only the query's n_probe nearest lists. At scale the assignment
+    is the only full pass (no shuffle: the list id rides as a column and
+    the probe filter prunes blocks)."""
+    sample_df = ds.limit(sample_size).to_pandas()
+    sample = _normalize(np.stack(sample_df[vec_col].to_numpy()).astype(np.float64))
+    centroids = _kmeans(sample, n_lists, seed=seed)
+    cref = ray.put(centroids)
+    assigned = ds.map_batches(IvfAssignStage(cref, vec_col), batch_format="pyarrow")
+
+    qm = _normalize(np.stack([np.asarray(v, np.float64) for v in queries.values()]))
+    qsims = qm @ centroids.T
+    probe = {qi: set(np.argsort(-qsims[qi])[:n_probe].tolist())
+             for qi in range(len(queries))}
+    wanted = sorted(set().union(*probe.values()))
+    tbl = assigned.filter(
+        lambda r, w=frozenset(wanted): r["ivf_list"] in w).to_pandas()
+    out = []
+    if len(tbl):
+        ids = tbl[id_col].to_numpy()
+        m = _normalize(np.stack(tbl[vec_col].to_numpy()).astype(np.float64))
+        for qi, qid in enumerate(queries.keys()):
+            mask = tbl["ivf_list"].isin(probe[qi]).to_numpy()
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sel = ids[mask]
+            order = np.lexsort((sel, -sims))[:k]
+            out.extend((qid, int(sel[j]), round(float(sims[j]), 6)) for j in order)
+    return pd.DataFrame(out, columns=["query_id", id_col, "score"])
+
+
 # --- embedding-cosine near-dup pairs -----------------------------------------
 
 def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
