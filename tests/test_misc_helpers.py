@@ -59,3 +59,28 @@ def test_politeness_implied_api():
     # min_delay clamp (robots.service.js 300 ms default floor)
     pol.set_delays({"zero.example": 0.0})
     assert pol.budget("zero.example") == int(10 / 0.3)
+
+
+def test_xlsx_sink(tmp_path):
+    """S12: stdlib XLSX writer produces a readable 2-sheet workbook."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+    from web_crawler_ray.sources.xlsx import write_bulk_workbook
+    p = str(tmp_path / "bulk.xlsx")
+    write_bulk_workbook(
+        p,
+        summary_rows=[{"companyName": "Acme", "url": "https://a.example",
+                       "status": "success", "locationsCount": 3}],
+        location_rows=[{"location_name": "HQ & Co <x>", "latitude": "37.5",
+                        "quality_score": 95}])
+    with zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml"} <= names
+        s1 = z.read("xl/worksheets/sheet1.xml").decode()
+        s2 = z.read("xl/worksheets/sheet2.xml").decode()
+        ET.fromstring(s1)  # well-formed XML
+        ET.fromstring(s2)
+        assert "Acme" in s1 and "success" in s1
+        assert "HQ &amp; Co &lt;x&gt;" in s2  # escaping
+        assert "<v>95</v>" in s2              # numeric cell
