@@ -49,3 +49,31 @@ def test_content_dedup_documents():
     assert len(docs) == 2
     no_dedup = assemble_documents(pages, content_dedup=False).to_pandas()
     assert len(no_dedup) == 5
+
+
+def test_bulk_pipeline(tmp_path):
+    """SURVEY §3.3: bulk CSV -> combined crawl -> per-company summary +
+    2-sheet workbook."""
+    import pyarrow as pa
+    import zipfile
+    from web_crawler_ray.pipelines.bulk import process_bulk
+    from web_crawler_ray.sources import synth_world as W
+    tbl, robots, seeds = W.world(seed=42, n_hosts=3, pages_per_host_base=12)
+    companies = pa.table({
+        "Company Name": ["Comp0", "Comp1", "Ghost Co"],
+        "URL": [seeds[0], seeds[1], "https://nonexistent.example/"],
+    })
+    wb = str(tmp_path / "bulk.xlsx")
+    out = process_bulk(companies, tbl, robots, workbook_path=wb,
+                       round_seconds=30.0)
+    by_name = {s["companyName"]: s for s in out["summary"]}
+    assert by_name["Comp0"]["status"] == "success"
+    assert by_name["Comp0"]["locationsCount"] > 0
+    # the ghost host IS fetched (404-like) so it counts visited; its
+    # locations are zero
+    assert by_name["Ghost Co"]["locationsCount"] == 0
+    assert out["totals"]["total"] == 3
+    assert out["totals"]["totalLocations"] == sum(
+        s["locationsCount"] for s in out["summary"])
+    with zipfile.ZipFile(wb) as z:
+        assert "xl/worksheets/sheet2.xml" in z.namelist()
