@@ -18,7 +18,7 @@ def test_checkpoint_and_resume(tmp_path):
     for d in rounds:
         base = os.path.join(ck, d)
         assert os.path.exists(os.path.join(base, "_COMPLETE"))
-        for f in ("frontier.parquet", "visited.parquet", "seen.parquet",
+        for f in ("frontier.parquet", "visited.parquet", "seen_delta.parquet",
                   "metrics.json"):
             assert os.path.exists(os.path.join(base, f))
         assert os.path.isdir(os.path.join(base, "pages"))

@@ -215,6 +215,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         round_seconds if round_seconds is not None else float("inf"))
 
     info = resume_info(resume_from) if resume_from else None
+    round_delta: list[np.ndarray] = []  # hashes newly seen this round (checkpoint delta)
     if info is not None:
         frontier = info["frontier"]
         seen.bulk_add(info["seen"])
@@ -240,6 +241,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         next_seq = len(keep)
         n_fetched = 0
         rnd = 0
+        round_delta.append(s_hashes[keep])  # seeds enter the round-0 delta
 
     # install explicit robots crawl-delays into the politeness buckets
     all_hosts = sorted(set(s_hosts))
@@ -381,6 +383,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
             cand_hashes = hash64_many(cand_urls)
             fresh = seen.check_and_add(cand_hashes)  # one RPC per shard
             ix = np.flatnonzero(fresh)
+            if checkpoint_dir and len(ix):
+                round_delta.append(cand_hashes[ix])
             if len(ix):
                 lt2 = lt.take(pa.array(ix))
                 seqs = list(range(next_seq, next_seq + lt2.num_rows))
@@ -405,8 +409,11 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
                         "n_hosts": len(per_host),
                         "per_host": per_host})  # per-partition lineage (host = partition key)
         if checkpoint_dir:
+            delta = (np.sort(np.concatenate(round_delta)) if round_delta
+                     else np.zeros(0, np.uint64))
             _write_checkpoint(checkpoint_dir, rnd, frontier, visited_parts[-1],
-                              seen, metrics[-1])
+                              delta, metrics[-1])
+            round_delta = []
         rnd += 1
 
     visited = (pa.concat_tables(visited_parts) if visited_parts
@@ -428,25 +435,29 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
 
 
 def _write_checkpoint(ckpt_dir: str, rnd: int, frontier: pa.Table,
-                      visited_delta: pa.Table, seen: SeenSet, metric: dict) -> None:
+                      visited_delta: pa.Table, seen_delta: np.ndarray,
+                      metric: dict) -> None:
     """Per-round, per-partition resumable layout (SURVEY §4.2.4):
-    checkpoint/round=R/{frontier,visited,seen}.parquet + _COMPLETE marker.
-    Goes through the storage switch (parquet default; lance when the
-    package is available — identical logical schema, SURVEY §7.0)."""
+    checkpoint/round=R/{frontier,visited,seen_delta}.parquet + _COMPLETE.
+    The seen set is checkpointed as per-round sorted-hash DELTAS (the
+    hashes first seen that round) — O(new keys) per round instead of
+    O(total), which is what makes checkpointing affordable at 10^10 keys;
+    the full set is the union of deltas (resume_info reconstructs it, and
+    bit-for-bit comparison concatenates + sorts them). Goes through the
+    storage switch (parquet default; lance when available, SURVEY §7.0)."""
     from ..sources.storage import DEFAULT_FORMAT, HAS_LANCE, write_table
     fmt = DEFAULT_FORMAT if (DEFAULT_FORMAT != "lance" or HAS_LANCE) else "parquet"
     d = os.path.join(ckpt_dir, f"round={rnd}")
     os.makedirs(d, exist_ok=True)
+    seen_tbl = pa.table({"url_hash": pa.array(seen_delta, pa.uint64())})
     if fmt == "parquet":  # flat single-file layout kept for resume_info compat
         pq.write_table(frontier, os.path.join(d, "frontier.parquet"))
         pq.write_table(visited_delta, os.path.join(d, "visited.parquet"))
-        pq.write_table(pa.table({"url_hash": pa.array(seen.snapshot(), pa.uint64())}),
-                       os.path.join(d, "seen.parquet"))
+        pq.write_table(seen_tbl, os.path.join(d, "seen_delta.parquet"))
     else:  # pragma: no cover - lance path (not installed in sandbox)
         write_table(frontier, os.path.join(d, "frontier"), fmt=fmt)
         write_table(visited_delta, os.path.join(d, "visited"), fmt=fmt)
-        write_table(pa.table({"url_hash": pa.array(seen.snapshot(), pa.uint64())}),
-                    os.path.join(d, "seen"), fmt=fmt)
+        write_table(seen_tbl, os.path.join(d, "seen_delta"), fmt=fmt)
     with open(os.path.join(d, "metrics.json"), "w") as f:
         json.dump(metric, f)
     with open(os.path.join(d, "_COMPLETE"), "w") as f:
@@ -464,10 +475,15 @@ def resume_info(ckpt_dir: str) -> dict | None:
         return None
     r = rounds[-1]
     d = os.path.join(ckpt_dir, f"round={r}")
+    deltas = [pq.read_table(os.path.join(ckpt_dir, f"round={i}",
+                                         "seen_delta.parquet"))
+              .column("url_hash").to_numpy() for i in rounds]
+    seen_all = (np.sort(np.concatenate(deltas)) if deltas
+                else np.zeros(0, np.uint64))
     return {
         "round": r,
         "frontier": pq.read_table(os.path.join(d, "frontier.parquet")),
-        "seen": pq.read_table(os.path.join(d, "seen.parquet")).column("url_hash").to_numpy(),
+        "seen": seen_all,
         "fetched": sum(pq.read_table(os.path.join(ckpt_dir, f"round={i}", "visited.parquet")).num_rows
                        for i in rounds),
     }
