@@ -67,6 +67,10 @@ def test_resume_equals_uninterrupted(tmp_path):
     tail = fv.filter(pa.compute.greater(fv.column("round"), k))
     assert resumed.visited.column("url").to_pylist() == tail.column("url").to_pylist()
     assert resumed.visited.column("round").to_pylist() == tail.column("round").to_pylist()
+    # discovery_seq labels continue EXACTLY (next_seq persisted in the
+    # checkpoint, ADVICE r1 — not re-inferred from max(frontier seq))
+    assert resumed.visited.column("discovery_seq").to_pylist() == \
+        tail.column("discovery_seq").to_pylist()
     assert np.array_equal(resumed.seen_snapshot, full.seen_snapshot)
     # stats report the CUMULATIVE fetched count (restored + new)
     assert resumed.stats["fetched"] == full.stats["fetched"]

@@ -144,3 +144,19 @@ def test_engine_matches_oracle_priority_order(small_world):
     f_order, _, _ = oracle_crawl(by_url, robots, seeds, max_pages=60,
                                  max_depth=3, round_seconds=4.0, order="fifo")
     assert f_order != o_order
+
+
+def test_engine_dedups_duplicate_and_case_variant_seeds(small_world):
+    """ADVICE r1: duplicate seeds (and case/slash variants canonicalizing to
+    the same URL) are first-seen-deduped before the seen set — the engine
+    fetches each page once, matching the oracle's `canon in seen` skip."""
+    tbl, robots, seeds, by_url = small_world
+    s0 = seeds[0]  # e.g. https://h0000.example/
+    noisy = [s0, s0, s0.rstrip("/"), s0.replace("https://h", "https://H")] + seeds[1:]
+    o_order, o_seen, _ = oracle_crawl(by_url, robots, noisy,
+                                      max_pages=40, max_depth=2, round_seconds=None)
+    e_order, e_seen, _ = _run_engine(tbl, robots, noisy,
+                                     max_pages=40, max_depth=2, round_seconds=None)
+    assert e_order == o_order
+    assert len([u for (_, _, u) in e_order]) == len({u for (_, _, u) in e_order})
+    assert np.array_equal(e_seen, np.array(o_seen, dtype=np.uint64))

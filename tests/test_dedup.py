@@ -173,3 +173,22 @@ def test_sim_feat_equals_similarity():
                 assert abs(ref - fast) < 1e-12, (rows[i], rows[j], ref, fast)
             else:
                 assert fast < 0.85
+
+
+def test_fuzzy_mixed_block_types_fall_back_to_host_allpairs(ray_session):
+    """A postcode row and a nearby geo-only row (a pair the reference merges
+    site-wide) must still be compared: mixed block types within a host fall
+    back to the per-host all-pairs scan (ADVICE r1)."""
+    rows = [
+        {"name": "Acme Corp", "address": "100 Main Street, Springfield",
+         "latitude": "39.80", "longitude": "-89.65", "postal_code": "62701",
+         "source_url": "https://h.example/a", "discovery_seq": 0},
+        {"name": "Acme Corp", "address": "100 Main St, Springfield",
+         "latitude": "39.80", "longitude": "-89.65", "postal_code": "",
+         "source_url": "https://h.example/b", "discovery_seq": 1},
+    ]
+    global_out = D.fuzzy_dedup_greedy(rows)
+    assert len(global_out) == 1  # the reference would merge this pair
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    blocked = D.fuzzy_dedup(ds).to_pandas()
+    assert len(blocked) == 1

@@ -77,3 +77,14 @@ def test_canonicalize_total_and_idempotent(s):
 def test_resolve_href_absolute_or_none(href, base):
     r = U.resolve_href(href, base)
     assert r is None or r.startswith(("http://", "https://"))
+
+
+def test_canonicalize_reference_url_semantics():
+    """URL.origin+pathname fidelity: lowercase host, default-port strip,
+    empty path -> '/' (ADVICE r1: same page must hash to one seen key)."""
+    assert U.canonicalize("https://Example.COM") == "https://example.com/"
+    assert U.canonicalize("https://Example.COM/A/B") == "https://example.com/A/B"
+    assert U.canonicalize("https://example.com") == U.canonicalize("https://example.com/")
+    assert U.canonicalize("https://example.com:443/x") == "https://example.com/x"
+    assert U.canonicalize("http://example.com:80/x") == "http://example.com/x"
+    assert U.canonicalize("http://example.com:8080/x") == "http://example.com:8080/x"

@@ -121,3 +121,16 @@ def test_seen_shard_spill_to_bloom():
     assert sh.bloom is not None and sh.spilled_count > 0
     # nothing previously inserted is ever NEW again
     assert not sh.check_and_add(all_keys).any()
+
+
+def test_seen_shard_spill_cardinality_and_contains():
+    """After a spill, cardinality counts spilled keys and contains() still
+    has no false negatives (probes the bloom tier)."""
+    sh = _SeenShardImpl(0, n_buckets_log2=12, spill_threshold=100)
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 1 << 63, size=400, dtype=np.int64).astype(np.uint64)
+    for i in range(0, 400, 50):
+        sh.check_and_add(keys[i:i + 50])
+    assert sh.spilled_count > 0
+    assert sh.cardinality() == 400          # exact tier + spilled tier
+    assert sh.contains(keys).all()          # spilled keys still members

@@ -73,6 +73,12 @@ _BAD_SCHEMES = ("javascript:", "mailto:", "tel:")
 def canonicalize(url: str) -> str | None:
     """origin + pathname, dropping query and fragment (F2).
 
+    Matches the reference's ``URL.origin + URL.pathname`` semantics
+    (site-crawler.service.js:28-31): the host is lowercased, default
+    ports (:80 http / :443 https) are stripped, and an empty path is
+    normalized to ``/`` — so ``https://Example.COM`` and
+    ``https://example.com/`` hash to the SAME seen-set key.
+
     Returns None for unparseable / non-http(s) URLs (the reference's
     ``new URL`` throw-and-skip path).
     """
@@ -86,7 +92,11 @@ def canonicalize(url: str) -> str | None:
         return None
     if parts.scheme not in ("http", "https") or not parts.netloc:
         return None
-    return f"{parts.scheme}://{parts.netloc}{parts.path}"
+    netloc = parts.netloc.lower()
+    if (parts.scheme == "http" and netloc.endswith(":80")) or \
+            (parts.scheme == "https" and netloc.endswith(":443")):
+        netloc = netloc.rsplit(":", 1)[0]
+    return f"{parts.scheme}://{netloc}{parts.path or '/'}"
 
 
 def host_of(url: str) -> str:

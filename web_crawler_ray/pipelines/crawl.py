@@ -221,15 +221,25 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         seen.bulk_add(info["seen"])
         n_fetched = info["fetched"]
         rnd = info["round"] + 1
-        seqs = frontier.column("discovery_seq")
-        next_seq = int(pc.max(seqs).as_py()) + 1 if frontier.num_rows else 0
+        if info.get("next_seq") is not None:
+            next_seq = int(info["next_seq"])
+        else:  # legacy checkpoint without next_seq: infer (can reuse seqs
+            # when the max-seq entry was fetched in the last round — new
+            # checkpoints always persist next_seq in metrics.json)
+            seqs = frontier.column("discovery_seq")
+            next_seq = int(pc.max(seqs).as_py()) + 1 if frontier.num_rows else 0
         s_hosts = frontier.column("host").to_pylist()
     else:
-        # seed the frontier (enqueue-time seen insertion, reference :136)
+        # seed the frontier (enqueue-time seen insertion, reference :136).
+        # First-seen dedup of the canonical seeds BEFORE hashing: the seen
+        # shards' check_and_add contract requires within-batch-unique input,
+        # and the oracle's `canon in seen: continue` skips dup seeds too.
         s_urls, s_hosts = [], []
+        seed_local: set[str] = set()
         for s in seeds:
             c = canonicalize(s)
-            if c is not None:
+            if c is not None and c not in seed_local:
+                seed_local.add(c)
                 s_urls.append(c)
                 s_hosts.append(host_of(c))
         s_hashes = hash64_many(s_urls)
@@ -407,6 +417,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
                         "frontier_next": int(frontier.num_rows),
                         "seen": seen.cardinality(),
                         "n_hosts": len(per_host),
+                        "next_seq": next_seq,  # persisted for exact resume
                         "per_host": per_host})  # per-partition lineage (host = partition key)
         if checkpoint_dir:
             delta = (np.sort(np.concatenate(round_delta)) if round_delta
@@ -480,10 +491,16 @@ def resume_info(ckpt_dir: str) -> dict | None:
               .column("url_hash").to_numpy() for i in rounds]
     seen_all = (np.sort(np.concatenate(deltas)) if deltas
                 else np.zeros(0, np.uint64))
+    next_seq = None
+    mpath = os.path.join(d, "metrics.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            next_seq = json.load(f).get("next_seq")
     return {
         "round": r,
         "frontier": pq.read_table(os.path.join(d, "frontier.parquet")),
         "seen": seen_all,
+        "next_seq": next_seq,
         "fetched": sum(pq.read_table(os.path.join(ckpt_dir, f"round={i}", "visited.parquet")).num_rows
                        for i in rounds),
     }

@@ -280,7 +280,19 @@ def _fuzzy_group(g: pd.DataFrame) -> pd.DataFrame:
 def _fuzzy_host_group(g: pd.DataFrame) -> pd.DataFrame:
     """Per-host task: fine-grained blocking runs INSIDE the task as a pandas
     groupby — Ray-level groups stay coarse (one per host), avoiding the
-    per-group distributed-groupby overhead over thousands of tiny blocks."""
+    per-group distributed-groupby overhead over thousands of tiny blocks.
+
+    Mixed-completeness guard: block_key routes rows by field PRESENCE
+    (postcode > geo > city), so a pair the reference would merge — one row
+    with a postcode, the other with only nearby coordinates — would land
+    in different blocks and never be compared. When a host's rows span
+    more than one block TYPE, fall back to the reference's per-site
+    all-pairs scan (faithful by construction: the reference dedups
+    site-wide, crawler.service.js:187-190). Single-type hosts keep the
+    fine blocks (the 100 TB bound: a block = one host × one postcode)."""
+    types = {k.split("|", 1)[1][:2] for k in g["fuzzy_block"].unique()}
+    if len(types) > 1:
+        return _fuzzy_group(g)
     outs = [_fuzzy_group(sub) for _, sub in g.groupby("fuzzy_block", sort=True)]
     return pd.concat(outs, ignore_index=True) if outs else g.iloc[0:0]
 

@@ -179,11 +179,17 @@ class _SeenShardImpl:
         return new
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Membership probe across BOTH tiers (exact + bloom spill) — the
+        module's no-false-negative contract holds for spilled keys too."""
         h = np.asarray(hashes, dtype=np.uint64)
         maybe = self.filter.contains_many(h)
         out = np.zeros(len(h), dtype=bool)
+        bloom = self.bloom
         for i in np.flatnonzero(maybe):
-            out[i] = int(h[i]) in self.exact
+            if int(h[i]) in self.exact:
+                out[i] = True
+            elif bloom is not None and bool(bloom.contains_many(h[i:i + 1])[0]):
+                out[i] = True
         return out
 
     def snapshot(self) -> np.ndarray:
@@ -191,7 +197,9 @@ class _SeenShardImpl:
         return np.sort(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
 
     def cardinality(self) -> int:
-        return len(self.exact)
+        """Total keys inserted (exact tier + keys spilled to the bloom tier),
+        so crawl metrics don't undercount after a spill."""
+        return len(self.exact) + self.spilled_count
 
 
 SeenShard = ray.remote(_SeenShardImpl)
