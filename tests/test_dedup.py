@@ -192,3 +192,71 @@ def test_fuzzy_mixed_block_types_fall_back_to_host_allpairs(ray_session):
     ds = rd.from_pandas(pd.DataFrame(rows))
     blocked = D.fuzzy_dedup(ds).to_pandas()
     assert len(blocked) == 1
+
+
+def test_verify_jaccard_pairs_matches_kernel(ray_session):
+    """Distributed pair verification == driver-side jaccard() kernel,
+    value-for-value, on planted near-dups."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank "
+    rows = [
+        {"doc_id": 1, "text": base * 3},
+        {"doc_id": 2, "text": (base * 3).replace("quick", "fast")},
+        {"doc_id": 3, "text": "a totally unrelated text about compilers and parsers " * 3},
+        {"doc_id": 4, "text": base * 3},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = pd.DataFrame({"id_a": [1, 1, 1, 2], "id_b": [2, 3, 4, 3]})
+    out = D.verify_jaccard_pairs(ds, pairs)
+    assert len(out) == 4
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    for r in out.itertuples():
+        assert r.jaccard == D.jaccard(texts[r.id_a], texts[r.id_b])
+    assert out[(out.id_a == 1) & (out.id_b == 4)]["jaccard"].iloc[0] == 1.0
+    # empty pair list -> empty verified frame with the right columns
+    empty = D.verify_jaccard_pairs(ds, pairs.iloc[0:0])
+    assert list(empty.columns) == ["id_a", "id_b", "jaccard"] and len(empty) == 0
+
+
+def test_union_find_and_drop_ids(ray_session):
+    verified = pd.DataFrame({"id_a": [1, 2, 7], "id_b": [2, 3, 9],
+                             "jaccard": [0.9, 0.9, 0.9]})
+    dropped = D.union_find_drop_set(verified)
+    assert dropped == {2, 3, 9}  # min id of each component kept
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": list(range(1, 11))}))
+    kept = sorted(D.drop_ids(ds, dropped).to_pandas()["doc_id"])
+    assert kept == [1, 4, 5, 6, 7, 8, 10]
+    # empty drop set is a no-op
+    assert len(D.drop_ids(ds, set()).to_pandas()) == 10
+
+
+def test_minhash_dedup_driver_never_materializes_text(ray_session, monkeypatch, tmp_path):
+    """Scale guard (VERDICT r1 #1): the near-dup query path must not pull
+    the corpus text to the driver — every driver-side materialization is
+    O(pairs) metadata (no 'text' column)."""
+    import pyarrow.parquet as pq
+    import ray.data as rdm
+    from web_crawler_ray.pipelines.queries import q_minhash_dedup
+    import numpy as np
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=40))} for i in range(60)]
+    base = "one two three four five six seven eight nine ten eleven twelve "
+    rows += [{"doc_id": 100 + i, "text": base * 3} for i in range(4)]  # near-dups
+    sf = tmp_path / "documents.parquet"
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), str(sf))
+
+    seen_cols: list[list[str]] = []
+    orig = rdm.Dataset.to_pandas
+
+    def spy(self, *a, **kw):
+        df = orig(self, *a, **kw)
+        seen_cols.append(list(df.columns))
+        return df
+
+    monkeypatch.setattr(rdm.Dataset, "to_pandas", spy)
+    out = q_minhash_dedup(str(tmp_path))
+    kept = out.to_pandas()
+    assert all("text" not in cols for cols in seen_cols), seen_cols
+    # the 4 identical planted docs collapse to 1 survivor
+    assert len(kept) == 60 + 1

@@ -168,3 +168,30 @@ def test_ivf_recall_vs_brute_force(ray_session):
     # self-hit must always be found (its own list is the nearest centroid)
     for qid in q:
         assert qid in set(approx[approx["query_id"] == qid]["vec_id"])
+
+
+def test_near_dup_lsh_equals_exact_on_planted_dups(ray_session):
+    """The LSH scale path finds the same pairs as the exact distributed
+    all-pairs at a real near-dup threshold (planted dups; banded-LSH
+    recall ~1 at tau>=0.9), and scores agree bit-for-bit (both are
+    float64 cosine rounded to 6)."""
+    rng = np.random.default_rng(3)
+    n, d = 150, 24
+    m = rng.standard_normal((n, d))
+    for i in range(0, 30, 3):           # plant 10 near-dup pairs
+        m[i + 1] = m[i] + 0.02 * rng.standard_normal(d)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.astype(np.float32).tolist() for r in m]})
+    ds = rd.from_pandas(df)
+    exact = S.near_dup_pairs(ds, threshold=0.95, method="exact")
+    lsh = S.near_dup_pairs(ds, threshold=0.95, method="lsh")
+    assert len(exact) >= 10
+    e = {(r.id_a, r.id_b): r.score for r in exact.itertuples()}
+    l = {(r.id_a, r.id_b): r.score for r in lsh.itertuples()}
+    assert set(l) <= set(e)                      # precision exact
+    assert len(set(l) & set(e)) / len(e) >= 0.9  # recall floor
+    for k in l:
+        assert l[k] == e[k]
+    # auto routing: high tau -> lsh (same result as the explicit call)
+    auto = S.near_dup_pairs(ds, threshold=0.95)
+    assert auto.equals(lsh)

@@ -256,49 +256,28 @@ def q_near_dup_embeddings(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dup: candidate pairs verified at Jaccard ≥ 0.8,
-    then keep the min doc_id per connected component (non-SQL; rows-only
-    driver check + pytest assertions vs brute-force Jaccard)."""
-    import pyarrow.parquet as pq
+    """MinHash+LSH near-dup: candidate pairs verified DISTRIBUTIVELY at
+    Jaccard ≥ 0.8 (pair list broadcast, shingle sets joined by a
+    groupby(pair_id) shuffle — the corpus never reaches the driver),
+    then keep the min doc_id per connected component via a broadcast
+    anti-join (non-SQL; rows-only driver check + pytest assertions vs
+    brute-force Jaccard)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = D.minhash_candidate_pairs(ds).to_pandas()
-    tt = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(tt.column("doc_id").to_pylist(), tt.column("text").to_pylist()))
-    # verify candidates (small set) + union-find on the verified pairs
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    for r in pairs.itertuples():
-        if D.jaccard(texts.get(r.id_a, ""), texts.get(r.id_b, "")) >= 0.8:
-            union(int(r.id_a), int(r.id_b))
-    all_ids = sorted(texts)
-    keep = [i for i in all_ids if find(i) == i]
-    return pd.DataFrame({"doc_id": keep})
+    pairs = D.minhash_candidate_pairs(ds).to_pandas()  # O(pairs) — tiny
+    verified = D.verify_jaccard_pairs(ds, pairs)
+    dropped = D.union_find_drop_set(verified[verified["jaccard"] >= 0.8])
+    return D.drop_ids(ds, dropped).select_columns(["doc_id"])
 
 
 def q_jaccard_pairs(sf_dir: str):
     """n-gram Jaccard near-dup pairs: LSH candidate generation + exact
-    3-word-shingle Jaccard verification at τ=0.8 (rows-only check; the
-    kernel is pytest-verified against hand-built near-dups)."""
-    import pyarrow.parquet as pq
+    3-word-shingle Jaccard verification at τ=0.8, computed inside
+    map_batches/map_groups (only the O(pairs) result reaches the driver;
+    the kernel is pytest-verified against hand-built near-dups)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = D.minhash_candidate_pairs(ds).to_pandas()
-    tt = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(tt.column("doc_id").to_pylist(), tt.column("text").to_pylist()))
-    out = [(int(r.id_a), int(r.id_b),
-            round(D.jaccard(texts.get(r.id_a, ""), texts.get(r.id_b, "")), 6))
-           for r in pairs.itertuples()]
-    df = pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    df = D.verify_jaccard_pairs(ds, pairs)
+    df["jaccard"] = df["jaccard"].round(6)
     df = df[df["jaccard"] >= 0.8]
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

@@ -28,8 +28,10 @@ def curate(ds: rd.Dataset, min_quality: float = 0.5, lang: str = "en",
            jaccard_tau: float = 0.8) -> dict:
     """Returns dict(dataset=curated Dataset, dropped_near_dups=set).
 
-    The near-dup phase needs the candidate-pair set globally (a barrier
-    by nature); everything else streams.
+    Driver memory is O(candidate pairs) only: the exact-deduped corpus
+    stays in the object store (materialized once, reused for candidate
+    generation, distributed Jaccard verification, and the final
+    anti-join); union-find runs on the (tiny) verified-pair set.
     """
     lid = T.LangIdStage()
 
@@ -44,41 +46,19 @@ def curate(ds: rd.Dataset, min_quality: float = 0.5, lang: str = "en",
 
     filtered = (ds.map_batches(lang_filter, batch_format="pyarrow")
                   .map_batches(quality_filter, batch_format="pyarrow"))
-    exact = D.exact_dedup(filtered, id_col="doc_id", text_col="text")
+    # pinned once in the object store: consumed by 3 downstream passes
+    exact = D.exact_dedup(filtered, id_col="doc_id", text_col="text").materialize()
 
-    # near-dup: LSH candidates over the exact-deduped survivors,
-    # Jaccard-verified, keep the min doc_id per connected component
+    # near-dup: LSH candidates over the exact-deduped survivors, Jaccard
+    # verified INSIDE map_batches/map_groups (stages/dedup.py
+    # verify_jaccard_pairs); only (id_a, id_b, jaccard) rows reach the
+    # driver. Keep the min doc_id per verified connected component.
     pairs = D.minhash_candidate_pairs(exact, id_col="doc_id",
                                       text_col="text").to_pandas()
-    texts_df = exact.select_columns(["doc_id", "text"]).to_pandas()
-    texts = dict(zip(texts_df["doc_id"], texts_df["text"]))
-    parent: dict[int, int] = {}
+    verified = D.verify_jaccard_pairs(exact, pairs)
+    dropped = D.union_find_drop_set(verified[verified["jaccard"] >= jaccard_tau])
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    dropped: set[int] = set()
-    for r in pairs.itertuples():
-        a, b = int(r.id_a), int(r.id_b)
-        if a in texts and b in texts and \
-                D.jaccard(texts[a], texts[b]) >= jaccard_tau:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    for i in texts:
-        if find(i) != i:
-            dropped.add(i)
-
-    keep = frozenset(texts) - frozenset(dropped)
-
-    def drop_near(t: pa.Table) -> pa.Table:
-        mask = [int(i) in keep for i in t.column("doc_id").to_pylist()]
-        return t.filter(pa.array(mask))
-
-    curated = exact.map_batches(drop_near, batch_format="pyarrow")
+    curated = D.drop_ids(exact, dropped, id_col="doc_id")
     curated = curated.map_batches(lambda t: T.text_stats_batch(t),
                                   batch_format="pyarrow")
     return {"dataset": curated, "dropped_near_dups": dropped}

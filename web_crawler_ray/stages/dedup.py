@@ -558,6 +558,135 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
+# --- distributed candidate-pair Jaccard verification -------------------------
+# The 100 TB path: the corpus NEVER reaches the driver. The candidate-pair
+# list (O(pairs), tiny relative to the corpus) is broadcast once via
+# ray.put; one streaming map_batches pass over the texts emits per-pair
+# shingle SETS for candidate docs only; one groupby(pair_id) shuffle
+# (O(pairs × shingles) rows) joins the two sides and computes exact
+# Jaccard inside the task. The driver materializes only the verified-pair
+# table. When |pairs| outgrows the broadcast budget, the same shape
+# becomes a Dataset join of the pair table against texts on id — the
+# verify stage is unchanged.
+
+_PAIRMAP_CACHE: dict[str, dict] = {}
+
+
+def _pair_map(ref) -> dict:
+    """Per-worker cache of the broadcast pair map (read once per worker)."""
+    key = ref.hex()
+    hit = _PAIRMAP_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _PAIRMAP_CACHE.clear()
+        _PAIRMAP_CACHE[key] = hit
+    return hit
+
+
+def _emit_pair_shingles(batch: pa.Table, ref, k: int, id_col: str,
+                        text_col: str) -> pa.Table:
+    pm = _pair_map(ref)
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    o_pid: list[int] = []
+    o_id: list[int] = []
+    o_sh: list[np.ndarray] = []
+    for i, t in zip(ids, texts):
+        entries = pm.get(int(i))
+        if not entries:
+            continue
+        sh = np.unique(shingle_hashes(t, k))
+        for pid in entries:
+            o_pid.append(pid)
+            o_id.append(int(i))
+            o_sh.append(sh)
+    return pa.table({"pair_id": pa.array(o_pid, pa.int64()),
+                     "member_id": pa.array(o_id, pa.int64()),
+                     "shingles": pa.array(o_sh, pa.list_(pa.uint64()))})
+
+
+def _pair_jaccard_group(g: pd.DataFrame) -> pd.DataFrame:
+    if len(g) < 2:  # candidate id missing from the corpus — unverifiable
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    g = g.sort_values("member_id")
+    a = np.asarray(g["shingles"].iloc[0], dtype=np.uint64)
+    b = np.asarray(g["shingles"].iloc[1], dtype=np.uint64)
+    if a.size == 0 and b.size == 0:
+        j = 1.0  # mirrors jaccard()'s both-empty case
+    else:
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        j = inter / max(1, a.size + b.size - inter)
+    return pd.DataFrame({"id_a": [int(g["member_id"].iloc[0])],
+                         "id_b": [int(g["member_id"].iloc[1])],
+                         "jaccard": [j]})
+
+
+def verify_jaccard_pairs(texts_ds, pairs: pd.DataFrame, k: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> pd.DataFrame:
+    """Exact k-shingle Jaccard for each candidate pair, computed
+    DISTRIBUTIVELY (values identical to ``jaccard()`` on the pair texts
+    — asserted in tests). Returns (id_a, id_b, jaccard), O(pairs) rows.
+
+    ``pairs`` must have id_a < id_b columns (minhash_candidate_pairs
+    output). Driver memory: the pair map + the verified result, never
+    the corpus.
+    """
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    need: dict[int, list[int]] = {}
+    for pid, (a, b) in enumerate(zip(pairs["id_a"], pairs["id_b"])):
+        need.setdefault(int(a), []).append(pid)
+        need.setdefault(int(b), []).append(pid)
+    ref = ray.put(need)
+    emitted = texts_ds.map_batches(
+        lambda t, r=ref, kk=k: _emit_pair_shingles(t, r, kk, id_col, text_col),
+        batch_format="pyarrow")
+    out = emitted.groupby("pair_id").map_groups(
+        _pair_jaccard_group, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def union_find_drop_set(verified: pd.DataFrame) -> set[int]:
+    """Union-find over the (tiny) verified-pair set: returns the ids to
+    DROP (everything but the min id of each connected component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    members: set[int] = set()
+    for r in verified.itertuples():
+        a, b = int(r.id_a), int(r.id_b)
+        members.add(a)
+        members.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i for i in members if find(i) != i}
+
+
+def drop_ids(ds, dropped: set[int], id_col: str = "doc_id"):
+    """Anti-join a (small, broadcast) drop set against a Dataset:
+    vectorized np.isin inside map_batches — the corpus streams."""
+    drop_arr = np.sort(np.fromiter(dropped, dtype=np.int64, count=len(dropped)))
+    dref = ray.put(drop_arr)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        ids = t.column(id_col).to_numpy()
+        return t.filter(pa.array(~np.isin(ids, d)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash64(text: str) -> int:
