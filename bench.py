@@ -99,8 +99,9 @@ def run_queries(num_cpus: int) -> dict:
              "ann_topk", "minhash_dedup", "hash_join_orders_nation", "simhash"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing
-    consume(rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
-                            columns=["l_orderkey"]))
+    from web_crawler_ray.sources.storage import read_parquet_clean
+    consume(read_parquet_clean(f"{SF_DIR}/lineitem.parquet",
+                               columns=["l_orderkey"]))
     times = {}
     for name in names:
         t0 = time.time()

@@ -33,7 +33,8 @@ from ..stages import textstats as T
 
 
 def _rp(sf_dir: str, name: str, **kw) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", **kw)
+    from ..sources.storage import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", **kw)
 
 
 # ---------------------------------------------------------------------------

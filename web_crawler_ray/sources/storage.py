@@ -75,5 +75,29 @@ def read_dataset(path: str, fmt: str = DEFAULT_FORMAT, **kw):
     return rd.read_parquet(path, **kw)
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
+    """``read_parquet`` with the file's (pandas) schema metadata stripped.
+
+    Schemas carrying metadata are unhashable in pyarrow (``Schema.__hash__``
+    raises on the metadata dict), which defeats Ray's shuffle-stage schema
+    deduplication and logs ``Failed to hash the schemas`` once per
+    aggregator. Passing an explicit metadata-free (and column-projected)
+    schema keeps every downstream block's schema hashable."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+    f = path
+    if os.path.isdir(path):
+        hits = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                recursive=True))
+        if not hits:  # fall through to ray's own error handling
+            return rd.read_parquet(path, columns=columns, **kw)
+        f = hits[0]
+    full = pq.read_schema(f).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return rd.read_parquet(path, schema=schema, columns=columns, **kw)
+
+
 def is_complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_COMPLETE"))
