@@ -91,3 +91,32 @@ def test_cap_final_round_links_enter_seen():
         o_order, o_seen, _ = oracle_crawl(by_url, robots, seeds,
                                           max_pages=cap, max_depth=3)
         assert np.array_equal(e.seen_snapshot, np.array(o_seen, dtype=np.uint64)), cap
+
+
+def test_dataset_mode_checkpoint_resume(tmp_path):
+    """Checkpoints written by frontier_mode='dataset' resume identically
+    (cross-mode: resumed with the driver loop) to an uninterrupted run."""
+    import numpy as np
+    import pyarrow as pa
+
+    tbl, robots, seeds = W.world(seed=31, n_hosts=3, pages_per_host_base=14)
+    full = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                 round_seconds=6.0, keep_pages=False)
+    ck = str(tmp_path / "ck")
+    crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+          round_seconds=6.0, checkpoint_dir=ck, keep_pages=False,
+          frontier_mode="dataset")
+    import shutil
+    rounds = sorted(int(d.split("=")[1]) for d in os.listdir(ck))
+    k = rounds[len(rounds) // 2]
+    for r in rounds:
+        if r > k:
+            shutil.rmtree(os.path.join(ck, f"round={r}"))
+    resumed = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                    round_seconds=6.0, keep_pages=False, resume_from=ck)
+    fv = full.visited
+    tail = fv.filter(pa.compute.greater(fv.column("round"), k))
+    assert resumed.visited.column("url").to_pylist() == tail.column("url").to_pylist()
+    assert resumed.visited.column("discovery_seq").to_pylist() == \
+        tail.column("discovery_seq").to_pylist()
+    assert np.array_equal(resumed.seen_snapshot, full.seen_snapshot)

@@ -160,3 +160,33 @@ def test_engine_dedups_duplicate_and_case_variant_seeds(small_world):
     assert e_order == o_order
     assert len([u for (_, _, u) in e_order]) == len({u for (_, _, u) in e_order})
     assert np.array_equal(e_seen, np.array(o_seen, dtype=np.uint64))
+
+
+def test_dataset_frontier_mode_parity(small_world):
+    """frontier_mode='dataset' (distributed sort + groupby(host).head(grant)
+    + prefix-sum seq assignment) is bit-for-bit identical to the driver-side
+    form — fifo and priority orders, budgeted, with backoff."""
+    tbl, robots, seeds, _ = small_world
+    for kw in ({"round_seconds": None, "max_pages": 60, "max_depth": 2},
+               {"round_seconds": 4.0, "max_pages": 120, "max_depth": 3},
+               {"round_seconds": 4.0, "max_pages": 80, "max_depth": 3,
+                "order": "priority"},
+               {"round_seconds": 4.0, "max_pages": 100, "max_depth": 3,
+                "backoff": True}):
+        d_order, d_seen, d_stats = _run_engine(tbl, robots, seeds, **kw)
+        e_order, e_seen, e_stats = _run_engine(tbl, robots, seeds,
+                                               frontier_mode="dataset", **kw)
+        assert e_order == d_order, kw
+        assert np.array_equal(e_seen, d_seen), kw
+        assert e_stats["fetched"] == d_stats["fetched"]
+
+
+def test_dataset_frontier_mode_cap_parity(small_world):
+    """Global max_pages cap lands on the identical seq boundary in both
+    modes (overflow returns to the deferred frontier)."""
+    tbl, robots, seeds, _ = small_world
+    d = _run_engine(tbl, robots, seeds, max_pages=7, max_depth=3)
+    e = _run_engine(tbl, robots, seeds, max_pages=7, max_depth=3,
+                    frontier_mode="dataset")
+    assert e[0] == d[0]
+    assert np.array_equal(e[1], d[1])

@@ -175,6 +175,143 @@ class CrawlResult:
     metrics: list = field(default_factory=list)
 
 
+# ---------------------------------------------------------------------------
+# Distributed frontier ops (frontier_mode="dataset"): the documented
+# 10^10-scale plan — sort(discovery_seq) + groupby(host).head(grant) +
+# distributed prefix-sum seq assignment — implemented as Dataset ops and
+# parity-tested bit-for-bit against the driver-side form. The frontier
+# lives in the OBJECT STORE between rounds; the driver handles only
+# per-host grant dicts, per-block row counts, and the fetched slice's
+# metadata (never html).
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_cpus=0)
+def _tbl_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote(num_cpus=0)
+def _tbl_add_range(t: pa.Table, name: str, start: int) -> pa.Table:
+    return t.append_column(
+        name, pa.array(np.arange(start, start + t.num_rows), pa.int64()))
+
+
+def _assign_contiguous(ds_sorted: "rd.Dataset", name: str, start: int):
+    """Distributed prefix-sum rank assignment over an (already sorted)
+    Dataset: ordered block refs stay in the object store; the driver sees
+    only per-block row COUNTS, computes the (tiny) offset vector, and
+    each block appends its contiguous range in a remote task."""
+    refs = ds_sorted.to_arrow_refs()
+    counts = ray.get([_tbl_rows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) + start
+    out = [_tbl_add_range.remote(r, name, int(o))
+           for r, o, c in zip(refs, offsets, counts) if c]
+    if not out:
+        return None, 0
+    return rd.from_arrow_refs(out), int(sum(counts))
+
+
+def _ds_to_table(ds: "rd.Dataset") -> pa.Table | None:
+    """Ordered driver collect (metadata-sized tables only)."""
+    blocks = ray.get(ds.to_arrow_refs())
+    if not blocks:
+        return None
+    parts = [t for t in blocks if t.num_rows]
+    return pa.concat_tables(parts).combine_chunks() if parts else blocks[0]
+
+
+class _RobotsGateStage:
+    """map_batches filter through the shared robots actor (one RPC per
+    block — the per-round batched-RPC contract, now per partition)."""
+
+    def __init__(self, robots):
+        self.robots = robots
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        allowed = ray.get(self.robots.check.remote(
+            batch.column("host").to_pylist(), batch.column("path").to_pylist()))
+        return batch.filter(pa.array(allowed))
+
+
+class _SeenFilterStage:
+    """map_batches seen-set gate: routes url hashes to the shard actors
+    (check_and_add). Correctness across parallel tasks relies on the
+    round's candidates being globally unique (the groupby(url) first-seen
+    dedup runs upstream), making shard results arrival-order independent."""
+
+    def __init__(self, shards: list):
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("url_hash", pa.array([], pa.uint64()))
+        h = hash64_many(batch.column("url").to_pylist())
+        n = len(self.shards)
+        sid = (h % np.uint64(n)).astype(np.int64)
+        keep = np.zeros(len(h), dtype=bool)
+        futs, idxs = [], []
+        for s in range(n):
+            ix = np.flatnonzero(sid == s)
+            if len(ix):
+                futs.append(self.shards[s].check_and_add.remote(h[ix]))
+                idxs.append(ix)
+        for ix, mask in zip(idxs, ray.get(futs)):
+            keep[ix] = mask
+        out = batch.append_column("url_hash", pa.array(h, pa.uint64()))
+        return out.filter(pa.array(keep))
+
+
+def _explode_links_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized link explode for the dataset-mode next-frontier build:
+    one output row per (page, link) with the page's provenance."""
+    lc = batch.column("links_canon")
+    lc = lc.combine_chunks() if isinstance(lc, pa.ChunkedArray) else lc
+    flat = pc.list_flatten(lc)
+    if len(flat) == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "host": pa.array([], pa.string()),
+                         "depth": pa.array([], pa.int32()),
+                         "parent_rank": pa.array([], pa.int64()),
+                         "link_idx": pa.array([], pa.int32()),
+                         "parent_url_hash": pa.array([], pa.uint64())})
+    parents = pc.list_parent_indices(lc)
+    lens = pc.list_value_length(lc).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    link_idx = np.arange(int(lens.sum()), dtype=np.int64) - \
+        np.repeat(starts, lens)
+    return pa.table({
+        "url": flat,
+        "host": pc.take(batch.column("host"), parents),
+        "depth": pc.cast(pc.add(pc.take(batch.column("depth"), parents), 1),
+                         pa.int32()),
+        "parent_rank": pc.cast(pc.take(batch.column("fetch_rank"), parents),
+                               pa.int64()),
+        "link_idx": pa.array(link_idx.astype(np.int32), pa.int32()),
+        "parent_url_hash": pc.take(batch.column("url_hash"), parents),
+    })
+
+
+def _first_seen_group(g):
+    return g.sort_values(["parent_rank", "link_idx"]).head(1)
+
+
+def _cand_to_frontier(batch: pa.Table) -> pa.Table:
+    """Candidate rows (post seen-filter, post seq-assign) -> frontier rows."""
+    urls = batch.column("url").to_pylist()
+    return pa.table({
+        "url": batch.column("url"),
+        "url_hash": batch.column("url_hash"),
+        "host": batch.column("host"),
+        "path": pa.array([_fast_path(u) for u in urls], pa.string()),
+        "depth": batch.column("depth"),
+        "discovery_seq": batch.column("discovery_seq"),
+        "priority": pa.array([priority_tier(u) for u in urls], pa.int8()),
+        "parent_url_hash": batch.column("parent_url_hash"),
+    })
+
+
 def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str],
           max_pages: int = 10_000, max_depth: int = 3,
           round_seconds: float | None = None,
@@ -183,7 +320,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
           keep_pages: bool = True,
           resume_from: str | None = None,
           backoff: bool = False,
-          order: str = "fifo") -> CrawlResult:
+          order: str = "fifo",
+          frontier_mode: str = "driver") -> CrawlResult:
     """Run the round-based BFS. ``pages_store`` must be sorted by url_hash.
 
     ``round_seconds=None`` ⇒ infinite politeness budget (pure reference
@@ -257,6 +395,12 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     all_hosts = sorted(set(s_hosts))
     ray.get(politeness.set_delays.remote(ray.get(robots.delays.remote(all_hosts))))
     delays_known: set[str] = set(all_hosts)
+
+    if frontier_mode == "dataset":
+        return _crawl_rounds_dataset(
+            pages_ref, robots, seen, politeness, frontier, next_seq,
+            n_fetched, rnd, round_delta, delays_known, max_pages, max_depth,
+            checkpoint_dir, keep_pages, backoff, order)
 
     visited_parts: list[pa.Table] = []
     page_datasets: list[rd.Dataset] = []
@@ -443,6 +587,213 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
              "politeness": ray.get(politeness.get_all_stats.remote())}
     return CrawlResult(visited=visited, pages=pages,
                        seen_snapshot=seen.snapshot(), stats=stats, metrics=metrics)
+
+
+_FR_COLS = ["url", "url_hash", "host", "path", "depth", "discovery_seq",
+            "priority", "parent_url_hash"]
+
+
+def _crawl_rounds_dataset(pages_ref, robots, seen, politeness,
+                          frontier_tbl: pa.Table, next_seq: int,
+                          n_fetched: int, rnd: int, round_delta: list,
+                          delays_known: set, max_pages: int, max_depth: int,
+                          checkpoint_dir: str | None, keep_pages: bool,
+                          backoff: bool, order: str) -> CrawlResult:
+    """frontier_mode="dataset": the round bookkeeping — depth gate, order
+    sort, robots gate, per-host grant take, global cap, in-round link
+    dedup, seen filter, and discovery_seq assignment — runs as Dataset
+    ops; the frontier lives in the object store between rounds. Driver
+    state per round: per-host count/grant dicts, per-block row counts
+    (prefix sums), and the fetched slice's METADATA for the visited
+    table + checkpoints (bounded by the politeness budget — exactly the
+    round's work list; html never leaves the workers).
+
+    Bit-for-bit parity with frontier_mode="driver" (and therefore with
+    the reference oracle) is asserted in tests/test_crawl_parity.py for
+    fifo + priority orders, budgets, caps and backoff.
+
+    Note on the seen gate: check_and_add both tests AND inserts, so the
+    _SeenFilterStage dataset is materialized exactly once and only the
+    materialized result is consumed. (A production deploy with task
+    retries would split this into contains-filter + insert-after-commit;
+    single execution is deterministic because the round's candidates are
+    globally unique before the gate.)"""
+    visited_parts: list[pa.Table] = []
+    page_datasets: list[rd.Dataset] = []
+    metrics: list[dict] = []
+    max_rounds = rnd + 10_000
+    order_cols = (["priority", "discovery_seq"] if order == "priority"
+                  else ["discovery_seq"])
+
+    frontier_ds = (rd.from_arrow(frontier_tbl).materialize()
+                   if frontier_tbl.num_rows else None)
+
+    while frontier_ds is not None and n_fetched < max_pages and rnd < max_rounds:
+        rows_in = frontier_ds.count()
+        if rows_in == 0:
+            break
+        active = frontier_ds.map_batches(
+            lambda t, md=max_depth: t.filter(pc.less_equal(t.column("depth"), md)),
+            batch_format="pyarrow")
+        # install robots crawl-delays for hosts not yet known (small table:
+        # one row per host)
+        hosts_df = active.groupby("host").count().to_pandas()
+        if len(hosts_df) == 0:
+            break
+        new_hosts = sorted(set(hosts_df["host"]) - delays_known)
+        if new_hosts:
+            ray.get(politeness.set_delays.remote(
+                ray.get(robots.delays.remote(new_hosts))))
+            delays_known.update(new_hosts)
+        # robots gate (one actor RPC per block)
+        active = active.map_batches(_RobotsGateStage(robots),
+                                    batch_format="pyarrow").materialize()
+        counts_df = active.groupby("host").count().to_pandas()
+        if len(counts_df) == 0:
+            break
+        cnt_col = [c for c in counts_df.columns if c != "host"][0]
+        counts = {h: int(c) for h, c in zip(counts_df["host"], counts_df[cnt_col])}
+        grant = ray.get(politeness.grant.remote(counts))
+
+        def mark(g, grant=grant, oc=tuple(order_cols)):
+            g = g.sort_values(list(oc))
+            b = int(grant.get(g["host"].iloc[0], 0))
+            tk = np.zeros(len(g), dtype=bool)
+            tk[:b] = True
+            return g.assign(__taken=tk)
+
+        marked = active.groupby("host").map_groups(
+            mark, batch_format="pandas").materialize()
+        taken = marked.map_batches(
+            lambda t: t.filter(t.column("__taken")).drop_columns(["__taken"]),
+            batch_format="pyarrow")
+        deferred_ds = marked.map_batches(
+            lambda t: t.filter(pc.invert(t.column("__taken")))
+                       .drop_columns(["__taken"]),
+            batch_format="pyarrow").select_columns(_FR_COLS)
+        # global order + contiguous fetch_rank (distributed prefix-sum),
+        # then the global cap in that order
+        ranked, n_taken = _assign_contiguous(taken.sort(order_cols),
+                                             "fetch_rank", 0)
+        if ranked is None:
+            break
+        room = max_pages - n_fetched
+        fetch_ds = ranked.map_batches(
+            lambda t, r=room: t.filter(pc.less(t.column("fetch_rank"), r)),
+            batch_format="pyarrow")
+        if n_taken > room:
+            overflow = ranked.map_batches(
+                lambda t, r=room: t.filter(
+                    pc.greater_equal(t.column("fetch_rank"), r))
+                .drop_columns(["fetch_rank"]),
+                batch_format="pyarrow").select_columns(_FR_COLS)
+            deferred_ds = deferred_ds.union(overflow)
+        n_fetch = min(n_taken, room)
+        if n_fetch == 0:
+            break
+
+        fetched = fetch_ds.map_batches(FetchStage(pages_ref),
+                                       batch_format="pyarrow",
+                                       batch_size=256, num_cpus=1).materialize()
+        # visited METADATA, ordered by fetch_rank (= round fetch order)
+        meta = _ds_to_table(
+            fetched.select_columns(["url", "host", "depth", "discovery_seq",
+                                    "parent_url_hash", "fetch_rank", "fetch_ok"])
+            .sort("fetch_rank"))
+        visited_parts.append(pa.table({
+            "round": pa.array([rnd] * meta.num_rows, pa.int32()),
+            "discovery_seq": pc.cast(meta.column("discovery_seq"), pa.int64()),
+            "url": pc.cast(meta.column("url"), pa.string()),
+            "host": pc.cast(meta.column("host"), pa.string()),
+            "depth": pc.cast(meta.column("depth"), pa.int32()),
+            "parent_url_hash": pc.cast(meta.column("parent_url_hash"),
+                                       pa.uint64()),
+        }))
+        n_fetched += meta.num_rows
+        if backoff:
+            import collections
+            ok_arr = meta.column("fetch_ok").to_numpy(zero_copy_only=False)
+            host_arr = meta.column("host").to_pylist()
+            fails = collections.Counter(
+                h for h, ok in zip(host_arr, ok_arr) if not ok)
+            ok_hosts = {h for h, ok in zip(host_arr, ok_arr) if ok}
+            calls = [politeness.record_failure.remote(h, n)
+                     for h, n in fails.items()]
+            calls += [politeness.record_success.remote(h)
+                      for h in ok_hosts - set(fails)]
+            if calls:
+                ray.get(calls)
+
+        if checkpoint_dir:
+            fetched.write_parquet(
+                os.path.join(checkpoint_dir, f"round={rnd}", "pages"))
+        if keep_pages:
+            page_datasets.append(fetched)
+
+        # next frontier: explode links -> in-round first-seen dedup
+        # (groupby(url), min (parent_rank, link_idx)) -> seen gate ->
+        # order-sort -> distributed prefix-sum seq assignment
+        cand = fetched.map_batches(_explode_links_batch, batch_format="pyarrow")
+        cand = cand.groupby("url").map_groups(_first_seen_group,
+                                              batch_format="pandas")
+        fresh = cand.map_batches(_SeenFilterStage(seen.shards),
+                                 batch_format="pyarrow").materialize()
+        n_new = fresh.count()
+        new_frontier = None
+        if n_new:
+            if checkpoint_dir:
+                round_delta.append(
+                    _ds_to_table(fresh.select_columns(["url_hash"]))
+                    .column("url_hash").to_numpy())
+            seqd, _ = _assign_contiguous(
+                fresh.sort(["parent_rank", "link_idx"]),
+                "discovery_seq", next_seq)
+            next_seq += n_new
+            new_frontier = seqd.map_batches(_cand_to_frontier,
+                                            batch_format="pyarrow") \
+                               .select_columns(_FR_COLS)
+        nxt = deferred_ds.union(new_frontier) if new_frontier is not None \
+            else deferred_ds
+        frontier_ds = nxt.materialize()
+
+        per_host: dict[str, int] = {}
+        for h in meta.column("host").to_pylist():
+            per_host[h] = per_host.get(h, 0) + 1
+        metrics.append({"round": rnd, "stage": "fetch", "rows_in": rows_in,
+                        "rows_out": int(meta.num_rows),
+                        "frontier_next": int(frontier_ds.count()),
+                        "seen": seen.cardinality(),
+                        "n_hosts": len(per_host),
+                        "next_seq": next_seq,
+                        "per_host": per_host})
+        if checkpoint_dir:
+            delta = (np.sort(np.concatenate(round_delta)) if round_delta
+                     else np.zeros(0, np.uint64))
+            fr_tbl = _ds_to_table(frontier_ds.select_columns(_FR_COLS))
+            if fr_tbl is None or fr_tbl.num_rows == 0:
+                fr_tbl = _frontier_table([], [], [], [])
+            _write_checkpoint(checkpoint_dir, rnd, fr_tbl, visited_parts[-1],
+                              delta, metrics[-1])
+            round_delta = []
+        rnd += 1
+
+    visited = (pa.concat_tables(visited_parts) if visited_parts
+               else pa.table({"round": pa.array([], pa.int32()),
+                              "discovery_seq": pa.array([], pa.int64()),
+                              "url": pa.array([], pa.string()),
+                              "host": pa.array([], pa.string()),
+                              "depth": pa.array([], pa.int32()),
+                              "parent_url_hash": pa.array([], pa.uint64())}))
+    pages = None
+    if keep_pages and page_datasets:
+        pages = page_datasets[0]
+        for d in page_datasets[1:]:
+            pages = pages.union(d)
+    stats = {"fetched": n_fetched, "rounds": rnd, "seen": seen.cardinality(),
+             "politeness": ray.get(politeness.get_all_stats.remote())}
+    return CrawlResult(visited=visited, pages=pages,
+                       seen_snapshot=seen.snapshot(), stats=stats,
+                       metrics=metrics)
 
 
 def _write_checkpoint(ckpt_dir: str, rnd: int, frontier: pa.Table,
