@@ -435,6 +435,145 @@ def registry() -> dict:
     }
 
 
+# --- SQL fragments shared by the text-analysis oracles -----------------------
+# Word model: the engine's regexes transcribed to RE2 — words for lang/stop
+# stats are [a-z0-9']+ over lower(text); shingle words are \w+; tokens are
+# \s+ splits of trim(text); punctuation is the ASCII [!-~] blocks minus
+# alnum. Stopword sets literal-inlined from stages/textstats.py STOPWORDS.
+
+_SW = {
+    "en": "'the','and','of','to','a','in','is','it','that','for','was','on',"
+          "'are','with','as','this','be','at','by'",
+    "de": "'der','die','das','und','ist','nicht','mit','ein','eine','zu',"
+          "'den','von','für','auf','im','dem','des'",
+    "fr": "'le','la','les','et','est','un','une','des','du','de','que',"
+          "'pour','dans','qui','au','pas','sur'",
+    "es": "'el','la','los','las','y','es','un','una','de','que','en','por',"
+          "'con','para','no','se','del'",
+}
+
+_LANG_COUNTS = (
+    "len(list_filter(words, x -> x IN ({en}))) AS n_en, "
+    "len(list_filter(words, x -> x IN ({de}))) AS n_de, "
+    "len(list_filter(words, x -> x IN ({fr}))) AS n_fr, "
+    "len(list_filter(words, x -> x IN ({es}))) AS n_es"
+).format(**_SW)
+
+# first-strictly-greater-in-order (en,de,fr,es) == the engine's guess loop
+_LANG_CASE = (
+    "CASE WHEN n_en=0 AND n_de=0 AND n_fr=0 AND n_es=0 THEN 'unknown' "
+    "WHEN n_en>=n_de AND n_en>=n_fr AND n_en>=n_es THEN 'en' "
+    "WHEN n_de>=n_fr AND n_de>=n_es THEN 'de' "
+    "WHEN n_fr>=n_es THEN 'fr' ELSE 'es' END"
+)
+
+_LANG_ID_SQL = (
+    "WITH w AS (SELECT doc_id, "
+    "regexp_extract_all(lower(text), '[a-z0-9'']+') AS words FROM documents), "
+    f"c AS (SELECT doc_id, {_LANG_COUNTS} FROM w) "
+    f"SELECT doc_id, {_LANG_CASE} AS lang_guess FROM c"
+)
+
+_QUALITY_FEAT = (
+    "SELECT doc_id, text, length(text) AS n_chars, "
+    "CASE WHEN trim(text) = '' THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks, "
+    "regexp_extract_all(lower(text), '[a-z0-9'']+') AS words, "
+    "length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) "
+    "AS n_punct FROM documents"
+)
+
+_QUALITY_RATIOS = (
+    "CASE WHEN len(words) > 0 THEN "
+    "len(list_filter(words, x -> x IN ({en})))::DOUBLE / len(words) "
+    "ELSE 0.0 END AS stop_r, "
+    "CASE WHEN len(toks) > 0 THEN "
+    "list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE "
+    "/ len(toks) ELSE 0.0 END AS mean_len"
+).format(en=_SW["en"])
+
+# additive score in the engine's accumulation order (length, stop, punct,
+# mean token length), rounded to 2 — IEEE-identical to doc_quality_score
+_QUALITY_CASE = (
+    "CASE WHEN n_chars = 0 OR n_tokens = 0 THEN 0.0 ELSE "
+    "round((CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 0.3 ELSE 0.0 END "
+    "+ CASE WHEN stop_r >= 0.01 AND stop_r <= 0.6 THEN 0.3 ELSE 0.0 END) "
+    "+ CASE WHEN n_punct::DOUBLE / n_chars <= 0.2 THEN 0.2 ELSE 0.0 END "
+    "+ CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 0.2 ELSE 0.0 END, "
+    "2) END"
+)
+
+_DOC_QUALITY_SQL = (
+    f"WITH b AS ({_QUALITY_FEAT}), "
+    f"m AS (SELECT doc_id, n_chars, n_punct, len(toks) AS n_tokens, "
+    f"{_QUALITY_RATIOS} FROM b) "
+    f"SELECT doc_id, ({_QUALITY_CASE})::DOUBLE AS doc_quality FROM m"
+)
+
+# 3-word shingle sets (engine: \w+ words, pad to k with '', k-grams,
+# set semantics) — chr(1) joins keep shingle identity unambiguous
+_SHINGLES = (
+    "{w0} AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w0 "
+    "FROM {src}), "
+    "{wp} AS (SELECT doc_id, CASE WHEN len(w0) >= 3 THEN w0 "
+    "ELSE list_concat(w0, list_transform(generate_series(1, 3 - len(w0)), "
+    "x -> '')) END AS w1 FROM {w0}), "
+    "{sh} AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(1, len(w1) - 2)), "
+    "i -> w1[i] || chr(1) || w1[i+1] || chr(1) || w1[i+2])) AS s FROM {wp})"
+)
+
+_JACCARD_EXPR = (
+    "len(list_intersect(a.s, b.s))::DOUBLE / "
+    "greatest(1, len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+)
+
+_JACCARD_PAIRS_SQL = (
+    "WITH " + _SHINGLES.format(w0="w0", wp="wp", sh="sh", src="documents") +
+    f", j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD_EXPR} "
+    "AS jac FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, round(jac, 6)::DOUBLE AS jaccard FROM j "
+    "WHERE round(jac, 6) >= 0.8"
+)
+
+# connected components (min-label propagation) over the J>=0.8 pair graph;
+# keep the min doc_id per component
+_COMPONENTS = (
+    "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    f"WHERE {_JACCARD_EXPR} >= 0.8), "
+    "e AS (SELECT id_a AS a, id_b AS b FROM pr "
+    "UNION ALL SELECT id_b, id_a FROM pr), "
+    "r AS (SELECT doc_id AS id, doc_id AS root FROM {src} "
+    "UNION "
+    "SELECT e.b AS id, r.root FROM r JOIN e ON e.a = r.id "
+    "WHERE r.root < e.b), "
+    "keep AS (SELECT id FROM r GROUP BY id HAVING min(root) = id)"
+)
+
+_MINHASH_DEDUP_SQL = (
+    "WITH RECURSIVE " +
+    _SHINGLES.format(w0="w0", wp="wp", sh="sh", src="documents") + ", " +
+    _COMPONENTS.format(src="documents") +
+    " SELECT id AS doc_id FROM keep"
+)
+
+_TRAINING_PIPELINE_SQL = (
+    f"WITH RECURSIVE feat AS ({_QUALITY_FEAT}), "
+    f"scored AS (SELECT doc_id, text, n_chars, n_punct, len(toks) AS n_tokens, "
+    f"{_LANG_COUNTS}, "
+    f"{_QUALITY_RATIOS} FROM feat), "
+    f"filt AS (SELECT doc_id, text, n_tokens, n_punct FROM scored "
+    f"WHERE ({_LANG_CASE}) = 'en' AND ({_QUALITY_CASE}) >= 0.5), "
+    "ex AS (SELECT doc_id, text, n_tokens, n_punct FROM filt "
+    "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1), " +
+    _SHINGLES.format(w0="w0", wp="wp", sh="sh", src="ex") + ", " +
+    _COMPONENTS.format(src="ex") +
+    " SELECT ex.doc_id, ex.n_tokens::BIGINT AS n_tokens, "
+    "ex.n_punct::BIGINT AS n_punct FROM ex JOIN keep ON ex.doc_id = keep.id"
+)
+
+
 ORACLES: dict[str, str] = {
     "filter_events":
         "SELECT event_id, event_type, value FROM events WHERE value >= 0.7",
@@ -508,4 +647,9 @@ ORACLES: dict[str, str] = {
         f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         f"WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) "
         f">= {NEAR_DUP_TAU}",
+    "lang_id": _LANG_ID_SQL,
+    "doc_quality": _DOC_QUALITY_SQL,
+    "jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "minhash_dedup": _MINHASH_DEDUP_SQL,
+    "training_pipeline": _TRAINING_PIPELINE_SQL,
 }
