@@ -1,10 +1,10 @@
 """E11: PDF location extractor (pdf-extractor.service.js:43-298).
 
-Operates on extracted PDF TEXT (in production the pdf-parse step runs in
-the fetch actor pool over ``read_binary_files`` output; this sandbox has
-no pdf lib, so the text-extraction step is a pass-through for text/plain
-payloads and the synthetic world ships pre-extracted text — the
-Ray-side plumbing is identical).
+Operates on extracted PDF TEXT. The binary front-end
+(``sources/pdf_bytes.py``: read_binary_files -> stdlib FlateDecode text
+extraction -> this module, mirroring the reference's arraybuffer +
+pdf-parse path, pdf-extractor.service.js:9-38) covers digitally-born
+text PDFs; the synthetic world additionally ships pre-extracted text.
 
 Strategies transcribed: multilingual keyword blocks (EN/ES/NL/DE/FR,
 next-5-lines window), 4 regex families (US city-state-zip, UK postcode,
