@@ -260,3 +260,45 @@ def test_minhash_dedup_driver_never_materializes_text(ray_session, monkeypatch, 
     assert all("text" not in cols for cols in seen_cols), seen_cols
     # the 4 identical planted docs collapse to 1 survivor
     assert len(kept) == 60 + 1
+
+
+def test_scraper_dedup_improved_kernel():
+    """E13 removeDuplicatesImproved (scraper.service.js:115-175): same
+    street-number+zip merges; longer raw address replaces the kept row;
+    word-overlap > 0.7 merges; distinct addresses survive."""
+    locs = [
+        {"address": "100 Main St, Springfield, 62701", "name": "a"},
+        {"address": "100 Main Street, Springfield, IL 62701", "name": "b"},  # same num+zip, longer
+        {"address": "200 Oak Avenue, Denver, 80201", "name": "c"},
+        {"address": "200 Oak Ave, Denver, 80201", "name": "d"},              # same num+zip, shorter
+        {"address": "931 Pine Road, Austin", "name": "e"},
+    ]
+    out = D.scraper_dedup_improved(locs)
+    assert [l["name"] for l in out] == ["b", "c", "e"]
+    # similarity path: > 0.7 word overlap, no shared num+zip pattern
+    assert D.scraper_is_similar(
+        D._scraper_norm("Unit Red Tower Plaza West Wing"),
+        D._scraper_norm("Unit Red Tower Plaza West Annex"))
+    assert not D.scraper_is_similar(
+        D._scraper_norm("1 A St, 11111"), D._scraper_norm("2 B St, 22222"))
+    # JS quirk: duplicate words in words1 each count (common/union-set)
+    assert D.scraper_similarity("a a b", "a b") == 3 / 2
+    # simple variant: first-seen on lower().strip()
+    simple = D.scraper_dedup_simple(
+        [{"address": "X St", "name": "p"}, {"address": "x st", "name": "q"},
+         {"address": "Y St", "name": "r"}])
+    assert [l["name"] for l in simple] == ["p", "r"]
+
+
+def test_scraper_dedup_distributed(ray_session):
+    rows = [
+        {"address": "100 Main St, Springfield, 62701",
+         "source_url": "https://h1.example/a", "discovery_seq": 0, "name": "a"},
+        {"address": "100 Main Street, Springfield, IL 62701",
+         "source_url": "https://h1.example/b", "discovery_seq": 1, "name": "b"},
+        {"address": "100 Main St, Springfield, 62701",
+         "source_url": "https://h2.example/a", "discovery_seq": 2, "name": "c"},
+    ]
+    out = D.dedup_scraper_improved(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    # per-host scope: h1 merges (keeps longer 'b'), h2 keeps its own copy
+    assert sorted(out["name"]) == ["b", "c"]

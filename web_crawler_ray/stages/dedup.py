@@ -316,6 +316,102 @@ def fuzzy_dedup(ds):
 
 
 # ---------------------------------------------------------------------------
+# E13: legacy scraper dedup variants (scraper.service.js:105-189)
+# ---------------------------------------------------------------------------
+
+def scraper_dedup_simple(locations: list[dict]) -> list[dict]:
+    """removeDuplicates (:105-113): first-seen on lowercased trimmed address."""
+    seen: set[str] = set()
+    out = []
+    for loc in locations:
+        key = (loc.get("address") or "").lower().strip()
+        if key not in seen:
+            seen.add(key)
+            out.append(loc)
+    return out
+
+
+_SCRAPER_PUNCT_RE = re.compile(r"[.,\-]")
+_SCRAPER_WS_RE = re.compile(r"\s+")
+_SCRAPER_NUM_RE = re.compile(r"\d+")
+
+
+def _scraper_norm(addr: str) -> str:
+    return _SCRAPER_WS_RE.sub(" ", _SCRAPER_PUNCT_RE.sub(" ", addr.lower())).strip()
+
+
+def scraper_similarity(s1: str, s2: str) -> float:
+    """calculateSimilarity (:178-189) — JS quirks preserved: words1
+    duplicates each count once per occurrence; denominator is the union
+    SET size; ''.split(' ') yields the [''] singleton."""
+    words1 = s1.split(" ")
+    words2 = s2.split(" ")
+    all_words = set(words1) | set(words2)
+    common = sum(1 for w in words1 if w in words2)
+    return common / len(all_words)
+
+
+def scraper_is_similar(a1: str, a2: str) -> bool:
+    """isSimilarAddress (:155-175): same first number (street) AND same
+    last number (zip) when both have >=2 numbers, else word-overlap > 0.7."""
+    n1 = _SCRAPER_NUM_RE.findall(a1)
+    n2 = _SCRAPER_NUM_RE.findall(a2)
+    if len(n1) >= 2 and len(n2) >= 2 and n1[0] == n2[0] and n1[-1] == n2[-1]:
+        return True
+    return scraper_similarity(a1, a2) > 0.7
+
+
+def scraper_dedup_improved(locations: list[dict]) -> list[dict]:
+    """removeDuplicatesImproved (:115-152), verbatim semantics including
+    the quirks: the seen map scans in insertion order and BREAKS on the
+    first similar key; a longer-raw-address duplicate REPLACES the kept
+    row (matched by raw address) and its normalized key is ADDED while
+    the old key stays in the map; an equal-or-shorter duplicate changes
+    nothing."""
+    seen: dict[str, dict] = {}
+    unique: list[dict] = []
+    for loc in locations:
+        norm = _scraper_norm(loc.get("address") or "")
+        is_dup = False
+        for key, value in seen.items():
+            if scraper_is_similar(norm, key):
+                is_dup = True
+                if len(loc.get("address") or "") > len(value.get("address") or ""):
+                    for idx, u in enumerate(unique):
+                        if u.get("address") == value.get("address"):
+                            unique[idx] = loc
+                            seen[norm] = loc
+                            break
+                break
+        if not is_dup:
+            unique.append(loc)
+            seen[norm] = loc
+    return unique
+
+
+def _scraper_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values("discovery_seq") if "discovery_seq" in g.columns else g
+    out = scraper_dedup_improved(g.to_dict("records"))
+    return pd.DataFrame(out) if out else g.iloc[0:0]
+
+
+def dedup_scraper_improved(ds):
+    """E13 improved dedup as a selectable distributed strategy: keyed by
+    host (the engine's single partition key — the legacy scraper dedups
+    within one scrape), scan in discovery_seq order inside the group."""
+    def add_host(batch: pa.Table) -> pa.Table:
+        from urllib.parse import urlsplit
+        srcs = (batch.column("source_url").to_pylist()
+                if "source_url" in batch.column_names
+                else [""] * batch.num_rows)
+        hosts = [urlsplit((s or "").split(",")[0].strip()).netloc for s in srcs]
+        return batch.append_column("scr_host", pa.array(hosts, pa.string()))
+    return (ds.map_batches(add_host, batch_format="pyarrow")
+              .groupby("scr_host")
+              .map_groups(_scraper_group, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
 # D4: cross-page squashed-address dedup (crawler.service.js:206-235)
 # ---------------------------------------------------------------------------
 
