@@ -323,6 +323,52 @@ def q_doc_quality(sf_dir: str):
 # bit-for-bit parity is enforced by tests/test_crawl_parity.py)
 # ---------------------------------------------------------------------------
 
+def q_media_features(sf_dir: str):
+    """Multimodal pipeline over the v2 world's media spans (SURVEY add-on):
+    distinct media refs -> synthetic blob store (opaque binary payloads +
+    typed metadata) -> MediaFeatureStage actor pool (decoder state per
+    actor, small batches because payload bytes dominate block size) ->
+    fixed-width feature rows. Rows-only driver check; feature determinism
+    and decode stubs are pinned in pytest."""
+    from ..sources import synth_world as W
+    from ..stages import multimodal as M
+    sf = _sf_of(sf_dir)
+    n_hosts = max(3, min(24, int(240 * sf)))
+    base = max(12, int(1600 * sf))
+    tbl, _, _ = W.world(seed=77, n_hosts=n_hosts, pages_per_host_base=base,
+                        profile="v2")
+    pages = rd.from_arrow(tbl.select(["url", "expected_spans"]))
+
+    def refs(t: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for spans in t.column("expected_spans").to_pylist():
+            out.extend(s["media_ref"] for s in spans if s["media_ref"])
+        return pa.table({"media_ref": pa.array(out, pa.string())})
+
+    uniq = (pages.map_batches(refs, batch_format="pyarrow")
+            .groupby("media_ref")
+            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    blob = uniq.map_batches(
+        lambda t: M.synth_media_table(t.column("media_ref").to_pylist()),
+        batch_format="pyarrow")
+    feats = blob.map_batches(M.MediaFeatureStage, batch_format="pyarrow",
+                             batch_size=32, concurrency=2)
+
+    def fin(t: pa.Table) -> pa.Table:
+        means = [round(float(np.mean(x)), 6)
+                 for x in t.column("features").to_pylist()]
+        return pa.table({
+            "media_ref": t.column("media_ref"),
+            "media_type": t.column("media_type"),
+            "width": t.column("width"),
+            "height": t.column("height"),
+            "duration_ms": t.column("duration_ms"),
+            "feat_mean": pa.array(means, pa.float64()),
+        })
+
+    return feats.map_batches(fin, batch_format="pyarrow")
+
+
 def _sf_of(sf_dir: str) -> float:
     import re
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -426,6 +472,7 @@ def registry() -> dict:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "doc_quality": q_doc_quality,
+        "media_features": q_media_features,
         "crawl_visited": q_crawl_visited,
         "crawl_locations": q_crawl_locations,
         "crawl_spans": q_crawl_spans,

@@ -239,10 +239,17 @@ class PagePlan:
     all_hosts: tuple[str, ...] = field(default_factory=tuple)
 
 
-def build_plan(seed: int, n_hosts: int, pages_per_host_base: int) -> tuple[list[PagePlan], dict[str, str]]:
+def build_plan(seed: int, n_hosts: int, pages_per_host_base: int,
+               profile: str = "v1") -> tuple[list[PagePlan], dict[str, str]]:
     """Host/path plan (small, driver-side) + per-host robots.txt.
 
     Host sizes are Zipf-ish (``base / rank^0.7``) to exercise skew handling.
+
+    ``profile="v2"`` (world generator v2; golden traces frozen separately
+    — the v1 RNG stream is untouched for v1 worlds) adds per host:
+    mirror pages (byte-identical html at a second URL — exercising the
+    content-dedup stage inside the crawl path), a 50 KB+ long document,
+    and a media-heavy gallery page feeding the multimodal stages.
     """
     hosts = [f"h{i:04d}.example" for i in range(n_hosts)]
     robots: dict[str, str] = {}
@@ -256,6 +263,9 @@ def build_plan(seed: int, n_hosts: int, pages_per_host_base: int) -> tuple[list[
         paths += pool[: min(len(pool), max(2, n_pages // 3))]
         paths += [f"/page{k}" for k in range(max(0, n_pages - len(paths)))]
         paths = paths[:n_pages]
+        if profile == "v2":
+            mirrors = [f"/mirror{p}" for p in paths[1:3] if not p.startswith("/mirror")]
+            paths += ["/gallery", "/docs/annual-report"] + mirrors
         m = i % 5
         if m == 1:
             robots[host] = "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"
@@ -286,8 +296,107 @@ def _page_kind(rng: random.Random, path: str) -> str:
     return rng.choice(PAGE_KINDS)
 
 
-def gen_page(plan: PagePlan, seed: int) -> dict:
+def _spans_for_blocks(blocks: list[Block]) -> list[dict]:
+    """Expected interleaved span sequence (the input_hint invariant)."""
+    spans: list[dict] = []
+    buf: list[str] = []
+    offset = 0
+
+    def flush():
+        nonlocal offset
+        t = " ".join(" ".join(buf).split())
+        if t:
+            spans.append({"kind": "text", "text": t, "media_ref": "", "offset": offset})
+            offset += len(t)
+        buf.clear()
+
+    for b in blocks:
+        if b.media is not None:
+            flush()
+            spans.append({"kind": "media", "text": "", "media_ref": b.media, "offset": offset})
+            offset += 1
+        elif b.text:
+            buf.append(b.text)
+    flush()
+    return spans
+
+
+def _finish_page(plan: PagePlan, blocks: list[Block], hrefs: list[str],
+                 xhr, status: int, kind: str, title: str | None = None) -> dict:
+    nav_parts, nav_texts = [], []
+    for i, h in enumerate(hrefs):
+        t = f"link {i}"
+        nav_parts.append(f'<a href="{h}"> {t} </a>')
+        nav_texts.append(t)
+    blocks = list(blocks)
+    if nav_parts:
+        blocks.append(Block("<nav>\n" + "\n".join(nav_parts) + "\n</nav>",
+                            " ".join(nav_texts)))
+    body = "\n".join(b.html for b in blocks)
+    ttl = title if title is not None else f"{plan.host}{plan.path}"
+    html = (f"<html>\n<head>\n<title> {ttl} </title>\n</head>\n"
+            f"<body>\n{body}\n</body>\n</html>")
+    spans = _spans_for_blocks(blocks)
+    return {
+        "url": plan.url,
+        "url_hash": hash64(plan.url),
+        "host": plan.host,
+        "status": status,
+        "content_type": "text/html",
+        "html": html if status == 200 else "",
+        "xhr_json": xhr,
+        "out_links": hrefs if status == 200 else [],
+        "page_kind": kind,
+        "expected_spans": spans if status == 200 else [],
+    }
+
+
+def _gen_page_v2_special(plan: PagePlan, seed: int) -> dict | None:
+    """v2-only page kinds; None for paths handled by the v1 generator."""
+    if plan.path.startswith("/mirror"):
+        # byte-identical content at a second URL (real-web mirror): the
+        # ORIGINAL page row regenerated, re-keyed to the mirror URL —
+        # exactly what ContentDedupStage must collapse in the crawl path
+        orig = plan.path[len("/mirror"):] or "/"
+        oplan = PagePlan(url=f"https://{plan.host}{orig}", host=plan.host,
+                         path=orig, host_paths=plan.host_paths,
+                         all_hosts=plan.all_hosts)
+        row = gen_page(oplan, seed, profile="v2")
+        row["url"] = plan.url
+        row["url_hash"] = hash64(plan.url)
+        row["page_kind"] = "mirror"
+        return row
+    rng = random.Random(hash64(f"{seed}|{plan.host}|{plan.path}"))
+    if plan.path == "/gallery":
+        blocks: list[Block] = []
+        t = "Media gallery"
+        blocks.append(Block(f"<h1> {t} </h1>", t))
+        for k in range(rng.randint(12, 28)):
+            ref = f"m://{plan.host}/g{k:02d}-{hash64(f'{plan.host}|gal|{k}') & 0xFFFFFFFF:08x}"
+            blocks.append(Block(f'<img src="{ref}">', "", media=ref))
+            if rng.random() < 0.3:
+                cap = f"caption {_filler(rng, 4)}"
+                blocks.append(Block(f"<p> {cap} </p>", cap))
+        hrefs = ["/"] + list(plan.host_paths[1:3])
+        return _finish_page(plan, blocks, hrefs, None, 200, "gallery")
+    if plan.path.startswith("/docs/"):
+        blocks = []
+        t = "Annual report"
+        blocks.append(Block(f"<h1> {t} </h1>", t))
+        for _ in range(16):  # ~50-90 KB of body text (long-document row)
+            para = _filler(rng, rng.randint(350, 550))
+            blocks.append(Block(f"<p> {para} </p>", para))
+        hrefs = ["/"]
+        return _finish_page(plan, blocks, hrefs, None, 200, "longdoc")
+    return None
+
+
+def gen_page(plan: PagePlan, seed: int, profile: str = "v1") -> dict:
     """Generate one page row (html, links, status, spans ground truth)."""
+    if profile == "v2":
+        special = _gen_page_v2_special(plan, seed)
+        if special is not None:
+            return special
     rng = random.Random(hash64(f"{seed}|{plan.host}|{plan.path}"))
     kind = _page_kind(rng, plan.path)
 
@@ -385,16 +494,17 @@ PAGES_SCHEMA = pa.schema([
 ])
 
 
-def pages_table(plans: list[PagePlan], seed: int) -> pa.Table:
-    rows = [gen_page(p, seed) for p in plans]
+def pages_table(plans: list[PagePlan], seed: int, profile: str = "v1") -> pa.Table:
+    rows = [gen_page(p, seed, profile) for p in plans]
     cols = {name: [r[name] for r in rows] for name in PAGES_SCHEMA.names}
     return pa.table(cols, schema=PAGES_SCHEMA)
 
 
-def world(seed: int = 42, n_hosts: int = 8, pages_per_host_base: int = 30):
+def world(seed: int = 42, n_hosts: int = 8, pages_per_host_base: int = 30,
+          profile: str = "v1"):
     """(pages: pa.Table sorted by url_hash, robots: dict, seeds: list[str])."""
-    plans, robots = build_plan(seed, n_hosts, pages_per_host_base)
-    tbl = pages_table(plans, seed)
+    plans, robots = build_plan(seed, n_hosts, pages_per_host_base, profile)
+    tbl = pages_table(plans, seed, profile)
     tbl = tbl.sort_by("url_hash")  # page-store lookup key order
     seeds = [f"https://h{i:04d}.example/" for i in range(n_hosts)]
     return tbl, robots, seeds
