@@ -264,7 +264,7 @@ def q_minhash_dedup(sf_dir: str):
     anti-join (non-SQL; rows-only driver check + pytest assertions vs
     brute-force Jaccard)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = D.minhash_candidate_pairs(ds).to_pandas()  # O(pairs) — tiny
+    pairs = D.minhash_candidate_pairs_df(ds)  # O(pairs) — tiny
     verified = D.verify_jaccard_pairs(ds, pairs)
     dropped = D.union_find_drop_set(verified[verified["jaccard"] >= 0.8])
     return D.drop_ids(ds, dropped).select_columns(["doc_id"])
@@ -276,7 +276,7 @@ def q_jaccard_pairs(sf_dir: str):
     map_batches/map_groups (only the O(pairs) result reaches the driver;
     the kernel is pytest-verified against hand-built near-dups)."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = D.minhash_candidate_pairs(ds).to_pandas()
+    pairs = D.minhash_candidate_pairs_df(ds)
     df = D.verify_jaccard_pairs(ds, pairs)
     df["jaccard"] = df["jaccard"].round(6)
     df = df[df["jaccard"] >= 0.8]
@@ -300,10 +300,20 @@ def q_simhash(sf_dir: str):
              .select_columns(["doc_id", "simhash"])
 
 
+_LANG_STAGE: list = []  # per-worker LangIdStage singleton (stateless-task form:
+# avoids pinning upstream stages into a small actor pool; sets compiled once)
+
+
+def _lang_id_batch(t: pa.Table) -> pa.Table:
+    if not _LANG_STAGE:
+        _LANG_STAGE.append(T.LangIdStage())
+    return _LANG_STAGE[0](t)
+
+
 def q_lang_id(sf_dir: str):
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(T.LangIdStage, batch_format="pyarrow",
-                          concurrency=2).select_columns(["doc_id", "lang_guess"])
+    return ds.map_batches(_lang_id_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "lang_guess"])
 
 
 def q_fingerprints(sf_dir: str):

@@ -53,8 +53,8 @@ def curate(ds: rd.Dataset, min_quality: float = 0.5, lang: str = "en",
     # verified INSIDE map_batches/map_groups (stages/dedup.py
     # verify_jaccard_pairs); only (id_a, id_b, jaccard) rows reach the
     # driver. Keep the min doc_id per verified connected component.
-    pairs = D.minhash_candidate_pairs(exact, id_col="doc_id",
-                                      text_col="text").to_pandas()
+    pairs = D.minhash_candidate_pairs_df(exact, id_col="doc_id",
+                                         text_col="text")
     verified = D.verify_jaccard_pairs(exact, pairs)
     dropped = D.union_find_drop_set(verified[verified["jaccard"] >= jaccard_tau])
 

@@ -305,8 +305,15 @@ def fuzzy_dedup(ds):
     budget; a pathological host can be salted into (host, postcode-range)
     sub-shards without changing results because blocks never span salts."""
     def add_key(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        keys = [block_key(r) for r in rows]
+        # block_key reads a handful of fields — convert only those columns,
+        # not the whole (potentially wide) row
+        need = [c for c in ("source_url", "postcode", "postal_code",
+                            "latitude", "longitude", "street_or_city",
+                            "city", "location_address", "address")
+                if c in batch.column_names]
+        cols = {c: batch.column(c).to_pylist() for c in need}
+        keys = [block_key({c: cols[c][i] for c in need})
+                for i in range(batch.num_rows)]
         hosts = [k.split("|", 1)[0] for k in keys]
         out = batch.append_column("fuzzy_block", pa.array(keys, pa.string()))
         return out.append_column("fuzzy_host", pa.array(hosts, pa.string()))
@@ -644,6 +651,36 @@ def minhash_candidate_pairs(ds, n_perm: int = 64, n_bands: int = 16, k: int = 3,
         return g.head(1)
 
     return p.groupby(["id_a", "id_b"]).map_groups(dd, batch_format="pandas")
+
+
+def minhash_candidate_pairs_df(ds, n_perm: int = 64, n_bands: int = 16,
+                               k: int = 3, id_col: str = "doc_id",
+                               text_col: str = "text") -> pd.DataFrame:
+    """Candidate pairs as a (small) driver DataFrame.
+
+    Same candidates as ``minhash_candidate_pairs`` but the cross-band
+    dedup is a driver-side ``drop_duplicates`` over the O(pairs) frame
+    instead of a second full shuffle — the pair set is bounded by the
+    hot-bucket cap, so this is strictly metadata-sized. Preferred by the
+    verify paths (queries / curation), which pull the pairs to the
+    driver anyway for the broadcast pair map."""
+    bands = ds.map_batches(MinHashStage(n_perm, n_bands, k, id_col, text_col),
+                           batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        ids = ids[:64]  # hot-bucket cap (documented truncation)
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    p = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas").to_pandas()
+    return (p.drop_duplicates()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
