@@ -96,7 +96,8 @@ def run_queries(num_cpus: int) -> dict:
         return len(x)
 
     names = ["lineitem_summary", "filter_events", "dedup_exact", "token_counts",
-             "ann_topk", "minhash_dedup", "hash_join_orders_nation", "simhash"]
+             "ann_topk", "minhash_dedup", "hash_join_orders_nation", "simhash",
+             "training_pipeline", "near_dup_embeddings", "media_features"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing
     from web_crawler_ray.sources.storage import read_parquet_clean

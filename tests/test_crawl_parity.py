@@ -190,3 +190,18 @@ def test_dataset_frontier_mode_cap_parity(small_world):
                     frontier_mode="dataset")
     assert e[0] == d[0]
     assert np.array_equal(e[1], d[1])
+
+
+def test_crawl_with_seen_spill_matches_unspilled(small_world):
+    """Tiny spill threshold forces every shard through the bloom spill
+    tier mid-crawl: fetch order and fetched-count stay identical (no
+    false negatives => nothing is re-crawled; the metrics cardinality
+    counts spilled keys)."""
+    tbl, robots, seeds, _ = small_world
+    a = _run_engine(tbl, robots, seeds, max_pages=120, max_depth=3,
+                    round_seconds=4.0)
+    b = _run_engine(tbl, robots, seeds, max_pages=120, max_depth=3,
+                    round_seconds=4.0, seen_spill_threshold=10)
+    assert b[0] == a[0]
+    assert b[2]["fetched"] == a[2]["fetched"]
+    assert b[2]["seen"] == a[2]["seen"]  # cardinality includes spilled keys

@@ -58,3 +58,13 @@ def ray_session():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     yield
+
+
+def test_pdf_locations_query(ray_session):
+    from web_crawler_ray.pipelines.queries import q_pdf_locations
+    out = q_pdf_locations("/root/testdata/sf0.001").to_pandas()
+    assert len(out) >= 4
+    assert (out["country"] == "USA").any()
+    out2 = q_pdf_locations("/root/testdata/sf0.001").to_pandas()
+    assert out.sort_values(["source_url", "address"]).reset_index(drop=True).equals(
+        out2.sort_values(["source_url", "address"]).reset_index(drop=True))

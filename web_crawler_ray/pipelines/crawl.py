@@ -321,7 +321,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
           resume_from: str | None = None,
           backoff: bool = False,
           order: str = "fifo",
-          frontier_mode: str = "driver") -> CrawlResult:
+          frontier_mode: str = "driver",
+          seen_spill_threshold: int | None = None) -> CrawlResult:
     """Run the round-based BFS. ``pages_store`` must be sorted by url_hash.
 
     ``round_seconds=None`` ⇒ infinite politeness budget (pure reference
@@ -348,7 +349,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     """
     pages_ref = ray.put(pages_store)
     robots = RobotsCache.options(num_cpus=0.1).remote(robots_by_host)
-    seen = SeenSet(n_shards=n_seen_shards)
+    seen = SeenSet(n_shards=n_seen_shards,
+                   spill_threshold=seen_spill_threshold)
     politeness = Politeness.options(num_cpus=0.1).remote(
         round_seconds if round_seconds is not None else float("inf"))
 

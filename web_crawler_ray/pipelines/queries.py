@@ -379,6 +379,34 @@ def q_media_features(sf_dir: str):
     return feats.map_batches(fin, batch_format="pyarrow")
 
 
+def q_pdf_locations(sf_dir: str):
+    """S7/E11 binary path: deterministic fixture PDFs (generated under
+    /tmp once per sf) -> read_binary_files -> stdlib text extraction ->
+    PDF location strategies (rows-only; bytes->text round-trip and
+    address fidelity pinned in pytest)."""
+    import os
+    from ..sources.pdf_bytes import make_simple_pdf, pdf_locations
+    from ..sources.synth_world import CITIES, STREETS
+    sf = _sf_of(sf_dir)
+    n = max(4, int(400 * sf))
+    d = f"/tmp/graft_pdfs_sf{sf}"
+    if not os.path.isdir(d) or len(os.listdir(d)) != n:
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            city, state, zip5 = CITIES[i % len(CITIES)]
+            lines = [f"Company {i} Annual Report", "Our Offices",
+                     f"Branch {i}",
+                     f"{100 + i} {STREETS[i % len(STREETS)]} Street",
+                     f"{city}, {state} {zip5}",
+                     f"Tel: +1 555 {i:04d}"]
+            with open(os.path.join(d, f"doc{i:04d}.pdf"), "wb") as f:
+                f.write(make_simple_pdf(lines))
+    ds = rd.read_binary_files(d, include_paths=True)
+    out = pdf_locations(ds)
+    return out.select_columns(["name", "address", "city", "state",
+                               "postal_code", "country", "source_url"])
+
+
 def _sf_of(sf_dir: str) -> float:
     import re
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -483,6 +511,7 @@ def registry() -> dict:
         "fingerprints": q_fingerprints,
         "doc_quality": q_doc_quality,
         "media_features": q_media_features,
+        "pdf_locations": q_pdf_locations,
         "crawl_visited": q_crawl_visited,
         "crawl_locations": q_crawl_locations,
         "crawl_spans": q_crawl_spans,

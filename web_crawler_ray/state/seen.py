@@ -206,12 +206,19 @@ SeenShard = ray.remote(_SeenShardImpl)
 
 
 class SeenSet:
-    """Driver-side handle over the shard actor pool."""
+    """Driver-side handle over the shard actor pool.
 
-    def __init__(self, n_shards: int = 8, n_buckets_log2: int = 14):
+    ``spill_threshold`` bounds each shard's exact-set RAM: past it the
+    exact tier spills to the bloom tier (no false negatives; snapshot
+    exactness degrades for spilled keys — the documented 10^10-key
+    trade, SCALE.md)."""
+
+    def __init__(self, n_shards: int = 8, n_buckets_log2: int = 14,
+                 spill_threshold: int | None = None):
         self.n_shards = n_shards
         self.shards = [
-            SeenShard.options(num_cpus=0.1).remote(i, n_buckets_log2)
+            SeenShard.options(num_cpus=0.1).remote(i, n_buckets_log2,
+                                                   spill_threshold)
             for i in range(n_shards)
         ]
 
