@@ -84,3 +84,34 @@ def test_xlsx_sink(tmp_path):
         assert "Acme" in s1 and "success" in s1
         assert "HQ &amp; Co &lt;x&gt;" in s2  # escaping
         assert "<v>95</v>" in s2              # numeric cell
+
+
+def test_xlsx_styling(tmp_path):
+    """S12 color coding (bulk-processor.service.js:149-238): status fill
+    green/red, quality fill by band, styled header, valid styles part."""
+    import zipfile
+    from web_crawler_ray.sources.xlsx import write_bulk_workbook
+    p = str(tmp_path / "styled.xlsx")
+    write_bulk_workbook(
+        p,
+        [{"companyName": "A", "url": "u", "status": "success", "locationsCount": 2},
+         {"companyName": "B", "url": "u2", "status": "failed", "locationsCount": 0}],
+        [{"location_name": "L1", "quality_score": 95.0},
+         {"location_name": "L2", "quality_score": 72.0},
+         {"location_name": "L3", "quality_score": 55.0},
+         {"location_name": "L4", "quality_score": 10.0}])
+    with zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+        assert "xl/styles.xml" in names
+        styles = z.read("xl/styles.xml").decode()
+        for argb in ("FF90EE90", "FFFFCCCB", "FF87CEEB", "FFFFA500", "FF4472C4"):
+            assert argb in styles
+        s1 = z.read("xl/worksheets/sheet1.xml").decode()
+        assert 's="1" t="inlineStr"><is><t>success' in s1
+        assert 's="2" t="inlineStr"><is><t>failed' in s1
+        s2 = z.read("xl/worksheets/sheet2.xml").decode()
+        assert 's="1"><v>95.0' in s2        # green >= 90
+        assert 's="3"><v>72.0' in s2        # sky blue >= 70
+        assert 's="4"><v>55.0' in s2        # orange >= 50
+        assert 's="4"><v>10.0' not in s2    # below 50: default
+        assert s2.count('s="5"') >= 2       # styled header row
