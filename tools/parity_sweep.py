@@ -1,8 +1,10 @@
 """Adversarial parity sweep: N random (world, politeness, depth, cap,
-backoff, order) configurations, engine vs oracle, bit-for-bit fetch
-order + seen set. Run: python tools/parity_sweep.py [n_seeds]
+backoff, order, frontier mode, world profile) configurations, engine vs
+oracle, bit-for-bit fetch order + seen set. Run:
+python tools/parity_sweep.py [n_seeds]
 
-Round-1 result: 15/15 OK (see git history)."""
+Round-1 result: 15/15 OK; round-2 re-run covers frontier_mode="dataset"
+and profile="v2" worlds (see git history)."""
 import random
 import sys
 
@@ -28,16 +30,20 @@ def main():
         cfg = dict(n_hosts=rng.choice([2, 3, 5, 7]), base=rng.choice([8, 15, 25]),
                    rs=rng.choice([None, 2.0, 5.0, 13.0]), md=rng.choice([1, 2, 3, 5]),
                    mp=rng.choice([9, 33, 100000]), bo=rng.choice([False, True]),
-                   order=rng.choice(["fifo", "priority"]))
+                   order=rng.choice(["fifo", "priority"]),
+                   fm=rng.choice(["driver", "driver", "dataset"]),
+                   profile=rng.choice(["v1", "v1", "v2"]))
         tbl, robots, seeds = W.world(seed=seed, n_hosts=cfg["n_hosts"],
-                                     pages_per_host_base=cfg["base"])
+                                     pages_per_host_base=cfg["base"],
+                                     profile=cfg["profile"])
         by_url = {r["url"]: r for r in tbl.to_pylist()}
         o_order, o_seen, _ = oracle_crawl(by_url, robots, seeds, max_pages=cfg["mp"],
                                           max_depth=cfg["md"], round_seconds=cfg["rs"],
                                           backoff=cfg["bo"], order=cfg["order"])
         res = crawl(tbl, robots, seeds, max_pages=cfg["mp"], max_depth=cfg["md"],
                     round_seconds=cfg["rs"], backoff=cfg["bo"], order=cfg["order"],
-                    keep_pages=False, n_seen_shards=rng.choice([1, 3, 8]))
+                    keep_pages=False, n_seen_shards=rng.choice([1, 3, 8]),
+                    frontier_mode=cfg["fm"])
         e_order = list(zip(res.visited.column("round").to_pylist(),
                            res.visited.column("discovery_seq").to_pylist(),
                            res.visited.column("url").to_pylist()))
