@@ -302,3 +302,51 @@ def test_scraper_dedup_distributed(ray_session):
     out = D.dedup_scraper_improved(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
     # per-host scope: h1 merges (keeps longer 'b'), h2 keeps its own copy
     assert sorted(out["name"]) == ["b", "c"]
+
+
+def test_vectorized_greedy_equals_scalar():
+    """The numpy UB-screened greedy must produce IDENTICAL clusters to
+    the scalar reference form on randomized mixed-completeness data."""
+    import random
+    rng = random.Random(17)
+    streets = ["100 Main Street", "100 Main St", "5 Oak Ave", "99 Elm Rd", ""]
+    names = ["Acme", "Acme HQ", "Acme Headquarters", "", "Other Co"]
+    posts = ["62701", "80201", "62-701", ""]
+    for trial in range(6):
+        rows = []
+        for k in range(rng.randint(5, 60)):
+            lat = rng.choice(["", "37.0", "37.0005", "37.0225", "39.7"])
+            rows.append({"address": rng.choice(streets),
+                         "name": rng.choice(names),
+                         "postal_code": rng.choice(posts),
+                         "latitude": lat,
+                         "longitude": "" if not lat else "-122.0",
+                         "source_url": f"u{k}", "discovery_seq": k})
+        fast = D.fuzzy_dedup_greedy(rows)
+        ref = D.fuzzy_dedup_greedy_scalar(rows)
+        assert len(fast) == len(ref), trial
+        for a, b in zip(fast, ref):
+            assert a == b, (trial, a, b)
+
+
+def test_fuzzy_output_invariant_to_arrival_order(ray_session):
+    """Rows from one page share discovery_seq; within_page_idx makes the
+    greedy scan order total, so shuffle ARRIVAL order must not change
+    the result (the run-to-run determinism fix)."""
+    rows = []
+    for j, (name, addr) in enumerate([
+            ("Acme HQ", "100 Main Street, Springfield"),
+            ("Acme Headquarters", "100 Main St, Springfield"),
+            ("Acme West", "900 Oak Avenue, Denver"),
+            ("Acme W.", "900 Oak Ave, Denver")]):
+        rows.append({"name": name, "address": addr, "latitude": "",
+                     "longitude": "", "postal_code": "62701" if j < 2 else "80201",
+                     "source_url": "https://h.example/contact",
+                     "discovery_seq": 7, "within_page_idx": j})
+    import itertools
+    outs = set()
+    for perm in itertools.permutations(rows):
+        df = pd.DataFrame(list(perm))
+        out = D.fuzzy_dedup(rd.from_pandas(df)).to_pandas()
+        outs.add(tuple(sorted(zip(out["name"], out["address"]))))
+    assert len(outs) == 1, outs

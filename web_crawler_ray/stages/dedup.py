@@ -44,6 +44,20 @@ from ..functions.normalize import (
     levenshtein_ratio, squash_address,
 )
 
+def _seq_sort(g: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic scan order for order-dependent dedups: global page
+    order (discovery_seq) + within-page extraction order. discovery_seq
+    alone is NOT total — all locations of one page share its seq, and a
+    stable sort would then preserve shuffle ARRIVAL order, which varies
+    run to run."""
+    if "discovery_seq" not in g.columns:
+        return g
+    keys = ["discovery_seq"]
+    if "within_page_idx" in g.columns:
+        keys.append("within_page_idx")
+    return g.sort_values(keys)
+
+
 # ---------------------------------------------------------------------------
 # D2: canonical-key dedup + merge
 # ---------------------------------------------------------------------------
@@ -69,7 +83,7 @@ def add_canonical_key(batch: pa.Table) -> pa.Table:
 
 def _merge_d2(group: pd.DataFrame) -> pd.DataFrame:
     """First-seen base; later dups fill empty fields (address-normalizer:305-331)."""
-    g = group.sort_values("discovery_seq") if "discovery_seq" in group.columns else group
+    g = _seq_sort(group)
     base = g.iloc[0].copy()
     for _, row in g.iloc[1:].iterrows():
         for col in g.columns:
@@ -218,12 +232,11 @@ def _sim_feat(f1: _FuzzyFeat, f2: _FuzzyFeat, threshold: float,
     return score / total_w
 
 
-def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
-    """Greedy O(n²) clustering in input order (enhanced-dedup:7-41).
-
-    Output identical to the naive pairwise form (asserted in tests);
-    features precomputed, Levenshtein memoized across repeated strings.
-    """
+def fuzzy_dedup_greedy_scalar(locs: list[dict],
+                              threshold: float = 0.85) -> list[dict]:
+    """Reference form of the greedy O(n²) clustering in input order
+    (enhanced-dedup:7-41): scalar pair loop, memoized Levenshtein.
+    Kept as the equivalence baseline for the vectorized fast path."""
     feats = [_FuzzyFeat(l) for l in locs]
     lev_memo: dict = {}
     merged = []
@@ -240,6 +253,97 @@ def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
                 processed.add(j)
         merged.append(_merge_fuzzy([locs[k] for k in dups]))
         processed.add(i)
+    return merged
+
+
+def _haversine_km_vec(lat1: float, lon1: float, lat2: np.ndarray,
+                      lon2: np.ndarray) -> np.ndarray:
+    """numpy haversine, same formula as functions.normalize.haversine_km
+    (used only for the UPPER-BOUND screen — the exact kernel recomputes
+    with the scalar form, so ulp-level differences cannot change output;
+    an epsilon guard below absorbs them)."""
+    r = 6371.0
+    dlat = np.radians(lat2 - lat1)
+    dlon = np.radians(lon2 - lon1)
+    a = (np.sin(dlat / 2) ** 2
+         + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2))
+         * np.sin(dlon / 2) ** 2)
+    return r * 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+
+
+def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
+    """Greedy O(n²) clustering in input order (enhanced-dedup:7-41).
+
+    Output identical to ``fuzzy_dedup_greedy_scalar`` (asserted in
+    tests) but the inner scan is a vectorized UPPER-BOUND screen: for
+    each anchor row, numpy computes per-candidate score bounds (exact
+    geo/postcode terms + the Levenshtein length bound) over all
+    unprocessed rows at once, and only the candidates whose bound
+    clears the threshold (minus an ulp epsilon — can only ADD
+    candidates) run the exact memoized kernel. Same asymptotics, but
+    the O(n²) part runs at numpy speed — the per-site all-pairs scan
+    of the reference stays affordable on multi-thousand-row hosts.
+    """
+    n = len(locs)
+    if n <= 2:
+        return fuzzy_dedup_greedy_scalar(locs, threshold)
+    feats = [_FuzzyFeat(l) for l in locs]
+    addr_len = np.array([len(f.addr) if f.addr is not None else -1
+                         for f in feats], np.float64)
+    name_len = np.array([len(f.name) if f.name is not None else -1
+                         for f in feats], np.float64)
+    lat = np.array([f.lat if f.lat is not None else np.nan for f in feats])
+    lon = np.array([f.lon if f.lon is not None else np.nan for f in feats])
+    post_ids: dict[str, int] = {}
+    post = np.array([post_ids.setdefault(f.post, len(post_ids))
+                     if f.post is not None else -1 for f in feats], np.int64)
+    has_geo = ~np.isnan(lat)
+
+    lev_memo: dict = {}
+    merged = []
+    processed = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if processed[i]:
+            continue
+        processed[i] = True
+        j = np.flatnonzero(~processed[i + 1:]) + i + 1
+        dups = [i]
+        if len(j):
+            m_addr = (addr_len[i] >= 0) & (addr_len[j] >= 0)
+            m_name = (name_len[i] >= 0) & (name_len[j] >= 0)
+            m_geo = has_geo[i] & has_geo[j]
+            m_post = (post[i] >= 0) & (post[j] >= 0)
+            total_w = (0.4 * m_addr + 0.3 * m_geo + 0.2 * m_name
+                       + 0.1 * m_post)
+            # Levenshtein length bound: ratio <= 1 - |l1-l2|/max(l1,l2)
+            al = addr_len[j]
+            addr_ub = 1.0 - np.abs(addr_len[i] - al) / np.maximum(
+                np.maximum(addr_len[i], al), 1.0)
+            nl = name_len[j]
+            name_ub = 1.0 - np.abs(name_len[i] - nl) / np.maximum(
+                np.maximum(name_len[i], nl), 1.0)
+            geo_t = np.zeros(len(j))
+            if has_geo[i] and m_geo.any():
+                gj = np.flatnonzero(m_geo)
+                d = _haversine_km_vec(lat[i], lon[i], lat[j[gj]], lon[j[gj]])
+                # UPPER bound under d's ulp uncertainty vs the scalar
+                # haversine: widen the d<0.1 plateau (a 0.02 jump — an
+                # epsilon on the SCORE cannot absorb a boundary flip)
+                # and shift the linear branch up by the margin
+                geo_t[gj] = np.where(d < 0.1 + 1e-9, 1.0,
+                                     np.maximum(0.0, 1 - (d - 1e-9) / 5))
+            post_t = (post[j] == post[i]).astype(np.float64)
+            ub = (0.4 * addr_ub * m_addr + 0.3 * geo_t * m_geo
+                  + 0.2 * name_ub * m_name + 0.1 * post_t * m_post)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ub = np.where(total_w > 0, ub / np.maximum(total_w, 1e-12), 0.0)
+            for k in j[ub >= threshold - 1e-9]:
+                if processed[k]:
+                    continue
+                if _sim_feat(feats[i], feats[k], threshold, lev_memo) >= threshold:
+                    dups.append(int(k))
+                    processed[k] = True
+        merged.append(_merge_fuzzy([locs[idx] for idx in dups]))
     return merged
 
 
@@ -270,7 +374,7 @@ def block_key(loc: dict) -> str:
 
 
 def _fuzzy_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("discovery_seq") if "discovery_seq" in g.columns else g
+    g = _seq_sort(g)
     out = fuzzy_dedup_greedy(g.to_dict("records"))
     res = pd.DataFrame(out)
     return res.drop(columns=[c for c in ("merged_from",) if c not in g.columns
@@ -397,7 +501,7 @@ def scraper_dedup_improved(locations: list[dict]) -> list[dict]:
 
 
 def _scraper_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("discovery_seq") if "discovery_seq" in g.columns else g
+    g = _seq_sort(g)
     out = scraper_dedup_improved(g.to_dict("records"))
     return pd.DataFrame(out) if out else g.iloc[0:0]
 
@@ -427,7 +531,7 @@ def _d4_group(g: pd.DataFrame) -> pd.DataFrame:
         return sum(1 for v in row if v not in (None, "") and not
                    (isinstance(v, float) and np.isnan(v)))
     if "discovery_seq" in g.columns:
-        g = g.sort_values("discovery_seq")
+        g = _seq_sort(g)
     best, best_n = None, -1
     for i in range(len(g)):
         n = n_filled(g.iloc[i])
