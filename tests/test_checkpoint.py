@@ -120,3 +120,32 @@ def test_dataset_mode_checkpoint_resume(tmp_path):
     assert resumed.visited.column("discovery_seq").to_pylist() == \
         tail.column("discovery_seq").to_pylist()
     assert np.array_equal(resumed.seen_snapshot, full.seen_snapshot)
+
+
+def test_resume_into_dataset_mode(tmp_path):
+    """Driver-mode checkpoints resume under frontier_mode='dataset' with
+    the identical continuation (the other cross-mode direction)."""
+    import numpy as np
+    import pyarrow as pa
+
+    tbl, robots, seeds = W.world(seed=37, n_hosts=3, pages_per_host_base=12)
+    full = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                 round_seconds=6.0, keep_pages=False)
+    ck = str(tmp_path / "ck")
+    crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+          round_seconds=6.0, checkpoint_dir=ck, keep_pages=False)
+    import shutil
+    rounds = sorted(int(d.split("=")[1]) for d in os.listdir(ck))
+    k = rounds[len(rounds) // 2]
+    for r in rounds:
+        if r > k:
+            shutil.rmtree(os.path.join(ck, f"round={r}"))
+    resumed = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                    round_seconds=6.0, keep_pages=False, resume_from=ck,
+                    frontier_mode="dataset")
+    fv = full.visited
+    tail = fv.filter(pa.compute.greater(fv.column("round"), k))
+    assert resumed.visited.column("url").to_pylist() == tail.column("url").to_pylist()
+    assert resumed.visited.column("discovery_seq").to_pylist() == \
+        tail.column("discovery_seq").to_pylist()
+    assert np.array_equal(resumed.seen_snapshot, full.seen_snapshot)
