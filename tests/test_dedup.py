@@ -350,3 +350,25 @@ def test_fuzzy_output_invariant_to_arrival_order(ray_session):
         out = D.fuzzy_dedup(rd.from_pandas(df)).to_pandas()
         outs.add(tuple(sorted(zip(out["name"], out["address"]))))
     assert len(outs) == 1, outs
+
+
+def test_simhash_near_dup_pairs_equals_brute_force(ray_session):
+    """Banded simhash near-dup == brute-force all-pairs Hamming<=3
+    (pigeonhole recall is exact at 4 bands), on planted small edits."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm fire inside the old house tonight ") * 4
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("warm", "hot")},
+            {"doc_id": 3, "text": base.replace("lazy", "sleepy")},
+            {"doc_id": 4, "text": "entirely different quarterly revenue "
+                                  "analysis with unrelated vocabulary " * 5},
+            {"doc_id": 5, "text": base}]
+    sigs = {r["doc_id"]: D.simhash64(r["text"]) for r in rows}
+    brute = sorted((a, b) for a in sigs for b in sigs
+                   if a < b and D.hamming64(sigs[a], sigs[b]) <= 3)
+    assert (1, 5) in brute  # identical docs: hamming 0
+    out = D.simhash_near_dup_pairs(rd.from_pandas(pd.DataFrame(rows)))
+    got = sorted(zip(out["id_a"], out["id_b"]))
+    assert got == brute
+    for r in out.itertuples():
+        assert r.hamming == D.hamming64(sigs[r.id_a], sigs[r.id_b])

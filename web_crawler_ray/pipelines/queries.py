@@ -310,6 +310,15 @@ def _lang_id_batch(t: pa.Table) -> pa.Table:
     return _LANG_STAGE[0](t)
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at Hamming <= 3: 16-bit band buckets give
+    exact (pigeonhole) candidate recall; in-bucket Hamming verify; only
+    qualifying pairs reach the driver (rows-only; brute-force equality
+    pinned in pytest)."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return D.simhash_near_dup_pairs(ds, max_hamming=3)
+
+
 def q_lang_id(sf_dir: str):
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(_lang_id_batch, batch_format="pyarrow") \
@@ -507,6 +516,7 @@ def registry() -> dict:
         "training_pipeline": q_training_pipeline,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "doc_quality": q_doc_quality,

@@ -955,3 +955,63 @@ class SimHashStage:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+class SimHashBandStage:
+    """map_batches stage: text -> 4 exploded (band_id, band_val) rows per
+    doc, carrying the full 64-bit simhash for in-bucket verification."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        o_id, o_band, o_val, o_sig = [], [], [], []
+        for i, t in zip(ids, texts):
+            h = simhash64(t)
+            for b in range(4):
+                o_id.append(int(i))
+                o_band.append(b)
+                o_val.append((h >> (16 * b)) & 0xFFFF)
+                o_sig.append(h)
+        return pa.table({self.id_col: pa.array(o_id, pa.int64()),
+                         "band_id": pa.array(o_band, pa.int32()),
+                         "band_val": pa.array(o_val, pa.int32()),
+                         "simhash": pa.array(np.array(o_sig, np.uint64))})
+
+
+def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                           text_col: str = "text") -> pd.DataFrame:
+    """SimHash near-duplicate pairs (id_a < id_b, Hamming ≤ max_hamming).
+
+    Banding on the 4 × 16-bit chunks of the fingerprint: a pair within
+    Hamming 3 differs in at most 3 chunks, so by PIGEONHOLE it agrees
+    exactly on at least one — candidate recall is 1.0 (not
+    probabilistic) for max_hamming ≤ 3. One groupby on (band_id,
+    band_val); exact Hamming verification runs inside the bucket task
+    (the full simhash rides with the row — no second pass over texts);
+    the driver sees only qualifying pairs, deduped across bands with an
+    O(pairs) drop_duplicates."""
+    assert max_hamming <= 3, "4-band pigeonhole guarantees recall only to 3"
+    bands = ds.map_batches(SimHashBandStage(id_col, text_col),
+                           batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col).head(64)
+        ids = g[id_col].to_numpy()
+        sigs = g["simhash"].to_numpy()
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = hamming64(int(sigs[i]), int(sigs[j]))
+                if d <= max_hamming:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_h.append(d)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    p = bands.groupby(["band_id", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    return (p.drop_duplicates(subset=["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
