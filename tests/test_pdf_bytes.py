@@ -68,3 +68,16 @@ def test_pdf_locations_query(ray_session):
     out2 = q_pdf_locations("/root/testdata/sf0.001").to_pandas()
     assert out.sort_values(["source_url", "address"]).reset_index(drop=True).equals(
         out2.sort_values(["source_url", "address"]).reset_index(drop=True))
+
+
+def test_pdf_locations_tolerates_undecodable_pdf(ray_session, tmp_path):
+    """An undecodable PDF yields an empty block whose schema still
+    unifies with location-bearing blocks (no pipeline crash)."""
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "good.pdf").write_bytes(make_simple_pdf(LINES))
+    (d / "bad.pdf").write_bytes(b"%PDF-1.4 scanned image only, no streams")
+    ds = rd.read_binary_files(str(d), include_paths=True)
+    out = pdf_locations(ds).to_pandas()
+    assert len(out) >= 1
+    assert all(out["source_url"].str.endswith("good.pdf"))

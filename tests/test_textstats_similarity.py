@@ -195,3 +195,11 @@ def test_near_dup_lsh_equals_exact_on_planted_dups(ray_session):
     # auto routing: high tau -> lsh (same result as the explicit call)
     auto = S.near_dup_pairs(ds, threshold=0.95)
     assert auto.equals(lsh)
+
+
+def test_near_dup_pairs_empty_and_autosized(ray_session):
+    empty = rd.from_pandas(pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                         "embedding": pd.Series([], dtype=object)}))
+    for method in ("lsh", "exact"):
+        out = S.near_dup_pairs(empty, threshold=0.95, method=method)
+        assert len(out) == 0 and list(out.columns) == ["id_a", "id_b", "score"]

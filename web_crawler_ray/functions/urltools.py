@@ -92,7 +92,9 @@ def canonicalize(url: str) -> str | None:
         return None
     if parts.scheme not in ("http", "https") or not parts.netloc:
         return None
-    netloc = parts.netloc.lower()
+    netloc = parts.netloc.rsplit("@", 1)[-1].lower()  # origin has no userinfo
+    if not netloc:
+        return None
     if (parts.scheme == "http" and netloc.endswith(":80")) or \
             (parts.scheme == "https" and netloc.endswith(":443")):
         netloc = netloc.rsplit(":", 1)[0]

@@ -247,18 +247,9 @@ class _SeenFilterStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("url_hash", pa.array([], pa.uint64()))
+        from ..state.seen import scatter_check_and_add
         h = hash64_many(batch.column("url").to_pylist())
-        n = len(self.shards)
-        sid = (h % np.uint64(n)).astype(np.int64)
-        keep = np.zeros(len(h), dtype=bool)
-        futs, idxs = [], []
-        for s in range(n):
-            ix = np.flatnonzero(sid == s)
-            if len(ix):
-                futs.append(self.shards[s].check_and_add.remote(h[ix]))
-                idxs.append(ix)
-        for ix, mask in zip(idxs, ray.get(futs)):
-            keep[ix] = mask
+        keep = scatter_check_and_add(self.shards, h)
         out = batch.append_column("url_hash", pa.array(h, pa.uint64()))
         return out.filter(pa.array(keep))
 

@@ -572,8 +572,8 @@ _LANG_ID_SQL = (
 
 _QUALITY_FEAT = (
     "SELECT doc_id, text, length(text) AS n_chars, "
-    "CASE WHEN trim(text) = '' THEN [] "
-    "ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks, "
+    "CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN [] "
+    "ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks, "
     "regexp_extract_all(lower(text), '[a-z0-9'']+') AS words, "
     "length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) "
     "AS n_punct FROM documents"
@@ -607,7 +607,14 @@ _DOC_QUALITY_SQL = (
 )
 
 # 3-word shingle sets (engine: \w+ words, pad to k with '', k-grams,
-# set semantics) — chr(1) joins keep shingle identity unambiguous
+# set semantics) — chr(1) joins keep shingle identity unambiguous.
+# CAVEAT (by design): the pair/component oracles below compute exact
+# ALL-PAIRS Jaccard, while the engine verifies MinHash-LSH candidates
+# (banded, hot-bucket-capped). Equality holds at the driver's gate
+# scales (validated hash-exact at sf0.001/0.01 — deterministic, not
+# flaky); at much larger corpora a true pair can miss every band
+# (~2e-4 at J=0.8 with 16 bands × 4 rows), where the all-pairs SQL is
+# the STRICTER check and a mismatch means LSH recall, not wrong math.
 _SHINGLES = (
     "{w0} AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w0 "
     "FROM {src}), "
@@ -721,8 +728,8 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1",
     "token_counts":
-        "SELECT doc_id, (CASE WHEN trim(text) = '' THEN 0 ELSE "
-        "len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens "
+        "SELECT doc_id, (CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) END)::BIGINT AS n_tokens "
         "FROM documents",
     "text_stats":
         "SELECT doc_id, length(text)::BIGINT AS n_chars, "

@@ -168,19 +168,18 @@ def pdf_locations(ds) -> "pa.Table":
     semantics via stages/extract_pdf.extract_pdf_locations)."""
     from ..stages.extract_pdf import extract_pdf_locations
 
+    cols = ["name", "address", "street", "city", "state", "postal_code",
+            "country", "latitude", "longitude", "phone", "email",
+            "source_url", "extraction_method"]
+
     def extract(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
         for url, text in zip(batch.column("source_url").to_pylist(),
                              batch.column("text").to_pylist()):
             if text:
                 rows.extend(extract_pdf_locations(text, url))
-        if not rows:
-            return pa.table({k: pa.array([], pa.string())
-                             for k in ("name", "address", "postal_code",
-                                       "country", "source_url")})
-        cols = ["name", "address", "street", "city", "state", "postal_code",
-                "country", "latitude", "longitude", "phone", "email",
-                "source_url", "extraction_method"]
+        # same schema for empty and non-empty blocks (an undecodable PDF
+        # yields an empty block; schemas must still unify downstream)
         return pa.table({c: pa.array([str(r.get(c, "")) for r in rows],
                                      pa.string()) for c in cols})
 

@@ -91,10 +91,9 @@ def _sheet_xml(header: list[str], rows: list[list],
     """style_fn(row_values, col_name) -> cellXfs index (0 = default)."""
     body = ["<row>" + "".join(_cell(h, S_HEADER) for h in header) + "</row>"]
     for r in rows:
-        cells = []
-        for col, v in zip(header, r):
-            s = style_fn(dict(zip(header, r)), col) if style_fn else 0
-            cells.append(_cell(v, s))
+        row_d = dict(zip(header, r)) if style_fn else None
+        cells = [_cell(v, style_fn(row_d, col) if style_fn else 0)
+                 for col, v in zip(header, r)]
         body.append("<row>" + "".join(cells) + "</row>")
     return ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'

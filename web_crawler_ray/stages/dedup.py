@@ -381,21 +381,24 @@ def _fuzzy_group(g: pd.DataFrame) -> pd.DataFrame:
                              and c in res.columns], errors="ignore")
 
 
-def _fuzzy_host_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-host task: fine-grained blocking runs INSIDE the task as a pandas
-    groupby — Ray-level groups stay coarse (one per host), avoiding the
-    per-group distributed-groupby overhead over thousands of tiny blocks.
+FUZZY_ALLPAIRS_MAX = 20_000  # per-host all-pairs bound (~2×10^8 screened
+# pairs at numpy speed); politeness-bounded crawls stay far below it
 
-    Mixed-completeness guard: block_key routes rows by field PRESENCE
-    (postcode > geo > city), so a pair the reference would merge — one row
-    with a postcode, the other with only nearby coordinates — would land
-    in different blocks and never be compared. When a host's rows span
-    more than one block TYPE, fall back to the reference's per-site
-    all-pairs scan (faithful by construction: the reference dedups
-    site-wide, crawler.service.js:187-190). Single-type hosts keep the
-    fine blocks (the 100 TB bound: a block = one host × one postcode)."""
-    types = {k.split("|", 1)[1][:2] for k in g["fuzzy_block"].unique()}
-    if len(types) > 1:
+
+def _fuzzy_host_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-host task. DEFAULT: the reference's site-wide all-pairs greedy
+    scan (crawler.service.js:187-190 dedups per site) — affordable at
+    realistic per-site sizes because fuzzy_dedup_greedy's inner loop is
+    a vectorized upper-bound screen. Fidelity is exact: no pair of one
+    host is ever separated by blocking (the round-1 postcode/geo blocks
+    split mixed-completeness pairs AND same-type near-misses like
+    adjacent postcodes or cell-edge coordinates).
+
+    Pathological hosts above FUZZY_ALLPAIRS_MAX rows fall back to the
+    fine postcode/geo/city blocks (bounded compute; the documented
+    divergence: a qualifying pair crossing those blocks is missed —
+    logged via the truncated scan)."""
+    if len(g) <= FUZZY_ALLPAIRS_MAX:
         return _fuzzy_group(g)
     outs = [_fuzzy_group(sub) for _, sub in g.groupby("fuzzy_block", sort=True)]
     return pd.concat(outs, ignore_index=True) if outs else g.iloc[0:0]

@@ -247,6 +247,8 @@ def _block_pair_sims(ta: pa.Table, tb: pa.Table, threshold: float,
     """One (block_i, block_j) cross matmul; returns only QUALIFYING pairs
     (normalized to id_a < id_b; diagonal blocks use the upper triangle so
     each unordered pair is emitted exactly once)."""
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return []
     ids_a = ta.column(id_col).to_numpy()
     ids_b = tb.column(id_col).to_numpy()
     ma = _normalize(_as_matrix(ta.column(vec_col)))
@@ -365,12 +367,30 @@ def verify_cosine_pairs(ds, pairs: pd.DataFrame, id_col: str = "vec_id",
 
 
 def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
-                        n_bands: int = 16, n_bits: int = 8,
+                        n_bands: int | None = None, n_bits: int | None = None,
                         seed: int = 29) -> pd.DataFrame:
     """The 100 TB path: banded-LSH candidates (one groupby on
     (band_id, band_sig)) + distributed exact-cosine verify. Recall
-    1-(1-p^r)^B per true pair (≈0.9999 at τ=0.95 with B=16, r=8),
-    precision exact."""
+    1-(1-p^r)^B per true pair (p = 1 - arccos(τ)/π), precision exact.
+
+    ``n_bits`` auto-sizes to the corpus (expected bucket ≈ 16 rows) so
+    buckets stay far below the 256-member safety cap — with a FIXED
+    8-bit signature, buckets grow as N/256 and any hard cap would
+    silently truncate recall at large N. ``n_bands`` then auto-sizes
+    from (τ, n_bits) to keep per-pair recall ≥ 0.999 (more bits per
+    band ⇒ lower per-band collision probability ⇒ more bands)."""
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    if n_bits is None:
+        n_bits = int(min(24, max(8, np.ceil(np.log2(max(n, 1) / 16 + 1)))))
+    if n_bands is None:
+        p_bit = 1.0 - np.arccos(min(1.0, max(-1.0, threshold))) / np.pi
+        p_band = max(1e-9, p_bit ** n_bits)
+        n_bands = int(min(64, max(8, np.ceil(np.log(0.001)
+                                             / np.log(max(1e-12, 1 - p_band))))))
     sample = ds.take(1)
     dim = len(sample[0][vec_col])
     rng = np.random.default_rng(seed)
@@ -380,7 +400,7 @@ def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
                           batch_format="pyarrow")
 
     def cand(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g[id_col]))[:64]  # hot-bucket cap
+        ids = sorted(set(int(x) for x in g[id_col]))[:256]  # safety cap only
         out_a, out_b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):

@@ -164,13 +164,16 @@ class _SeenShardImpl:
         maybe = self.filter.contains_many(h)
         new = np.ones(len(h), dtype=bool)
         ex = self.exact
-        bloom = self.bloom
-        for i in np.flatnonzero(maybe):
-            k = int(h[i])
-            if k in ex:
-                new[i] = False
-            elif bloom is not None and bool(bloom.contains_many(h[i:i + 1])[0]):
-                new[i] = False  # spilled (or bloom fp — skips, never re-crawls)
+        idx = np.flatnonzero(maybe)
+        if len(idx):
+            in_exact = np.fromiter((int(h[i]) in ex for i in idx),
+                                   dtype=bool, count=len(idx))
+            new[idx[in_exact]] = False
+            if self.bloom is not None:
+                rest = idx[~in_exact]
+                if len(rest):  # one vectorized probe over the candidates
+                    # spilled (or bloom fp — skips, never re-crawls)
+                    new[rest[self.bloom.contains_many(h[rest])]] = False
         fresh = h[new]
         ex.update(int(x) for x in fresh)
         if len(fresh):
@@ -184,12 +187,15 @@ class _SeenShardImpl:
         h = np.asarray(hashes, dtype=np.uint64)
         maybe = self.filter.contains_many(h)
         out = np.zeros(len(h), dtype=bool)
-        bloom = self.bloom
-        for i in np.flatnonzero(maybe):
-            if int(h[i]) in self.exact:
-                out[i] = True
-            elif bloom is not None and bool(bloom.contains_many(h[i:i + 1])[0]):
-                out[i] = True
+        idx = np.flatnonzero(maybe)
+        if len(idx):
+            in_exact = np.fromiter((int(h[i]) in self.exact for i in idx),
+                                   dtype=bool, count=len(idx))
+            out[idx[in_exact]] = True
+            if self.bloom is not None:
+                rest = idx[~in_exact]
+                if len(rest):
+                    out[rest[self.bloom.contains_many(h[rest])]] = True
         return out
 
     def snapshot(self) -> np.ndarray:
@@ -203,6 +209,29 @@ class _SeenShardImpl:
 
 
 SeenShard = ray.remote(_SeenShardImpl)
+
+
+def scatter_check_and_add(shards: list, h: np.ndarray) -> np.ndarray:
+    """Route hashes to their shard (hash mod n) and gather the NEW mask,
+    preserving input order — one RPC per shard per call. The ONE routing
+    implementation: used by the driver-side SeenSet and by the
+    dataset-mode seen-gate stage (crawl parity depends on both using
+    identical routing)."""
+    h = np.asarray(h, dtype=np.uint64)
+    out = np.zeros(len(h), dtype=bool)
+    if len(h) == 0:
+        return out
+    n = len(shards)
+    sid = (h % np.uint64(n)).astype(np.int64)
+    futs, idxs = [], []
+    for s in range(n):
+        ix = np.flatnonzero(sid == s)
+        if len(ix):
+            futs.append(shards[s].check_and_add.remote(h[ix]))
+            idxs.append(ix)
+    for ix, mask in zip(idxs, ray.get(futs)):
+        out[ix] = mask
+    return out
 
 
 class SeenSet:
@@ -222,30 +251,13 @@ class SeenSet:
             for i in range(n_shards)
         ]
 
-    def _route(self, hashes: np.ndarray):
-        sid = (hashes % np.uint64(self.n_shards)).astype(np.int64)
-        return sid
-
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Vector check-and-insert across shards; preserves input order.
 
         One RPC per shard per call (not per URL): the caller batches a
         whole frontier round.
         """
-        h = np.asarray(hashes, dtype=np.uint64)
-        if len(h) == 0:
-            return np.zeros(0, dtype=bool)
-        sid = self._route(h)
-        out = np.zeros(len(h), dtype=bool)
-        futs, idxs = [], []
-        for s in range(self.n_shards):
-            ix = np.flatnonzero(sid == s)
-            if len(ix):
-                futs.append(self.shards[s].check_and_add.remote(h[ix]))
-                idxs.append(ix)
-        for ix, mask in zip(idxs, ray.get(futs)):
-            out[ix] = mask
-        return out
+        return scatter_check_and_add(self.shards, hashes)
 
     def bulk_add(self, hashes: np.ndarray) -> None:
         """Seed the shards from a checkpoint snapshot (resume path)."""
