@@ -625,25 +625,25 @@ def _crawl_rounds_dataset(pages_ref, robots, seen, politeness,
         rows_in = frontier_ds.count()
         if rows_in == 0:
             break
+        # depth gate + robots gate FUSED into one pass (one actor RPC per
+        # block); per-host counts computed once and reused for both the
+        # crawl-delay install and the politeness grant. Parity note: the
+        # driver loop installs delays for robots-blocked hosts too, but a
+        # fully-blocked host never enters grant counts, so its delay is
+        # never consulted — skipping the install is behavior-identical.
+        gate = _RobotsGateStage(robots)
         active = frontier_ds.map_batches(
-            lambda t, md=max_depth: t.filter(pc.less_equal(t.column("depth"), md)),
-            batch_format="pyarrow")
-        # install robots crawl-delays for hosts not yet known (small table:
-        # one row per host)
-        hosts_df = active.groupby("host").count().to_pandas()
-        if len(hosts_df) == 0:
+            lambda t, md=max_depth, g=gate: g(
+                t.filter(pc.less_equal(t.column("depth"), md))),
+            batch_format="pyarrow").materialize()
+        counts_df = active.groupby("host").count().to_pandas()
+        if len(counts_df) == 0:
             break
-        new_hosts = sorted(set(hosts_df["host"]) - delays_known)
+        new_hosts = sorted(set(counts_df["host"]) - delays_known)
         if new_hosts:
             ray.get(politeness.set_delays.remote(
                 ray.get(robots.delays.remote(new_hosts))))
             delays_known.update(new_hosts)
-        # robots gate (one actor RPC per block)
-        active = active.map_batches(_RobotsGateStage(robots),
-                                    batch_format="pyarrow").materialize()
-        counts_df = active.groupby("host").count().to_pandas()
-        if len(counts_df) == 0:
-            break
         cnt_col = [c for c in counts_df.columns if c != "host"][0]
         counts = {h: int(c) for h, c in zip(counts_df["host"], counts_df[cnt_col])}
         grant = ray.get(politeness.grant.remote(counts))
