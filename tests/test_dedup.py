@@ -372,3 +372,21 @@ def test_simhash_near_dup_pairs_equals_brute_force(ray_session):
     assert got == brute
     for r in out.itertuples():
         assert r.hamming == D.hamming64(sigs[r.id_a], sigs[r.id_b])
+
+
+def test_scraper_similarity_properties():
+    """calculateSimilarity bounds and quirk invariants via hypothesis."""
+    from hypothesis import given, strategies as st
+    words = st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=4),
+                     min_size=0, max_size=8)
+
+    @given(words, words)
+    def check(w1, w2):
+        s1, s2 = " ".join(w1), " ".join(w2)
+        v = D.scraper_similarity(s1, s2)
+        assert 0.0 <= v  # can exceed 1.0 only via the duplicate-count quirk
+        if s1 == s2 and s1:
+            assert v >= 1.0  # identical strings always clear the 0.7 bar
+        assert D.scraper_is_similar(s1, s1) or not s1.strip()
+
+    check()

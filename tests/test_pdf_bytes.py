@@ -81,3 +81,17 @@ def test_pdf_locations_tolerates_undecodable_pdf(ray_session, tmp_path):
     out = pdf_locations(ds).to_pandas()
     assert len(out) >= 1
     assert all(out["source_url"].str.endswith("good.pdf"))
+
+
+def test_pdf_parser_never_crashes_on_fuzz():
+    """pdf_extract_text is total: arbitrary bytes (including truncated
+    headers, bogus streams, binary noise) return a string, never raise."""
+    import random
+    rng = random.Random(23)
+    samples = [b"", b"%PDF", b"%PDF-1.7\nstream\n\x00\xff\x13garbage\nendstream",
+               b"%PDF-1.4\nstream\n" + bytes(rng.randrange(256) for _ in range(500)),
+               make_simple_pdf(["x"])[:60],  # truncated valid PDF
+               b"%PDF" + bytes(rng.randrange(256) for _ in range(2000))]
+    for s in samples:
+        out = pdf_extract_text(s)
+        assert isinstance(out, str)
