@@ -73,3 +73,26 @@ def test_filter_valid():
     ])
     out = E.filter_valid(t)
     assert out.num_rows == 2
+
+
+def test_enrich_with_chain_backend(ray_session):
+    """backend='chain' routes lookups through the multi-provider fallback
+    chain with the identical output schema (MapQuest backstops, so every
+    coordinate-less row still gets geocoded)."""
+    import pandas as pd
+    import ray.data as rd
+    from web_crawler_ray.stages.enrich import GeocodeEnrichStage
+    rows = [{"name": f"Co {i}", "address": f"{100+i} Main Street, Springfield, IL 62701",
+             "latitude": "", "longitude": "", "city": "", "state": "",
+             "postal_code": "", "country": "", "phone": "", "email": "",
+             "source_url": "https://h.example/a", "extraction_method": "jsonld",
+             "confidence": 0.9, "discovery_seq": i, "street": "", "activity": ""}
+            for i in range(12)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = ds.map_batches(GeocodeEnrichStage(backend="chain"),
+                         batch_format="pyarrow", concurrency=1).to_pandas()
+    base = ds.map_batches(GeocodeEnrichStage(), batch_format="pyarrow",
+                          concurrency=1).to_pandas()
+    assert list(out.columns) == list(base.columns)
+    assert len(out) == 12 and (out["latitude"] != "").all()
+    assert (out["postcode"] == "62701").all()

@@ -57,15 +57,35 @@ class GeocodeEnrichStage:
     (``geocode_enrich_batch`` below, per-worker memo) — elastic, no
     actor-pool startup, and it keeps the upstream extract stages from
     being fused into a small fixed pool.
+
+    ``backend="chain"`` routes lookups through the N13 multi-provider
+    fallback chain (state/geocode_chain.MultiGeocoder: Google ->
+    Nominatim -> MapQuest with per-provider rate budgets) instead of
+    the single synthetic geocoder — the production shape, one chain
+    (memo + budgets) per actor/worker. Output schema is identical.
     """
 
-    def __init__(self):
+    def __init__(self, backend: str = "synthetic"):
         self.memo: dict[str, dict] = {}
+        self.chain = None
+        if backend == "chain":
+            from ..state.geocode_chain import MultiGeocoder
+            self.chain = MultiGeocoder()
 
     def _geocode(self, address: str) -> dict:
         g = self.memo.get(address)
         if g is None:
-            g = synthetic_geocode(address)
+            if self.chain is not None:
+                r = self.chain.geocode_with_fallback(address)
+                g = {"formattedAddress": r.get("formattedAddress", ""),
+                     "latitude": r.get("latitude", ""),
+                     "longitude": r.get("longitude", ""),
+                     "countryCode": r.get("countryCode", ""),
+                     "postalCode": r.get("postcode", ""),
+                     "state": r.get("state", ""),
+                     "city": r.get("city", "")}
+            else:
+                g = synthetic_geocode(address)
             if len(self.memo) < 100_000:
                 self.memo[address] = g
         return g
