@@ -124,6 +124,33 @@ def test_simhash_hamming():
     assert D.simhash64("") == 0
 
 
+def _simhash64_spec(text):
+    """The scalar definition the vectorized kernel must reproduce:
+    acc[i] += bit_i(blake2b64(word)) ? +1 : -1; out bit i iff acc[i] > 0."""
+    import hashlib
+    words = D._WORD_RE.findall((text or "").lower())
+    acc = [0] * 64
+    for w in words:
+        h = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(64) if acc[i] > 0)
+
+
+def test_simhash_batch_matches_scalar_spec():
+    import random
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "office", "street", "42", "x", "ümlaut"]
+    texts = ["", None, "a", "hello world hello",
+             "The quick brown fox-jumps over 123 lazy dogs!"]
+    texts += [" ".join(rng.choices(vocab, k=rng.randint(0, 30)))
+              for _ in range(100)]
+    batch = D.simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == _simhash64_spec(t)
+
+
 def test_d4_cross_page(ray_session):
     df = pd.DataFrame([
         {"location_address": "100 Main Street Springfield", "location_name": "",
