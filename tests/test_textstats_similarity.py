@@ -203,3 +203,33 @@ def test_near_dup_pairs_empty_and_autosized(ray_session):
     for method in ("lsh", "exact"):
         out = S.near_dup_pairs(empty, threshold=0.95, method=method)
         assert len(out) == 0 and list(out.columns) == ["id_a", "id_b", "score"]
+
+
+def test_md5_word_hash_matches_duckdb_md5_number_lower():
+    """The md5 hash variants are oracle-exact ONLY because the engine's
+    word hash equals DuckDB's md5_number_lower: low 8 md5 digest bytes,
+    little-endian. Pin that correspondence."""
+    import duckdb
+    from web_crawler_ray.stages.dedup import _word_hash64
+    words = ["abc", "", "office", "straße", "42", "o'brien", "x" * 100]
+    con = duckdb.connect()
+    for w in words:
+        got = _word_hash64(w, "md5")
+        exp = con.execute("SELECT md5_number_lower(?)", [w]).fetchone()[0]
+        assert got == exp, w
+
+
+def test_fingerprint_md5_window_semantics():
+    """min over 8-word windows; <8 words -> single window; empty -> 0."""
+    import pyarrow as pa
+    from web_crawler_ray.stages.dedup import _word_hash64
+    from web_crawler_ray.stages.textstats import fingerprint_md5_batch, _WORD_RE
+    texts = ["", "one two three", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"]
+    out = fingerprint_md5_batch(pa.table({"text": texts}))
+    fps = out.column("fingerprint").to_pylist()
+    assert fps[0] == 0
+    assert fps[1] == _word_hash64("one\x01two\x01three", "md5")
+    ws = _WORD_RE.findall(texts[2])
+    expect = min(_word_hash64("\x01".join(ws[i:i + 8]), "md5")
+                 for i in range(3))
+    assert fps[2] == expect

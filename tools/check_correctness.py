@@ -51,6 +51,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = m.queries()
+    if len(sys.argv) > 2:  # optional substring filters: only matching names
+        pats = sys.argv[2:]
+        qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
     oracles = m.oracle_sql()
     failures = 0
     for name, fn in qs.items():

@@ -331,6 +331,30 @@ def q_fingerprints(sf_dir: str):
              .select_columns(["doc_id", "fingerprint"])
 
 
+# --- DuckDB-reproducible hash variants (oracle-exact tail closers) ----------
+# Same pipelines as simhash / simhash_pairs / fingerprints but with the
+# word hash swapped to md5-low-64 (== DuckDB md5_number_lower), which SQL
+# CAN express — so these three run under the full rows+schema+hash gate
+# while the blake2b originals stay rows-only.
+
+def q_simhash_md5(sf_dir: str):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(D.SimHashStage(hash_fn="md5"),
+                          batch_format="pyarrow") \
+             .select_columns(["doc_id", "simhash"])
+
+
+def q_simhash_pairs_md5(sf_dir: str):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return D.simhash_near_dup_pairs(ds, max_hamming=3, hash_fn="md5")
+
+
+def q_fingerprints_md5(sf_dir: str):
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(T.fingerprint_md5_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "fingerprint"])
+
+
 def q_doc_quality(sf_dir: str):
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(T.quality_batch, batch_format="pyarrow") \
@@ -517,8 +541,11 @@ def registry() -> dict:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_md5": q_simhash_md5,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "fingerprints_md5": q_fingerprints_md5,
         "doc_quality": q_doc_quality,
         "media_features": q_media_features,
         "pdf_locations": q_pdf_locations,
@@ -677,6 +704,50 @@ _TRAINING_PIPELINE_SQL = (
 )
 
 
+# md5-variant hash oracles: word hash == DuckDB md5_number_lower (low 8
+# md5 digest bytes, little-endian — correspondence pinned in pytest).
+# Simhash per doc: unnest words x 64 bit lanes, majority vote per lane.
+_SIMHASH_MD5_SIG = (
+    "w AS (SELECT doc_id, "
+    "regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS words "
+    "FROM documents), "
+    "u AS (SELECT doc_id, len(words) AS n, unnest(words) AS wd FROM w), "
+    "h AS (SELECT doc_id, n, md5_number_lower(wd) AS hv FROM u), "
+    "b AS (SELECT doc_id, g.i, any_value(n) AS n, "
+    "sum(CASE WHEN (hv >> g.i) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE 0 END) "
+    "AS ones FROM h CROSS JOIN "
+    "(SELECT unnest(generate_series(0,63)) AS i) g GROUP BY doc_id, g.i), "
+    "sg AS (SELECT doc_id, sum(CASE WHEN 2*ones > n THEN (1::UBIGINT << i) "
+    "ELSE 0::UBIGINT END)::UBIGINT AS simhash FROM b GROUP BY doc_id), "
+    "s AS (SELECT d.doc_id, coalesce(sg.simhash, 0)::UBIGINT AS simhash "
+    "FROM documents d LEFT JOIN sg USING (doc_id))"
+)
+
+_SIMHASH_MD5_SQL = f"WITH {_SIMHASH_MD5_SIG} SELECT doc_id, simhash FROM s"
+
+# Brute-force Hamming<=3 pairs over the md5 simhash — STRICTER than the
+# engine's banded path (which has exact pigeonhole recall at <=3, so they
+# agree except under the documented 64-id hot-bucket cap, which does not
+# bind at gate scales).
+_SIMHASH_PAIRS_MD5_SQL = (
+    f"WITH {_SIMHASH_MD5_SIG} "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming "
+    "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+)
+
+_FINGERPRINTS_MD5_SQL = (
+    "WITH w AS (SELECT doc_id, "
+    "regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9'']+') AS ws "
+    "FROM documents) "
+    "SELECT doc_id, (CASE WHEN len(ws) = 0 THEN 0::UBIGINT ELSE "
+    "list_min(list_transform(generate_series(1, greatest(1, len(ws)-7)), "
+    "i -> md5_number_lower(array_to_string(ws[i:i+7], chr(1))))) END"
+    ")::UBIGINT AS fingerprint FROM w"
+)
+
+
 ORACLES: dict[str, str] = {
     "filter_events":
         "SELECT event_id, event_type, value FROM events WHERE value >= 0.7",
@@ -752,6 +823,9 @@ ORACLES: dict[str, str] = {
         f">= {NEAR_DUP_TAU}",
     "lang_id": _LANG_ID_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
+    "simhash_md5": _SIMHASH_MD5_SQL,
+    "simhash_pairs_md5": _SIMHASH_PAIRS_MD5_SQL,
+    "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
     "jaccard_pairs": _JACCARD_PAIRS_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "training_pipeline": _TRAINING_PIPELINE_SQL,

@@ -930,29 +930,39 @@ def drop_ids(ds, dropped: set[int], id_col: str = "doc_id"):
 # --- SimHash -----------------------------------------------------------------
 
 # Per-worker word-hash memo: text corpora repeat words heavily, so each
-# worker process hashes a given word at most once. Bounded to keep worker
-# heaps flat at 100 TB text volumes (cleared wholesale when full — a memo,
-# not a correctness structure).
-_WORD_HASH_MEMO: dict[str, int] = {}
+# worker process hashes a given word at most once per hash_fn. Bounded to
+# keep worker heaps flat at 100 TB text volumes (cleared wholesale when
+# full — a memo, not a correctness structure).
+_WORD_HASH_MEMO: dict[str, dict[str, int]] = {"blake2b": {}, "md5": {}}
 _WORD_HASH_MEMO_CAP = 1_000_000
 
 
-def _word_hash64(w: str) -> int:
-    h = _WORD_HASH_MEMO.get(w)
+def _word_hash64(w: str, hash_fn: str = "blake2b") -> int:
+    """64-bit word hash. ``blake2b`` is the default engine hash;
+    ``md5`` is the DuckDB-reproducible variant — the low 8 digest bytes
+    read little-endian, matching DuckDB's ``md5_number_lower(w)``
+    (validated in tests), which makes simhash/fingerprint queries
+    oracle-checkable."""
+    memo = _WORD_HASH_MEMO[hash_fn]
+    h = memo.get(w)
     if h is None:
-        if len(_WORD_HASH_MEMO) >= _WORD_HASH_MEMO_CAP:
-            _WORD_HASH_MEMO.clear()
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        _WORD_HASH_MEMO[w] = h
+        if len(memo) >= _WORD_HASH_MEMO_CAP:
+            memo.clear()
+        if hash_fn == "md5":
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
+        else:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        memo[w] = h
     return h
 
 
-def simhash64(text: str) -> int:
+def simhash64(text: str, hash_fn: str = "blake2b") -> int:
     """Classic 64-bit simhash over word features (scalar reference form)."""
-    return int(simhash64_batch([text])[0])
+    return int(simhash64_batch([text], hash_fn=hash_fn)[0])
 
 
-def simhash64_batch(texts) -> np.ndarray:
+def simhash64_batch(texts, hash_fn: str = "blake2b") -> np.ndarray:
     """Vectorized batch simhash — identical output to the per-doc scalar
     definition (acc[i] += bit_i(blake2b64(word)) ? +1 : -1; out bit i set
     iff acc[i] > 0, i.e. 2*ones[i] > n_words).
@@ -974,7 +984,7 @@ def simhash64_batch(texts) -> np.ndarray:
     codes, uniques = pd.factorize(
         np.concatenate([np.asarray(ws, dtype=object) for ws in word_lists
                         if ws]))
-    uniq_h = np.fromiter((_word_hash64(w) for w in uniques),
+    uniq_h = np.fromiter((_word_hash64(w, hash_fn) for w in uniques),
                          dtype=np.uint64, count=len(uniques))
     flat = uniq_h[codes]
     # (n_words, 64) bit matrix; byte 0 of a native-little-endian uint64 is
@@ -996,12 +1006,13 @@ def simhash64_batch(texts) -> np.ndarray:
 
 
 class SimHashStage:
-    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
-        self.id_col, self.text_col = id_col, text_col
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 hash_fn: str = "blake2b"):
+        self.id_col, self.text_col, self.hash_fn = id_col, text_col, hash_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        h = simhash64_batch(texts)
+        h = simhash64_batch(texts, hash_fn=self.hash_fn)
         return batch.append_column("simhash", pa.array(h, pa.uint64()))
 
 
@@ -1013,13 +1024,14 @@ class SimHashBandStage:
     """map_batches stage: text -> 4 exploded (band_id, band_val) rows per
     doc, carrying the full 64-bit simhash for in-bucket verification."""
 
-    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
-        self.id_col, self.text_col = id_col, text_col
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 hash_fn: str = "blake2b"):
+        self.id_col, self.text_col, self.hash_fn = id_col, text_col, hash_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy()
         texts = batch.column(self.text_col).to_pylist()
-        sigs = simhash64_batch(texts)
+        sigs = simhash64_batch(texts, hash_fn=self.hash_fn)
         n = len(sigs)
         bands = np.arange(4, dtype=np.int32)
         o_id = np.repeat(ids.astype(np.int64), 4)
@@ -1034,7 +1046,8 @@ class SimHashBandStage:
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
-                           text_col: str = "text") -> pd.DataFrame:
+                           text_col: str = "text",
+                           hash_fn: str = "blake2b") -> pd.DataFrame:
     """SimHash near-duplicate pairs (id_a < id_b, Hamming ≤ max_hamming).
 
     Banding on the 4 × 16-bit chunks of the fingerprint: a pair within
@@ -1046,7 +1059,7 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     the driver sees only qualifying pairs, deduped across bands with an
     O(pairs) drop_duplicates."""
     assert max_hamming <= 3, "4-band pigeonhole guarantees recall only to 3"
-    bands = ds.map_batches(SimHashBandStage(id_col, text_col),
+    bands = ds.map_batches(SimHashBandStage(id_col, text_col, hash_fn),
                            batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:

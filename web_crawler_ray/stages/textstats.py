@@ -182,3 +182,31 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     fps = [fp(t) for t in batch.column(text_col).to_pylist()]
     return batch.append_column("fingerprint", pa.array(np.array(fps, np.uint64)))
+
+
+def fingerprint_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """DuckDB-reproducible document fingerprint (oracle-checkable variant
+    of ``fingerprint_batch``): min over 8-word windows of the low 64 bits
+    (little-endian) of md5 over the chr(1)-joined window — exactly
+    DuckDB's ``list_min(list_transform(..., i ->
+    md5_number_lower(array_to_string(ws[i:i+7], chr(1)))))``. Same
+    winnowing-lite semantics (order-sensitive, whitespace-insensitive);
+    the default variant keeps blake2b, which SQL cannot express."""
+    import hashlib
+
+    def fp(t: str) -> int:
+        words = _WORD_RE.findall((t or "").lower())
+        if not words:
+            return 0
+        sep = "\x01"
+        best = None
+        for i in range(max(1, len(words) - 7)):
+            h = int.from_bytes(
+                hashlib.md5(sep.join(words[i:i + 8]).encode()).digest()[8:],
+                "little")
+            if best is None or h < best:
+                best = h
+        return best
+
+    fps = [fp(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("fingerprint", pa.array(np.array(fps, np.uint64)))
