@@ -233,3 +233,16 @@ def test_fingerprint_md5_window_semantics():
     expect = min(_word_hash64("\x01".join(ws[i:i + 8]), "md5")
                  for i in range(3))
     assert fps[2] == expect
+
+
+def test_media_features_task_and_actor_forms_equal(ray_session):
+    """q_media_features' default stateless-task form (per-worker decoder
+    singleton) must emit exactly what the actor-pool form emits."""
+    from web_crawler_ray.pipelines.queries import q_media_features
+    sf = "/root/testdata/sf0.001"
+    a = q_media_features(sf).to_pandas() \
+        .sort_values("media_ref").reset_index(drop=True)
+    b = q_media_features(sf, actor_pool=True).to_pandas() \
+        .sort_values("media_ref").reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
