@@ -33,7 +33,7 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def headline(num_cpus: int) -> dict:
+def headline(num_cpus: int, frontier_mode: str = "driver") -> dict:
     """Crawl + extract + dedup + enrich over the synthetic frontier."""
     import ray
     import ray.data
@@ -58,7 +58,7 @@ def headline(num_cpus: int) -> dict:
     t0 = time.time()
     res = crawl(pages_store, robots, seeds, max_pages=10_000_000, max_depth=3,
                 round_seconds=3600.0, fetch_concurrency=num_cpus,
-                n_seen_shards=8)
+                n_seen_shards=8, frontier_mode=frontier_mode)
     classified = res.pages.map_batches(classify_batch, batch_format="pyarrow",
                                        batch_size=64)
     locs = extract_locations(classified)
@@ -122,10 +122,29 @@ def _headline_subprocess(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def _frontier_arg() -> str:
+    if "--frontier" in sys.argv:
+        return sys.argv[sys.argv.index("--frontier") + 1]
+    return "driver"
+
+
 def main():
     if "--headline-only" in sys.argv:
-        h = headline(NUM_CPUS)
+        h = headline(NUM_CPUS, frontier_mode=_frontier_arg())
         print(json.dumps(h))
+        return
+    if "--frontier" in sys.argv and _frontier_arg() != "driver":
+        # dataset-frontier headline line (the 100 TB mode): same world,
+        # same pipeline, frontier_mode="dataset"
+        h = headline(NUM_CPUS, frontier_mode=_frontier_arg())
+        print(json.dumps({
+            "metric": "crawl_extract_dedup_seconds",
+            "value": round(h["sec"], 3), "unit": "sec",
+            "frontier_mode": _frontier_arg(),
+            "sf": _sf_of(SF_DIR), "num_cpus": NUM_CPUS,
+            "pages_fetched": h["pages_fetched"],
+            "pages_per_sec": round(h["pages_per_sec"], 1),
+            "locations": h["locations"], "rounds": h["rounds"]}))
         return
     if "--scaling" in sys.argv:
         lo = _headline_subprocess(8)

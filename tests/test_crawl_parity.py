@@ -205,3 +205,19 @@ def test_crawl_with_seen_spill_matches_unspilled(small_world):
     assert b[0] == a[0]
     assert b[2]["fetched"] == a[2]["fetched"]
     assert b[2]["seen"] == a[2]["seen"]  # cardinality includes spilled keys
+
+
+def test_dataset_mode_cap_crosses_buckets(ray_session):
+    """Regression (round-3): fetch_rank is GLOBAL, so the max_pages cap
+    must bind even in host buckets smaller than the remaining room —
+    an infinite-budget round where the cap lands mid-frontier across
+    many hosts exercises exactly that."""
+    tbl, robots, seeds = W.world(seed=1136, n_hosts=7, pages_per_host_base=25)
+    kw = dict(max_pages=33, max_depth=5, round_seconds=None,
+              order="priority", keep_pages=False)
+    d = crawl(tbl, robots, seeds, **kw)
+    e = crawl(tbl, robots, seeds, frontier_mode="dataset", **kw)
+    assert e.stats["fetched"] == d.stats["fetched"] == 33
+    assert e.visited.column("url").to_pylist() == \
+        d.visited.column("url").to_pylist()
+    assert np.array_equal(e.seen_snapshot, d.seen_snapshot)
