@@ -411,6 +411,13 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     The resumed run's fetch order is exactly the rounds the interrupted
     run would have executed next (tests/test_checkpoint.py asserts
     capped-run + resumed-run ≡ one uninterrupted run).
+
+    ``seen_spill_threshold``: per-shard exact-tier RAM bound; past it
+    keys spill to a bloom tier (no false negatives — crawl order is
+    unchanged). CONTRACT: after a spill ``CrawlResult.seen_snapshot``
+    is partial (spilled keys are queryable, not enumerable; a warning
+    is logged) while ``stats['seen']`` still counts them; resume stays
+    exact because checkpoints persist per-round seen DELTAS.
     """
     pages_ref = ray.put(pages_store)
     robots = RobotsCache.options(num_cpus=0.1).remote(robots_by_host)

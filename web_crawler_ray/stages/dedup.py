@@ -487,7 +487,11 @@ def scraper_dedup_improved(locations: list[dict]) -> list[dict]:
     for loc in locations:
         norm = _scraper_norm(loc.get("address") or "")
         is_dup = False
-        for key, value in seen.items():
+        # list() snapshot: the replace branch inserts seen[norm] mid-scan;
+        # today both loops break right after, but iterating a snapshot
+        # keeps the mutation safe by construction (the JS Map loop also
+        # stops at the first match, so semantics are unchanged)
+        for key, value in list(seen.items()):
             if scraper_is_similar(norm, key):
                 is_dup = True
                 if len(loc.get("address") or "") > len(value.get("address") or ""):

@@ -16,10 +16,14 @@ Scores are rounded to 6 decimals so the DuckDB oracle
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+
+_LOG = logging.getLogger(__name__)
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -377,8 +381,11 @@ def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
     buckets stay far below the 256-member safety cap — with a FIXED
     8-bit signature, buckets grow as N/256 and any hard cap would
     silently truncate recall at large N. ``n_bands`` then auto-sizes
-    from (τ, n_bits) to keep per-pair recall ≥ 0.999 (more bits per
-    band ⇒ lower per-band collision probability ⇒ more bands)."""
+    from (τ, n_bits) TOWARD per-pair recall ≥ 0.999, but is capped at
+    64 bands: when the target needs more (low τ combined with large
+    auto-sized n_bits), the cap wins and the achieved recall is lower —
+    a log() reports the shortfall (no silent caps). At such thresholds
+    prefer ``method='exact'`` (the 'auto' router already does)."""
     n = ds.count()
     if n == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
@@ -389,8 +396,16 @@ def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
     if n_bands is None:
         p_bit = 1.0 - np.arccos(min(1.0, max(-1.0, threshold))) / np.pi
         p_band = max(1e-9, p_bit ** n_bits)
-        n_bands = int(min(64, max(8, np.ceil(np.log(0.001)
-                                             / np.log(max(1e-12, 1 - p_band))))))
+        need = int(max(8, np.ceil(np.log(0.001)
+                                  / np.log(max(1e-12, 1 - p_band)))))
+        n_bands = min(64, need)
+        if need > 64:
+            achieved = 1.0 - (1.0 - p_band) ** n_bands
+            _LOG.warning(
+                "near_dup_pairs lsh: band cap 64 < %d needed for recall "
+                ">=0.999 at tau=%.3f with n_bits=%d; per-pair recall "
+                "~%.4f — consider method='exact' or fewer bits",
+                need, threshold, n_bits, achieved)
     sample = ds.take(1)
     dim = len(sample[0][vec_col])
     rng = np.random.default_rng(seed)
@@ -400,7 +415,13 @@ def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
                           batch_format="pyarrow")
 
     def cand(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g[id_col]))[:256]  # safety cap only
+        uniq = sorted(set(int(x) for x in g[id_col]))
+        ids = uniq[:256]  # safety cap; auto-sized n_bits targets ~16/bucket
+        if len(uniq) > 256:  # no silent caps: dropped coverage is visible
+            _LOG.warning(
+                "near_dup_pairs lsh: hot bucket truncated %d -> 256 ids "
+                "(band %s); raise n_bits to re-spread",
+                len(uniq), g["band_id"].iloc[0] if len(g) else "?")
         out_a, out_b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):

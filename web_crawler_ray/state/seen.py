@@ -264,7 +264,20 @@ class SeenSet:
         self.check_and_add(np.asarray(hashes, dtype=np.uint64))
 
     def snapshot(self) -> np.ndarray:
+        """Sorted uint64 hashes of the EXACT tier. After a bloom spill
+        (``spill_threshold`` exceeded) this is PARTIAL: spilled keys are
+        membership-queryable but not enumerable — cardinality() still
+        counts them, and resume stays exact because checkpoints rebuild
+        from per-round deltas, not from this snapshot. A warning is
+        logged so snapshot consumers (parity comparisons) can't miss it."""
         parts = ray.get([s.snapshot.remote() for s in self.shards])
+        spilled = self.cardinality() - int(sum(len(p) for p in parts))
+        if spilled > 0:
+            import logging
+            logging.getLogger(__name__).warning(
+                "SeenSet.snapshot(): %d spilled keys are NOT in the "
+                "snapshot (bloom tier is non-enumerable); use per-round "
+                "checkpoint deltas for exact comparisons", spilled)
         return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
 
     def cardinality(self) -> int:
