@@ -221,3 +221,58 @@ def test_dataset_mode_cap_crosses_buckets(ray_session):
     assert e.visited.column("url").to_pylist() == \
         d.visited.column("url").to_pylist()
     assert np.array_equal(e.seen_snapshot, d.seen_snapshot)
+
+
+def test_http_fetcher_against_local_server(ray_session):
+    """S1 concrete: crawl(fetcher='http') GETs a real (localhost) site —
+    link discovery, BFS order, politeness and dedup all behave exactly
+    as with the page store; network failures become fetch_ok=False."""
+    import http.server
+    import threading
+
+    PAGES = {
+        "/": '<a href="/a">a</a><a href="/b">b</a>',
+        "/a": '<a href="/b">b</a><a href="/c">c</a>',
+        "/b": '<a href="/">home</a>',
+        "/c": "plain leaf",
+    }
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = PAGES.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        seed = f"http://127.0.0.1:{port}/"
+        res = crawl(None, {}, [seed], max_pages=50, max_depth=3,
+                    round_seconds=None, fetcher="http", fetch_concurrency=2)
+        urls = res.visited.column("url").to_pylist()
+        # BFS order: seed, then its links in document order, then depth-2
+        assert urls == [seed, seed + "a", seed + "b", seed + "c"]
+        pages = res.pages.to_pandas().set_index("url")
+        assert pages.loc[seed + "c", "html"] == "plain leaf"
+        assert bool(pages.loc[seed + "a", "fetch_ok"])
+        # dead link -> fetch_ok False, no crash
+        res2 = crawl(None, {}, [f"http://127.0.0.1:{port}/missing"],
+                     max_pages=5, fetcher="http")
+        p2 = res2.pages.to_pandas()
+        assert len(p2) == 1 and not bool(p2["fetch_ok"][0])
+    finally:
+        srv.shutdown()
+        srv.server_close()

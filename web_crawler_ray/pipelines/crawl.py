@@ -149,6 +149,53 @@ class FetchStage:
         return out
 
 
+class HttpFetchStage:
+    """Real network fetch (S1, the production path behind
+    ``crawl(fetcher="http")``): plain HTTP GET per frontier row via
+    stdlib urllib — the axios path of the reference
+    (professional-crawler.service.js:166, 15 s timeout). Emits the SAME
+    schema as the page-store FetchStage (status, html, xhr_json,
+    links_canon, fetch_ok), so every downstream stage and both frontier
+    modes work unchanged; xhr_json is null (no browser — the reference's
+    Puppeteer/Playwright XHR capture is a browser-pool analogue).
+    Failures (timeout, refused, non-2xx) become fetch_ok=False rows, the
+    reference's catch-and-continue. Used as a map_batches stage whose
+    per-task fan-out is bounded by fetch_concurrency, with politeness
+    pacing still enforced by the per-round grant."""
+
+    def __init__(self, timeout: float = 15.0):
+        self.timeout = timeout
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import urllib.request
+        n = batch.num_rows
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        status = np.zeros(n, dtype=np.int16)
+        html: list[str] = [""] * n
+        for i, u in enumerate(urls):
+            try:
+                with urllib.request.urlopen(u, timeout=self.timeout) as r:
+                    status[i] = r.status
+                    if 200 <= r.status < 300:
+                        html[i] = r.read().decode("utf-8", errors="replace")
+            except Exception:
+                status[i] = 0  # network error; fetch_ok stays False
+        links = [
+            _canonical_links(html[i], urls[i], hosts[i])
+            if status[i] == 200 and html[i] else []
+            for i in range(n)
+        ]
+        ok = [bool(status[i] == 200 and html[i]) for i in range(n)]
+        out = batch.append_column("status", pa.array(status, pa.int16()))
+        out = out.append_column("html", pa.array(html, pa.large_string()))
+        out = out.append_column("xhr_json",
+                                pa.array([None] * n, pa.large_string()))
+        out = out.append_column("links_canon",
+                                pa.array(links, pa.list_(pa.string())))
+        return out.append_column("fetch_ok", pa.array(ok, pa.bool_()))
+
+
 def _canonical_links(html: str, url: str, host: str) -> list[str]:
     """F1-F4 for one page: document order, in-page first-seen dedup."""
     local: set[str] = set()
@@ -387,8 +434,17 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
           backoff: bool = False,
           order: str = "fifo",
           frontier_mode: str = "driver",
-          seen_spill_threshold: int | None = None) -> CrawlResult:
-    """Run the round-based BFS. ``pages_store`` must be sorted by url_hash.
+          seen_spill_threshold: int | None = None,
+          fetcher: str = "pagestore",
+          fetch_timeout: float = 15.0) -> CrawlResult:
+    """Run the round-based BFS. ``pages_store`` must be sorted by url_hash
+    (pass ``None`` with ``fetcher="http"``).
+
+    ``fetcher``: ``"pagestore"`` (default) joins the synthetic page store
+    — the sandbox stand-in for the network; ``"http"`` performs real
+    HTTP GETs via HttpFetchStage (same output schema, 15 s reference
+    timeout) so the engine can crawl a live site. All ordering,
+    politeness and dedup semantics are fetcher-independent.
 
     ``round_seconds=None`` ⇒ infinite politeness budget (pure reference
     BFS order); otherwise per-host budget = floor(round_seconds / delay)
@@ -419,7 +475,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     is logged) while ``stats['seen']`` still counts them; resume stays
     exact because checkpoints persist per-round seen DELTAS.
     """
-    pages_ref = ray.put(pages_store)
+    fetch_stage = (HttpFetchStage(fetch_timeout) if fetcher == "http"
+                   else FetchStage(ray.put(pages_store)))
     robots = RobotsCache.options(num_cpus=0.1).remote(robots_by_host)
     seen = SeenSet(n_shards=n_seen_shards,
                    spill_threshold=seen_spill_threshold)
@@ -472,7 +529,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
 
     if frontier_mode == "dataset":
         return _crawl_rounds_dataset(
-            pages_ref, robots, seen, politeness, frontier, next_seq,
+            fetch_stage, robots, seen, politeness, frontier, next_seq,
             n_fetched, rnd, round_delta, delays_known, max_pages, max_depth,
             checkpoint_dir, keep_pages, backoff, order)
 
@@ -543,7 +600,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         n_blocks = max(1, min(max(16, fetch_concurrency * 8),
                               fetch_tbl.num_rows // 192 + 1))
         ds = rd.from_arrow(fetch_tbl, override_num_blocks=n_blocks)
-        ds = ds.map_batches(FetchStage(pages_ref),
+        ds = ds.map_batches(fetch_stage,
                             batch_format="pyarrow", batch_size=256, num_cpus=1)
         ds = ds.materialize()  # pinned once; reused for links + downstream extract
         # link metadata only (html stays in the object store); vectorized
@@ -667,7 +724,7 @@ _FR_COLS = ["url", "url_hash", "host", "path", "depth", "discovery_seq",
             "priority", "parent_url_hash"]
 
 
-def _crawl_rounds_dataset(pages_ref, robots, seen, politeness,
+def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                           frontier_tbl: pa.Table, next_seq: int,
                           n_fetched: int, rnd: int, round_delta: list,
                           delays_known: set, max_pages: int, max_depth: int,
@@ -783,7 +840,7 @@ def _crawl_rounds_dataset(pages_ref, robots, seen, politeness,
 
         # --- the round's ONE Dataset job: fetch + fused link extract ---
         fetched = rd.from_arrow_refs(fetch_refs) \
-            .map_batches(FetchStage(pages_ref), batch_format="pyarrow",
+            .map_batches(fetch_stage, batch_format="pyarrow",
                          batch_size=256, num_cpus=1).materialize()
         fetched_refs = fetched.to_arrow_refs()
         # visited METADATA, ordered by fetch_rank (= round fetch order)
