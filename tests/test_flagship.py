@@ -77,3 +77,23 @@ def test_bulk_pipeline(tmp_path):
         s["locationsCount"] for s in out["summary"])
     with zipfile.ZipFile(wb) as z:
         assert "xl/worksheets/sheet2.xml" in z.namelist()
+
+
+def test_flagship_v2_defaults_content_dedup(ray_session):
+    """run_flagship(profile='v2') drops mirror-page documents by default
+    (content dedup auto-enabled for mirror-bearing v2 worlds)."""
+    out = run_flagship(seed=77, n_hosts=3, pages_per_host_base=14,
+                       round_seconds=6.0, profile="v2")
+    docs = out["documents"].to_pandas()
+    visited = set(out["crawl"].visited.column("url").to_pylist())
+    mirror_pairs = [(u, u.replace("/mirror", "")) for u in visited
+                    if "/mirror" in u and u.replace("/mirror", "") in visited]
+    assert mirror_pairs, "v2 world must fetch at least one mirror pair"
+    kept = set(docs["doc_id"])
+    for m, orig in mirror_pairs:
+        assert not (m in kept and orig in kept)
+    # explicit override keeps both copies
+    out2 = run_flagship(seed=77, n_hosts=3, pages_per_host_base=14,
+                        round_seconds=6.0, profile="v2", content_dedup=False)
+    kept2 = set(out2["documents"].to_pandas()["doc_id"])
+    assert all(m in kept2 and o in kept2 for m, o in mirror_pairs)

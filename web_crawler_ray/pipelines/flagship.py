@@ -78,13 +78,24 @@ def run_flagship(seed: int = 42, n_hosts: int = 8, pages_per_host_base: int = 30
                  max_pages: int = 10_000, max_depth: int = 3,
                  round_seconds: float | None = None,
                  fetch_concurrency: int = 4,
-                 checkpoint_dir: str | None = None) -> dict:
+                 checkpoint_dir: str | None = None,
+                 profile: str = "v1",
+                 content_dedup: bool | None = None) -> dict:
     """Build the synthetic world, crawl it, extract everything.
+
+    ``profile="v2"`` worlds contain byte-identical mirror pages, large
+    docs and media galleries; content dedup defaults ON for them (the
+    stateful content-hash shard stage collapses mirrors before span
+    assembly) and OFF for v1 (no mirrors — pure overhead). Override with
+    ``content_dedup=True/False``.
 
     Returns dict(crawl=CrawlResult, locations=Dataset, documents=Dataset,
     pages=Dataset)."""
+    if content_dedup is None:
+        content_dedup = profile == "v2"
     pages_store, robots, seeds = W.world(seed=seed, n_hosts=n_hosts,
-                                         pages_per_host_base=pages_per_host_base)
+                                         pages_per_host_base=pages_per_host_base,
+                                         profile=profile)
     res: CrawlResult = crawl(pages_store, robots, seeds,
                              max_pages=max_pages, max_depth=max_depth,
                              round_seconds=round_seconds,
@@ -93,6 +104,6 @@ def run_flagship(seed: int = 42, n_hosts: int = 8, pages_per_host_base: int = 30
     pages = res.pages
     classified = pages.map_batches(classify_batch, batch_format="pyarrow")
     locations = extract_locations(classified)
-    documents = assemble_documents(pages)
+    documents = assemble_documents(pages, content_dedup=content_dedup)
     return {"crawl": res, "locations": locations, "documents": documents,
             "pages": pages}
