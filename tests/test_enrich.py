@@ -96,3 +96,100 @@ def test_enrich_with_chain_backend(ray_session):
     assert list(out.columns) == list(base.columns)
     assert len(out) == 12 and (out["latitude"] != "").all()
     assert (out["postcode"] == "62701").all()
+
+
+def _enrich_spec_row(r, geocoder):
+    """The original per-row-dict enrichment — the spec the vectorized
+    stage must reproduce field-for-field."""
+    from web_crawler_ray.functions.normalize import (
+        create_footprint, estimate_height, guess_activity, iso2_to_iso3,
+        normalize_country)
+    addr = r.get("address") or ""
+    has_coords = r.get("latitude") and r.get("longitude")
+    geo = geocoder(addr) if (addr and not has_coords) else None
+    lat = r.get("latitude") or (geo["latitude"] if geo else "")
+    lon = r.get("longitude") or (geo["longitude"] if geo else "")
+    country = r.get("country") or ""
+    iso3 = iso2_to_iso3(normalize_country(country)) if country else \
+        (geo["countryCode"] if geo else "")
+    activity = r.get("activity") or guess_activity(
+        f"{r.get('name') or ''} {addr} {r.get('source_url') or ''}")
+    state = r.get("state") or (geo["state"] if geo else "")
+    city = r.get("city") or (geo["city"] if geo else "")
+    post = r.get("postal_code") or (geo["postalCode"] if geo else "")
+    return {
+        "location_name": r.get("name") or "Unknown Location",
+        "location_address": addr,
+        "activity_at_asset": activity,
+        "latitude": str(lat) if lat else "",
+        "longitude": str(lon) if lon else "",
+        "country_iso3": iso3,
+        "postcode": str(post) if post else "",
+        "state": state,
+        "street_or_city": city or (r.get("street") or ""),
+        "footprint": create_footprint(lat, lon) or "",
+        "height": estimate_height(activity),
+        "usage_share": "Exclusive",
+        "source_url": r.get("source_url") or "",
+        "source_type": "Company Website",
+        "extraction_method": r.get("extraction_method") or "",
+        "confidence": float(r.get("confidence") or 0.0),
+        "discovery_seq": int(r.get("discovery_seq") or 0),
+        "phone": r.get("phone") or "",
+        "email": r.get("email") or "",
+    }
+
+
+def test_vectorized_enrich_quality_validity_match_rowwise_spec():
+    """Round-3 vectorization of GeocodeEnrichStage / add_quality /
+    filter_valid must be field-for-field identical to the row-wise spec
+    over a fuzzed batch (falsy variants, missing coords, weird addrs)."""
+    import random
+    import pyarrow as pa
+    from web_crawler_ray.stages.enrich import (
+        GeocodeEnrichStage, add_quality, filter_valid, is_valid_location,
+        quality_level, quality_score, synthetic_geocode)
+    rng = random.Random(7)
+    addrs = ["", "12 Main Street, Springfield, IL 62704", "unknown", "n/a",
+             "short st", "Hauptstr. 5, Berlin", None]
+    names = ["", None, "Acme HQ", "Retail store #4", "Plant 9 factory"]
+    rows = []
+    for i in range(300):
+        rows.append({
+            "source_url": rng.choice(["", "https://x.example/warehouse", None,
+                                      "https://y.example/contact"]),
+            "name": rng.choice(names),
+            "address": rng.choice(addrs),
+            "street": rng.choice(["", "Oak Ave", None]),
+            "city": rng.choice(["", "Paris", None]),
+            "state": rng.choice(["", "IL", None]),
+            "postal_code": rng.choice(["", "62704", None]),
+            "country": rng.choice(["", "us", "germany", None]),
+            "latitude": rng.choice(["", "41.2", "0", None]),
+            "longitude": rng.choice(["", "-89.1", "0", None]),
+            "phone": rng.choice(["", "+1 555 0100"]),
+            "email": rng.choice(["", "a@b.co"]),
+            "activity": rng.choice(["", "Retail", None]),
+            "extraction_method": "heuristic",
+            "confidence": rng.choice([0.7, 0.9, None]),
+            "discovery_seq": rng.choice([i, None]),
+        })
+    batch = pa.Table.from_pylist(rows)
+    got = GeocodeEnrichStage()(batch).to_pylist()
+    memo = {}
+    def geocoder(a):
+        if a not in memo:
+            memo[a] = synthetic_geocode(a)
+        return memo[a]
+    for i, r in enumerate(rows):
+        assert got[i] == _enrich_spec_row(r, geocoder), (i, r)
+    enr = pa.Table.from_pylist(got)
+    q = add_quality(enr)
+    qs = q.column("quality_score").to_pylist()
+    ql = q.column("quality_level").to_pylist()
+    for i, rec in enumerate(got):
+        assert qs[i] == quality_score(rec), (i, rec)
+        assert ql[i] == quality_level(qs[i])
+    kept = filter_valid(q)
+    expect_n = sum(1 for rec in q.to_pylist() if is_valid_location(rec))
+    assert kept.num_rows == expect_n

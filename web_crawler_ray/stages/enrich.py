@@ -16,12 +16,15 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
 from ..functions.normalize import (
-    create_footprint, estimate_height, guess_activity, iso2_to_iso3,
-    normalize_country, US_STATES,
+    _ACTIVITY_RULES, create_footprint, estimate_height, guess_activity,
+    iso2_to_iso3, normalize_country, US_STATES,
 )
 
 _CITY_STATE_ZIP_RE = re.compile(r",\s*([A-Za-z .]+),\s*([A-Z]{2})\s+(\d{5})(?:-\d{4})?")
@@ -91,44 +94,89 @@ class GeocodeEnrichStage:
         return g
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        out = []
-        for r in rows:
-            addr = r.get("address") or ""
-            has_coords = r.get("latitude") and r.get("longitude")
-            geo = self._geocode(addr) if (addr and not has_coords) else None
-            lat = r.get("latitude") or (geo["latitude"] if geo else "")
-            lon = r.get("longitude") or (geo["longitude"] if geo else "")
-            country = r.get("country") or ""
-            iso3 = iso2_to_iso3(normalize_country(country)) if country else \
-                (geo["countryCode"] if geo else "")
-            activity = r.get("activity") or guess_activity(
-                f"{r.get('name') or ''} {addr} {r.get('source_url') or ''}")
-            state = r.get("state") or (geo["state"] if geo else "")
-            city = r.get("city") or (geo["city"] if geo else "")
-            post = r.get("postal_code") or (geo["postalCode"] if geo else "")
-            out.append({
-                "location_name": r.get("name") or "Unknown Location",
-                "location_address": addr,
-                "activity_at_asset": activity,
-                "latitude": str(lat) if lat else "",
-                "longitude": str(lon) if lon else "",
-                "country_iso3": iso3,
-                "postcode": str(post) if post else "",
-                "state": state,
-                "street_or_city": city or (r.get("street") or ""),
-                "footprint": create_footprint(lat, lon) or "",
-                "height": estimate_height(activity),
-                "usage_share": "Exclusive",
-                "source_url": r.get("source_url") or "",
-                "source_type": "Company Website",
-                "extraction_method": r.get("extraction_method") or "",
-                "confidence": float(r.get("confidence") or 0.0),
-                "discovery_seq": int(r.get("discovery_seq") or 0),
-                "phone": r.get("phone") or "",
-                "email": r.get("email") or "",
-            })
-        return pa.Table.from_pylist(out) if out else _EMPTY_ENRICHED
+        """Column-wise assembly (round-3 vectorization; output pinned
+        identical to the per-row-dict form by tests): columns are pulled
+        once, the N10 activity guess runs as vectorized substring scans
+        in rule order, and the remaining per-row work is only the quirky
+        string selections, the memoized geocode, and the WKT footprint
+        (JS toFixed formatting — inherently scalar)."""
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY_ENRICHED
+
+        def col(name) -> list:
+            return (batch.column(name).to_pylist()
+                    if name in batch.column_names else [None] * n)
+
+        addr_l = [a or "" for a in col("address")]
+        name_l, lat_l, lon_l = col("name"), col("latitude"), col("longitude")
+        country_l, act_l = col("country"), col("activity")
+        state_l, city_l, post_l = col("state"), col("city"), col("postal_code")
+        street_l, src_l = col("street"), col("source_url")
+        meth_l, conf_l = col("extraction_method"), col("confidence")
+        seq_l, phone_l, email_l = col("discovery_seq"), col("phone"), col("email")
+
+        # N10 vectorized: rule order preserved, any-keyword substring,
+        # default "Office"; only rows without an explicit activity
+        need = np.array([not a for a in act_l], dtype=bool)
+        texts = pd.Series(
+            [f"{name_l[i] or ''} {addr_l[i]} {src_l[i] or ''}".lower()
+             if need[i] else "" for i in range(n)], dtype=object)
+        activity = np.array([a or "Office" for a in act_l], dtype=object)
+        unresolved = need.copy()
+        activity[need] = "Office"
+        for keys, label in _ACTIVITY_RULES:
+            m = np.zeros(n, dtype=bool)
+            for k in keys:
+                m |= texts.str.contains(k, regex=False).to_numpy()
+            activity[unresolved & m] = label
+            unresolved &= ~m
+
+        o_name, o_lat, o_lon, o_iso3 = [], [], [], []
+        o_post, o_state, o_city, o_foot = [], [], [], []
+        for i in range(n):
+            addr = addr_l[i]
+            geo = (self._geocode(addr)
+                   if (addr and not (lat_l[i] and lon_l[i])) else None)
+            lat = lat_l[i] or (geo["latitude"] if geo else "")
+            lon = lon_l[i] or (geo["longitude"] if geo else "")
+            country = country_l[i] or ""
+            o_iso3.append(iso2_to_iso3(normalize_country(country)) if country
+                          else (geo["countryCode"] if geo else ""))
+            post = post_l[i] or (geo["postalCode"] if geo else "")
+            o_name.append(name_l[i] or "Unknown Location")
+            o_lat.append(str(lat) if lat else "")
+            o_lon.append(str(lon) if lon else "")
+            o_post.append(str(post) if post else "")
+            o_state.append(state_l[i] or (geo["state"] if geo else ""))
+            o_city.append((city_l[i] or (geo["city"] if geo else ""))
+                          or (street_l[i] or ""))
+            o_foot.append(create_footprint(lat, lon) or "")
+        return pa.table({
+            "location_name": pa.array(o_name, pa.string()),
+            "location_address": pa.array(addr_l, pa.string()),
+            "activity_at_asset": pa.array(activity, pa.string()),
+            "latitude": pa.array(o_lat, pa.string()),
+            "longitude": pa.array(o_lon, pa.string()),
+            "country_iso3": pa.array(o_iso3, pa.string()),
+            "postcode": pa.array(o_post, pa.string()),
+            "state": pa.array(o_state, pa.string()),
+            "street_or_city": pa.array(o_city, pa.string()),
+            "footprint": pa.array(o_foot, pa.string()),
+            "height": pa.array([estimate_height(a) for a in activity],
+                               pa.float64()),
+            "usage_share": pa.array(["Exclusive"] * n, pa.string()),
+            "source_url": pa.array([s or "" for s in src_l], pa.string()),
+            "source_type": pa.array(["Company Website"] * n, pa.string()),
+            "extraction_method": pa.array([m or "" for m in meth_l],
+                                          pa.string()),
+            "confidence": pa.array([float(c or 0.0) for c in conf_l],
+                                   pa.float64()),
+            "discovery_seq": pa.array([int(s or 0) for s in seq_l],
+                                      pa.int64()),
+            "phone": pa.array([p or "" for p in phone_l], pa.string()),
+            "email": pa.array([e or "" for e in email_l], pa.string()),
+        })
 
 
 _EMPTY_ENRICHED = pa.table({
@@ -204,16 +252,72 @@ def quality_level(score: int) -> str:
     return "Poor"
 
 
+def _truthy_nonempty(batch: pa.Table, name: str) -> np.ndarray:
+    """Vector form of ``v is not None and len(str(v)) > 0`` for string
+    columns / ``v is not None`` for non-strings (str() of a non-None
+    numeric scalar is never empty)."""
+    if name not in batch.column_names:
+        return np.zeros(batch.num_rows, dtype=bool)
+    col = batch.column(name)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        m = pc.and_kleene(col.is_valid(), pc.greater(pc.utf8_length(col), 0))
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+    return pc.fill_null(col.is_valid(), False).to_numpy(zero_copy_only=False)
+
+
+def _parse_coord(col_list: list) -> np.ndarray:
+    """float(x) per row with the scalar path's semantics: falsy -> NaN
+    (no bonus), unparseable -> NaN via a scalar fallback on the rare rows
+    where pd.to_numeric's coercion is ambiguous (e.g. the string 'nan'
+    parses for float() but coerces to NaN)."""
+    s = pd.Series(col_list, dtype=object)
+    truthy = s.astype(bool).to_numpy()
+    num = pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+    ambiguous = np.flatnonzero(truthy & np.isnan(num))
+    for i in ambiguous:
+        try:
+            num[i] = float(s.iloc[i])
+        except (TypeError, ValueError):
+            num[i] = np.nan
+    num[~truthy] = np.nan
+    return num
+
+
 def add_quality(batch: pa.Table) -> pa.Table:
-    rows = batch.to_pylist()
-    scores = [quality_score(r) for r in rows]
-    levels = [quality_level(s) for s in scores]
+    """Vectorized A2 (identical to per-row quality_score, pinned by
+    tests): weighted non-empty fields + coord bonus + address penalties."""
+    n = batch.num_rows
+    score = np.zeros(n, dtype=np.int64)
+    for f, w in QUALITY_WEIGHTS.items():
+        score += _truthy_nonempty(batch, f) * w
+    lat = _parse_coord(batch.column("latitude").to_pylist()
+                       if "latitude" in batch.column_names else [None] * n)
+    lon = _parse_coord(batch.column("longitude").to_pylist()
+                       if "longitude" in batch.column_names else [None] * n)
+    with np.errstate(invalid="ignore"):
+        score += np.where(~np.isnan(lat) & ~np.isnan(lon)
+                          & (lat != 0) & (lon != 0), 5, 0)
+    if "location_address" in batch.column_names:
+        addr = batch.column("location_address")
+        truthy = _truthy_nonempty(batch, "location_address")
+        ln = pc.fill_null(pc.utf8_length(addr), 0) \
+            .to_numpy(zero_copy_only=False)
+        low = pc.utf8_lower(pc.fill_null(addr, ""))
+        bad = pc.is_in(low, value_set=pa.array(["unknown", "n/a"])) \
+            .to_numpy(zero_copy_only=False)
+        score -= np.where(truthy & (ln < 10), 10, 0)
+        score -= np.where(truthy & bad, 20, 0)
+    scores = np.clip(score, 0, 100)
+    levels = np.select([scores >= 90, scores >= 70, scores >= 50],
+                       ["Excellent", "Good", "Fair"], default="Poor")
     out = batch
     for name in ("quality_score", "quality_level"):
         if name in out.column_names:
             out = out.drop_columns([name])
-    out = out.append_column("quality_score", pa.array(scores, pa.int32()))
-    return out.append_column("quality_level", pa.array(levels, pa.string()))
+    out = out.append_column("quality_score",
+                            pa.array(scores.astype(np.int32), pa.int32()))
+    return out.append_column("quality_level",
+                             pa.array(levels.astype(object), pa.string()))
 
 
 def quality_report(ds) -> dict:
@@ -250,5 +354,16 @@ def is_valid_location(r: dict) -> bool:
 
 
 def filter_valid(batch: pa.Table) -> pa.Table:
-    mask = [is_valid_location(r) for r in batch.to_pylist()]
+    """Vectorized form of is_valid_location (equality pinned in tests)."""
+    has_lat = _truthy_nonempty(batch, "latitude")
+    has_lon = _truthy_nonempty(batch, "longitude")
+    named = _truthy_nonempty(batch, "location_name")
+    if "location_name" in batch.column_names:
+        named &= pc.fill_null(
+            pc.not_equal(batch.column("location_name"), "Unknown Location"),
+            False).to_numpy(zero_copy_only=False)
+    has_addr = _truthy_nonempty(batch, "location_address")
+    has_city = _truthy_nonempty(batch, "street_or_city")
+    mask = (has_lat & has_lon) | (named & (has_addr | has_city)) \
+        | (has_addr & has_city)
     return batch.filter(pa.array(mask))
