@@ -33,6 +33,39 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _world_cache_dir() -> str:
+    return os.environ.get(
+        "GRAFT_WORLD_CACHE",
+        f"/tmp/graft_world_{BENCH_HOSTS}_{BENCH_BASE}")
+
+
+def _load_or_build_world():
+    """Deterministic bench world, cached to /tmp parquet+json. The cache
+    matters for --scaling measurement hygiene on this sandbox: the VM
+    throttles after sustained CPU burn (a 32-cpu run directly after the
+    8-cpu leg measured 53-63 s vs 29-37 s clean), and regenerating the
+    world in every subprocess burns ~1000 CPU-s of quota before the
+    timed section even starts."""
+    import pyarrow.parquet as pq
+    d = _world_cache_dir()
+    meta_p, tbl_p = os.path.join(d, "meta.json"), os.path.join(d, "pages.parquet")
+    if os.path.exists(meta_p) and os.path.exists(tbl_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
+        # combine_chunks: multi-row-group reads otherwise leave heavily
+        # chunked columns that slow every downstream take()/to_numpy()
+        return pq.read_table(tbl_p).combine_chunks(), \
+            meta["robots"], meta["seeds"]
+    from web_crawler_ray.sources.synth_world import world_parallel
+    pages_store, robots, seeds = world_parallel(
+        seed=42, n_hosts=BENCH_HOSTS, pages_per_host_base=BENCH_BASE)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pages_store, tbl_p)
+    with open(meta_p, "w") as f:
+        json.dump({"robots": robots, "seeds": seeds}, f)
+    return pages_store, robots, seeds
+
+
 def headline(num_cpus: int, frontier_mode: str = "driver") -> dict:
     """Crawl + extract + dedup + enrich over the synthetic frontier."""
     import ray
@@ -47,12 +80,10 @@ def headline(num_cpus: int, frontier_mode: str = "driver") -> dict:
 
     from web_crawler_ray.pipelines.crawl import crawl
     from web_crawler_ray.pipelines.flagship import assemble_documents, extract_locations
-    from web_crawler_ray.sources.synth_world import world_parallel
     from web_crawler_ray.stages.classify import classify_batch
 
-    # untimed: build + warm the synthetic world (stands in for the live web)
-    pages_store, robots, seeds = world_parallel(
-        seed=42, n_hosts=BENCH_HOSTS, pages_per_host_base=BENCH_BASE)
+    # untimed: build/load + warm the synthetic world (network stand-in)
+    pages_store, robots, seeds = _load_or_build_world()
     n_world = pages_store.num_rows
 
     t0 = time.time()
@@ -147,7 +178,15 @@ def main():
             "locations": h["locations"], "rounds": h["rounds"]}))
         return
     if "--scaling" in sys.argv:
+        # build the world cache ONCE in the parent so neither subprocess
+        # pays generation; cool down between the legs — this sandbox
+        # throttles after sustained burn, which otherwise penalizes
+        # whichever leg runs second (measured 53-63 s vs 29-37 s for the
+        # 32-cpu leg right after the 8-cpu one)
+        _load_or_build_world()
+        cooldown = int(os.environ.get("GRAFT_SCALING_COOLDOWN", "90"))
         lo = _headline_subprocess(8)
+        time.sleep(cooldown)
         hi = _headline_subprocess(32)
         eff = (lo["sec"] / hi["sec"]) / (32 / 8)
         print(json.dumps({

@@ -103,3 +103,28 @@ def test_normalize_text_idempotent(s):
 @given(st.text(alphabet="0123456789- ()+", max_size=20))
 def test_normalize_phone_total(s):
     N.normalize_phone(s)  # never raises
+
+
+def test_levenshtein_batch_bit_identical_to_scalar():
+    """levenshtein_ratio_many pre-fills the fuzzy-dedup memo, so its
+    values must be BIT-identical to the scalar DP (score comparisons sit
+    on exact float thresholds)."""
+    import random
+    import string
+    from web_crawler_ray.functions.normalize import (
+        levenshtein_ratio, levenshtein_ratio_many)
+    rng = random.Random(13)
+    pairs = [("", ""), ("", "abc"), ("abc", ""), ("ü", "u"),
+             ("straße 5", "strasse 5")]
+    for _ in range(300):
+        a = "".join(rng.choices(string.ascii_lowercase + " 0123456789",
+                                k=rng.randint(0, 45)))
+        b = (a if rng.random() < 0.15 else
+             a[:rng.randint(0, len(a))] + "xy" + a[rng.randint(0, len(a)):]
+             if rng.random() < 0.5 else
+             "".join(rng.choices(string.ascii_lowercase + " ",
+                                 k=rng.randint(0, 45))))
+        pairs.append((a, b))
+    got = levenshtein_ratio_many(pairs)
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == levenshtein_ratio(a, b), (a, b)

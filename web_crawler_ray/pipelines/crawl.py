@@ -296,11 +296,18 @@ def _finish_taken(tbl: pa.Table, ranks: np.ndarray, room: int):
     return fetch, overflow, {str(h): int(c) for h, c in zip(oh, oc)}
 
 
-@ray.remote(num_cpus=0)
-def _meta_of(tbl: pa.Table) -> pa.Table:
-    """Visited-metadata projection of one fetched block (never html)."""
-    return tbl.select(["url", "host", "depth", "discovery_seq",
-                       "parent_url_hash", "fetch_rank", "fetch_ok"])
+@ray.remote(num_returns=2)
+def _fetch_block(stage, tbl: pa.Table, meta_cols: tuple):
+    """One fetch task per frontier block. Plain Ray task instead of a
+    Dataset executor job: a BFS round is a hard barrier, so the
+    streaming executor buys nothing here while costing ~0.3-0.4 s fixed
+    startup per round (round-3 fixed-cost cut). Returns (fetched block,
+    metadata projection) in ONE task — a separate 0-cpu projection task
+    per block churned the worker pool (import storms => stragglers).
+    The fetched blocks are wrapped back into a Dataset (from_arrow_refs)
+    for the downstream streaming stages."""
+    out = stage(tbl)
+    return out, out.select(list(meta_cols))
 
 
 @ray.remote
@@ -538,28 +545,28 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     metrics: list[dict] = []
     max_rounds = rnd + 10_000
 
+    # Insert-time gating (round-3 fixed-cost cut, mirrors dataset mode):
+    # depth and robots are STATIC per crawl, so each URL is gated ONCE —
+    # the initial/resumed frontier here, discovered candidates at
+    # frontier-append below. This removes the per-round whole-frontier
+    # robots RPC + re-filtering that dominated the fixed driver cost.
+    # Gated-out rows are already in the seen set, exactly as before.
+    if frontier.num_rows:
+        frontier = frontier.filter(
+            pc.less_equal(frontier.column("depth"), max_depth))
+    if frontier.num_rows:
+        allowed = ray.get(robots.check.remote(
+            frontier.column("host").to_pylist(),
+            frontier.column("path").to_pylist()))
+        frontier = frontier.filter(pa.array(allowed))
+
     while frontier.num_rows and n_fetched < max_pages and rnd < max_rounds:
         rows_in = frontier.num_rows
-        # depth gate (permanent drop; already in seen)
-        active = frontier.filter(pc.less_equal(frontier.column("depth"), max_depth))
-        if active.num_rows == 0:
-            break
         if order == "priority":
-            active = active.sort_by([("priority", "ascending"),
-                                     ("discovery_seq", "ascending")])
+            active = frontier.sort_by([("priority", "ascending"),
+                                       ("discovery_seq", "ascending")])
         else:
-            active = active.sort_by("discovery_seq")
-
-        # robots gate — ONE batched actor call for the round
-        hosts_l = active.column("host").to_pylist()
-        new_hosts = sorted(set(hosts_l) - delays_known)
-        if new_hosts:
-            ray.get(politeness.set_delays.remote(ray.get(robots.delays.remote(new_hosts))))
-            delays_known.update(new_hosts)
-        allowed = ray.get(robots.check.remote(hosts_l, active.column("path").to_pylist()))
-        active = active.filter(pa.array(allowed))
-        if active.num_rows == 0:
-            break
+            active = frontier.sort_by("discovery_seq")
 
         # politeness: per-host grant, take first g per host in seq order
         hosts_l = active.column("host").to_pylist()
@@ -599,15 +606,18 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         # identical at any value (determinism test).
         n_blocks = max(1, min(max(16, fetch_concurrency * 8),
                               fetch_tbl.num_rows // 192 + 1))
-        ds = rd.from_arrow(fetch_tbl, override_num_blocks=n_blocks)
-        ds = ds.map_batches(fetch_stage,
-                            batch_format="pyarrow", batch_size=256, num_cpus=1)
-        ds = ds.materialize()  # pinned once; reused for links + downstream extract
-        # link metadata only (html stays in the object store); vectorized
-        # explode: list_flatten + list_parent_indices instead of row loops
-        meta_parts = list(ds.select_columns(
-            ["host", "depth", "fetch_rank", "fetch_ok", "links_canon"])
-            .iter_batches(batch_size=65536, batch_format="pyarrow"))
+        step = -(-fetch_tbl.num_rows // n_blocks)
+        pairs = [_fetch_block.remote(
+                     fetch_stage, fetch_tbl.slice(s, step),
+                     ("host", "depth", "fetch_rank", "fetch_ok",
+                      "links_canon"))
+                 for s in range(0, fetch_tbl.num_rows, step)]
+        # link metadata only (html stays in the object store) comes back
+        # as the fetch tasks' second return — no executor jobs and no
+        # extra projection tasks in the round loop (round-3 fixed-cost
+        # cut); vectorized explode: list_flatten + list_parent_indices
+        meta_parts = ray.get([p[1] for p in pairs])
+        ds = rd.from_arrow_refs([p[0] for p in pairs])  # blocks already pinned
         meta = pa.concat_tables(meta_parts).combine_chunks() if meta_parts else None
         if backoff and meta is not None:
             import collections
@@ -681,6 +691,21 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
                                       lt2.column("host").to_pylist(),
                                       lt2.column("depth").to_pylist(), seqs,
                                       parent_hashes=parents)
+                # insert-time gate for the new candidates (seqs above were
+                # assigned PRE-gate: gated-out rows consume theirs, the
+                # reference numbering); delays installed for any host that
+                # might survive, before its first grant
+                add = add.filter(pc.less_equal(add.column("depth"), max_depth))
+                if add.num_rows:
+                    a_hosts = add.column("host").to_pylist()
+                    new_hosts = sorted(set(a_hosts) - delays_known)
+                    if new_hosts:
+                        ray.get(politeness.set_delays.remote(
+                            ray.get(robots.delays.remote(new_hosts))))
+                        delays_known.update(new_hosts)
+                    allowed = ray.get(robots.check.remote(
+                        a_hosts, add.column("path").to_pylist()))
+                    add = add.filter(pa.array(allowed))
                 new_frontier = pa.concat_tables([deferred, add]) if deferred.num_rows else add
         frontier = new_frontier
 
@@ -838,14 +863,20 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             deferred_refs = [_merge_bucket.remote(oc, deferred_refs[i], f[1])
                              for i, f in enumerate(fin)]
 
-        # --- the round's ONE Dataset job: fetch + fused link extract ---
-        fetched = rd.from_arrow_refs(fetch_refs) \
-            .map_batches(fetch_stage, batch_format="pyarrow",
-                         batch_size=256, num_cpus=1).materialize()
-        fetched_refs = fetched.to_arrow_refs()
+        # --- fetch + fused link extract: one plain Ray task per bucket
+        # (a round is a hard barrier; skipping the Dataset executor saves
+        # its fixed startup per round), wrapped back into a Dataset for
+        # the downstream streaming stages; the visited-metadata
+        # projection rides back as the task's second return ---
+        fpairs = [_fetch_block.remote(
+                      fetch_stage, r,
+                      ("url", "host", "depth", "discovery_seq",
+                       "parent_url_hash", "fetch_rank", "fetch_ok"))
+                  for r in fetch_refs]
+        fetched_refs = [p[0] for p in fpairs]
+        fetched = rd.from_arrow_refs(fetched_refs)
         # visited METADATA, ordered by fetch_rank (= round fetch order)
-        meta = pa.concat_tables(
-            ray.get([_meta_of.remote(r) for r in fetched_refs])) \
+        meta = pa.concat_tables(ray.get([p[1] for p in fpairs])) \
             .combine_chunks().sort_by("fetch_rank")
         visited_parts.append(pa.table({
             "round": pa.array([rnd] * meta.num_rows, pa.int32()),

@@ -41,7 +41,7 @@ import ray
 
 from ..functions.normalize import (
     canonical_key, dedup_norm_enhanced, dedup_norm_postcode, haversine_km,
-    levenshtein_ratio, squash_address,
+    levenshtein_ratio, levenshtein_ratio_many, squash_address,
 )
 
 def _seq_sort(g: pd.DataFrame) -> pd.DataFrame:
@@ -337,7 +337,30 @@ def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
                   + 0.2 * name_ub * m_name + 0.1 * post_t * m_post)
             with np.errstate(invalid="ignore", divide="ignore"):
                 ub = np.where(total_w > 0, ub / np.maximum(total_w, 1e-12), 0.0)
-            for k in j[ub >= threshold - 1e-9]:
+            cand = j[ub >= threshold - 1e-9]
+            # Batch-fill the Levenshtein memo for this anchor's screened
+            # candidates (features are immutable during the scan, so the
+            # values are scan-order independent): one numpy batch DP
+            # replaces the per-pair pure-Python DP that profiling showed
+            # dominating the whole extract phase. _sim_feat below then
+            # always hits the memo; outputs are bit-identical (pinned in
+            # tests).
+            if len(cand):
+                fi = feats[i]
+                need = []
+                seen_pairs = set()
+                for k in cand:
+                    fk = feats[k]
+                    for s1, s2 in ((fi.addr, fk.addr), (fi.name, fk.name)):
+                        if (s1 is not None and s2 is not None and s1 != s2
+                                and (s1, s2) not in lev_memo
+                                and (s1, s2) not in seen_pairs):
+                            seen_pairs.add((s1, s2))
+                            need.append((s1, s2))
+                if need:
+                    for pr, r in zip(need, levenshtein_ratio_many(need)):
+                        lev_memo[pr] = r
+            for k in cand:
                 if processed[k]:
                     continue
                 if _sim_feat(feats[i], feats[k], threshold, lev_memo) >= threshold:
