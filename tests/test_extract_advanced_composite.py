@@ -124,3 +124,28 @@ def test_advanced_rows_adapter():
     assert rows[0]["extraction_method"] == "advanced"
     assert rows[0]["confidence"] == 0.85
     assert rows[0]["address"] == "7 Elm Street, Boston, MA 02101"
+
+
+def test_body_pattern_prefilters_are_supersets():
+    """The linear prefilters gate the quadratic body regexes; each full
+    pattern must be impossible wherever its prefilter misses (superset
+    property), so gated extraction output is identical."""
+    import re
+    from web_crawler_ray.stages.extract_composite import (
+        _BODY_PATTERNS, _BODY_PREFILTERS)
+    texts = [
+        "Visit 123 Main Street Suite 4, Springfield, IL 62704 today",
+        "Our office: 45 High Road London Greater London SW1A 2AA",
+        "1012 AB Amsterdam is the place",
+        "Hoofdstraat 12a, 1012 AB Amsterdam",
+        "789 Oak Park, Some City, CA 90210",
+        "no digits here at all",
+        "year 2024 and room 12 but no address",
+        "CALL 555-1234 NOW",  # digits but no zip/postcode shapes
+        "word " * 2000 + "9999",  # long text, 4 digits only
+        "Drive Street Avenue Boulevard with no numbers",
+    ]
+    for rx, pre in zip(_BODY_PATTERNS, _BODY_PREFILTERS):
+        for t in texts:
+            if pre.search(t) is None:
+                assert rx.search(t) is None, (rx.pattern, t)

@@ -42,6 +42,22 @@ _BODY_PATTERNS = (
     re.compile(r"\d+\s+[\w\s]+,\s*[\w\s]+,\s*[A-Z]{2}\s+\d{5}", re.I),
 )
 
+# Cheap linear PREFILTERS, one per body pattern: each is a sub-regex the
+# full pattern provably contains (p1/p5 embed a 5-digit zip, p2 a UK
+# postcode, p3/p4 a dutch-style "\d{4} XX"), so `prefilter doesn't hit
+# => full pattern can't hit` and skipping is a pure superset gate. The
+# full patterns backtrack quadratically under re.I ([A-Z][a-z]+ word
+# chains scanning for a suffix that usually isn't there) — profiling
+# showed them at ~60% of ExtractStage; most pages fail the prefilter in
+# one linear scan. Output equality pinned in tests.
+_BODY_PREFILTERS = (
+    re.compile(r"\d{5}"),
+    re.compile(r"[A-Z]{1,2}\d{1,2}\s*\d[A-Z]{2}", re.I),
+    re.compile(r"\d{4}\s*[A-Z]{2}", re.I),
+    re.compile(r"\d{4}\s*[A-Z]{2}", re.I),
+    re.compile(r"\d{5}"),
+)
+
 _CONTAINER_CLASS_TOKENS = (
     "locations-list", "location-list", "office-list", "offices-list",
     "locations-grid", "location-grid", "offices-grid", "grid-contacts",
@@ -164,7 +180,9 @@ def extract_body_patterns(doc: Doc, url: str) -> list[dict]:
     if not any(c.isdigit() for c in body):
         return out  # all 5 patterns require digits — skip the regex scans
     host = urlsplit(url).netloc
-    for rx in _BODY_PATTERNS:
+    for rx, pre in zip(_BODY_PATTERNS, _BODY_PREFILTERS):
+        if pre.search(body) is None:
+            continue  # the full pattern contains this sub-regex: no hit possible
         for idx, m in enumerate(rx.findall(body) if rx.groups == 0 else
                                 [x.group(0) for x in rx.finditer(body)]):
             addr = m if isinstance(m, str) else m[0]
