@@ -79,20 +79,22 @@ def headline(num_cpus: int, frontier_mode: str = "driver") -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from web_crawler_ray.pipelines.crawl import crawl
-    from web_crawler_ray.pipelines.flagship import assemble_documents, extract_locations
-    from web_crawler_ray.stages.classify import classify_batch
+    from web_crawler_ray.pipelines.flagship import (
+        OverlapExtractor, assemble_documents, extract_locations_tail)
 
     # untimed: build/load + warm the synthetic world (network stand-in)
     pages_store, robots, seeds = _load_or_build_world()
     n_world = pages_store.num_rows
 
     t0 = time.time()
+    # overlap mode: per-round classify+extract tasks run WHILE later
+    # rounds crawl (flagship overlap_extract path; output identical to
+    # the barrier form, pinned in tests)
+    ov = OverlapExtractor()
     res = crawl(pages_store, robots, seeds, max_pages=10_000_000, max_depth=3,
                 round_seconds=3600.0, fetch_concurrency=num_cpus,
-                n_seen_shards=8, frontier_mode=frontier_mode)
-    classified = res.pages.map_batches(classify_batch, batch_format="pyarrow",
-                                       batch_size=64)
-    locs = extract_locations(classified)
+                n_seen_shards=8, frontier_mode=frontier_mode, page_hook=ov)
+    locs = extract_locations_tail(ov.dataset())
     n_locs = locs.count()
     docs = assemble_documents(res.pages)
     n_spans = docs.count()

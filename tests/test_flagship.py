@@ -97,3 +97,20 @@ def test_flagship_v2_defaults_content_dedup(ray_session):
                         round_seconds=6.0, profile="v2", content_dedup=False)
     kept2 = set(out2["documents"].to_pandas()["doc_id"])
     assert all(m in kept2 and o in kept2 for m, o in mirror_pairs)
+
+
+def test_overlap_extract_equals_barrier_path(ray_session):
+    """run_flagship(overlap_extract=True) — per-round extraction tasks
+    overlapping later crawl rounds — must produce exactly the barrier
+    path's locations (fuzzy dedup imposes its own total scan order, so
+    block-boundary differences cannot leak)."""
+    a = run_flagship(seed=42, n_hosts=4, pages_per_host_base=14,
+                     round_seconds=6.0)
+    b = run_flagship(seed=42, n_hosts=4, pages_per_host_base=14,
+                     round_seconds=6.0, overlap_extract=True)
+    la = a["locations"].to_pandas().sort_values(
+        ["discovery_seq", "location_address"]).reset_index(drop=True)
+    lb = b["locations"].to_pandas().sort_values(
+        ["discovery_seq", "location_address"]).reset_index(drop=True)
+    assert len(la) > 0
+    assert la.equals(lb)

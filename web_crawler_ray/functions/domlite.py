@@ -39,13 +39,16 @@ _IMPLICIT_CLOSE = {
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_desc")
 
     def __init__(self, tag: str, attrs: dict, parent: "Node | None"):
         self.tag = tag
         self.attrs = attrs
         self.children: list[Node | str] = []
         self.parent = parent
+        self._desc: list | None = None  # memoized descendant list (the
+        # tree is immutable after parse; extractor strategies traverse
+        # the same subtrees repeatedly — ~10x on iter_desc-heavy pages)
 
     # -- attribute helpers ---------------------------------------------------
 
@@ -83,12 +86,21 @@ class Node:
     # -- traversal -----------------------------------------------------------
 
     def iter_desc(self):
-        """All descendant element nodes, document order."""
-        stack = list(reversed([c for c in self.children if isinstance(c, Node)]))
-        while stack:
-            n = stack.pop()
-            yield n
-            stack.extend(reversed([c for c in n.children if isinstance(c, Node)]))
+        """All descendant element nodes, document order (memoized — the
+        tree is immutable after parse, and callers can still stop
+        early: an iterator over the cached list is returned)."""
+        d = self._desc
+        if d is None:
+            d = []
+            stack = list(reversed(
+                [c for c in self.children if isinstance(c, Node)]))
+            while stack:
+                n = stack.pop()
+                d.append(n)
+                stack.extend(reversed(
+                    [c for c in n.children if isinstance(c, Node)]))
+            self._desc = d
+        return iter(d)
 
     def find_all(self, pred) -> "list[Node]":
         return [n for n in self.iter_desc() if pred(n)]

@@ -443,9 +443,18 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
           frontier_mode: str = "driver",
           seen_spill_threshold: int | None = None,
           fetcher: str = "pagestore",
-          fetch_timeout: float = 15.0) -> CrawlResult:
+          fetch_timeout: float = 15.0,
+          page_hook=None) -> CrawlResult:
     """Run the round-based BFS. ``pages_store`` must be sorted by url_hash
     (pass ``None`` with ``fetcher="http"``).
+
+    ``page_hook``: optional callable invoked once per round with that
+    round's fetched-pages Dataset (blocks already in the object store),
+    BEFORE the next round starts. Lets downstream per-page work (e.g.
+    extraction submitted as Ray tasks on the block refs) OVERLAP the
+    remaining crawl rounds instead of waiting behind the crawl barrier —
+    the flagship's streaming-extraction mode (pipelines/flagship.py
+    ``run_flagship(overlap_extract=True)``) uses this.
 
     ``fetcher``: ``"pagestore"`` (default) joins the synthetic page store
     — the sandbox stand-in for the network; ``"http"`` performs real
@@ -538,7 +547,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         return _crawl_rounds_dataset(
             fetch_stage, robots, seen, politeness, frontier, next_seq,
             n_fetched, rnd, round_delta, delays_known, max_pages, max_depth,
-            checkpoint_dir, keep_pages, backoff, order)
+            checkpoint_dir, keep_pages, backoff, order, page_hook)
 
     visited_parts: list[pa.Table] = []
     page_datasets: list[rd.Dataset] = []
@@ -651,6 +660,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
             ds.write_parquet(os.path.join(checkpoint_dir, f"round={rnd}", "pages"))
         if keep_pages:
             page_datasets.append(ds)
+        if page_hook is not None:
+            page_hook(ds)
 
         visited_parts.append(pa.table({
             "round": pa.array([rnd] * fetch_tbl.num_rows, pa.int32()),
@@ -754,7 +765,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                           n_fetched: int, rnd: int, round_delta: list,
                           delays_known: set, max_pages: int, max_depth: int,
                           checkpoint_dir: str | None, keep_pages: bool,
-                          backoff: bool, order: str) -> CrawlResult:
+                          backoff: bool, order: str,
+                          page_hook=None) -> CrawlResult:
     """frontier_mode="dataset": the frontier is sharded object-store
     state — K hash(host) buckets of Arrow tables, gated (depth + robots,
     both static per crawl) ONCE at insert time and kept sorted by the
@@ -907,6 +919,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                 os.path.join(checkpoint_dir, f"round={rnd}", "pages"))
         if keep_pages:
             page_datasets.append(fetched)
+        if page_hook is not None:
+            page_hook(fetched)
 
         # --- candidate shuffle: explode (map) -> url shards (reduce) ---
         parts = [_explode_bucketed.options(num_returns=KU).remote(r, KU)

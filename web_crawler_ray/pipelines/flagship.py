@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..sources import synth_world as W
@@ -36,6 +37,22 @@ def _conf_filter(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.greater_equal(batch.column("confidence"), 0.70))
 
 
+def extract_locations_tail(raw: rd.Dataset, fuzzy: bool = True,
+                           early_stop: int | None = None) -> rd.Dataset:
+    """Post-extraction tail: fuzzy dedup -> geocode enrich -> quality
+    (shared by the barrier and overlap extraction paths — outputs are
+    identical because fuzzy dedup imposes its own total scan order)."""
+    locs = raw
+    if fuzzy:
+        locs = fuzzy_dedup(locs)  # D3: groupby(block).map_groups greedy@0.85
+    locs = locs.map_batches(geocode_enrich_batch, batch_format="pyarrow",
+                            batch_size=512)
+    locs = locs.map_batches(add_quality, batch_format="pyarrow")
+    if early_stop is not None:
+        locs = locs.limit(early_stop)
+    return locs
+
+
 def extract_locations(pages: rd.Dataset, fuzzy: bool = True,
                       early_stop: int | None = None) -> rd.Dataset:
     """pages -> final enriched location records (lazy).
@@ -46,14 +63,40 @@ def extract_locations(pages: rd.Dataset, fuzzy: bool = True,
     locs = pages.map_batches(ExtractStage(), batch_format="pyarrow",
                              batch_size=64, num_cpus=1)
     locs = locs.map_batches(_conf_filter, batch_format="pyarrow")
-    if fuzzy:
-        locs = fuzzy_dedup(locs)  # D3: groupby(block).map_groups greedy@0.85
-    locs = locs.map_batches(geocode_enrich_batch, batch_format="pyarrow",
-                            batch_size=512)
-    locs = locs.map_batches(add_quality, batch_format="pyarrow")
-    if early_stop is not None:
-        locs = locs.limit(early_stop)
-    return locs
+    return extract_locations_tail(locs, fuzzy=fuzzy, early_stop=early_stop)
+
+
+_WORKER_EXTRACT: list = []  # per-worker ExtractStage singleton
+
+
+@ray.remote
+def _classify_extract_block(tbl: pa.Table) -> pa.Table:
+    """classify -> extract -> confidence filter for ONE fetched block.
+
+    The overlap-extraction task: submitted from crawl's ``page_hook`` on
+    each round's block refs, so extraction runs on idle CPUs WHILE later
+    crawl rounds fetch — no crawl-barrier-then-extract phase wall. At
+    cluster scale this is the shape that keeps the extract stage busy
+    for the whole crawl instead of idling through it."""
+    from ..stages.classify import classify_batch
+    if not _WORKER_EXTRACT:
+        _WORKER_EXTRACT.append(ExtractStage())
+    return _conf_filter(_WORKER_EXTRACT[0](classify_batch(tbl)))
+
+
+class OverlapExtractor:
+    """page_hook collector: submits _classify_extract_block per block as
+    rounds complete; ``dataset()`` wraps the accumulated result refs."""
+
+    def __init__(self):
+        self.refs: list = []
+
+    def __call__(self, ds: rd.Dataset) -> None:
+        for r in ds.to_arrow_refs():
+            self.refs.append(_classify_extract_block.remote(r))
+
+    def dataset(self) -> rd.Dataset:
+        return rd.from_arrow_refs(self.refs)
 
 
 def assemble_documents(pages: rd.Dataset, content_dedup: bool = False,
@@ -80,7 +123,8 @@ def run_flagship(seed: int = 42, n_hosts: int = 8, pages_per_host_base: int = 30
                  fetch_concurrency: int = 4,
                  checkpoint_dir: str | None = None,
                  profile: str = "v1",
-                 content_dedup: bool | None = None) -> dict:
+                 content_dedup: bool | None = None,
+                 overlap_extract: bool = False) -> dict:
     """Build the synthetic world, crawl it, extract everything.
 
     ``profile="v2"`` worlds contain byte-identical mirror pages, large
@@ -96,14 +140,19 @@ def run_flagship(seed: int = 42, n_hosts: int = 8, pages_per_host_base: int = 30
     pages_store, robots, seeds = W.world(seed=seed, n_hosts=n_hosts,
                                          pages_per_host_base=pages_per_host_base,
                                          profile=profile)
+    ov = OverlapExtractor() if overlap_extract else None
     res: CrawlResult = crawl(pages_store, robots, seeds,
                              max_pages=max_pages, max_depth=max_depth,
                              round_seconds=round_seconds,
                              fetch_concurrency=fetch_concurrency,
-                             checkpoint_dir=checkpoint_dir)
+                             checkpoint_dir=checkpoint_dir,
+                             page_hook=ov)
     pages = res.pages
-    classified = pages.map_batches(classify_batch, batch_format="pyarrow")
-    locations = extract_locations(classified)
+    if overlap_extract:
+        locations = extract_locations_tail(ov.dataset())
+    else:
+        classified = pages.map_batches(classify_batch, batch_format="pyarrow")
+        locations = extract_locations(classified)
     documents = assemble_documents(pages, content_dedup=content_dedup)
     return {"crawl": res, "locations": locations, "documents": documents,
             "pages": pages}
