@@ -66,7 +66,7 @@ def _load_or_build_world():
     return pages_store, robots, seeds
 
 
-def headline(num_cpus: int, frontier_mode: str = "driver") -> dict:
+def headline(num_cpus: int, frontier_mode: str = "dataset") -> dict:
     """Crawl + extract + dedup + enrich over the synthetic frontier."""
     import ray
     import ray.data
@@ -94,15 +94,19 @@ def headline(num_cpus: int, frontier_mode: str = "driver") -> dict:
     res = crawl(pages_store, robots, seeds, max_pages=10_000_000, max_depth=3,
                 round_seconds=3600.0, fetch_concurrency=num_cpus,
                 n_seen_shards=8, frontier_mode=frontier_mode, page_hook=ov)
+    t_crawl = time.time() - t0
     locs = extract_locations_tail(ov.dataset())
     n_locs = locs.count()
+    t_locs = time.time() - t0 - t_crawl
     docs = assemble_documents(res.pages)
     n_spans = docs.count()
     dt = time.time() - t0
 
     out = {"sec": dt, "pages_world": n_world, "pages_fetched": res.stats["fetched"],
            "rounds": res.stats["rounds"], "locations": n_locs, "documents": n_spans,
-           "pages_per_sec": res.stats["fetched"] / dt}
+           "pages_per_sec": res.stats["fetched"] / dt,
+           "crawl_sec": round(t_crawl, 2), "locations_sec": round(t_locs, 2),
+           "documents_sec": round(dt - t_crawl - t_locs, 2)}
     ray.shutdown()
     return out
 
@@ -156,28 +160,19 @@ def _headline_subprocess(ncpu: int) -> dict:
 
 
 def _frontier_arg() -> str:
+    """Headline frontier mode: DATASET by default — it is both the
+    100 TB shape (sharded object-store frontier) and, since round 3, the
+    faster mode at bench scale. ``--frontier driver`` measures the
+    reference-shaped driver loop (bit-for-bit identical output)."""
     if "--frontier" in sys.argv:
         return sys.argv[sys.argv.index("--frontier") + 1]
-    return "driver"
+    return os.environ.get("GRAFT_FRONTIER_MODE", "dataset")
 
 
 def main():
     if "--headline-only" in sys.argv:
         h = headline(NUM_CPUS, frontier_mode=_frontier_arg())
         print(json.dumps(h))
-        return
-    if "--frontier" in sys.argv and _frontier_arg() != "driver":
-        # dataset-frontier headline line (the 100 TB mode): same world,
-        # same pipeline, frontier_mode="dataset"
-        h = headline(NUM_CPUS, frontier_mode=_frontier_arg())
-        print(json.dumps({
-            "metric": "crawl_extract_dedup_seconds",
-            "value": round(h["sec"], 3), "unit": "sec",
-            "frontier_mode": _frontier_arg(),
-            "sf": _sf_of(SF_DIR), "num_cpus": NUM_CPUS,
-            "pages_fetched": h["pages_fetched"],
-            "pages_per_sec": round(h["pages_per_sec"], 1),
-            "locations": h["locations"], "rounds": h["rounds"]}))
         return
     if "--scaling" in sys.argv:
         # build the world cache ONCE in the parent so neither subprocess
@@ -198,7 +193,7 @@ def main():
             "pages_fetched": hi["pages_fetched"],
             "scaling_efficiency": round(eff, 3)}))
         return
-    h = headline(NUM_CPUS)
+    h = headline(NUM_CPUS, frontier_mode=_frontier_arg())
     q = run_queries(NUM_CPUS)
     print(json.dumps({
         "metric": "crawl_extract_dedup_seconds",

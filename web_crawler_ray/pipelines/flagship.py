@@ -70,8 +70,12 @@ _WORKER_EXTRACT: list = []  # per-worker ExtractStage singleton
 
 
 @ray.remote
-def _classify_extract_block(tbl: pa.Table) -> pa.Table:
-    """classify -> extract -> confidence filter for ONE fetched block.
+def _classify_extract_block(tbl: pa.Table, part: int = 0,
+                            n_parts: int = 1) -> pa.Table:
+    """classify -> extract -> confidence filter for one fetched-block
+    SLICE (part/n_parts — the slice is taken inside the task, so finer
+    granularity costs no extra data movement; per-page semantics make
+    the split invisible in the output).
 
     The overlap-extraction task: submitted from crawl's ``page_hook`` on
     each round's block refs, so extraction runs on idle CPUs WHILE later
@@ -79,24 +83,57 @@ def _classify_extract_block(tbl: pa.Table) -> pa.Table:
     cluster scale this is the shape that keeps the extract stage busy
     for the whole crawl instead of idling through it."""
     from ..stages.classify import classify_batch
+    if n_parts > 1:
+        step = -(-tbl.num_rows // n_parts)
+        tbl = tbl.slice(part * step, step)
     if not _WORKER_EXTRACT:
         _WORKER_EXTRACT.append(ExtractStage())
     return _conf_filter(_WORKER_EXTRACT[0](classify_batch(tbl)))
 
 
+@ray.remote
+def _concat_blocks(*tbls: pa.Table) -> pa.Table:
+    ts = [t for t in tbls if t.num_rows]
+    return pa.concat_tables(ts).combine_chunks() if ts else tbls[0]
+
+
 class OverlapExtractor:
     """page_hook collector: submits _classify_extract_block per block as
-    rounds complete; ``dataset()`` wraps the accumulated result refs."""
+    rounds complete; ``dataset()`` wraps the accumulated result refs.
 
-    def __init__(self):
+    ``dataset()`` first COALESCES the per-fetch-block location outputs
+    (hundreds of small tables over a long crawl) down to
+    ``target_blocks``: the downstream fuzzy-dedup groupby's sort shuffle
+    creates O(input_blocks x partitions) objects, which was measured as
+    ~10 s of parallelism-independent tail time at 260 blocks — location
+    rows are tiny, so concat tasks are nearly free and overlap the
+    crawl's final round."""
+
+    def __init__(self, splits_per_block: int = 3):
+        # ~3 slices per fetch block: the drain after the final round is
+        # bounded by the LONGEST remaining task, and whole-block tasks
+        # (~2.3 s) left a multi-second straggler tail
+        self.splits = max(1, splits_per_block)
         self.refs: list = []
 
     def __call__(self, ds: rd.Dataset) -> None:
         for r in ds.to_arrow_refs():
-            self.refs.append(_classify_extract_block.remote(r))
+            for p in range(self.splits):
+                self.refs.append(
+                    _classify_extract_block.remote(r, p, self.splits))
 
-    def dataset(self) -> rd.Dataset:
-        return rd.from_arrow_refs(self.refs)
+    def dataset(self, target_blocks: int = 128) -> rd.Dataset:
+        # 128, not n_cpus: the downstream fuzzy groupby's partition count
+        # follows the input block count, and per-host greedy cost is
+        # ~quadratic in host size — more partitions => the straggler
+        # partition holds ~3 hosts instead of ~12 (measured 4.9 s -> ~1 s
+        # straggler at bench scale)
+        refs = self.refs
+        if len(refs) > target_blocks:
+            k = -(-len(refs) // target_blocks)
+            refs = [_concat_blocks.remote(*refs[i:i + k])
+                    for i in range(0, len(refs), k)]
+        return rd.from_arrow_refs(refs)
 
 
 def assemble_documents(pages: rd.Dataset, content_dedup: bool = False,

@@ -6,8 +6,11 @@ MinHash band groupby), in this order so the cheapest filters run first
 and each shuffle sees the smallest possible input:
 
     read (column-pruned)
-      -> language filter        (map_batches, actor pool: stopword sets)
-      -> quality filter         (map_batches, vectorized heuristics)
+      -> language filter        (map_batches tasks; the stopword sets are
+                                 a driver-built LangIdStage shipped by
+                                 closure — frozensets of ~17 words, far
+                                 below actor-pool-worthy state)
+      -> quality filter         (map_batches, per-doc heuristics)
       -> exact dedup            (hash groupby — uniform key, no skew)
       -> near-dup removal       (MinHash/LSH candidates + Jaccard verify;
                                  keep min doc_id per verified cluster)
