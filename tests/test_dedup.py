@@ -417,3 +417,35 @@ def test_scraper_similarity_properties():
         assert D.scraper_is_similar(s1, s1) or not s1.strip()
 
     check()
+
+
+def test_fuzzy_hash_shuffle_equals_sort_shuffle(ray_session):
+    """fuzzy_dedup(shuffle="hash") — the raw-task hash exchange
+    (stages/shuffles.py) — returns exactly the rows of the sort-based
+    groupby().map_groups path: _fuzzy_host_group imposes its own total
+    scan order, so exchange arrival order is invisible. Multi-host,
+    multi-block input so both the split and reduce waves are exercised."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rows = []
+    seq = 0
+    for h in range(17):
+        for i in range(int(rng.integers(1, 40))):
+            dup = i > 0 and rng.random() < 0.4
+            street = 100 if dup else 100 + i
+            rows.append({
+                "name": f"Shop {h}-{i % 5}",
+                "address": f"{street} Main Street, City{h}",
+                "latitude": "", "longitude": "",
+                "postal_code": f"{60000 + h}",
+                "source_url": f"https://host{h}.example/p{i}",
+                "discovery_seq": seq, "within_page_idx": 0})
+            seq += 1
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(7)
+    a = D.fuzzy_dedup(ds, shuffle="sort").to_pandas()
+    b = D.fuzzy_dedup(ds, shuffle="hash").to_pandas()
+    key = sorted(a.columns)
+    a2 = a.sort_values(key).reset_index(drop=True)[key]
+    b2 = b.sort_values(key).reset_index(drop=True)[key]
+    assert a2.equals(b2)

@@ -297,15 +297,24 @@ def _finish_taken(tbl: pa.Table, ranks: np.ndarray, room: int):
 
 
 @ray.remote(num_returns=2)
-def _fetch_block(stage, tbl: pa.Table, meta_cols: tuple):
-    """One fetch task per frontier block. Plain Ray task instead of a
-    Dataset executor job: a BFS round is a hard barrier, so the
+def _fetch_block(stage, tbl: pa.Table, meta_cols: tuple,
+                 part: int = 0, n_parts: int = 1):
+    """One fetch task per frontier-block SLICE. Plain Ray task instead
+    of a Dataset executor job: a BFS round is a hard barrier, so the
     streaming executor buys nothing here while costing ~0.3-0.4 s fixed
     startup per round (round-3 fixed-cost cut). Returns (fetched block,
     metadata projection) in ONE task — a separate 0-cpu projection task
     per block churned the worker pool (import storms => stragglers).
     The fetched blocks are wrapped back into a Dataset (from_arrow_refs)
-    for the downstream streaming stages."""
+    for the downstream streaming stages.
+
+    ``part``/``n_parts`` slice the block INSIDE the task (zero extra
+    data movement): fetch parallelism then isn't capped by the K=16
+    frontier buckets when the cluster has more slots — at 32 cpus the
+    big final-depth rounds previously fetched 16-wide."""
+    if n_parts > 1:
+        step = -(-tbl.num_rows // n_parts)
+        tbl = tbl.slice(part * step, step)
     out = stage(tbl)
     return out, out.select(list(meta_cols))
 
@@ -491,8 +500,13 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     is logged) while ``stats['seen']`` still counts them; resume stays
     exact because checkpoints persist per-round seen DELTAS.
     """
+    # pages_store may be a pre-put ObjectRef (the store upload is world
+    # SETUP — the network stand-in — not crawl work; callers that time
+    # the crawl can hoist it)
     fetch_stage = (HttpFetchStage(fetch_timeout) if fetcher == "http"
-                   else FetchStage(ray.put(pages_store)))
+                   else FetchStage(pages_store
+                                   if isinstance(pages_store, ray.ObjectRef)
+                                   else ray.put(pages_store)))
     robots = RobotsCache.options(num_cpus=0.1).remote(robots_by_host)
     seen = SeenSet(n_shards=n_seen_shards,
                    spill_threshold=seen_spill_threshold)
@@ -547,7 +561,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         return _crawl_rounds_dataset(
             fetch_stage, robots, seen, politeness, frontier, next_seq,
             n_fetched, rnd, round_delta, delays_known, max_pages, max_depth,
-            checkpoint_dir, keep_pages, backoff, order, page_hook)
+            checkpoint_dir, keep_pages, backoff, order, page_hook,
+            fetch_concurrency)
 
     visited_parts: list[pa.Table] = []
     page_datasets: list[rd.Dataset] = []
@@ -766,7 +781,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                           delays_known: set, max_pages: int, max_depth: int,
                           checkpoint_dir: str | None, keep_pages: bool,
                           backoff: bool, order: str,
-                          page_hook=None) -> CrawlResult:
+                          page_hook=None,
+                          fetch_concurrency: int = 4) -> CrawlResult:
     """frontier_mode="dataset": the frontier is sharded object-store
     state — K hash(host) buckets of Arrow tables, gated (depth + robots,
     both static per crawl) ONCE at insert time and kept sorted by the
@@ -822,6 +838,10 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
     # parallelism are not the round bottleneck (per-page fetch ~1 ms).
     K = 16
     KU = 8
+    # fetch slices per bucket: don't cap the fetch wave at K-way when
+    # the cluster is wider (bucket count stays K — state layout and
+    # bookkeeping fan-out are unchanged)
+    FP = max(1, -(-fetch_concurrency // K))
 
     # initial bucket split + insert-time gate (seeds / resumed frontier)
     if frontier_tbl.num_rows:
@@ -875,18 +895,38 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             deferred_refs = [_merge_bucket.remote(oc, deferred_refs[i], f[1])
                              for i, f in enumerate(fin)]
 
-        # --- fetch + fused link extract: one plain Ray task per bucket
-        # (a round is a hard barrier; skipping the Dataset executor saves
-        # its fixed startup per round), wrapped back into a Dataset for
-        # the downstream streaming stages; the visited-metadata
-        # projection rides back as the task's second return ---
+        # --- fetch + fused link extract: plain Ray tasks per bucket
+        # SLICE (a round is a hard barrier; skipping the Dataset executor
+        # saves its fixed startup per round), wrapped back into a Dataset
+        # for the downstream streaming stages; the visited-metadata
+        # projection rides back as the task's second return. FP slices
+        # per bucket lift fetch parallelism past the K buckets when the
+        # cluster is wider than K ---
         fpairs = [_fetch_block.remote(
                       fetch_stage, r,
                       ("url", "host", "depth", "discovery_seq",
-                       "parent_url_hash", "fetch_rank", "fetch_ok"))
-                  for r in fetch_refs]
+                       "parent_url_hash", "fetch_rank", "fetch_ok"),
+                      part, FP)
+                  for r in fetch_refs for part in range(FP)]
         fetched_refs = [p[0] for p in fpairs]
+
+        # --- candidate shuffle submitted BEFORE the page hook: its
+        # explode/reduce tasks are the next round's critical path, and
+        # submission order is scheduling order among ready tasks — hook
+        # extract tasks otherwise queue a full round of work ahead of
+        # the frontier bookkeeping (priority inversion) ---
+        parts = [_explode_bucketed.options(num_returns=KU).remote(r, KU)
+                 for r in fetched_refs]
+        if KU == 1:
+            parts = [[p] for p in parts]
+        reduces = [_reduce_candidates.remote(
+            list(seen.shards), robots, max_depth, bool(checkpoint_dir),
+            *[parts[i][u] for i in range(len(parts))]) for u in range(KU)]
+        fresh_refs = [r[0] for r in reduces]
+
         fetched = rd.from_arrow_refs(fetched_refs)
+        if page_hook is not None:
+            page_hook(fetched)
         # visited METADATA, ordered by fetch_rank (= round fetch order)
         meta = pa.concat_tables(ray.get([p[1] for p in fpairs])) \
             .combine_chunks().sort_by("fetch_rank")
@@ -919,18 +959,7 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                 os.path.join(checkpoint_dir, f"round={rnd}", "pages"))
         if keep_pages:
             page_datasets.append(fetched)
-        if page_hook is not None:
-            page_hook(fetched)
 
-        # --- candidate shuffle: explode (map) -> url shards (reduce) ---
-        parts = [_explode_bucketed.options(num_returns=KU).remote(r, KU)
-                 for r in fetched_refs]
-        if KU == 1:
-            parts = [[p] for p in parts]
-        reduces = [_reduce_candidates.remote(
-            list(seen.shards), robots, max_depth, bool(checkpoint_dir),
-            *[parts[i][u] for i in range(len(parts))]) for u in range(KU)]
-        fresh_refs = [r[0] for r in reduces]
         rinfo = ray.get([r[1] for r in reduces])
         rk = [np.asarray(i["rank"]) if i else np.zeros(0, np.int64)
               for i in rinfo]

@@ -427,13 +427,20 @@ def _fuzzy_host_group(g: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(outs, ignore_index=True) if outs else g.iloc[0:0]
 
 
-def fuzzy_dedup(ds):
+def fuzzy_dedup(ds, shuffle: str = "hash"):
     """D3 distributed: shuffle keyed by HOST (the crawl's single partition
     key — the reference dedups within one site, crawler.service.js:187-190),
     with postcode/geo-cell/city blocking applied within the host task.
     Skew note: a host's per-round size is already capped by the politeness
     budget; a pathological host can be salted into (host, postcode-range)
-    sub-shards without changing results because blocks never span salts."""
+    sub-shards without changing results because blocks never span salts.
+
+    ``shuffle="hash"`` (default) exchanges via the raw-task hash shuffle
+    (stages/shuffles.py) — the sort-based ``groupby().map_groups`` path
+    (``shuffle="sort"``) costs ~4 s of fixed all-to-all overhead per run
+    at bench scale on these tiny rows. Same output rows either way
+    (asserted in tests): _fuzzy_host_group imposes its own total scan
+    order, so exchange arrival order is invisible."""
     def add_key(batch: pa.Table) -> pa.Table:
         # block_key reads a handful of fields — convert only those columns,
         # not the whole (potentially wide) row
@@ -447,6 +454,12 @@ def fuzzy_dedup(ds):
         hosts = [k.split("|", 1)[0] for k in keys]
         out = batch.append_column("fuzzy_block", pa.array(keys, pa.string()))
         return out.append_column("fuzzy_host", pa.array(hosts, pa.string()))
+    if shuffle == "hash":
+        # key derivation rides inside the shuffle's split tasks — no
+        # separate map_batches job for it
+        from .shuffles import hash_map_groups
+        return hash_map_groups(ds, "fuzzy_host", _fuzzy_host_group,
+                               prepare=add_key)
     return (ds.map_batches(add_key, batch_format="pyarrow")
               .groupby("fuzzy_host")
               .map_groups(_fuzzy_host_group, batch_format="pandas"))

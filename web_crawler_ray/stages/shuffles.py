@@ -1,0 +1,104 @@
+"""Raw-task hash shuffle for keyed map_groups on small-row datasets.
+
+``Dataset.groupby(key).map_groups(fn)`` routes through the sort-based
+all-to-all: boundary sampling, a sort-map and a sort-reduce barrier, and
+O(blocks x partitions) intermediate objects — measured ~4.4 s of wall
+for ~1 s of task time on a 27k-row locations table (96 blocks, 32 cpus).
+When the partition key is known and the grouped rows are small, a plain
+two-stage raw-task hash shuffle does the same exchange with two task
+waves and no sampling/barrier machinery (the same idiom as the crawl's
+candidate explode/reduce, pipelines/crawl.py).
+
+Semantics vs ``groupby().map_groups``: identical iff ``fn`` is
+insensitive to row order WITHIN its group (arrival order differs from
+the sort-based path). Every ``fn`` routed here must either impose its
+own total order (fuzzy dedup sorts by (discovery_seq, within_page_idx))
+or be order-free; output ROWS are deterministic: groups key-sorted
+within each partition, partitions emitted largest-first (a
+deterministic function of the data — see below).
+
+Scale shape: map tasks fan each input block into P hash parts (tiny
+Arrow slices, zero-copy), one reduce task per part concats + runs fn
+per key-group. Objects created = G x P (G = map tasks, default <=32);
+both stages are flat task waves with no driver data traffic (the only
+driver round-trip is the P-length per-part row counts, used to submit
+reduce tasks largest-first so the straggler partition — e.g. the
+biggest host's all-pairs dedup — starts in the first scheduling wave
+instead of adding its full runtime to the tail).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.hashing import hash64_many
+
+
+@ray.remote
+def _hash_split(key: str, P: int, prepare, *tbls: pa.Table):
+    """Split the concatenated input blocks into P hash(key) parts.
+    Returns P tables + one int64 row-count vector (the last return).
+    ``prepare`` (optional) is applied to the concatenated table first —
+    the key/annotation columns are computed here, inside the task wave,
+    instead of in a separate upstream map_batches job."""
+    live = [t for t in tbls if t.num_rows]
+    tbl = pa.concat_tables(live) if len(live) > 1 else (
+        live[0] if live else tbls[0])
+    if prepare is not None:
+        tbl = prepare(tbl)
+    if tbl.num_rows == 0:
+        empty = tbl.schema.empty_table()
+        return tuple(empty for _ in range(P)) + (np.zeros(P, np.int64),)
+    h = (hash64_many(tbl.column(key).to_pylist()) % np.uint64(P)).astype(np.int64)
+    parts = tuple(tbl.filter(pa.array(h == p)) for p in range(P))
+    return parts + (np.array([p.num_rows for p in parts], np.int64),)
+
+
+@ray.remote
+def _reduce_apply(fn, key: str, *parts: pa.Table) -> pa.Table:
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return parts[0].schema.empty_table()
+    tbl = pa.concat_tables(live).combine_chunks()
+    df = tbl.to_pandas()
+    outs = [fn(g) for _, g in df.groupby(key, sort=True)]
+    out = pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0]
+    # drop the pandas schema metadata: blocks with it defeat Ray Data's
+    # schema dedup (unhashable-dict log storm + per-block schema churn)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def hash_map_groups(ds: rd.Dataset, key: str, fn,
+                    num_partitions: int = 96,
+                    max_map_tasks: int = 32,
+                    prepare=None) -> rd.Dataset:
+    """Group ``ds`` by ``key`` via raw-task hash shuffle and apply ``fn``
+    (a pandas group -> pandas frame callable, the map_groups contract)
+    to each group. ``prepare`` (pa.Table -> pa.Table) is applied inside
+    the split tasks before hashing — use it to compute the key column
+    without a separate upstream map job. See module docstring for the
+    exact-semantics condition. Returns a lazy Dataset over the reduce
+    outputs (blocks ordered largest partition first)."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    g = min(max_map_tasks, len(refs))
+    step = -(-len(refs) // g)
+    P = num_partitions
+    splits = []
+    count_refs = []
+    for i in range(0, len(refs), step):
+        o = _hash_split.options(num_returns=P + 1).remote(
+            key, P, prepare, *refs[i:i + step])
+        splits.append(o[:P])
+        count_refs.append(o[P])
+    per_part = np.sum(ray.get(count_refs), axis=0)
+    order = np.argsort(-per_part, kind="stable")
+    out = [_reduce_apply.remote(fn, key, *[s[p] for s in splits])
+           for p in order]
+    return rd.from_arrow_refs(out)
