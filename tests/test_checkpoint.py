@@ -149,3 +149,31 @@ def test_resume_into_dataset_mode(tmp_path):
     assert resumed.visited.column("discovery_seq").to_pylist() == \
         tail.column("discovery_seq").to_pylist()
     assert np.array_equal(resumed.seen_snapshot, full.seen_snapshot)
+
+
+def test_visited_spill_equals_in_ram(tmp_path):
+    """crawl(visited_spill_dir=...) bounds driver RAM: per-round visited
+    parquet under the dir, CrawlResult.visited EMPTY, and the concatenated
+    spill exactly equals the in-RAM visited table — in BOTH frontier
+    modes."""
+    import glob
+
+    import pyarrow as pa
+
+    tbl, robots, seeds = W.world(seed=13, n_hosts=4, pages_per_host_base=16)
+    for mode in ("driver", "dataset"):
+        ram = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                    keep_pages=False, frontier_mode=mode)
+        d = str(tmp_path / f"spill_{mode}")
+        sp = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                   keep_pages=False, frontier_mode=mode,
+                   visited_spill_dir=d)
+        assert sp.visited.num_rows == 0
+        assert sp.visited_dir == d
+        files = sorted(glob.glob(os.path.join(d, "round=*.parquet")))
+        assert len(files) == sp.stats["rounds"]
+        spilled = pa.concat_tables([pq.read_table(f) for f in files])
+        assert spilled.num_rows == ram.visited.num_rows
+        assert spilled.sort_by("discovery_seq").equals(
+            ram.visited.sort_by("discovery_seq"))
+        assert sp.stats["fetched"] == ram.stats["fetched"]

@@ -221,6 +221,11 @@ class CrawlResult:
     seen_snapshot: np.ndarray         # sorted uint64 url hashes
     stats: dict = field(default_factory=dict)
     metrics: list = field(default_factory=list)
+    # set iff crawl(visited_spill_dir=...) was used: the visited table
+    # then lives as per-round parquet under this dir (read lazily with
+    # ray.data.read_parquet) and ``visited`` above is EMPTY — the driver
+    # never holds O(total fetched) rows (the 10^10-URL RAM bound)
+    visited_dir: "str | None" = None
 
 
 # ---------------------------------------------------------------------------
@@ -453,7 +458,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
           seen_spill_threshold: int | None = None,
           fetcher: str = "pagestore",
           fetch_timeout: float = 15.0,
-          page_hook=None) -> CrawlResult:
+          page_hook=None,
+          visited_spill_dir: str | None = None) -> CrawlResult:
     """Run the round-based BFS. ``pages_store`` must be sorted by url_hash
     (pass ``None`` with ``fetcher="http"``).
 
@@ -499,6 +505,14 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     is partial (spilled keys are queryable, not enumerable; a warning
     is logged) while ``stats['seen']`` still counts them; resume stays
     exact because checkpoints persist per-round seen DELTAS.
+
+    ``visited_spill_dir``: bound the driver's visited-table RAM — each
+    round's visited metadata is written to
+    ``<dir>/round=NNNNNN.parquet`` instead of accumulating on the
+    driver (O(total fetched) at 10^10 URLs). ``CrawlResult.visited`` is
+    then EMPTY and ``CrawlResult.visited_dir`` points at the parquet
+    (read lazily with ray.data.read_parquet; identical rows — asserted
+    in tests).
     """
     # pages_store may be a pre-put ObjectRef (the store upload is world
     # SETUP — the network stand-in — not crawl work; callers that time
@@ -562,7 +576,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
             fetch_stage, robots, seen, politeness, frontier, next_seq,
             n_fetched, rnd, round_delta, delays_known, max_pages, max_depth,
             checkpoint_dir, keep_pages, backoff, order, page_hook,
-            fetch_concurrency)
+            fetch_concurrency, visited_spill_dir)
 
     visited_parts: list[pa.Table] = []
     page_datasets: list[rd.Dataset] = []
@@ -678,14 +692,18 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         if page_hook is not None:
             page_hook(ds)
 
-        visited_parts.append(pa.table({
+        round_visited = pa.table({
             "round": pa.array([rnd] * fetch_tbl.num_rows, pa.int32()),
             "discovery_seq": fetch_tbl.column("discovery_seq"),
             "url": fetch_tbl.column("url"),
             "host": fetch_tbl.column("host"),
             "depth": fetch_tbl.column("depth"),
             "parent_url_hash": fetch_tbl.column("parent_url_hash"),
-        }))
+        })
+        if visited_spill_dir:
+            _spill_visited(visited_spill_dir, rnd, round_visited)
+        else:
+            visited_parts.append(round_visited)
         n_fetched += fetch_tbl.num_rows
 
         # --- next frontier: dedup in-round, seen-filter, assign seqs ---
@@ -735,9 +753,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
                 new_frontier = pa.concat_tables([deferred, add]) if deferred.num_rows else add
         frontier = new_frontier
 
-        per_host: dict[str, int] = {}
-        for h in fetch_tbl.column("host").to_pylist():
-            per_host[h] = per_host.get(h, 0) + 1
+        per_host = _host_counts(fetch_tbl.column("host"))
         metrics.append({"round": rnd, "stage": "fetch", "rows_in": rows_in,
                         "rows_out": int(fetch_tbl.num_rows),
                         "frontier_next": int(frontier.num_rows),
@@ -748,18 +764,13 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         if checkpoint_dir:
             delta = (np.sort(np.concatenate(round_delta)) if round_delta
                      else np.zeros(0, np.uint64))
-            _write_checkpoint(checkpoint_dir, rnd, frontier, visited_parts[-1],
+            _write_checkpoint(checkpoint_dir, rnd, frontier, round_visited,
                               delta, metrics[-1])
             round_delta = []
         rnd += 1
 
     visited = (pa.concat_tables(visited_parts) if visited_parts
-               else pa.table({"round": pa.array([], pa.int32()),
-                              "discovery_seq": pa.array([], pa.int64()),
-                              "url": pa.array([], pa.string()),
-                              "host": pa.array([], pa.string()),
-                              "depth": pa.array([], pa.int32()),
-                              "parent_url_hash": pa.array([], pa.uint64())}))
+               else _EMPTY_VISITED)
     pages = None
     if keep_pages and page_datasets:
         pages = page_datasets[0]
@@ -768,11 +779,34 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     stats = {"fetched": n_fetched, "rounds": rnd, "seen": seen.cardinality(),
              "politeness": ray.get(politeness.get_all_stats.remote())}
     return CrawlResult(visited=visited, pages=pages,
-                       seen_snapshot=seen.snapshot(), stats=stats, metrics=metrics)
+                       seen_snapshot=seen.snapshot(), stats=stats,
+                       metrics=metrics, visited_dir=visited_spill_dir)
 
 
 _FR_COLS = ["url", "url_hash", "host", "path", "depth", "discovery_seq",
             "priority", "parent_url_hash"]
+
+_EMPTY_VISITED = pa.table({"round": pa.array([], pa.int32()),
+                           "discovery_seq": pa.array([], pa.int64()),
+                           "url": pa.array([], pa.string()),
+                           "host": pa.array([], pa.string()),
+                           "depth": pa.array([], pa.int32()),
+                           "parent_url_hash": pa.array([], pa.uint64())})
+
+
+def _spill_visited(d: str, rnd: int, tbl: pa.Table) -> None:
+    import pyarrow.parquet as pq
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, f"round={rnd:06d}.parquet"))
+
+
+def _host_counts(arr) -> dict:
+    """Vectorized per-host fetch counts for the round metrics (was a
+    per-row Python dict loop — O(pages) driver time per round)."""
+    vc = pc.value_counts(arr.combine_chunks()
+                         if isinstance(arr, pa.ChunkedArray) else arr)
+    return {v: int(c) for v, c in zip(vc.field("values").to_pylist(),
+                                      vc.field("counts").to_pylist())}
 
 
 def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
@@ -782,7 +816,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                           checkpoint_dir: str | None, keep_pages: bool,
                           backoff: bool, order: str,
                           page_hook=None,
-                          fetch_concurrency: int = 4) -> CrawlResult:
+                          fetch_concurrency: int = 4,
+                          visited_spill_dir: str | None = None) -> CrawlResult:
     """frontier_mode="dataset": the frontier is sharded object-store
     state — K hash(host) buckets of Arrow tables, gated (depth + robots,
     both static per crawl) ONCE at insert time and kept sorted by the
@@ -930,7 +965,7 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         # visited METADATA, ordered by fetch_rank (= round fetch order)
         meta = pa.concat_tables(ray.get([p[1] for p in fpairs])) \
             .combine_chunks().sort_by("fetch_rank")
-        visited_parts.append(pa.table({
+        round_visited = pa.table({
             "round": pa.array([rnd] * meta.num_rows, pa.int32()),
             "discovery_seq": pc.cast(meta.column("discovery_seq"), pa.int64()),
             "url": pc.cast(meta.column("url"), pa.string()),
@@ -938,7 +973,11 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             "depth": pc.cast(meta.column("depth"), pa.int32()),
             "parent_url_hash": pc.cast(meta.column("parent_url_hash"),
                                        pa.uint64()),
-        }))
+        })
+        if visited_spill_dir:
+            _spill_visited(visited_spill_dir, rnd, round_visited)
+        else:
+            visited_parts.append(round_visited)
         n_fetched += meta.num_rows
         if backoff:
             import collections
@@ -1008,9 +1047,7 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                    for b in range(K)]
         counts = {h: c for h, c in counts.items() if c > 0}
 
-        per_host: dict[str, int] = {}
-        for h in meta.column("host").to_pylist():
-            per_host[h] = per_host.get(h, 0) + 1
+        per_host = _host_counts(meta.column("host"))
         metrics.append({"round": rnd, "stage": "fetch", "rows_in": rows_in,
                         "rows_out": int(meta.num_rows),
                         "frontier_next": int(sum(counts.values())),
@@ -1024,18 +1061,13 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             fr_parts = [t for t in ray.get(buckets) if t.num_rows]
             fr_tbl = (pa.concat_tables(fr_parts).combine_chunks()
                       if fr_parts else _frontier_table([], [], [], []))
-            _write_checkpoint(checkpoint_dir, rnd, fr_tbl, visited_parts[-1],
+            _write_checkpoint(checkpoint_dir, rnd, fr_tbl, round_visited,
                               delta, metrics[-1])
             round_delta = []
         rnd += 1
 
     visited = (pa.concat_tables(visited_parts) if visited_parts
-               else pa.table({"round": pa.array([], pa.int32()),
-                              "discovery_seq": pa.array([], pa.int64()),
-                              "url": pa.array([], pa.string()),
-                              "host": pa.array([], pa.string()),
-                              "depth": pa.array([], pa.int32()),
-                              "parent_url_hash": pa.array([], pa.uint64())}))
+               else _EMPTY_VISITED)
     pages = None
     if keep_pages and page_datasets:
         pages = page_datasets[0]
@@ -1045,7 +1077,7 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
              "politeness": ray.get(politeness.get_all_stats.remote())}
     return CrawlResult(visited=visited, pages=pages,
                        seen_snapshot=seen.snapshot(), stats=stats,
-                       metrics=metrics)
+                       metrics=metrics, visited_dir=visited_spill_dir)
 
 
 def _write_checkpoint(ckpt_dir: str, rnd: int, frontier: pa.Table,
