@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
@@ -892,13 +893,27 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
     else:
         buckets, counts = [], {}
 
+    # driver-phase wall-time accounting (exposed as
+    # stats["driver_phases"]): where the parallelism-INDEPENDENT time
+    # goes — the quantity that caps scaling efficiency
+    phases: dict[str, float] = {}
+    _pt = [time.perf_counter()]
+
+    def _ph(name: str) -> None:
+        now = time.perf_counter()
+        phases[name] = phases.get(name, 0.0) + (now - _pt[0])
+        _pt[0] = now
+
     while counts and n_fetched < max_pages and rnd < max_rounds:
+        _ph("idle")
         rows_in = sum(counts.values())
         grant = ray.get(politeness.grant.remote(counts))
         grant_ref = ray.put(grant)
+        _ph("grant")
         marks = [_mark_bucket.remote(b, grant_ref) for b in buckets]
         deferred_refs = [m[1] for m in marks]
         infos = ray.get([m[2] for m in marks])
+        _ph("mark_wait")
         for info in infos:
             for h, c in info["taken_per_host"].items():
                 counts[h] -= c
@@ -929,6 +944,7 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         if n_taken > room:
             deferred_refs = [_merge_bucket.remote(oc, deferred_refs[i], f[1])
                              for i, f in enumerate(fin)]
+        _ph("rank_finish")
 
         # --- fetch + fused link extract: plain Ray tasks per bucket
         # SLICE (a round is a hard barrier; skipping the Dataset executor
@@ -959,12 +975,16 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             *[parts[i][u] for i in range(len(parts))]) for u in range(KU)]
         fresh_refs = [r[0] for r in reduces]
 
+        _ph("submit")
         fetched = rd.from_arrow_refs(fetched_refs)
         if page_hook is not None:
             page_hook(fetched)
+        _ph("hook")
         # visited METADATA, ordered by fetch_rank (= round fetch order)
-        meta = pa.concat_tables(ray.get([p[1] for p in fpairs])) \
-            .combine_chunks().sort_by("fetch_rank")
+        meta_parts = ray.get([p[1] for p in fpairs])
+        _ph("fetch_wait")
+        meta = pa.concat_tables(meta_parts).combine_chunks() \
+            .sort_by("fetch_rank")
         round_visited = pa.table({
             "round": pa.array([rnd] * meta.num_rows, pa.int32()),
             "discovery_seq": pc.cast(meta.column("discovery_seq"), pa.int64()),
@@ -979,6 +999,7 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         else:
             visited_parts.append(round_visited)
         n_fetched += meta.num_rows
+        _ph("visited")
         if backoff:
             import collections
             ok_arr = meta.column("fetch_ok").to_numpy(zero_copy_only=False)
@@ -999,7 +1020,9 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         if keep_pages:
             page_datasets.append(fetched)
 
+        _ph("backoff_ckpt")
         rinfo = ray.get([r[1] for r in reduces])
+        _ph("reduce_wait")
         rk = [np.asarray(i["rank"]) if i else np.zeros(0, np.int64)
               for i in rinfo]
         flens = np.array([len(a) for a in rk], dtype=np.int64)
@@ -1046,6 +1069,7 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                                         *add_per_bucket[b])
                    for b in range(K)]
         counts = {h: c for h, c in counts.items() if c > 0}
+        _ph("fresh_merge")
 
         per_host = _host_counts(meta.column("host"))
         metrics.append({"round": rnd, "stage": "fetch", "rows_in": rows_in,
@@ -1065,7 +1089,9 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                               delta, metrics[-1])
             round_delta = []
         rnd += 1
+        _ph("metrics")
 
+    _pt[0] = time.perf_counter()
     visited = (pa.concat_tables(visited_parts) if visited_parts
                else _EMPTY_VISITED)
     pages = None
@@ -1075,6 +1101,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             pages = pages.union(d)
     stats = {"fetched": n_fetched, "rounds": rnd, "seen": seen.cardinality(),
              "politeness": ray.get(politeness.get_all_stats.remote())}
+    _ph("final")
+    stats["driver_phases"] = {k: round(v, 3) for k, v in phases.items()}
     return CrawlResult(visited=visited, pages=pages,
                        seen_snapshot=seen.snapshot(), stats=stats,
                        metrics=metrics, visited_dir=visited_spill_dir)
