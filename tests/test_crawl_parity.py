@@ -192,6 +192,27 @@ def test_dataset_frontier_mode_cap_parity(small_world):
     assert np.array_equal(e[1], d[1])
 
 
+def test_dataset_mode_distributed_rank_parity(small_world, monkeypatch):
+    """rank_assign='distributed' (state/distrank.py sample-merge-rank —
+    the 10^8-rows/round path where the driver sees only samples+counts)
+    is bit-for-bit identical to the driver argsort path, fifo and
+    priority. DEFAULT_CHUNK is shrunk so multiple range tasks are
+    actually exercised at test scale (R > 1)."""
+    from web_crawler_ray.state import distrank
+    monkeypatch.setattr(distrank, "DEFAULT_CHUNK", 8)
+    tbl, robots, seeds, _ = small_world
+    for kw in ({"round_seconds": None, "max_pages": 60, "max_depth": 2},
+               {"round_seconds": 4.0, "max_pages": 80, "max_depth": 3,
+                "order": "priority"}):
+        d = _run_engine(tbl, robots, seeds, frontier_mode="dataset",
+                        rank_assign="driver", **kw)
+        e = _run_engine(tbl, robots, seeds, frontier_mode="dataset",
+                        rank_assign="distributed", **kw)
+        assert e[0] == d[0], kw
+        assert np.array_equal(e[1], d[1]), kw
+        assert e[2]["fetched"] == d[2]["fetched"]
+
+
 def test_crawl_with_seen_spill_matches_unspilled(small_world):
     """Tiny spill threshold forces every shard through the bloom spill
     tier mid-crawl: fetch order and fetched-count stay identical (no

@@ -50,6 +50,7 @@ from ..functions.urltools import (
     canonicalize, host_of, priority_tier, resolve_href, same_domain,
     should_exclude,
 )
+from ..state import distrank
 from ..state.politeness import Politeness
 from ..state.robots_cache import RobotsCache
 from ..state.seen import SeenSet
@@ -259,14 +260,33 @@ def _prep_bucket(tbl: pa.Table, robots, max_depth: int, order_cols):
     return tbl, {str(h): int(c) for h, c in zip(hosts, counts)}
 
 
-@ray.remote(num_cpus=0, num_returns=3)
-def _mark_bucket(tbl: pa.Table, grant: dict):
+def _encode_taken_keys(taken: pa.Table, encode_pri: bool) -> np.ndarray:
+    """The bucket's round order as ONE sorted uint64 key per row:
+    discovery_seq (fifo) or (priority << 56) | discovery_seq (priority
+    order; tiers are 1-3, seqs bounded by total discovered URLs — far
+    under 2^56 even at the 10^10-page design point, asserted)."""
+    seq = taken.column("discovery_seq").to_numpy()
+    keys = seq.astype(np.uint64)
+    if encode_pri and len(keys):
+        assert int(seq.max()) < (1 << 56), "discovery_seq overflows key"
+        keys |= taken.column("priority").to_numpy().astype(np.uint64) \
+            << np.uint64(56)
+    return keys
+
+
+@ray.remote(num_cpus=0, num_returns=4)
+def _mark_bucket(tbl: pa.Table, grant: dict, encode_pri: bool = False,
+                 remote_keys: bool = False):
     """Split one (order-sorted) frontier bucket into the granted prefix
-    per host vs the deferred rest. Returns (taken, deferred, info) where
-    info carries the per-host taken counts and the taken rows' ORDER KEYS
-    (ints only) for the driver-side global rank."""
+    per host vs the deferred rest. Returns (taken, deferred, info, keys):
+    info carries the per-host taken counts plus the taken rows' ORDER
+    KEYS (ints only) for the driver-side global argsort — or, with
+    ``remote_keys`` (rank_assign="distributed"), only a count + sample
+    while the full encoded key array rides in the 4th return for
+    state/distrank.py, so the driver never gathers O(round) keys."""
     if tbl.num_rows == 0:
-        return tbl, tbl, {"taken_per_host": {}, "pri": None, "seq": None}
+        return tbl, tbl, {"taken_per_host": {}, "pri": None, "seq": None,
+                          "n": 0, "sample": None}, None
     hosts = pd.Series(np.asarray(tbl.column("host")))
     cc = hosts.groupby(hosts, sort=False).cumcount().to_numpy()
     budget = hosts.map(lambda h: grant.get(h, 0)).to_numpy()
@@ -275,20 +295,28 @@ def _mark_bucket(tbl: pa.Table, grant: dict):
     deferred = tbl.filter(pa.array(~mask))
     th = np.asarray(taken.column("host"))
     uh, uc = np.unique(th, return_counts=True)
-    info = {
-        "taken_per_host": {str(h): int(c) for h, c in zip(uh, uc)},
-        "pri": taken.column("priority").to_numpy(),
-        "seq": taken.column("discovery_seq").to_numpy(),
-    }
-    return taken, deferred, info
+    info = {"taken_per_host": {str(h): int(c) for h, c in zip(uh, uc)},
+            "pri": None, "seq": None, "n": taken.num_rows, "sample": None}
+    if remote_keys:
+        keys = _encode_taken_keys(taken, encode_pri)
+        info["sample"] = distrank.sample_keys(keys)
+        return taken, deferred, info, keys
+    info["pri"] = taken.column("priority").to_numpy()
+    info["seq"] = taken.column("discovery_seq").to_numpy()
+    return taken, deferred, info, None
 
 
 @ray.remote(num_cpus=0, num_returns=3)
-def _finish_taken(tbl: pa.Table, ranks: np.ndarray, room: int):
+def _finish_taken(tbl: pa.Table, room: int, *rank_parts):
     """Append the global fetch_rank and apply the max_pages cap: rows with
     rank < room are this round's fetch list, the rest flow back to the
-    deferred frontier (minus the rank column). Returns
+    deferred frontier (minus the rank column). ``rank_parts`` is one
+    driver-built array (rank_assign="driver") or this bucket's distrank
+    range slices in range order (= the bucket's sorted row order, since
+    ranges are contiguous runs of it). Returns
     (fetch_tbl, overflow_tbl, overflow per-host counts)."""
+    ranks = (np.concatenate([np.asarray(p) for p in rank_parts])
+             if len(rank_parts) != 1 else np.asarray(rank_parts[0]))
     tbl = tbl.append_column("fetch_rank", pa.array(ranks, pa.int64()))
     # ranks are GLOBAL positions: a bucket smaller than room can still
     # hold rows past the cap, so the fast path needs max(rank) < room
@@ -338,22 +366,29 @@ def _explode_bucketed(tbl: pa.Table, k: int):
     return out if k > 1 else out[0]
 
 
-@ray.remote(num_cpus=1, num_returns=2)
+@ray.remote(num_cpus=1, num_returns=3)
 def _reduce_candidates(shards, robots, max_depth: int, want_hashes: bool,
-                       *pieces: pa.Table):
+                       remote_keys: bool, *pieces: pa.Table):
     """Reduce side of the candidate shuffle, one url shard per task:
     in-round first-seen dedup (order: parent fetch rank, link position)
     -> seen-shard check_and_add (cross-task urls are disjoint by the url
     partitioning, so shard results are arrival-order independent) ->
     depth + robots gate (insert-time gating; gated-out rows still consume
     their discovery_seq, matching the driver loop, via the __gated mask).
-    Returns (fresh candidate table incl. __gated, info) where info holds
-    the fresh rows' order keys (ints), the gated rows' per-host counts,
-    and — only when checkpointing — the fresh url hashes."""
+    Returns (fresh candidate table incl. __gated, info, keys) where info
+    holds the fresh rows' order keys (ints), the gated rows' per-host
+    counts, and — only when checkpointing — the fresh url hashes. With
+    ``remote_keys`` (rank_assign="distributed") the order keys are
+    instead encoded as one sorted uint64 array ((parent_rank << 24) |
+    link_idx — unique per link occurrence; bounds asserted) returned as
+    the 3rd value for state/distrank.py, and info carries only a count
+    + sample; the driver then never gathers O(candidates) keys.
+    (Checkpointing still gathers the O(fresh) url hashes for the
+    seen-delta file — checkpoint writes are driver-paced by design.)"""
     from ..state.seen import scatter_check_and_add
     parts = [p for p in pieces if p.num_rows]
     if not parts:
-        return None, None
+        return None, None, None
     t = pa.concat_tables(parts).combine_chunks()
     t = t.sort_by([("parent_rank", "ascending"), ("link_idx", "ascending")])
     urls = pd.Series(np.asarray(t.column("url")))
@@ -361,7 +396,7 @@ def _reduce_candidates(shards, robots, max_depth: int, want_hashes: bool,
     fresh = scatter_check_and_add(shards, t.column("url_hash").to_numpy())
     t = t.filter(pa.array(fresh))
     if t.num_rows == 0:
-        return None, None
+        return None, None, None
     gated = t.column("depth").to_numpy() <= max_depth
     if gated.any():
         paths = [_fast_path(u) for u in t.column("url").to_pylist()]
@@ -372,20 +407,35 @@ def _reduce_candidates(shards, robots, max_depth: int, want_hashes: bool,
     gh, gc = np.unique(np.asarray(t.filter(pa.array(gated)).column("host")),
                        return_counts=True)
     info = {
-        "rank": t.column("parent_rank").to_numpy(),
-        "idx": t.column("link_idx").to_numpy(),
+        "rank": None, "idx": None, "n": t.num_rows, "sample": None,
         "host_counts": {str(h): int(c) for h, c in zip(gh, gc)},
         "hashes": t.column("url_hash").to_numpy() if want_hashes else None,
     }
-    return t, info
+    if remote_keys:
+        rank = t.column("parent_rank").to_numpy()
+        idx = t.column("link_idx").to_numpy()
+        # unique per link occurrence; rank < 2^39 (bounded by this
+        # round's fetch count), idx < 2^24 (links per page)
+        assert int(idx.max()) < (1 << 24) and int(rank.max()) < (1 << 39), \
+            "fresh order key overflows uint64 encoding"
+        keys = (rank.astype(np.uint64) << np.uint64(24)) | idx.astype(np.uint64)
+        info["sample"] = distrank.sample_keys(keys)
+        return t, info, keys
+    info["rank"] = t.column("parent_rank").to_numpy()
+    info["idx"] = t.column("link_idx").to_numpy()
+    return t, info, None
 
 
 @ray.remote(num_cpus=0)
-def _finish_fresh(tbl: pa.Table, seqs: np.ndarray, k: int):
+def _finish_fresh(tbl: pa.Table, k: int, *seq_parts):
     """Append the driver-assigned discovery_seqs (covering gated-out rows
     too — they consume seqs, as in the driver loop), drop gated-out rows,
     build frontier-schema columns, and partition by hash(host) into the k
-    frontier buckets (num_returns=k at the call site)."""
+    frontier buckets (num_returns=k at the call site). ``seq_parts`` is
+    one driver-built array or this shard's distrank range slices in
+    range order (= the shard's sorted (parent_rank, link_idx) order)."""
+    seqs = (np.concatenate([np.asarray(p) for p in seq_parts])
+            if len(seq_parts) != 1 else np.asarray(seq_parts[0]))
     tbl = tbl.append_column("discovery_seq", pa.array(seqs, pa.int64()))
     tbl = tbl.filter(tbl.column("__gated"))
     urls = tbl.column("url").to_pylist()
@@ -460,7 +510,9 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
           fetcher: str = "pagestore",
           fetch_timeout: float = 15.0,
           page_hook=None,
-          visited_spill_dir: str | None = None) -> CrawlResult:
+          visited_spill_dir: str | None = None,
+          rank_assign: str = "auto",
+          rank_gather_limit: int = 4_000_000) -> CrawlResult:
     """Run the round-based BFS. ``pages_store`` must be sorted by url_hash
     (pass ``None`` with ``fetcher="http"``).
 
@@ -514,6 +566,14 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     then EMPTY and ``CrawlResult.visited_dir`` points at the parquet
     (read lazily with ray.data.read_parquet; identical rows — asserted
     in tests).
+
+    ``rank_assign`` (``frontier_mode="dataset"`` only): how per-round
+    global fetch ranks / discovery_seqs are assigned. ``"auto"``
+    (default) gathers per-bucket int order keys to the driver below
+    ``rank_gather_limit`` rows/round and switches to the distributed
+    sample-merge-rank (state/distrank.py — driver sees samples + counts
+    only) above it; ``"driver"`` / ``"distributed"`` force a path. Both
+    paths are bit-for-bit identical (parity-tested).
     """
     # pages_store may be a pre-put ObjectRef (the store upload is world
     # SETUP — the network stand-in — not crawl work; callers that time
@@ -577,7 +637,8 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
             fetch_stage, robots, seen, politeness, frontier, next_seq,
             n_fetched, rnd, round_delta, delays_known, max_pages, max_depth,
             checkpoint_dir, keep_pages, backoff, order, page_hook,
-            fetch_concurrency, visited_spill_dir)
+            fetch_concurrency, visited_spill_dir, rank_assign,
+            rank_gather_limit)
 
     visited_parts: list[pa.Table] = []
     page_datasets: list[rd.Dataset] = []
@@ -818,7 +879,9 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                           backoff: bool, order: str,
                           page_hook=None,
                           fetch_concurrency: int = 4,
-                          visited_spill_dir: str | None = None) -> CrawlResult:
+                          visited_spill_dir: str | None = None,
+                          rank_assign: str = "auto",
+                          rank_gather_limit: int = 4_000_000) -> CrawlResult:
     """frontier_mode="dataset": the frontier is sharded object-store
     state — K hash(host) buckets of Arrow tables, gated (depth + robots,
     both static per crawl) ONCE at insert time and kept sorted by the
@@ -836,7 +899,12 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
       already do. (The previous all-Dataset form used a distributed
       sort + prefix-sum here; its 2 extra all-to-all jobs per round —
       of ~9 executor jobs total — measured 17x slower than the driver
-      loop at bench scale, see git history.)
+      loop at bench scale, see git history.)  Above ``rank_gather_limit``
+      rows (or with ``rank_assign="distributed"``) even the int-key
+      gather is skipped: state/distrank.py assigns identical ranks by a
+      sample-merge-rank (driver sees per-shard samples + counts only —
+      the 10^8-rows/round path; forced-distributed parity pinned in
+      tests/test_crawl_parity.py).
     - candidate shuffle: explode tasks partition links by hash(url) into
       url shards (map side); one reduce task per shard does first-seen
       dedup, the seen-shard check_and_add (cross-shard urls are
@@ -909,34 +977,47 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         rows_in = sum(counts.values())
         grant = ray.get(politeness.grant.remote(counts))
         grant_ref = ray.put(grant)
+        # upper bound on this round's taken rows, known pre-mark: picks
+        # the rank-assignment path (driver int-key argsort vs distrank)
+        est_taken = sum(min(c, grant.get(h, 0)) for h, c in counts.items())
+        dist_taken = (rank_assign == "distributed" or
+                      (rank_assign == "auto" and est_taken > rank_gather_limit))
         _ph("grant")
-        marks = [_mark_bucket.remote(b, grant_ref) for b in buckets]
+        marks = [_mark_bucket.remote(b, grant_ref, order == "priority",
+                                     dist_taken) for b in buckets]
         deferred_refs = [m[1] for m in marks]
         infos = ray.get([m[2] for m in marks])
         _ph("mark_wait")
         for info in infos:
             for h, c in info["taken_per_host"].items():
                 counts[h] -= c
-        key_seq = [np.asarray(i["seq"]) if i["seq"] is not None
-                   else np.zeros(0, np.int64) for i in infos]
-        lens = np.array([len(s) for s in key_seq], dtype=np.int64)
+        lens = np.array([i["n"] for i in infos], dtype=np.int64)
         n_taken = int(lens.sum())
         if n_taken == 0:
             break  # safety; unreachable while counts is nonempty
-        cat_seq = np.concatenate(key_seq)
-        if order == "priority":
-            cat_pri = np.concatenate(
-                [np.asarray(i["pri"]) if i["pri"] is not None
-                 else np.zeros(0, np.int8) for i in infos])
-            order_ix = np.lexsort((cat_seq, cat_pri))
-        else:
-            order_ix = np.argsort(cat_seq, kind="stable")
-        ranks = np.empty(n_taken, dtype=np.int64)
-        ranks[order_ix] = np.arange(n_taken)
         room = max_pages - n_fetched
-        bounds = np.concatenate(([0], np.cumsum(lens)))
-        fin = [_finish_taken.remote(m[0], ranks[bounds[i]:bounds[i + 1]], room)
-               for i, m in enumerate(marks)]
+        if dist_taken:
+            rank_parts = distrank.assign_ranks(
+                [m[3] for m in marks], [i["sample"] for i in infos], n_taken)
+            fin = [_finish_taken.remote(m[0], room, *rank_parts[i])
+                   for i, m in enumerate(marks)]
+        else:
+            key_seq = [np.asarray(i["seq"]) if i["seq"] is not None
+                       else np.zeros(0, np.int64) for i in infos]
+            cat_seq = np.concatenate(key_seq)
+            if order == "priority":
+                cat_pri = np.concatenate(
+                    [np.asarray(i["pri"]) if i["pri"] is not None
+                     else np.zeros(0, np.int8) for i in infos])
+                order_ix = np.lexsort((cat_seq, cat_pri))
+            else:
+                order_ix = np.argsort(cat_seq, kind="stable")
+            ranks = np.empty(n_taken, dtype=np.int64)
+            ranks[order_ix] = np.arange(n_taken)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            fin = [_finish_taken.remote(m[0], room,
+                                        ranks[bounds[i]:bounds[i + 1]])
+                   for i, m in enumerate(marks)]
         fetch_refs = [f[0] for f in fin]
         for d in ray.get([f[2] for f in fin]):  # cap overflow back to counts
             for h, c in d.items():
@@ -970,8 +1051,14 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                  for r in fetched_refs]
         if KU == 1:
             parts = [[p] for p in parts]
+        # fresh-seq path choice at submit time: candidate volume is
+        # unknown until reduce, so estimate pages x a generous links/page
+        dist_fresh = (rank_assign == "distributed" or
+                      (rank_assign == "auto" and
+                       min(n_taken, room) * 64 > rank_gather_limit))
         reduces = [_reduce_candidates.remote(
             list(seen.shards), robots, max_depth, bool(checkpoint_dir),
+            dist_fresh,
             *[parts[i][u] for i in range(len(parts))]) for u in range(KU)]
         fresh_refs = [r[0] for r in reduces]
 
@@ -1023,26 +1110,36 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         _ph("backoff_ckpt")
         rinfo = ray.get([r[1] for r in reduces])
         _ph("reduce_wait")
-        rk = [np.asarray(i["rank"]) if i else np.zeros(0, np.int64)
-              for i in rinfo]
-        flens = np.array([len(a) for a in rk], dtype=np.int64)
+        flens = np.array([i["n"] if i else 0 for i in rinfo], dtype=np.int64)
         n_fresh = int(flens.sum())
         add_per_bucket: list[list] = [[] for _ in range(K)]
         if n_fresh:
-            cat_rank = np.concatenate(rk)
-            cat_idx = np.concatenate(
-                [np.asarray(i["idx"]) if i else np.zeros(0, np.int32)
-                 for i in rinfo])
-            order2 = np.lexsort((cat_idx, cat_rank))
-            fseq = np.empty(n_fresh, dtype=np.int64)
-            fseq[order2] = np.arange(next_seq, next_seq + n_fresh)
-            next_seq += n_fresh
-            fb = np.concatenate(([0], np.cumsum(flens)))
+            if dist_fresh:
+                seq_parts = distrank.assign_ranks(
+                    [r[2] for r in reduces],
+                    [i["sample"] if i else None for i in rinfo],
+                    n_fresh, base=next_seq)
+                next_seq += n_fresh
+                per_shard_parts = seq_parts
+            else:
+                rk = [np.asarray(i["rank"]) if i else np.zeros(0, np.int64)
+                      for i in rinfo]
+                cat_rank = np.concatenate(rk)
+                cat_idx = np.concatenate(
+                    [np.asarray(i["idx"]) if i else np.zeros(0, np.int32)
+                     for i in rinfo])
+                order2 = np.lexsort((cat_idx, cat_rank))
+                fseq = np.empty(n_fresh, dtype=np.int64)
+                fseq[order2] = np.arange(next_seq, next_seq + n_fresh)
+                next_seq += n_fresh
+                fb = np.concatenate(([0], np.cumsum(flens)))
+                per_shard_parts = [[fseq[fb[u]:fb[u + 1]]]
+                                   for u in range(KU)]
             for u in range(KU):
                 if flens[u] == 0:
                     continue
                 outs = _finish_fresh.options(num_returns=K).remote(
-                    fresh_refs[u], fseq[fb[u]:fb[u + 1]], K)
+                    fresh_refs[u], K, *per_shard_parts[u])
                 if K == 1:
                     outs = [outs]
                 for b in range(K):
