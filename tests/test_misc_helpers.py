@@ -72,7 +72,8 @@ def test_xlsx_sink(tmp_path):
         summary_rows=[{"companyName": "Acme", "url": "https://a.example",
                        "status": "success", "locationsCount": 3}],
         location_rows=[{"location_name": "HQ & Co <x>", "latitude": "37.5",
-                        "quality_score": 95}])
+                        "quality_score": 95,
+                        "phone": ["+1 1", "+1 2"], "hours": ["Mo", "Tu"]}])
     with zipfile.ZipFile(p) as z:
         names = set(z.namelist())
         assert {"[Content_Types].xml", "xl/workbook.xml",
@@ -82,8 +83,14 @@ def test_xlsx_sink(tmp_path):
         ET.fromstring(s1)  # well-formed XML
         ET.fromstring(s2)
         assert "Acme" in s1 and "success" in s1
+        # reference display headers + widths (bulk-processor:131-138,166-183)
+        assert "Company Name" in s1 and "Locations Found" in s1
+        assert '<col min="2" max="2" width="40" customWidth="1"/>' in s1
+        assert "Location Name" in s2 and "Quality Score" in s2
         assert "HQ &amp; Co &lt;x&gt;" in s2  # escaping
-        assert "<v>95</v>" in s2              # numeric cell
+        assert "95%" in s2                 # `${Math.round(q)}%` (:201)
+        assert "+1 1, +1 2" in s2          # phone array join ', ' (:198)
+        assert "Mo; Tu" in s2              # hours array join '; ' (:200)
 
 
 def test_xlsx_styling(tmp_path):
@@ -110,8 +117,10 @@ def test_xlsx_styling(tmp_path):
         assert 's="1" t="inlineStr"><is><t>success' in s1
         assert 's="2" t="inlineStr"><is><t>failed' in s1
         s2 = z.read("xl/worksheets/sheet2.xml").decode()
-        assert 's="1"><v>95.0' in s2        # green >= 90
-        assert 's="3"><v>72.0' in s2        # sky blue >= 70
-        assert 's="4"><v>55.0' in s2        # orange >= 50
-        assert 's="4"><v>10.0' not in s2    # below 50: default
+        # fill band decided on the RAW score; cell shows rounded percent
+        assert 's="1" t="inlineStr"><is><t>95%' in s2   # green >= 90
+        assert 's="3" t="inlineStr"><is><t>72%' in s2   # sky blue >= 70
+        assert 's="4" t="inlineStr"><is><t>55%' in s2   # orange >= 50
+        assert '<is><t>10%</t></is>' in s2              # below 50 rendered...
+        assert 's="4" t="inlineStr"><is><t>10%' not in s2  # ...unfilled
         assert s2.count('s="5"') >= 2       # styled header row
