@@ -77,6 +77,20 @@ def test_single_shard(ray_session):
     np.testing.assert_array_equal(got[0], np.arange(2000, dtype=np.int64))
 
 
+def test_hot_shard_skew(ray_session):
+    """Zipf-host layout: one shard holds ~95% of the round's keys, so
+    the splitters are drawn almost entirely from its sample — range
+    sizes stay correct and ranks still match the global argsort."""
+    rng = np.random.default_rng(13)
+    keys = rng.choice(np.arange(40_000, dtype=np.uint64), 8000, replace=False)
+    shards = [np.sort(keys[:7600])] + [
+        np.sort(keys[7600 + 100 * i:7700 + 100 * i]) for i in range(4)]
+    got = _run(shards, chunk_target=512)
+    want = _global_ranks(shards)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_duplicate_heavy_samples_degenerate_splitters(ray_session):
     # all keys in a narrow band -> many duplicate splitter candidates;
     # np.unique must collapse them without losing correctness
