@@ -96,7 +96,7 @@ def headline(num_cpus: int, frontier_mode: str = "dataset") -> dict:
     import logging
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from web_crawler_ray.pipelines.crawl import crawl
+    from web_crawler_ray.pipelines.crawl import crawl, put_page_store
     from web_crawler_ray.pipelines.flagship import (
         OverlapExtractor, assemble_documents, extract_locations_tail)
 
@@ -118,8 +118,9 @@ def headline(num_cpus: int, frontier_mode: str = "dataset") -> dict:
     extract_locations_tail(wov.dataset()).count()
     assemble_documents(wres.pages).count()
     # the page-store upload is world setup (the object store IS the
-    # stand-in network at cluster scale), not crawl work
-    pages_ref = ray.put(pages_store)
+    # stand-in network at cluster scale), not crawl work; sharded by
+    # host-hash so a per-bucket fetch task pulls only its own shard
+    pages_ref = put_page_store(pages_store)
     del pages_store
 
     t0 = time.time()
@@ -170,7 +171,8 @@ def run_queries(num_cpus: int) -> dict:
 
     names = ["lineitem_summary", "filter_events", "dedup_exact", "token_counts",
              "ann_topk", "minhash_dedup", "hash_join_orders_nation", "simhash",
-             "training_pipeline", "near_dup_embeddings", "media_features"]
+             "training_pipeline", "near_dup_embeddings", "near_dup_lsh",
+             "media_features"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -244,6 +244,20 @@ def test_dataset_mode_cap_crosses_buckets(ray_session):
     assert np.array_equal(e.seen_snapshot, d.seen_snapshot)
 
 
+def test_order_key_overflow_raises_not_asserts():
+    """ADVICE r3: the uint64 order-key bound checks must survive
+    `python -O` — they are explicit ValueError raises, not asserts."""
+    import pyarrow as pa
+    from web_crawler_ray.pipelines.crawl import _encode_taken_keys
+    ok = pa.table({"discovery_seq": pa.array([5], pa.int64()),
+                   "priority": pa.array([2], pa.int64())})
+    assert int(_encode_taken_keys(ok, encode_pri=True)[0]) == (2 << 56) | 5
+    bad = pa.table({"discovery_seq": pa.array([1 << 56], pa.int64()),
+                    "priority": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="overflows"):
+        _encode_taken_keys(bad, encode_pri=True)
+
+
 def test_http_fetcher_against_local_server(ray_session):
     """S1 concrete: crawl(fetcher='http') GETs a real (localhost) site —
     link discovery, BFS order, politeness and dedup all behave exactly
@@ -256,6 +270,7 @@ def test_http_fetcher_against_local_server(ray_session):
         "/a": '<a href="/b">b</a><a href="/c">c</a>',
         "/b": '<a href="/">home</a>',
         "/c": "plain leaf",
+        "/created": '<a href="/c">c</a>created resource',  # served as 201
     }
 
     class H(http.server.BaseHTTPRequestHandler):
@@ -266,7 +281,7 @@ def test_http_fetcher_against_local_server(ray_session):
                 self.end_headers()
                 return
             data = body.encode()
-            self.send_response(200)
+            self.send_response(201 if self.path == "/created" else 200)
             self.send_header("Content-Type", "text/html")
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
@@ -294,6 +309,17 @@ def test_http_fetcher_against_local_server(ray_session):
                      max_pages=5, fetcher="http")
         p2 = res2.pages.to_pandas()
         assert len(p2) == 1 and not bool(p2["fetch_ok"][0])
+        # ADVICE r3: an HTTP error response records its REAL status code
+        # (HTTPError.code), distinguishable from transport failures (0)
+        assert int(p2["status"][0]) == 404
+        # ...and any 2xx counts as success (axios semantics): a 201 page
+        # is fetch_ok and its links join the frontier
+        res3 = crawl(None, {}, [f"http://127.0.0.1:{port}/created"],
+                     max_pages=5, max_depth=2, fetcher="http")
+        p3 = res3.pages.to_pandas().set_index("url")
+        assert int(p3.loc[f"http://127.0.0.1:{port}/created", "status"]) == 201
+        assert bool(p3.loc[f"http://127.0.0.1:{port}/created", "fetch_ok"])
+        assert f"http://127.0.0.1:{port}/c" in p3.index  # link followed
     finally:
         srv.shutdown()
         srv.server_close()

@@ -75,6 +75,34 @@ def test_filter_valid():
     assert out.num_rows == 2
 
 
+def test_filter_valid_numeric_coordinates():
+    """ADVICE r3: numeric lat/lon columns must follow scalar bool(v)
+    truthiness — 0.0 is NOT a present coordinate, while the STRING
+    '0.0' is (non-empty string). Scalar/vector equality pinned on the
+    numeric schema."""
+    t = pa.table({
+        "location_name": pa.array(["Unknown Location"] * 4, pa.string()),
+        "location_address": pa.array([""] * 4, pa.string()),
+        "street_or_city": pa.array([""] * 4, pa.string()),
+        "latitude": pa.array([0.0, 1.5, 0.0, None], pa.float64()),
+        "longitude": pa.array([0.0, 2.5, 3.5, 4.5], pa.float64()),
+    })
+    out = E.filter_valid(t)
+    # only the (1.5, 2.5) row has truthy coords; 0.0 and null are falsy
+    assert out.column("latitude").to_pylist() == [1.5]
+    for rec, keep in zip(t.to_pylist(), [False, True, False, False]):
+        assert E.is_valid_location(rec) == keep
+    # string "0.0" stays truthy (bool of a non-empty string)
+    s = pa.table({
+        "location_name": pa.array(["Unknown Location"], pa.string()),
+        "location_address": pa.array([""], pa.string()),
+        "street_or_city": pa.array([""], pa.string()),
+        "latitude": pa.array(["0.0"], pa.string()),
+        "longitude": pa.array(["0.0"], pa.string()),
+    })
+    assert E.filter_valid(s).num_rows == 1
+
+
 def test_enrich_with_chain_backend(ray_session):
     """backend='chain' routes lookups through the multi-provider fallback
     chain with the identical output schema (MapQuest backstops, so every

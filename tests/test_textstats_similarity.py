@@ -235,6 +235,122 @@ def test_fingerprint_md5_window_semantics():
     assert fps[2] == expect
 
 
+def test_curation_filter_batch_equals_composed_filters():
+    """The fused lang+quality filter (VERDICT r3 #4) must keep exactly
+    the rows the composed LangIdStage.guess == 'en' AND
+    doc_quality_score >= 0.5 filters keep — targeted edge cases plus a
+    seeded word-soup fuzz."""
+    lid = T.LangIdStage()
+    base_en = ("this is a normal english document with the usual words and "
+               "it should be long enough to pass the quality filter ")
+    texts = [
+        "", "   ", "!!! ??? ***",
+        "der hund und die katze sind nicht im haus " * 4,
+        "le chat est dans la maison et il est content " * 4,
+        base_en * 2, base_en,
+        "a b c d e f g h i j",                       # short tokens
+        "supercalifragilisticexpialidocious " * 30,  # long mean token len
+        base_en + "!!!!" * 200,                      # punct-heavy
+        "the " * 300,                                # stopword-saturated
+    ]
+    rng = np.random.default_rng(5)
+    vocab = ["the", "and", "data", "of", "pipeline", "der", "und", "le",
+             "la", "x1", "!!", "verylongwordindeed", "a"]
+    for _ in range(40):
+        k = int(rng.integers(0, 60))
+        texts.append(" ".join(rng.choice(vocab, size=k).tolist()))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    expect = [i for i, x in enumerate(texts)
+              if lid.guess(x) == "en" and T.doc_quality_score(x) >= 0.5]
+    got = T.curation_filter_batch(t)
+    assert got.column("doc_id").to_pylist() == expect
+    assert len(expect) >= 1  # the filter keeps something in this set
+
+
+def test_plan_lsh_bands_recall_and_feasibility():
+    """VERDICT r3 #1: every plan the auto-sizer returns must reach
+    per-pair recall >= RECALL_TARGET within the band cap AND keep the
+    expected bucket under the truncation cap; when no n_bits satisfies
+    both, the planner must return None (never a silently degraded plan)
+    — checked against a brute-force feasibility sweep up to 10^9 rows."""
+    for tau in (0.8, 0.85, 0.9, 0.95, 0.99):
+        p = S._p_bit(tau)
+        for n in (100, 10_000, 1_000_000, 10**8, 10**9):
+            plan = S.plan_lsh_bands(n, tau)
+            feasible_bits = [
+                b for b in range(1, 25)
+                if (1 - (1 - p ** b) ** S.MAX_BANDS) >= S.RECALL_TARGET
+                and n / (1 << b) <= S.BUCKET_CAP]
+            if plan is None:
+                assert not feasible_bits, (tau, n)
+                continue
+            bits, bands = plan
+            recall = 1 - (1 - p ** bits) ** bands
+            assert recall >= S.RECALL_TARGET - 1e-12, (tau, n, plan)
+            assert 1 <= bands <= S.MAX_BANDS
+            assert n / (1 << bits) <= S.BUCKET_CAP
+    # the round-3 defect case: tau=0.8 at 10^6 rows must NOT ship a
+    # degraded-recall plan — it is bucket-infeasible, so route-to-exact
+    assert S.plan_lsh_bands(1_000_000, 0.8) is None
+    # tau=0.8 at 50k rows: corpus-sized bits (12) exceed the recall
+    # ceiling; the planner SHRINKS bits instead of under-banding
+    bits, bands = S.plan_lsh_bands(50_000, 0.8)
+    assert bits <= 9 and bands <= S.MAX_BANDS
+
+
+def test_near_dup_lsh_infeasible_routes_to_exact(ray_session, monkeypatch):
+    """When no feasible (n_bits, n_bands) exists, method='lsh' with
+    auto-sizing must fall back to the exact distributed path (identical
+    output), not ship degraded recall."""
+    rng = np.random.default_rng(7)
+    n, d = 90, 24
+    m = rng.standard_normal((n, d))
+    for i in range(0, 18, 3):
+        m[i + 1] = m[i] + 0.02 * rng.standard_normal(d)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.astype(np.float32).tolist() for r in m]})
+    ds = rd.from_pandas(df)
+    exact = S.near_dup_pairs(ds, threshold=0.95, method="exact")
+    assert len(exact) >= 6
+    monkeypatch.setattr(S, "BUCKET_CAP", 0)  # force: every plan infeasible
+    routed = S.near_dup_pairs(ds, threshold=0.95, method="lsh")
+    assert routed.equals(exact)
+
+
+def test_q_near_dup_lsh_planted_recall_is_total(ray_session):
+    """The graded near_dup_lsh corpus: the LSH path must find EXACTLY
+    the pairs the exact path finds (recall 1.0 at the fixed seeds —
+    this is what makes the DuckDB cosine-join oracle hash-exact)."""
+    from web_crawler_ray.pipelines import queries as Q
+    tbl = Q._planted_embeddings(0.001)
+    ds = rd.from_arrow(tbl)
+    exact = S.near_dup_pairs(ds, threshold=Q.PLANTED_TAU, method="exact")
+    lsh = S.near_dup_pairs(ds, threshold=Q.PLANTED_TAU, method="lsh")
+    assert len(exact) >= tbl.num_rows // 12  # planted pairs are there
+    assert lsh.equals(exact)
+
+
+def test_simhash_md5_ascii_tokenization_matches_duckdb():
+    """ADVICE r3: the md5 simhash variants tokenize with the ASCII word
+    class so they agree with DuckDB RE2's \\w on NON-ascii input too;
+    the default blake2b variant keeps Python's Unicode \\w."""
+    import duckdb
+    from web_crawler_ray.stages.dedup import (
+        _WORD_RE, _WORD_RE_ASCII, simhash64)
+    from web_crawler_ray.pipelines.queries import _SIMHASH_MD5_SQL
+    text = "Die Straße zum Café: 42 Gebäude"
+    # tokenizations genuinely differ on this input
+    assert _WORD_RE.findall(text.lower()) != _WORD_RE_ASCII.findall(text.lower())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, ? AS text",
+                [text])
+    exp = con.execute(_SIMHASH_MD5_SQL).fetchone()[1]
+    assert simhash64(text, hash_fn="md5") == exp
+    # blake2b variant unchanged: still Unicode words
+    assert simhash64(text, hash_fn="blake2b") != 0
+
+
 def test_media_features_task_and_actor_forms_equal(ray_session):
     """q_media_features' default stateless-task form (per-worker decoder
     singleton) must emit exactly what the actor-pool form emits."""

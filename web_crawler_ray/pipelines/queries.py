@@ -229,8 +229,23 @@ ANN_K = 5
 
 
 def _query_vectors(sf_dir: str) -> dict[int, np.ndarray]:
+    """The N_ANN_QUERIES lowest-vec_id vectors, via a pushed-down row
+    filter — only the matching row group(s) are decoded, never the whole
+    table (VERDICT r3 #2: no whole-table driver materialization in the
+    harness). vec_ids are dense from 0 in the driver tables; the widening
+    loop below keeps this correct even for sparse/offset id spaces."""
     import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    path = f"{sf_dir}/embeddings.parquet"
+    bound = N_ANN_QUERIES
+    while True:
+        t = pq.read_table(path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", bound)])
+        if t.num_rows >= N_ANN_QUERIES:
+            break
+        total = pq.ParquetFile(path).metadata.num_rows
+        if t.num_rows >= total:
+            break
+        bound *= 16
     df = t.to_pandas().sort_values("vec_id").head(N_ANN_QUERIES)
     return {int(r.vec_id): np.asarray(list(r.embedding), np.float64)
             for r in df.itertuples()}
@@ -253,6 +268,69 @@ def q_near_dup_embeddings(sf_dir: str):
     """Embedding-cosine near-duplicate pairs at τ=NEAR_DUP_TAU."""
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     df = S.near_dup_pairs(ds, threshold=NEAR_DUP_TAU)
+    return df[["id_a", "id_b"]]
+
+
+PLANTED_TAU = 0.9
+# Fixed path (the oracle SQL is a static string): the query WRITES this
+# parquet deterministically from sf before the driver runs the oracle,
+# so both sides read byte-identical float64 vectors.
+_PLANTED_PATH = "/tmp/graft_planted_embeddings_v1.parquet"
+
+
+def _planted_embeddings(sf: float) -> pa.Table:
+    """Deterministic embeddings corpus WITH planted near-duplicates — the
+    driver's random embeddings have no pairs at real near-dup thresholds,
+    so the LSH path (the 100 TB shape) was only pytest-covered until this
+    table (VERDICT r3 #3). Base vectors are unit gaussians (dim 32: the
+    accidental-pair tail P(cos≥0.9) ≈ 1e-11 is negligible at these
+    corpus sizes); every 10th base gets a perturbed copy at cosine
+    1/sqrt(1+eps²) ∈ [0.953, 0.993] (eps ∈ [0.12, 0.22] orthogonal
+    noise), and every 4th of those gets a SECOND copy so some clusters
+    have 3 members (dup-dup cosine ≥ 1/(1+0.22²) = 0.954 — safely above
+    τ=0.9 and high enough that the planner's ≥0.999 per-pair recall
+    makes a full-corpus miss deterministic-zero at the gate seeds)."""
+    rng = np.random.default_rng(101)
+    n_base = max(256, int(60_000 * sf))
+    dim = 32
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    ids = list(range(n_base))
+    vecs = [base[i] for i in range(n_base)]
+    next_id = n_base
+    for i in range(0, n_base, 10):
+        copies = 2 if (i // 10) % 4 == 0 else 1
+        for _ in range(copies):
+            g = rng.standard_normal(dim)
+            g -= (g @ base[i]) * base[i]
+            g /= np.linalg.norm(g)
+            eps = rng.uniform(0.12, 0.22)
+            v = base[i] + eps * g
+            v /= np.linalg.norm(v)
+            ids.append(next_id)
+            vecs.append(v)
+            next_id += 1
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+
+
+def q_near_dup_lsh(sf_dir: str):
+    """Embedding near-dup at τ=0.9 FORCED through the banded-LSH path
+    over the planted-duplicate corpus — grades the scale shape
+    (signature explode → band-bucket groupby → distributed exact-cosine
+    verify) against an exact cosine-join oracle. Precision is exact by
+    construction (every candidate is verified); recall is what the gate
+    checks, so a planner regression (similarity.plan_lsh_bands) shows up
+    as a row-count mismatch here."""
+    import pyarrow.parquet as pq
+    tbl = _planted_embeddings(_sf_of(sf_dir))
+    pq.write_table(tbl, _PLANTED_PATH,
+                   row_group_size=max(256, tbl.num_rows // 8))
+    ds = rd.read_parquet(_PLANTED_PATH)
+    df = S.near_dup_pairs(ds, threshold=PLANTED_TAU, method="lsh")
     return df[["id_a", "id_b"]]
 
 
@@ -535,19 +613,62 @@ def q_crawl_spans(sf_dir: str):
     return docs.map_batches(flat, batch_format="pyarrow")
 
 
-def q_crawl_extraction_stats(sf_dir: str):
-    """A3: count per extraction_method over the crawl's locations."""
-    from ray.data.aggregate import Count
+# The crawl itself is not SQL-expressible (bit-for-bit parity lives in
+# pytest), but these AGGREGATES over its output are: the query writes the
+# two needed columns of the final locations to a fixed parquet path, and
+# the oracle reads the same file (VERDICT r3 item #3 — same contract as
+# the planted-embeddings table above).
+_CRAWL_LOCS_DIR = "/tmp/graft_crawl_locations_v1"
+
+
+def _crawl_locations_parquet(sf_dir: str):
+    """Write (extraction_method, quality_score) of the crawl's locations
+    to the oracle's fixed path; returns the locations Dataset."""
+    import shutil
     locs = _crawl_for(sf_dir)["locations"]
+    shutil.rmtree(_CRAWL_LOCS_DIR, ignore_errors=True)
+    locs.select_columns(["extraction_method", "quality_score"]) \
+        .write_parquet(_CRAWL_LOCS_DIR)
+    return locs
+
+
+def q_crawl_extraction_stats(sf_dir: str):
+    """A3 (ExtractionStats.jsx:10-47): count per extraction_method over
+    the crawl's locations — oracle-exact vs DuckDB on the written
+    parquet."""
+    from ray.data.aggregate import Count
+    locs = _crawl_locations_parquet(sf_dir)
     return locs.groupby("extraction_method").aggregate(Count(alias_name="n"))
 
 
 def q_crawl_quality_report(sf_dir: str):
-    """A1: quality-bucket counts + mean score (data-quality:114-136)."""
-    from ..stages.enrich import quality_report
-    rep = quality_report(_crawl_for(sf_dir)["locations"])
-    import pandas as pd
-    return pd.DataFrame([rep])
+    """A1 (data-quality.service.js:114-136): quality-bucket counts +
+    average score. averageScore is ONE int/int float64 division
+    (sum(quality_score)/count) so the DuckDB oracle reproduces it
+    bit-for-bit."""
+    from ray.data.aggregate import Count, Sum
+    locs = _crawl_locations_parquet(sf_dir)
+    tot = locs.aggregate(Sum("quality_score", alias_name="s"),
+                         Count(alias_name="n"))
+    s, n = int(tot["s"]), int(tot["n"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from ..stages.enrich import quality_level
+        lv = [quality_level(int(x))
+              for x in t.column("quality_score").to_pylist()]
+        return pa.table({"bucket": pa.array(lv, pa.string())})
+
+    agg = (locs.map_batches(bucket, batch_format="pyarrow")
+               .groupby("bucket").aggregate(Count(alias_name="c")).to_pandas())
+    counts = dict(zip(agg["bucket"], agg["c"]))
+    return pd.DataFrame([{
+        "totalLocations": n,
+        "excellent": int(counts.get("Excellent", 0)),
+        "good": int(counts.get("Good", 0)),
+        "fair": int(counts.get("Fair", 0)),
+        "poor": int(counts.get("Poor", 0)),
+        "averageScore": (s / n) if n else 0.0,
+    }])
 
 
 def q_crawl_seen(sf_dir: str):
@@ -580,6 +701,7 @@ def registry() -> dict:
         "text_stats": q_text_stats,
         "ann_topk": q_ann_topk,
         "near_dup_embeddings": q_near_dup_embeddings,
+        "near_dup_lsh": q_near_dup_lsh,
         "minhash_dedup": q_minhash_dedup,
         "training_pipeline": q_training_pipeline,
         "jaccard_pairs": q_jaccard_pairs,
@@ -865,11 +987,34 @@ ORACLES: dict[str, str] = {
         f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         f"WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) "
         f">= {NEAR_DUP_TAU}",
+    "near_dup_lsh":
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"FROM read_parquet('{_PLANTED_PATH}') a "
+        f"JOIN read_parquet('{_PLANTED_PATH}') b ON a.vec_id < b.vec_id "
+        f"WHERE list_cosine_similarity(a.embedding, b.embedding) "
+        f">= {PLANTED_TAU}",
     "lang_id": _LANG_ID_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "simhash_md5": _SIMHASH_MD5_SQL,
     "simhash_pairs_md5": _SIMHASH_PAIRS_MD5_SQL,
     "fingerprints_md5": _FINGERPRINTS_MD5_SQL,
+    "crawl_extraction_stats":
+        "SELECT extraction_method, count(*)::BIGINT AS n "
+        f"FROM read_parquet('{_CRAWL_LOCS_DIR}/*.parquet') "
+        "GROUP BY extraction_method",
+    "crawl_quality_report":
+        'SELECT count(*)::BIGINT AS "totalLocations", '
+        'sum(CASE WHEN quality_score >= 90 THEN 1 ELSE 0 END)::BIGINT '
+        'AS excellent, '
+        'sum(CASE WHEN quality_score >= 70 AND quality_score < 90 '
+        'THEN 1 ELSE 0 END)::BIGINT AS good, '
+        'sum(CASE WHEN quality_score >= 50 AND quality_score < 70 '
+        'THEN 1 ELSE 0 END)::BIGINT AS fair, '
+        'sum(CASE WHEN quality_score < 50 THEN 1 ELSE 0 END)::BIGINT '
+        'AS poor, '
+        'CASE WHEN count(*) = 0 THEN 0.0 ELSE '
+        'sum(quality_score)::DOUBLE / count(*) END AS "averageScore" '
+        f"FROM read_parquet('{_CRAWL_LOCS_DIR}/*.parquet')",
     "jaccard_pairs": _JACCARD_PAIRS_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "training_pipeline": _TRAINING_PIPELINE_SQL,

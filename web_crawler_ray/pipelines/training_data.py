@@ -6,11 +6,10 @@ MinHash band groupby), in this order so the cheapest filters run first
 and each shuffle sees the smallest possible input:
 
     read (column-pruned)
-      -> language filter        (map_batches tasks; the stopword sets are
-                                 a driver-built LangIdStage shipped by
-                                 closure — frozensets of ~17 words, far
-                                 below actor-pool-worthy state)
-      -> quality filter         (map_batches, per-doc heuristics)
+      -> lang + quality filter  (ONE fused map_batches stage — the two
+                                 heuristics share each doc's tokenization;
+                                 stopword sets are ~17-word frozensets,
+                                 far below actor-pool-worthy state)
       -> exact dedup            (hash groupby — uniform key, no skew)
       -> near-dup removal       (MinHash/LSH candidates + Jaccard verify;
                                  keep min doc_id per verified cluster)
@@ -36,19 +35,13 @@ def curate(ds: rd.Dataset, min_quality: float = 0.5, lang: str = "en",
     generation, distributed Jaccard verification, and the final
     anti-join); union-find runs on the (tiny) verified-pair set.
     """
-    lid = T.LangIdStage()
-
-    def lang_filter(t: pa.Table) -> pa.Table:
-        mask = [lid.guess(x) == lang for x in t.column("text").to_pylist()]
-        return t.filter(pa.array(mask))
-
-    def quality_filter(t: pa.Table) -> pa.Table:
-        mask = [T.doc_quality_score(x) >= min_quality
-                for x in t.column("text").to_pylist()]
-        return t.filter(pa.array(mask))
-
-    filtered = (ds.map_batches(lang_filter, batch_format="pyarrow")
-                  .map_batches(quality_filter, batch_format="pyarrow"))
+    # fused lang+quality filter: one tokenization pass per doc instead of
+    # two per-stage to_pylist round-trips (semantics == the composed
+    # LangIdStage.guess + doc_quality_score filters, pinned in tests)
+    filtered = ds.map_batches(
+        lambda t: T.curation_filter_batch(t, lang=lang,
+                                          min_quality=min_quality),
+        batch_format="pyarrow")
     # pinned once in the object store: consumed by 3 downstream passes
     exact = D.exact_dedup(filtered, id_col="doc_id", text_col="text").materialize()
 

@@ -440,7 +440,13 @@ def fuzzy_dedup(ds, shuffle: str = "hash"):
     (``shuffle="sort"``) costs ~4 s of fixed all-to-all overhead per run
     at bench scale on these tiny rows. Same output rows either way
     (asserted in tests): _fuzzy_host_group imposes its own total scan
-    order, so exchange arrival order is invisible."""
+    order, so exchange arrival order is invisible.
+
+    Execution timing (ADVICE r3): the hash path runs EAGERLY — it
+    materializes the upstream pipeline and submits the split wave at
+    call time, returning a Dataset lazy only over the reduce outputs.
+    Use ``shuffle="sort"`` when the call site needs a fully lazy graph
+    or streaming overlap with upstream stages."""
     def add_key(batch: pa.Table) -> pa.Table:
         # block_key reads a handful of fields — convert only those columns,
         # not the whole (potentially wide) row
@@ -700,6 +706,11 @@ def _minhash_params(n_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]
 
 
 _WORD_RE = re.compile(r"\w+")
+# ASCII twin for the md5 oracle variants: DuckDB RE2's \w is ASCII-only,
+# Python re's \w is Unicode-aware — they agree only on pure-ASCII text.
+# The md5 pipelines tokenize with this class so oracle parity holds on
+# any input (ADVICE r3).
+_WORD_RE_ASCII = re.compile(r"[0-9A-Za-z_]+")
 
 
 _WORD_HASH_CACHE: dict[str, int] = {}
@@ -1010,12 +1021,19 @@ def simhash64_batch(texts, hash_fn: str = "blake2b") -> np.ndarray:
     One bit-matrix pass per batch: memoized per-word hashes, a single
     ``np.unpackbits`` over all words of all docs, and ``np.add.reduceat``
     at doc boundaries — no per-word numpy ops (the round-2 bench showed a
-    64-lane op per WORD dominating q:simhash)."""
+    64-lane op per WORD dominating q:simhash).
+
+    Word model: ``\\w+`` (Python re, Unicode-aware) for the default
+    blake2b hash; the ``md5`` oracle variant uses the ASCII class
+    ``[0-9A-Za-z_]+`` so tokenization matches DuckDB RE2's ASCII ``\\w``
+    on ANY input (e.g. 'straße' -> ['stra','e'] on both sides), not just
+    the pure-ASCII sf corpora."""
     n_docs = len(texts)
     out = np.zeros(n_docs, dtype=np.uint64)
     if n_docs == 0:
         return out
-    word_lists = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    word_re = _WORD_RE_ASCII if hash_fn == "md5" else _WORD_RE
+    word_lists = [word_re.findall((t or "").lower()) for t in texts]
     lengths = np.array([len(ws) for ws in word_lists], dtype=np.int64)
     nonempty = np.flatnonzero(lengths > 0)
     if nonempty.size == 0:

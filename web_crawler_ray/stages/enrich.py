@@ -353,10 +353,26 @@ def is_valid_location(r: dict) -> bool:
     return has_coords or (has_name and (has_addr or has_city)) or (has_addr and has_city)
 
 
+def _truthy_coord(batch: pa.Table, name: str) -> np.ndarray:
+    """Vector form of ``bool(v)`` for coordinate columns: strings are
+    truthy when non-empty (so the string "0.0" IS truthy, matching the
+    scalar path), but NUMERIC columns must additionally be nonzero —
+    ``bool(0.0)`` is False, while plain is_valid would count it as
+    present (ADVICE r3: latent divergence if lat/lon ever arrive
+    numeric)."""
+    if name not in batch.column_names:
+        return np.zeros(batch.num_rows, dtype=bool)
+    col = batch.column(name)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return _truthy_nonempty(batch, name)
+    m = pc.and_kleene(col.is_valid(), pc.not_equal(col, 0))
+    return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+
 def filter_valid(batch: pa.Table) -> pa.Table:
     """Vectorized form of is_valid_location (equality pinned in tests)."""
-    has_lat = _truthy_nonempty(batch, "latitude")
-    has_lon = _truthy_nonempty(batch, "longitude")
+    has_lat = _truthy_coord(batch, "latitude")
+    has_lon = _truthy_coord(batch, "longitude")
     named = _truthy_nonempty(batch, "location_name")
     if "location_name" in batch.column_names:
         named &= pc.fill_null(

@@ -82,8 +82,15 @@ def hash_map_groups(ds: rd.Dataset, key: str, fn,
     to each group. ``prepare`` (pa.Table -> pa.Table) is applied inside
     the split tasks before hashing — use it to compute the key column
     without a separate upstream map job. See module docstring for the
-    exact-semantics condition. Returns a lazy Dataset over the reduce
-    outputs (blocks ordered largest partition first)."""
+    exact-semantics condition.
+
+    EXECUTION TIMING (ADVICE r3): calling this EAGERLY executes the whole
+    upstream pipeline — ``to_arrow_refs()`` materializes ``ds`` and the
+    split wave is submitted at call time (ray.get on the part counts).
+    The returned Dataset is lazy only over the REDUCE outputs. Callers
+    that need streaming overlap with upstream stages should use the
+    native ``groupby().map_groups`` sort path instead; this shuffle
+    trades that laziness for two flat task waves with no sort barrier."""
     refs = ds.to_arrow_refs()
     if not refs:
         return ds

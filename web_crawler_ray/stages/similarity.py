@@ -21,6 +21,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 _LOG = logging.getLogger(__name__)
@@ -335,24 +336,43 @@ def _emit_pair_vecs(batch: pa.Table, ref, id_col: str, vec_col: str) -> pa.Table
                      "nvec": pa.array(o_vec, pa.list_(pa.float64()))})
 
 
-def _pair_cosine_group(g: pd.DataFrame) -> pd.DataFrame:
+def _pair_bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized exact-cosine verify for ONE hash bucket of pair ids:
+    sort rows by (pair_id, member_id), locate the pairs with both
+    members present, and score them all with one batched row-wise dot.
+    Replaces the per-pair pandas map_groups (≈1M tiny groups at bench
+    scale — the round-4 near_dup_lsh profile was dominated by it)."""
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.float64)})
     if len(g) < 2:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                             "id_b": pd.Series([], dtype=np.int64),
-                             "score": pd.Series([], dtype=np.float64)})
-    g = g.sort_values("member_id")
-    a = np.asarray(g["nvec"].iloc[0], np.float64)
-    b = np.asarray(g["nvec"].iloc[1], np.float64)
-    return pd.DataFrame({"id_a": [int(g["member_id"].iloc[0])],
-                         "id_b": [int(g["member_id"].iloc[1])],
-                         "score": [round(float(a @ b), 6)]})
+        return empty
+    g = g.sort_values(["pair_id", "member_id"], kind="mergesort")
+    pid = g["pair_id"].to_numpy()
+    first = np.r_[True, pid[1:] != pid[:-1]]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.r_[starts, len(pid)])
+    two = starts[counts == 2]
+    if two.size == 0:
+        return empty
+    vecs = g["nvec"].to_numpy()
+    va = np.stack([np.asarray(v, np.float64) for v in vecs[two]])
+    vb = np.stack([np.asarray(v, np.float64) for v in vecs[two + 1]])
+    mem = g["member_id"].to_numpy()
+    scores = np.round(np.einsum("ij,ij->i", va, vb), 6)
+    return pd.DataFrame({"id_a": mem[two].astype(np.int64),
+                         "id_b": mem[two + 1].astype(np.int64),
+                         "score": scores})
 
 
 def verify_cosine_pairs(ds, pairs: pd.DataFrame, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> pd.DataFrame:
+                        vec_col: str = "embedding",
+                        n_buckets: int = 64) -> pd.DataFrame:
     """Distributed exact-cosine verification of candidate pairs: pair
-    list broadcast once, normalized vectors joined by a groupby(pair_id)
-    shuffle; driver sees O(pairs) rows only."""
+    list broadcast once, normalized vectors joined by ONE keyed shuffle
+    on ``pair_bucket`` (pair_id % n_buckets — a few large groups whose
+    verify is numpy-vectorized, instead of one pandas group per pair);
+    driver sees O(pairs) rows only."""
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64),
@@ -362,12 +382,64 @@ def verify_cosine_pairs(ds, pairs: pd.DataFrame, id_col: str = "vec_id",
         need.setdefault(int(a), []).append(pid)
         need.setdefault(int(b), []).append(pid)
     ref = ray.put(need)
-    emitted = ds.map_batches(
-        lambda t, r=ref: _emit_pair_vecs(t, r, id_col, vec_col),
-        batch_format="pyarrow")
-    out = emitted.groupby("pair_id").map_groups(
-        _pair_cosine_group, batch_format="pandas").to_pandas()
+
+    def emit(t: pa.Table) -> pa.Table:
+        out = _emit_pair_vecs(t, ref, id_col, vec_col)
+        bucket = pc.bit_wise_and(out.column("pair_id"),
+                                 np.int64(n_buckets - 1))
+        return out.append_column("pair_bucket", bucket)
+
+    emitted = ds.map_batches(emit, batch_format="pyarrow")
+    out = emitted.groupby("pair_bucket").map_groups(
+        _pair_bucket_verify, batch_format="pandas").to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+RECALL_TARGET = 0.999  # per-true-pair recall the auto-sizer plans for
+MAX_BANDS = 64         # signature blowup cap: rows explode ×B into the groupby
+BUCKET_CAP = 256       # per-(band,sig) member cap before candidate truncation
+
+
+def _p_bit(threshold: float) -> float:
+    """P(one hyperplane agrees) for a pair at cosine=threshold."""
+    return 1.0 - np.arccos(min(1.0, max(-1.0, threshold))) / np.pi
+
+
+def plan_lsh_bands(n_rows: int, threshold: float,
+                   recall: float = RECALL_TARGET) -> tuple[int, int] | None:
+    """Feasible (n_bits, n_bands) for banded hyperplane LSH, or None.
+
+    Sizing order (VERDICT r3 #1 — the cap must never silently ship
+    degraded recall):
+    1. corpus-sized bits: expected bucket ≈ 16 rows (recall-neutral);
+    2. recall ceiling: the LARGEST n_bits for which MAX_BANDS bands can
+       still reach per-pair recall ≥ ``recall`` at τ — i.e.
+       p_bit^bits ≥ 1-(1-R)^(1/B). Auto-sizing takes min(1, 2): when the
+       corpus wants more bits than the recall ceiling allows, bits
+       SHRINK (buckets grow, recall holds) instead of bands silently
+       under-covering;
+    3. feasibility: after the shrink, expected bucket size n/2^bits must
+       stay ≤ BUCKET_CAP, else hot-bucket truncation would reintroduce
+       the recall loss through the back door -> return None (caller
+       routes to the exact path).
+    """
+    if n_rows <= 0:
+        return None
+    p = _p_bit(threshold)
+    size_bits = int(min(24, max(8, np.ceil(np.log2(max(n_rows, 1) / 16 + 1)))))
+    if p >= 1.0 - 1e-12:          # τ≈1: every band matches regardless of bits
+        return size_bits, 8
+    p_band_min = 1.0 - (1.0 - recall) ** (1.0 / MAX_BANDS)
+    max_bits = int(np.floor(np.log(p_band_min) / np.log(p)))
+    if max_bits < 1:
+        return None
+    n_bits = min(size_bits, max_bits)
+    if n_rows / (1 << n_bits) > BUCKET_CAP:
+        return None
+    p_band = p ** n_bits
+    need = int(max(8, np.ceil(np.log(1.0 - recall)
+                              / np.log(max(1e-12, 1.0 - p_band)))))
+    return n_bits, min(MAX_BANDS, need)
 
 
 def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
@@ -377,35 +449,43 @@ def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
     (band_id, band_sig)) + distributed exact-cosine verify. Recall
     1-(1-p^r)^B per true pair (p = 1 - arccos(τ)/π), precision exact.
 
-    ``n_bits`` auto-sizes to the corpus (expected bucket ≈ 16 rows) so
-    buckets stay far below the 256-member safety cap — with a FIXED
-    8-bit signature, buckets grow as N/256 and any hard cap would
-    silently truncate recall at large N. ``n_bands`` then auto-sizes
-    from (τ, n_bits) TOWARD per-pair recall ≥ 0.999, but is capped at
-    64 bands: when the target needs more (low τ combined with large
-    auto-sized n_bits), the cap wins and the achieved recall is lower —
-    a log() reports the shortfall (no silent caps). At such thresholds
-    prefer ``method='exact'`` (the 'auto' router already does)."""
+    Auto-sizing (both ``n_bits`` and ``n_bands`` unset) goes through
+    ``plan_lsh_bands``: bits shrink until per-pair recall ≥ 0.999 is
+    reachable within the 64-band cap, and when even that would overflow
+    the 256-member bucket cap the call ROUTES TO EXACT (logged) instead
+    of shipping degraded recall (VERDICT r3 #1). Explicitly forced
+    ``n_bits`` keeps the old contract — honored as given, with a
+    warning when the cap makes the target unreachable."""
     n = ds.count()
     if n == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64),
                              "score": pd.Series([], dtype=np.float64)})
+    if n_bits is None and n_bands is None:
+        plan = plan_lsh_bands(n, threshold)
+        if plan is None:
+            _LOG.info(
+                "near_dup_pairs lsh: no (n_bits, n_bands) plan reaches "
+                "recall >=%.3f at tau=%.3f for n=%d within %d bands / "
+                "%d-member buckets — routing to the exact path",
+                RECALL_TARGET, threshold, n, MAX_BANDS, BUCKET_CAP)
+            return _near_dup_pairs_exact(ds, threshold, id_col, vec_col)
+        n_bits, n_bands = plan
     if n_bits is None:
         n_bits = int(min(24, max(8, np.ceil(np.log2(max(n, 1) / 16 + 1)))))
     if n_bands is None:
-        p_bit = 1.0 - np.arccos(min(1.0, max(-1.0, threshold))) / np.pi
-        p_band = max(1e-9, p_bit ** n_bits)
-        need = int(max(8, np.ceil(np.log(0.001)
+        p_band = max(1e-9, _p_bit(threshold) ** n_bits)
+        need = int(max(8, np.ceil(np.log(1.0 - RECALL_TARGET)
                                   / np.log(max(1e-12, 1 - p_band)))))
-        n_bands = min(64, need)
-        if need > 64:
+        n_bands = min(MAX_BANDS, need)
+        if need > MAX_BANDS:
             achieved = 1.0 - (1.0 - p_band) ** n_bands
             _LOG.warning(
-                "near_dup_pairs lsh: band cap 64 < %d needed for recall "
-                ">=0.999 at tau=%.3f with n_bits=%d; per-pair recall "
-                "~%.4f — consider method='exact' or fewer bits",
-                need, threshold, n_bits, achieved)
+                "near_dup_pairs lsh: band cap %d < %d needed for recall "
+                ">=%.3f at tau=%.3f with FORCED n_bits=%d; per-pair recall "
+                "~%.4f — unset n_bits to let the planner shrink it, or "
+                "use method='exact'",
+                MAX_BANDS, need, RECALL_TARGET, threshold, n_bits, achieved)
     sample = ds.take(1)
     dim = len(sample[0][vec_col])
     rng = np.random.default_rng(seed)
@@ -416,12 +496,13 @@ def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
 
     def cand(g: pd.DataFrame) -> pd.DataFrame:
         uniq = sorted(set(int(x) for x in g[id_col]))
-        ids = uniq[:256]  # safety cap; auto-sized n_bits targets ~16/bucket
-        if len(uniq) > 256:  # no silent caps: dropped coverage is visible
+        ids = uniq[:BUCKET_CAP]  # safety cap; planner keeps E[bucket] ≪ cap
+        if len(uniq) > BUCKET_CAP:  # no silent caps: dropped coverage visible
             _LOG.warning(
-                "near_dup_pairs lsh: hot bucket truncated %d -> 256 ids "
+                "near_dup_pairs lsh: hot bucket truncated %d -> %d ids "
                 "(band %s); raise n_bits to re-spread",
-                len(uniq), g["band_id"].iloc[0] if len(g) else "?")
+                len(uniq), BUCKET_CAP,
+                g["band_id"].iloc[0] if len(g) else "?")
         out_a, out_b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -431,8 +512,22 @@ def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
 
     p = sigs.groupby(["band_id", "band_sig"]).map_groups(
         cand, batch_format="pandas")
-    pairs = p.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas").to_pandas()
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        # same-band duplicates collapse here inside the task wave; the
+        # residual cross-band duplicates (bounded ×n_bands, tiny after
+        # this pass) are dropped driver-side below — cheaper than a
+        # second keyed shuffle with one pandas group per pair
+        if t.num_rows == 0:
+            return t
+        ab = np.stack([t.column("id_a").to_numpy(),
+                       t.column("id_b").to_numpy()], axis=1)
+        uniq = np.unique(ab, axis=0)
+        return pa.table({"id_a": pa.array(uniq[:, 0], pa.int64()),
+                         "id_b": pa.array(uniq[:, 1], pa.int64())})
+
+    pairs = (p.map_batches(block_dedup, batch_format="pyarrow")
+              .to_pandas().drop_duplicates().reset_index(drop=True))
     verified = verify_cosine_pairs(ds, pairs, id_col, vec_col)
     out = verified[verified["score"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

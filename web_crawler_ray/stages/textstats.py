@@ -111,6 +111,58 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("doc_quality", pa.array(scores, pa.float64()))
 
 
+def curation_filter_batch(batch: pa.Table, text_col: str = "text",
+                          lang: str = "en",
+                          min_quality: float = 0.5) -> pa.Table:
+    """Fused lang-ID + quality filter for the curation pipeline — ONE
+    pass per batch sharing the tokenizations (``_WORD_RE.findall`` and
+    the whitespace split are each run once per doc instead of once per
+    stage), replacing the two per-stage ``to_pylist()`` round-trips
+    (VERDICT r3 #4). Keep semantics are EXACTLY the composition
+    ``LangIdStage.guess(text) == lang AND doc_quality_score(text) >=
+    min_quality`` (equality pinned in tests + the training_pipeline
+    oracle)."""
+    texts = batch.column(text_col).to_pylist()
+    keep = np.zeros(len(texts), dtype=bool)
+    langs = ("en", "de", "fr", "es")
+    for i, t in enumerate(texts):
+        t = t or ""
+        low = t.lower()
+        words = _WORD_RE.findall(low)
+        if not words:
+            continue  # guess 'unknown' and quality 0.0 both reject
+        counts = {}
+        best, best_n = "unknown", 0
+        for lg in langs:
+            sw = STOPWORDS[lg]
+            c = sum(1 for w in words if w in sw)
+            counts[lg] = c
+            if c > best_n:
+                best, best_n = lg, c
+        if best != lang:
+            continue
+        n = len(t)
+        if n == 0:
+            continue
+        toks = _WS_SPLIT.split(t.strip()) if t.strip() else []
+        if not toks:
+            continue
+        stop_r = counts["en"] / len(words)
+        punct_r = len(_PUNCT_RE.findall(t)) / n
+        mean_len = sum(len(x) for x in toks) / len(toks)
+        score = 0.0
+        if 50 <= n <= 100_000:
+            score += 0.3
+        if 0.01 <= stop_r <= 0.6:
+            score += 0.3
+        if punct_r <= 0.2:
+            score += 0.2
+        if 2.0 <= mean_len <= 12.0:
+            score += 0.2
+        keep[i] = round(score, 2) >= min_quality
+    return batch.filter(pa.array(keep))
+
+
 class LangIdStage:
     """Stopword-hit language heuristic (actor stage: sets compiled once)."""
 
