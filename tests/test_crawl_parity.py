@@ -228,6 +228,38 @@ def test_crawl_with_seen_spill_matches_unspilled(small_world):
     assert b[2]["seen"] == a[2]["seen"]  # cardinality includes spilled keys
 
 
+def test_hot_host_world_distributed_ranks_full_parity(ray_session, monkeypatch):
+    """VERDICT r3 #7: a FULL crawl on a 1-host-dominant world (skew=3.0:
+    host 0 holds ~an order of magnitude more pages than the rest) with
+    FORCED distributed rank assignment — the hot-shard case where one
+    frontier bucket dwarfs the others — must stay bit-for-bit with the
+    oracle and with driver mode, including politeness/backoff stats."""
+    from web_crawler_ray.state import distrank
+    monkeypatch.setattr(distrank, "DEFAULT_CHUNK", 16)
+    tbl, robots, seeds = W.world(seed=77, n_hosts=4, pages_per_host_base=180,
+                                 skew=3.0)
+    # host 0 must actually dominate for this to test skew
+    import collections
+    per_host = collections.Counter(tbl.column("host").to_pylist())
+    sizes = sorted(per_host.values(), reverse=True)
+    assert sizes[0] >= 5 * sizes[1]
+    by_url = {r["url"]: r for r in tbl.to_pylist()}
+    for kw in ({"round_seconds": 6.0, "max_pages": 100000, "max_depth": 3},
+               {"round_seconds": 3.0, "max_pages": 160, "max_depth": 3,
+                "order": "priority", "backoff": True}):
+        o_order, o_seen, _ = oracle_crawl(by_url, robots, seeds, **kw)
+        d_order, d_seen, d_stats = _run_engine(tbl, robots, seeds,
+                                               frontier_mode="driver", **kw)
+        e_order, e_seen, e_stats = _run_engine(
+            tbl, robots, seeds, frontier_mode="dataset",
+            rank_assign="distributed", **kw)
+        assert e_order == o_order == d_order, kw
+        assert np.array_equal(e_seen, np.array(o_seen, dtype=np.uint64))
+        # politeness/backoff stats parity across modes (same grants ->
+        # same request/failure counters)
+        assert e_stats["politeness"] == d_stats["politeness"], kw
+
+
 def test_dataset_mode_cap_crosses_buckets(ray_session):
     """Regression (round-3): fetch_rank is GLOBAL, so the max_pages cap
     must bind even in host buckets smaller than the remaining room —

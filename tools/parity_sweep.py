@@ -32,10 +32,16 @@ def main():
                    mp=rng.choice([9, 33, 100000]), bo=rng.choice([False, True]),
                    order=rng.choice(["fifo", "priority"]),
                    fm=rng.choice(["driver", "driver", "dataset"]),
-                   profile=rng.choice(["v1", "v1", "v2"]))
+                   profile=rng.choice(["v1", "v1", "v2"]),
+                   # hot-host world (one dominant host) + forced
+                   # distributed rank assignment in the config space
+                   # (VERDICT r3 #7); skew only changes host sizes, the
+                   # oracle is world-agnostic
+                   skew=rng.choice([0.7, 0.7, 0.7, 3.0]),
+                   ra=rng.choice(["auto", "distributed"]))
         tbl, robots, seeds = W.world(seed=seed, n_hosts=cfg["n_hosts"],
                                      pages_per_host_base=cfg["base"],
-                                     profile=cfg["profile"])
+                                     profile=cfg["profile"], skew=cfg["skew"])
         by_url = {r["url"]: r for r in tbl.to_pylist()}
         o_order, o_seen, _ = oracle_crawl(by_url, robots, seeds, max_pages=cfg["mp"],
                                           max_depth=cfg["md"], round_seconds=cfg["rs"],
@@ -43,7 +49,7 @@ def main():
         res = crawl(tbl, robots, seeds, max_pages=cfg["mp"], max_depth=cfg["md"],
                     round_seconds=cfg["rs"], backoff=cfg["bo"], order=cfg["order"],
                     keep_pages=False, n_seen_shards=rng.choice([1, 3, 8]),
-                    frontier_mode=cfg["fm"])
+                    frontier_mode=cfg["fm"], rank_assign=cfg["ra"])
         e_order = list(zip(res.visited.column("round").to_pylist(),
                            res.visited.column("discovery_seq").to_pylist(),
                            res.visited.column("url").to_pylist()))

@@ -240,10 +240,14 @@ class PagePlan:
 
 
 def build_plan(seed: int, n_hosts: int, pages_per_host_base: int,
-               profile: str = "v1") -> tuple[list[PagePlan], dict[str, str]]:
+               profile: str = "v1",
+               skew: float = 0.7) -> tuple[list[PagePlan], dict[str, str]]:
     """Host/path plan (small, driver-side) + per-host robots.txt.
 
-    Host sizes are Zipf-ish (``base / rank^0.7``) to exercise skew handling.
+    Host sizes are Zipf-ish (``base / rank^skew``) to exercise skew
+    handling; the default 0.7 is the historical world shape (v1 RNG
+    stream untouched), while ``skew=3.0`` makes host 0 DOMINANT (the
+    1-host-hot-shard adversarial case for distributed rank assignment).
 
     ``profile="v2"`` (world generator v2; golden traces frozen separately
     — the v1 RNG stream is untouched for v1 worlds) adds per host:
@@ -256,7 +260,7 @@ def build_plan(seed: int, n_hosts: int, pages_per_host_base: int,
     plans: list[PagePlan] = []
     for i, host in enumerate(hosts):
         rng = random.Random(hash64(f"{seed}|plan|{host}"))
-        n_pages = max(4, int(pages_per_host_base / (i + 1) ** 0.7))
+        n_pages = max(4, int(pages_per_host_base / (i + 1) ** skew))
         paths = ["/"]
         pool = LOCATION_PATHS + GENERIC_PATHS + EXCLUDED_PATHS + ["/private/reports"]
         rng.shuffle(pool := list(pool))
@@ -501,9 +505,10 @@ def pages_table(plans: list[PagePlan], seed: int, profile: str = "v1") -> pa.Tab
 
 
 def world(seed: int = 42, n_hosts: int = 8, pages_per_host_base: int = 30,
-          profile: str = "v1"):
+          profile: str = "v1", skew: float = 0.7):
     """(pages: pa.Table sorted by url_hash, robots: dict, seeds: list[str])."""
-    plans, robots = build_plan(seed, n_hosts, pages_per_host_base, profile)
+    plans, robots = build_plan(seed, n_hosts, pages_per_host_base, profile,
+                               skew=skew)
     tbl = pages_table(plans, seed, profile)
     tbl = tbl.sort_by("url_hash")  # page-store lookup key order
     seeds = [f"https://h{i:04d}.example/" for i in range(n_hosts)]
