@@ -400,8 +400,18 @@ def _fuzzy_group(g: pd.DataFrame) -> pd.DataFrame:
     g = _seq_sort(g)
     out = fuzzy_dedup_greedy(g.to_dict("records"))
     res = pd.DataFrame(out)
-    return res.drop(columns=[c for c in ("merged_from",) if c not in g.columns
-                             and c in res.columns], errors="ignore")
+    res = res.drop(columns=[c for c in ("merged_from",) if c not in g.columns
+                            and c in res.columns], errors="ignore")
+    # restore the input dtypes: the dict round-trip widens float32/int32
+    # to float64/int64, which made nonempty reduce blocks disagree with
+    # empty-partition block schemas (Ray Data then warns and re-dedups
+    # schemas per block). Lossless — the values originated at the input
+    # dtype, so the narrowing cast is exact.
+    if len(res):
+        res = res.astype({c: g.dtypes[c] for c in res.columns
+                          if c in g.columns and res[c].dtype != g.dtypes[c]},
+                         copy=False)
+    return res
 
 
 FUZZY_ALLPAIRS_MAX = 20_000  # per-host all-pairs bound (~2×10^8 screened
