@@ -59,6 +59,69 @@ def _hash_split(key: str, P: int, prepare, *tbls: pa.Table):
 
 
 @ray.remote
+def _int_split(key: str, P: int, prepare, *tbls: pa.Table):
+    """_hash_split sibling for SMALL-INT key columns (bucket ids): the
+    partition is ``key % P`` directly — no string hashing."""
+    live = [t for t in tbls if t.num_rows]
+    tbl = pa.concat_tables(live) if len(live) > 1 else (
+        live[0] if live else tbls[0])
+    if prepare is not None:
+        tbl = prepare(tbl)
+    if tbl.num_rows == 0:
+        empty = tbl.schema.empty_table()
+        return tuple(empty for _ in range(P)) + (np.zeros(P, np.int64),)
+    h = (tbl.column(key).to_numpy().astype(np.int64)) % P
+    parts = tuple(tbl.filter(pa.array(h == p)) for p in range(P))
+    return parts + (np.array([p.num_rows for p in parts], np.int64),)
+
+
+@ray.remote
+def _reduce_table_fn(fn, *parts: pa.Table) -> pa.Table:
+    """Reduce for int_part_map: ``fn`` is applied ONCE to the whole
+    partition (a pandas frame) — for kernels that are already
+    vectorized across the groups inside their partition. fn also runs
+    on an empty partition so the output schema is always fn's."""
+    live = [p for p in parts if p.num_rows]
+    tbl = (pa.concat_tables(live).combine_chunks() if live else parts[0])
+    out = fn(tbl.to_pandas())
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def int_part_map(ds: rd.Dataset, key: str, fn,
+                 num_partitions: int = 64,
+                 max_map_tasks: int = 32,
+                 prepare=None) -> rd.Dataset:
+    """Partition ``ds`` by the small-int ``key`` column (% num_partitions)
+    via the raw-task shuffle and apply ``fn`` (pandas frame -> pandas
+    frame) ONCE per partition. For per-group kernels that vectorize
+    internally over many groups (candidate triu-emit, batched pair
+    verify) this replaces the Dataset sort-shuffle's ~2 s fixed cost per
+    call with two flat task waves. Same eager-execution caveat as
+    hash_map_groups (module docstring)."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    g = min(max_map_tasks, len(refs))
+    step = -(-len(refs) // g)
+    P = num_partitions
+    splits = []
+    count_refs = []
+    for i in range(0, len(refs), step):
+        o = _int_split.options(num_returns=P + 1).remote(
+            key, P, prepare, *refs[i:i + step])
+        splits.append(o[:P])
+        count_refs.append(o[P])
+    per_part = np.sum(ray.get(count_refs), axis=0)
+    order = np.argsort(-per_part, kind="stable")
+    out = [_reduce_table_fn.remote(fn, *[s[p] for s in splits])
+           for p in order if per_part[p] > 0]
+    if not out:
+        out = [_reduce_table_fn.remote(fn, *[s[order[0]] for s in splits])]
+    return rd.from_arrow_refs(out)
+
+
+@ray.remote
 def _reduce_apply(fn, key: str, *parts: pa.Table) -> pa.Table:
     live = [p for p in parts if p.num_rows]
     if not live:

@@ -297,25 +297,49 @@ def _near_dup_pairs_exact(ds, threshold: float, id_col: str,
 # with a distributed exact-cosine pass (same broadcast-pair shape as
 # dedup.verify_jaccard_pairs).
 
+N_SIG_BUCKETS = 256  # coarse shuffle key: (band_id, band_sig) groups are
+# hashed into this many buckets so candidate generation runs as ~256
+# numpy-vectorized groups instead of one pandas group per signature
+
+
 class _BandSigStage:
-    def __init__(self, planes_ref, id_col: str, vec_col: str):
-        self.planes = ray.get(planes_ref)  # (B, r, d)
+    """Banded signatures. Planes are built ONCE PER WORKER from
+    (seed, n_bands, n_bits) + the first batch's dim — deterministic
+    across workers (same rng stream), so there is no driver-side
+    take(1)/broadcast at all."""
+
+    def __init__(self, n_bands: int, n_bits: int, seed: int,
+                 id_col: str, vec_col: str):
+        self.n_bands, self.n_bits, self.seed = n_bands, n_bits, seed
+        self.planes = None  # (B, r, d), built lazily from the data dim
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_as_matrix(batch.column(self.vec_col)))
         ids = batch.column(self.id_col).to_numpy()
-        n_bands, n_bits, _ = self.planes.shape
-        o_id, o_band, o_sig = [], [], []
-        if m.size:
-            for bd in range(n_bands):
-                sig = _sign_bucket(m, self.planes[bd])
-                o_id.extend(int(x) for x in ids)
-                o_band.extend([bd] * len(ids))
-                o_sig.extend(int(s) for s in sig)
+        if self.planes is None and m.size:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal(
+                (self.n_bands, self.n_bits, m.shape[1]))
+        n_bands = self.n_bands
+        n = len(ids)
+        if m.size == 0 or n_bands == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "band_id": pa.array([], pa.int32()),
+                             "band_sig": pa.array([], pa.int64()),
+                             "sig_bucket": pa.array([], pa.int32())})
+        o_id = np.tile(ids.astype(np.int64), n_bands)
+        o_band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        o_sig = np.concatenate([_sign_bucket(m, self.planes[bd])
+                                for bd in range(n_bands)])
+        # splitmix-style coarse bucket of the exact (band, sig) group
+        mix = (o_sig.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + o_band.astype(np.uint64))
+        bucket = (mix % np.uint64(N_SIG_BUCKETS)).astype(np.int32)
         return pa.table({self.id_col: pa.array(o_id, pa.int64()),
                          "band_id": pa.array(o_band, pa.int32()),
-                         "band_sig": pa.array(o_sig, pa.int64())})
+                         "band_sig": pa.array(o_sig, pa.int64()),
+                         "sig_bucket": pa.array(bucket, pa.int32())})
 
 
 def _emit_pair_vecs(batch: pa.Table, ref, id_col: str, vec_col: str) -> pa.Table:
@@ -389,9 +413,9 @@ def verify_cosine_pairs(ds, pairs: pd.DataFrame, id_col: str = "vec_id",
                                  np.int64(n_buckets - 1))
         return out.append_column("pair_bucket", bucket)
 
-    emitted = ds.map_batches(emit, batch_format="pyarrow")
-    out = emitted.groupby("pair_bucket").map_groups(
-        _pair_bucket_verify, batch_format="pandas").to_pandas()
+    from .shuffles import int_part_map
+    out = int_part_map(ds, "pair_bucket", _pair_bucket_verify,
+                       num_partitions=n_buckets, prepare=emit).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -409,31 +433,30 @@ def plan_lsh_bands(n_rows: int, threshold: float,
                    recall: float = RECALL_TARGET) -> tuple[int, int] | None:
     """Feasible (n_bits, n_bands) for banded hyperplane LSH, or None.
 
-    Sizing order (VERDICT r3 #1 — the cap must never silently ship
-    degraded recall):
-    1. corpus-sized bits: expected bucket ≈ 16 rows (recall-neutral);
-    2. recall ceiling: the LARGEST n_bits for which MAX_BANDS bands can
+    Sizing (VERDICT r3 #1 — the cap must never silently ship degraded
+    recall):
+    1. recall ceiling: the LARGEST n_bits for which MAX_BANDS bands can
        still reach per-pair recall ≥ ``recall`` at τ — i.e.
-       p_bit^bits ≥ 1-(1-R)^(1/B). Auto-sizing takes min(1, 2): when the
-       corpus wants more bits than the recall ceiling allows, bits
-       SHRINK (buckets grow, recall holds) instead of bands silently
-       under-covering;
-    3. feasibility: after the shrink, expected bucket size n/2^bits must
-       stay ≤ BUCKET_CAP, else hot-bucket truncation would reintroduce
-       the recall loss through the back door -> return None (caller
-       routes to the exact path).
+       p_bit^bits ≥ 1-(1-R)^(1/B). The planner TAKES that maximum
+       (capped at 24): random-collision candidates scale as
+       n²·B/(2·(2p)^bits), so within the recall-feasible range more
+       bits strictly shrink the verify load (at τ=0.9 / n=6.6k, 14 bits
+       vs 9 bits is ~13× fewer candidate pairs for the same recall).
+    2. feasibility: expected bucket size n/2^bits must stay ≤
+       BUCKET_CAP, else hot-bucket truncation would reintroduce the
+       recall loss through the back door -> return None (caller routes
+       to the exact path).
     """
     if n_rows <= 0:
         return None
     p = _p_bit(threshold)
-    size_bits = int(min(24, max(8, np.ceil(np.log2(max(n_rows, 1) / 16 + 1)))))
     if p >= 1.0 - 1e-12:          # τ≈1: every band matches regardless of bits
-        return size_bits, 8
+        return 24, 8
     p_band_min = 1.0 - (1.0 - recall) ** (1.0 / MAX_BANDS)
     max_bits = int(np.floor(np.log(p_band_min) / np.log(p)))
     if max_bits < 1:
         return None
-    n_bits = min(size_bits, max_bits)
+    n_bits = min(24, max_bits)
     if n_rows / (1 << n_bits) > BUCKET_CAP:
         return None
     p_band = p ** n_bits
@@ -486,48 +509,56 @@ def _near_dup_pairs_lsh(ds, threshold: float, id_col: str, vec_col: str,
                 "~%.4f — unset n_bits to let the planner shrink it, or "
                 "use method='exact'",
                 MAX_BANDS, need, RECALL_TARGET, threshold, n_bits, achieved)
-    sample = ds.take(1)
-    dim = len(sample[0][vec_col])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bands, n_bits, dim))
-    pref = ray.put(planes)
-    sigs = ds.map_batches(_BandSigStage(pref, id_col, vec_col),
-                          batch_format="pyarrow")
+    sig_stage = _BandSigStage(n_bands, n_bits, seed, id_col, vec_col)
 
-    def cand(g: pd.DataFrame) -> pd.DataFrame:
-        uniq = sorted(set(int(x) for x in g[id_col]))
-        ids = uniq[:BUCKET_CAP]  # safety cap; planner keeps E[bucket] ≪ cap
-        if len(uniq) > BUCKET_CAP:  # no silent caps: dropped coverage visible
-            _LOG.warning(
-                "near_dup_pairs lsh: hot bucket truncated %d -> %d ids "
-                "(band %s); raise n_bits to re-spread",
-                len(uniq), BUCKET_CAP,
-                g["band_id"].iloc[0] if len(g) else "?")
+    def cand_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        """All in-signature pairs for ONE coarse bucket of (band, sig)
+        groups, numpy-vectorized: sort by (band, sig, id), walk the
+        segment boundaries, triu-emit each segment's pairs, dedup
+        in-bucket. Residual cross-bucket duplicates (the same pair
+        colliding in bands hashed to different buckets) are dropped
+        driver-side — the result is already O(unique pairs)-ish."""
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["band_id", "band_sig", id_col], kind="mergesort")
+        bid = g["band_id"].to_numpy()
+        sig = g["band_sig"].to_numpy()
+        ids = g[id_col].to_numpy()
+        new = np.r_[True, (bid[1:] != bid[:-1]) | (sig[1:] != sig[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(bid)]
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    p = sigs.groupby(["band_id", "band_sig"]).map_groups(
-        cand, batch_format="pandas")
-
-    def block_dedup(t: pa.Table) -> pa.Table:
-        # same-band duplicates collapse here inside the task wave; the
-        # residual cross-band duplicates (bounded ×n_bands, tiny after
-        # this pass) are dropped driver-side below — cheaper than a
-        # second keyed shuffle with one pandas group per pair
-        if t.num_rows == 0:
-            return t
-        ab = np.stack([t.column("id_a").to_numpy(),
-                       t.column("id_b").to_numpy()], axis=1)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            u = np.unique(ids[s:e])
+            if len(u) < 2:
+                continue
+            if len(u) > BUCKET_CAP:  # no silent caps: dropped coverage visible
+                _LOG.warning(
+                    "near_dup_pairs lsh: hot bucket truncated %d -> %d ids "
+                    "(band %d); raise n_bits to re-spread",
+                    len(u), BUCKET_CAP, int(bid[s]))
+                u = u[:BUCKET_CAP]
+            ia, ib = np.triu_indices(len(u), k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+        if not out_a:
+            return empty
+        ab = np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1)
         uniq = np.unique(ab, axis=0)
-        return pa.table({"id_a": pa.array(uniq[:, 0], pa.int64()),
-                         "id_b": pa.array(uniq[:, 1], pa.int64())})
+        return pd.DataFrame({"id_a": uniq[:, 0].astype(np.int64),
+                             "id_b": uniq[:, 1].astype(np.int64)})
 
-    pairs = (p.map_batches(block_dedup, batch_format="pyarrow")
-              .to_pandas().drop_duplicates().reset_index(drop=True))
+    # signature computation rides INSIDE the shuffle's split tasks
+    # (prepare=): one task wave computes sigs and fans them into 64
+    # coarse parts — no intermediate n×B-row dataset materialization
+    from .shuffles import int_part_map
+    p = int_part_map(ds, "sig_bucket", cand_coarse, num_partitions=64,
+                     prepare=sig_stage)
+    pairs = p.to_pandas().drop_duplicates().reset_index(drop=True)
     verified = verify_cosine_pairs(ds, pairs, id_col, vec_col)
     out = verified[verified["score"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
