@@ -821,32 +821,72 @@ def minhash_candidate_pairs(ds, n_perm: int = 64, n_bands: int = 16, k: int = 3,
     return p.groupby(["id_a", "id_b"]).map_groups(dd, batch_format="pandas")
 
 
+def _banded_pairs_bucket(g: pd.DataFrame, id_col: str,
+                         cap: int = 64) -> pd.DataFrame:
+    """All in-signature pairs for one coarse bucket of (band_id,
+    band_hash) groups, numpy-vectorized (sort -> segment boundaries ->
+    triu-emit -> in-bucket dedup). Same candidate set as the historical
+    per-signature pandas groups: unique sorted ids per signature, capped
+    at the first ``cap`` (the documented hot-bucket truncation)."""
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64)})
+    if len(g) < 2:
+        return empty
+    g = g.sort_values(["band_id", "band_hash", id_col], kind="mergesort")
+    bid = g["band_id"].to_numpy()
+    bh = g["band_hash"].to_numpy()
+    ids = g[id_col].to_numpy()
+    new = np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], len(bid)]
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        u = np.unique(ids[s:e])[:cap]
+        if len(u) < 2:
+            continue
+        ia, ib = np.triu_indices(len(u), k=1)
+        out_a.append(u[ia])
+        out_b.append(u[ib])
+    if not out_a:
+        return empty
+    ab = np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1)
+    uniq = np.unique(ab, axis=0)
+    return pd.DataFrame({"id_a": uniq[:, 0].astype(np.int64),
+                         "id_b": uniq[:, 1].astype(np.int64)})
+
+
 def minhash_candidate_pairs_df(ds, n_perm: int = 64, n_bands: int = 16,
                                k: int = 3, id_col: str = "doc_id",
                                text_col: str = "text") -> pd.DataFrame:
     """Candidate pairs as a (small) driver DataFrame.
 
-    Same candidates as ``minhash_candidate_pairs`` but the cross-band
-    dedup is a driver-side ``drop_duplicates`` over the O(pairs) frame
-    instead of a second full shuffle — the pair set is bounded by the
-    hot-bucket cap, so this is strictly metadata-sized. Preferred by the
-    verify paths (queries / curation), which pull the pairs to the
-    driver anyway for the broadcast pair map."""
-    bands = ds.map_batches(MinHashStage(n_perm, n_bands, k, id_col, text_col),
-                           batch_format="pyarrow")
+    Same candidates as ``minhash_candidate_pairs`` but (a) the exchange
+    is the raw-task int-key shuffle with MinHash signatures computed
+    INSIDE the split tasks and a vectorized triu-emit once per coarse
+    bucket (the per-signature pandas groups dominated q:minhash_dedup
+    wall time), and (b) the cross-band dedup is a driver-side
+    ``drop_duplicates`` over the O(pairs) frame instead of a second full
+    shuffle — the pair set is bounded by the hot-bucket cap, so this is
+    strictly metadata-sized. Preferred by the verify paths (queries /
+    curation), which pull the pairs to the driver anyway for the
+    broadcast pair map."""
+    from .shuffles import int_part_map
+    stage = MinHashStage(n_perm, n_bands, k, id_col, text_col)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        ids = ids[:64]  # hot-bucket cap (documented truncation)
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def prep(t: pa.Table) -> pa.Table:
+        out = stage(t)
+        mix = (out.column("band_hash").to_numpy().astype(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15)
+               + out.column("band_id").to_numpy().astype(np.uint64))
+        return out.append_column(
+            "sig_bucket", pa.array((mix % np.uint64(256)).astype(np.int32),
+                                   pa.int32()))
 
-    p = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas").to_pandas()
+    p = int_part_map(ds, "sig_bucket",
+                     lambda df: _banded_pairs_bucket(df, id_col),
+                     num_partitions=64, prepare=prep).to_pandas()
     return (p.drop_duplicates()
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
@@ -924,6 +964,40 @@ def _pair_jaccard_group(g: pd.DataFrame) -> pd.DataFrame:
                          "jaccard": [j]})
 
 
+def _pair_jaccard_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Exact Jaccard for one hash bucket of pair ids: walk the sorted
+    (pair_id, member_id) segments and intersect each pair's shingle
+    arrays — per-pair numpy, no per-pair pandas group machinery. Values
+    identical to _pair_jaccard_group (the scalar spec)."""
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    if len(g) < 2:
+        return empty
+    g = g.sort_values(["pair_id", "member_id"], kind="mergesort")
+    pid = g["pair_id"].to_numpy()
+    first = np.r_[True, pid[1:] != pid[:-1]]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.r_[starts, len(pid)])
+    two = starts[counts == 2]  # pairs with both members present
+    if two.size == 0:
+        return empty
+    mem = g["member_id"].to_numpy()
+    sh = g["shingles"].to_numpy()
+    out_j = np.empty(two.size, dtype=np.float64)
+    for i, s in enumerate(two):
+        a = np.asarray(sh[s], dtype=np.uint64)
+        b = np.asarray(sh[s + 1], dtype=np.uint64)
+        if a.size == 0 and b.size == 0:
+            out_j[i] = 1.0  # mirrors jaccard()'s both-empty case
+        else:
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            out_j[i] = inter / max(1, a.size + b.size - inter)
+    return pd.DataFrame({"id_a": mem[two].astype(np.int64),
+                         "id_b": mem[two + 1].astype(np.int64),
+                         "jaccard": out_j})
+
+
 def verify_jaccard_pairs(texts_ds, pairs: pd.DataFrame, k: int = 3,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> pd.DataFrame:
@@ -944,11 +1018,16 @@ def verify_jaccard_pairs(texts_ds, pairs: pd.DataFrame, k: int = 3,
         need.setdefault(int(a), []).append(pid)
         need.setdefault(int(b), []).append(pid)
     ref = ray.put(need)
-    emitted = texts_ds.map_batches(
-        lambda t, r=ref, kk=k: _emit_pair_shingles(t, r, kk, id_col, text_col),
-        batch_format="pyarrow")
-    out = emitted.groupby("pair_id").map_groups(
-        _pair_jaccard_group, batch_format="pandas").to_pandas()
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = _emit_pair_shingles(t, ref, k, id_col, text_col)
+        bucket = (out.column("pair_id").to_numpy() % 64).astype(np.int32)
+        return out.append_column("pair_bucket",
+                                 pa.array(bucket, pa.int32()))
+
+    out = int_part_map(texts_ds, "pair_bucket", _pair_jaccard_bucket,
+                       num_partitions=64, prepare=prep).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

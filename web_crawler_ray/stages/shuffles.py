@@ -59,12 +59,20 @@ def _hash_split(key: str, P: int, prepare, *tbls: pa.Table):
 
 
 @ray.remote
-def _int_split(key: str, P: int, prepare, *tbls: pa.Table):
+def _int_split(key: str, P: int, prepare, part: int, n_parts: int,
+               *tbls: pa.Table):
     """_hash_split sibling for SMALL-INT key columns (bucket ids): the
-    partition is ``key % P`` directly — no string hashing."""
+    partition is ``key % P`` directly — no string hashing. ``part`` /
+    ``n_parts`` slice the input INSIDE the task (zero extra data
+    movement) so prepare-heavy splits parallelize past the input block
+    count (a one-block parquet read otherwise serializes the whole
+    prepare pass into one task)."""
     live = [t for t in tbls if t.num_rows]
     tbl = pa.concat_tables(live) if len(live) > 1 else (
         live[0] if live else tbls[0])
+    if n_parts > 1:
+        step = -(-tbl.num_rows // n_parts)
+        tbl = tbl.slice(part * step, step)
     if prepare is not None:
         tbl = prepare(tbl)
     if tbl.num_rows == 0:
@@ -102,14 +110,19 @@ def int_part_map(ds: rd.Dataset, key: str, fn,
     refs = ds.to_arrow_refs()
     if not refs:
         return ds
-    g = min(max_map_tasks, len(refs))
-    step = -(-len(refs) // g)
     P = num_partitions
     splits = []
     count_refs = []
-    for i in range(0, len(refs), step):
+    if len(refs) >= max_map_tasks:
+        step = -(-len(refs) // max_map_tasks)
+        tasks = [(refs[i:i + step], 0, 1)
+                 for i in range(0, len(refs), step)]
+    else:  # fewer blocks than slots: slice blocks inside the tasks
+        per = -(-max_map_tasks // len(refs))
+        tasks = [([r], p, per) for r in refs for p in range(per)]
+    for grp, part, n_parts in tasks:
         o = _int_split.options(num_returns=P + 1).remote(
-            key, P, prepare, *refs[i:i + step])
+            key, P, prepare, part, n_parts, *grp)
         splits.append(o[:P])
         count_refs.append(o[P])
     per_part = np.sum(ray.get(count_refs), axis=0)
