@@ -1,0 +1,173 @@
+"""Unit semantics for the temporal/range joins, order-statistic
+aggregates, rolling/sliding windows and decontamination — edge cases the
+registry-level DuckDB gate (test_queries_oracle) doesn't reach."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from web_crawler_ray.stages.aggregates import group_quantiles
+from web_crawler_ray.stages.joins import (asof_join_broadcast,
+                                          asof_join_keyed,
+                                          interval_join_broadcast)
+from web_crawler_ray.stages.textstats import (benchmark_shingles,
+                                              decontaminate)
+from web_crawler_ray.stages.windows import (rolling_mean_per_key,
+                                            sliding_window_counts)
+
+
+# --- as-of joins -------------------------------------------------------------
+
+def test_asof_broadcast_drops_unmatched_and_picks_latest():
+    left = rd.from_pandas(pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "t": pd.to_datetime(["2020-01-05", "2020-02-10",
+                             "2019-12-31", "2020-03-01"]),
+    }))
+    right = pd.DataFrame({
+        "eff": pd.to_datetime(["2020-01-01", "2020-02-01", "2020-03-01"]),
+        "tag": ["a", "b", "c"],
+    })
+    out = asof_join_broadcast(left, right, "t", "eff", ["tag"]) \
+        .to_pandas().sort_values("id")
+    # id=3 predates every right row -> dropped (inner)
+    assert list(out["id"]) == [1, 2, 4]
+    assert list(out["tag"]) == ["a", "b", "c"]  # exact-match boundary for id=4
+
+
+def test_asof_keyed_matches_merge_asof_and_breaks_ties():
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 200
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, n_l),
+        "lt": pd.to_datetime("2021-01-01")
+              + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="m"),
+        "lid": np.arange(n_l),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 14, n_r),  # some keys have no left rows
+        "rt": pd.to_datetime("2021-01-01")
+              + pd.to_timedelta(rng.integers(0, 10_000, n_r) // 60 * 60,
+                                unit="m"),  # coarse -> forced ties
+        "rv": rng.integers(0, 1_000, n_r),
+    })
+    got = asof_join_keyed(
+        rd.from_pandas(left), rd.from_pandas(right), key="k",
+        left_on="lt", right_on="rt", left_cols=["lid"], right_cols=["rv"],
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    # reference: per-key merge_asof with ties broken to the max rv
+    r2 = (right.sort_values(["k", "rt", "rv"])
+               .drop_duplicates(["k", "rt"], keep="last"))
+    exp = pd.merge_asof(left.sort_values("lt"), r2.sort_values("rt"),
+                        on=None, left_on="lt", right_on="rt", by="k")
+    exp = exp.dropna(subset=["rv"]).sort_values("lid").reset_index(drop=True)
+    assert list(got["lid"]) == list(exp["lid"])
+    assert list(got["rv"]) == [int(v) for v in exp["rv"]]
+    assert got["rv"].dtype == np.int64  # ints not floated by the union
+
+
+def test_asof_keyed_key_missing_one_side_is_dropped():
+    left = pd.DataFrame({"k": [1, 2], "lt": pd.to_datetime(
+        ["2021-06-01", "2021-06-01"]), "lid": [10, 20]})
+    right = pd.DataFrame({"k": [1, 3], "rt": pd.to_datetime(
+        ["2021-01-01", "2021-01-01"]), "rv": [5, 6]})
+    out = asof_join_keyed(rd.from_pandas(left), rd.from_pandas(right),
+                          key="k", left_on="lt", right_on="rt",
+                          left_cols=["lid"], right_cols=["rv"]).to_pandas()
+    assert list(out["lid"]) == [10]  # k=2 no right side, k=3 no left side
+
+
+# --- interval join -----------------------------------------------------------
+
+def test_interval_join_overlapping_multimatch():
+    ds = rd.from_pandas(pd.DataFrame({"id": [1, 2, 3],
+                                      "v": [0.1, 0.5, 0.99]}))
+    iv = pd.DataFrame({"tier": ["a", "b", "c"],
+                       "lo": [0.0, 0.4, 0.6], "hi": [0.6, 0.7, 1.0]})
+    out = interval_join_broadcast(ds, iv, value_col="v") \
+        .to_pandas().sort_values(["id", "tier"])
+    assert list(zip(out["id"], out["tier"])) == [
+        (1, "a"), (2, "a"), (2, "b"), (3, "c")]
+
+
+def test_interval_join_no_match_keeps_schema():
+    ds = rd.from_pandas(pd.DataFrame({"id": [1], "v": [5.0]}))
+    iv = pd.DataFrame({"tier": ["a"], "lo": [0.0], "hi": [1.0]})
+    out = interval_join_broadcast(ds, iv, value_col="v")
+    assert out.count() == 0
+    # schema survives the empty result (Ray's to_pandas drops columns on
+    # fully-empty datasets, so check the dataset schema itself)
+    assert out.schema().names == ["id", "v", "tier"]
+
+
+# --- quantiles ---------------------------------------------------------------
+
+def test_group_quantiles_match_duckdb_disc():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 6, 500),
+                       "v": rng.random(500)})
+    df.loc[df["g"] == 5, "v"] = 0.25  # constant group
+    df = pd.concat([df, pd.DataFrame({"g": [9], "v": [0.5]})])  # 1-row group
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 1.0]
+    names = [f"q{i}" for i in range(len(qs))]
+    got = group_quantiles(rd.from_pandas(df), "g", "v", qs, names) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    sel = ", ".join(f"quantile_disc(v, {q}) AS {n}"
+                    for q, n in zip(qs, names))
+    exp = duckdb.connect().execute(
+        f"SELECT g, {sel} FROM df GROUP BY g ORDER BY g").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# --- rolling / sliding windows ----------------------------------------------
+
+def test_rolling_mean_matches_pandas():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 8, 300),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 500, 300), unit="h"),
+        "event_id": np.arange(300),
+        "value": rng.random(300),
+    })
+    got = rolling_mean_per_key(rd.from_pandas(df), preceding=3) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    exp["rolling_avg"] = (exp.groupby("user_id")["value"]
+                          .transform(lambda s: s.rolling(4, min_periods=1)
+                                     .mean()))
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_allclose(got["rolling_avg"],
+                               np.round(exp["rolling_avg"], 6), atol=1e-9)
+
+
+def test_sliding_counts_cover_k_windows():
+    ts = pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:40:00"])
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts}))
+    out = sliding_window_counts(ds, size_minutes=60, hop_minutes=30) \
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    # event@00:10 -> windows 23:30(-1d), 00:00; event@00:40 -> 00:00, 00:30
+    assert list(out["n_events"]) == [1, 2, 1]
+
+
+# --- decontamination ---------------------------------------------------------
+
+def test_decontaminate_drops_overlap_keeps_short_docs():
+    bench = rd.from_pandas(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["alpha beta gamma delta epsilon zeta eta theta iota"]}))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # shares the 8-gram "alpha ... theta"
+            "xx alpha beta gamma delta epsilon zeta eta theta yy",
+            "completely different words with no overlap at all here ok",
+            "short doc",  # < 8 words: no shingles, must survive
+        ]})
+    sh = benchmark_shingles(bench, n=8)
+    assert len(sh) == 2
+    out = decontaminate(rd.from_pandas(docs), sh, n=8).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3]

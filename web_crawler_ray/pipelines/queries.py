@@ -141,6 +141,125 @@ def q_session_counts(sf_dir: str):
     return session_count(ds, gap_minutes=30.0)
 
 
+def q_sliding_events(sf_dir: str):
+    """Sliding (hopping) event-time windows, 60 min size / 30 min hop:
+    each event explodes into its k=2 windows inside map_batches, then
+    ONE groupby — the shuffle-minimal batch form of a hop window."""
+    from ..stages.windows import sliding_window_counts
+    ds = _rp(sf_dir, "events", columns=["ts"])
+    return sliding_window_counts(ds, size_minutes=60, hop_minutes=30)
+
+
+def q_rolling_avg_events(sf_dir: str):
+    """Per-user rolling mean over the current + 3 preceding events in
+    (ts, event_id) order — the batch form of a ROWS-window aggregate
+    (one groupby(user) shuffle, cumsum kernel per group)."""
+    from ..stages.windows import rolling_mean_per_key
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    return rolling_mean_per_key(ds, preceding=3)
+
+
+def q_quantiles_by_type(sf_dir: str):
+    """Exact per-group discrete quantiles (DuckDB quantile_disc
+    semantics: sorted element at ceil(q*n)-1) of event value by type."""
+    from ..stages.aggregates import group_quantiles
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return group_quantiles(ds, "event_type", "value",
+                           qs=[0.25, 0.5, 0.75, 0.95],
+                           names=["q25", "q50", "q75", "q95"])
+
+
+# --- temporal / range joins --------------------------------------------------
+
+_RATE_START, _RATE_END, _RATE_MONTHS = "1995-01-01", "2001-08-01", 80
+
+
+def _rate_table() -> pd.DataFrame:
+    """Deterministic monthly rate dimension covering the orders date
+    range. rate = 1 + ((i*37) mod 50)/100 — an integer division both
+    engines compute to the identical double."""
+    eff = pd.date_range(_RATE_START, _RATE_END, freq="MS")
+    i = np.arange(len(eff), dtype=np.int64)
+    return pd.DataFrame({
+        "rate_month": eff.values.astype("datetime64[us]"),
+        "rate": 1.0 + ((i * 37) % 50) / 100.0,
+    })
+
+
+def q_asof_join_rates(sf_dir: str):
+    """Broadcast as-of join: each order picks the latest monthly rate
+    with rate_month <= o_orderdate (searchsorted per batch against the
+    ray.put dimension; no shuffle)."""
+    from ..stages.joins import asof_join_broadcast
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    out = asof_join_broadcast(ds, _rate_table(), left_on="o_orderdate",
+                              right_on="rate_month",
+                              right_cols=["rate_month", "rate"])
+    return out.select_columns(["o_orderkey", "rate_month", "rate"])
+
+
+def q_asof_join_events(sf_dir: str):
+    """Keyed (distributed) as-of join: each event attaches the same
+    user's latest order with o_orderdate <= ts — both sides tagged,
+    unioned, co-partitioned by ONE groupby(user) shuffle, sorted-merge
+    per group. Right-side date ties break to the max o_orderkey on both
+    sides."""
+    from ..stages.joins import asof_join_keyed
+    ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate", "o_orderkey",
+                          "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(
+            [("user_id" if c == "o_custkey" else c) for c in t.column_names]),
+        batch_format="pyarrow")
+    out = asof_join_keyed(ev, orders, key="user_id", left_on="ts",
+                          right_on="o_orderdate", left_cols=["event_id"],
+                          right_cols=["o_orderkey", "o_totalprice"])
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [("ts" if c == "__on" else c) for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+_TIERS = pd.DataFrame({"tier": ["low", "mid", "high"],
+                       "lo": [0.0, 0.25, 0.55],
+                       "hi": [0.35, 0.65, 1.01]})
+
+
+def q_interval_join_tiers(sf_dir: str):
+    """Range join against a broadcast OVERLAPPING interval table (a row
+    can match several tiers) — one vectorized mask per interval per
+    batch, no shuffle."""
+    from ..stages.joins import interval_join_broadcast
+    ds = _rp(sf_dir, "events", columns=["event_id", "value"])
+    return interval_join_broadcast(ds, _TIERS, value_col="value")
+
+
+DECON_N = 8  # shingle width (words) for benchmark decontamination
+_DECON_BENCH = "doc_id % 17 = 3"  # the stand-in held-out benchmark slice
+
+
+def q_decontaminate(sf_dir: str):
+    """Training-data decontamination: drop every non-benchmark document
+    sharing ANY 8-word shingle with the benchmark slice (GPT-3 appx C
+    style n-gram overlap). Benchmark shingle set built distributed and
+    broadcast once; the corpus streams through one filter."""
+    from ..stages.textstats import benchmark_shingles, decontaminate
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _slice(eq: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t.column("doc_id").to_numpy() % 17 == 3
+            return t.filter(pa.array(m if eq else ~m))
+        return f
+
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    rest = docs.map_batches(_slice(False), batch_format="pyarrow")
+    sh = benchmark_shingles(bench, n=DECON_N)
+    return decontaminate(rest, sh, n=DECON_N).select_columns(["doc_id"])
+
+
 def q_topk_per_segment(sf_dir: str):
     """Per-group top-k (F9 shape with an oracle): top 2 orders by price per
     market segment via broadcast join + groupby.map_groups."""
@@ -695,6 +814,13 @@ def registry() -> dict:
         "doc_length_buckets": q_doc_length_buckets,
         "tumbling_events": q_tumbling_events,
         "session_counts": q_session_counts,
+        "sliding_events": q_sliding_events,
+        "rolling_avg_events": q_rolling_avg_events,
+        "quantiles_by_type": q_quantiles_by_type,
+        "asof_join_rates": q_asof_join_rates,
+        "asof_join_events": q_asof_join_events,
+        "interval_join_tiers": q_interval_join_tiers,
+        "decontaminate": q_decontaminate,
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
         "hash_sample": q_hash_sample,
@@ -953,6 +1079,50 @@ ORACLES: dict[str, str] = {
         "    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS s "
         "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ") WHERE s = 1 GROUP BY user_id",
+    "sliding_events":
+        "SELECT make_timestamp(ws) AS window_start, count(*)::BIGINT AS n_events "
+        "FROM (SELECT unnest(generate_series("
+        "(epoch_us(ts) // 1800000000 - 1) * 1800000000, "
+        "(epoch_us(ts) // 1800000000) * 1800000000, 1800000000)) AS ws "
+        "FROM events) GROUP BY 1",
+    "rolling_avg_events":
+        "SELECT user_id, event_id, round(avg(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_avg "
+        "FROM events",
+    "quantiles_by_type":
+        "SELECT event_type, quantile_disc(value, 0.25) AS q25, "
+        "quantile_disc(value, 0.5) AS q50, quantile_disc(value, 0.75) AS q75, "
+        "quantile_disc(value, 0.95) AS q95 FROM events GROUP BY event_type",
+    "asof_join_rates":
+        f"WITH rates AS (SELECT eff, "
+        f"1.0 + (((row_number() OVER (ORDER BY eff) - 1) * 37) % 50) / 100.0 "
+        f"AS rate FROM (SELECT unnest(generate_series("
+        f"TIMESTAMP '{_RATE_START}', TIMESTAMP '{_RATE_END}', "
+        f"INTERVAL 1 MONTH)) AS eff)) "
+        f"SELECT o_orderkey, eff AS rate_month, rate "
+        f"FROM orders ASOF JOIN rates ON o_orderdate >= eff",
+    "asof_join_events":
+        "WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice "
+        "FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey, "
+        "o_orderdate ORDER BY o_orderkey DESC) = 1) "
+        "SELECT e.user_id, e.ts, e.event_id, r.o_orderkey, r.o_totalprice "
+        "FROM events e ASOF JOIN r "
+        "ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate",
+    "interval_join_tiers":
+        "SELECT event_id, value, tier FROM events JOIN (VALUES "
+        "('low', 0.0, 0.35), ('mid', 0.25, 0.65), ('high', 0.55, 1.01)"
+        ") t(tier, lo, hi) ON value >= lo AND value < hi",
+    "decontaminate":
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents), "
+        f"sh AS (SELECT doc_id, array_to_string(ws[i:i+{DECON_N - 1}], ' ') AS s "
+        f"FROM toks, UNNEST(generate_series(1, greatest(len(ws)-{DECON_N - 1}, 0))) "
+        f"AS t(i)), "
+        f"bench AS (SELECT DISTINCT s FROM sh WHERE {_DECON_BENCH}), "
+        f"bad AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench)) "
+        f"SELECT doc_id FROM documents WHERE NOT ({_DECON_BENCH}) "
+        f"AND doc_id NOT IN (SELECT doc_id FROM bad)",
     "topk_per_segment":
         "SELECT c_mktsegment, o_orderkey, o_totalprice FROM orders "
         "JOIN customer ON o_custkey = c_custkey "

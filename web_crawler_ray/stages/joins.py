@@ -1,0 +1,189 @@
+"""Temporal (as-of) and range (interval) joins — operators Ray Data has
+no native form for, re-expressed per the round brief's custom-operator
+ladder: broadcast + ``map_batches`` where one side is small, else a
+keyed co-partitioning shuffle via ``groupby(key).map_groups``.
+
+The reference has only exact joins (client-side lookups,
+SURVEY §2.8); these extend the engine for the log-analytics /
+training-data shapes the 100 TB brief calls out (as-of join, range
+join). Partitioning assumptions are documented per op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+# ---------------------------------------------------------------------------
+# As-of join, broadcast form (small right side)
+# ---------------------------------------------------------------------------
+
+def asof_join_broadcast(ds, right: pd.DataFrame, left_on: str,
+                        right_on: str, right_cols: list[str]):
+    """For each left row, attach the right row with the LARGEST
+    ``right_on`` <= ``left_on`` (DuckDB ``ASOF JOIN`` / pandas
+    ``merge_asof`` semantics, inner: unmatched left rows are dropped).
+
+    Scale shape: the right side is a dimension table (rate tables,
+    config epochs — thousands of rows); it is ``ray.put`` ONCE and every
+    batch does one vectorized ``np.searchsorted`` against it. No
+    shuffle; the left side streams.
+    """
+    right = right.sort_values(right_on, kind="mergesort").reset_index(drop=True)
+    # int64 µs domain for searchsorted (timestamps) or raw float/int
+    rk = _as_orderable(right[right_on].to_numpy())
+    rref = ray.put((rk, {c: right[c].to_numpy() for c in right_cols}))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(rref)
+        lk = _as_orderable(_col_np(t, left_on))
+        idx = np.searchsorted(keys, lk, side="right") - 1
+        keep = idx >= 0
+        out = t.filter(pa.array(keep))
+        idx = idx[keep]
+        for c, arr in vals.items():
+            out = out.append_column(c, pa.array(arr[idx]))
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# As-of join, keyed form (both sides large)
+# ---------------------------------------------------------------------------
+
+def asof_join_keyed(left_ds, right_ds, key: str, left_on: str,
+                    right_on: str, left_cols: list[str],
+                    right_cols: list[str]):
+    """Distributed as-of join: for each left row, the right row of the
+    SAME ``key`` with the largest ``right_on`` <= ``left_on`` (inner).
+
+    Scale shape: tag each side, align schemas, ``union``, then ONE
+    ``groupby(key)`` shuffle co-partitions both sides; the per-group
+    kernel is a sorted ``pd.merge_asof``. Assumption (documented, same
+    as sessionization): one key's rows fit a worker — keys here are
+    users/hosts, not the whole table. Right-side timestamp ties are
+    broken deterministically BEFORE the join (keep the last row in
+    ``right_on``-then-input order), so output does not depend on
+    shuffle arrival order.
+    """
+    lt = left_ds.select_columns(list(dict.fromkeys([key, left_on] + left_cols)))
+    rt = right_ds.select_columns(list(dict.fromkeys([key, right_on] + right_cols)))
+    lschema, rschema = lt.schema(), rt.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([("__on" if c == left_on else c)
+                              for c in t.column_names])
+        for c in right_cols:
+            t = t.append_column(c, pa.nulls(t.num_rows, rtypes[c]))
+        return t.append_column("__side", pa.array([0] * t.num_rows, pa.int8()))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([("__on" if c == right_on else c)
+                              for c in t.column_names])
+        for c in left_cols:
+            t = t.append_column(c, pa.nulls(t.num_rows, ltypes[c]))
+        return t.append_column("__side", pa.array([1] * t.num_rows, pa.int8()))
+
+    cols = [key, "__on"] + left_cols + right_cols + ["__side"]
+    u = (lt.map_batches(tag_left, batch_format="pyarrow")
+           .select_columns(cols)
+         .union(rt.map_batches(tag_right, batch_format="pyarrow")
+                  .select_columns(cols)))
+
+    out_cols = [key, "__on"] + left_cols + right_cols
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0]
+        r = g[g["__side"] == 1]
+        # deterministic right-tie break: among equal __on, keep the row
+        # with the LARGEST right_cols tuple (lexicographic) — input
+        # arrival order never leaks into the result
+        r = (r.sort_values(["__on"] + right_cols, kind="mergesort")
+              .drop_duplicates("__on", keep="last"))
+        l = l.sort_values("__on", kind="mergesort")
+        m = pd.merge_asof(l[[key, "__on"] + left_cols],
+                          r[["__on"] + right_cols], on="__on")
+        m = m.dropna(subset=right_cols[:1])  # inner semantics
+        return m[out_cols]
+
+    out = u.groupby(key).map_groups(per_key, batch_format="pandas")
+
+    # restore source arrow types: the union's typed nulls float int
+    # columns through pandas, and map_groups re-infers timestamps as ns
+    want = pa.schema(
+        [(key, ltypes[key]), ("__on", ltypes[left_on])]
+        + [(c, ltypes[c]) for c in left_cols]
+        + [(c, rtypes[c]) for c in right_cols])
+
+    def recast(t: pa.Table) -> pa.Table:
+        return pa.table({f.name: t.column(f.name).cast(f.type) for f in want})
+
+    return out.map_batches(recast, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join, broadcast form
+# ---------------------------------------------------------------------------
+
+def interval_join_broadcast(ds, intervals: pd.DataFrame, value_col: str,
+                            lo_col: str = "lo", hi_col: str = "hi",
+                            tag_cols: list[str] | None = None):
+    """Inner range join: one output row per (left row, interval) with
+    ``lo <= value < hi``. Intervals MAY overlap (a row can match
+    several).
+
+    Scale shape: the interval table is small (tiers, buckets, SLAs) —
+    broadcast once; each batch evaluates one vectorized mask per
+    interval (O(|intervals|) kernels per batch, no shuffle). For large
+    NON-overlapping interval sets this reduces to one ``searchsorted``
+    (use :func:`asof_join_broadcast` on ``lo`` and post-filter on
+    ``hi``).
+    """
+    tag_cols = tag_cols or [c for c in intervals.columns
+                            if c not in (lo_col, hi_col)]
+    iv = ray.put((intervals[lo_col].to_numpy(),
+                  intervals[hi_col].to_numpy(),
+                  {c: intervals[c].to_numpy() for c in tag_cols}))
+
+    def attach(t: pa.Table) -> pa.Table:
+        lo, hi, tags = ray.get(iv)
+        v = _col_np(t, value_col)
+        parts, tagged = [], {c: [] for c in tags}
+        for j in range(len(lo)):
+            m = (v >= lo[j]) & (v < hi[j])
+            if not m.any():
+                continue
+            piece = t.filter(pa.array(m))
+            parts.append(piece)
+            for c in tags:
+                tagged[c].append(np.repeat(tags[c][j], piece.num_rows))
+        if not parts:
+            out = t.slice(0, 0)
+            for c in tags:
+                out = out.append_column(c, pa.array(tags[c]).slice(0, 0))
+            return out
+        out = pa.concat_tables(parts)
+        for c in tags:
+            out = out.append_column(c, pa.array(np.concatenate(tagged[c])))
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+
+def _col_np(t: pa.Table, name: str) -> np.ndarray:
+    return t.column(name).to_numpy(zero_copy_only=False)
+
+
+def _as_orderable(a: np.ndarray) -> np.ndarray:
+    """datetime64 → int64 µs so searchsorted domains always align."""
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.astype("datetime64[us]").astype(np.int64)
+    return a

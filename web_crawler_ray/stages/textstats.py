@@ -13,6 +13,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 _WS_SPLIT = re.compile(r"\s+")
 _PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")  # ASCII punctuation blocks
@@ -262,3 +263,59 @@ def fingerprint_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     fps = [fp(t) for t in batch.column(text_col).to_pylist()]
     return batch.append_column("fingerprint", pa.array(np.array(fps, np.uint64)))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_WORD_RE = re.compile(r"[0-9a-z_]+")  # ASCII class == DuckDB RE2 \w
+# (lowercased); keeps the oracle tokenizer-identical on any corpus.
+
+
+def _shingle_set(text: str, n: int) -> set[str]:
+    ws = _SHINGLE_WORD_RE.findall((text or "").lower())
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def benchmark_shingles(bench_ds, n: int = 8, text_col: str = "text") -> set[str]:
+    """Distinct n-word shingles of the benchmark set, built distributed
+    (one shingle-explode map + the driver unions per-batch SETS, so the
+    driver holds O(distinct benchmark shingles) — benchmark suites are
+    MBs, the corpus is not)."""
+    def explode(t: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for txt in t.column(text_col).to_pylist():
+            out |= _shingle_set(txt, n)
+        return pa.table({"shingle": pa.array(sorted(out), pa.string())})
+
+    sh = bench_ds.map_batches(explode, batch_format="pyarrow")
+    out: set[str] = set()
+    for b in sh.iter_batches(batch_format="pyarrow"):
+        out.update(b.column("shingle").to_pylist())
+    return out
+
+
+def decontaminate(docs_ds, bench_shingles: set[str], n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Drop every document sharing ANY n-word shingle with the benchmark
+    set (training-data decontamination, e.g. GPT-3 appendix C / PaLM
+    sec. 8 style n-gram overlap).
+
+    Scale shape: the benchmark shingle set is ``ray.put`` ONCE (hash it
+    to 8-byte keys first if it outgrows the object store comfort zone);
+    the corpus streams through one map_batches filter — no shuffle.
+    """
+    ref = ray.put(bench_shingles)
+
+    def keep(t: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        mask = []
+        for txt in t.column(text_col).to_pylist():
+            ws = _SHINGLE_WORD_RE.findall((txt or "").lower())
+            hit = any(" ".join(ws[i:i + n]) in bench
+                      for i in range(len(ws) - n + 1))
+            mask.append(not hit)
+        return t.filter(pa.array(mask))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")

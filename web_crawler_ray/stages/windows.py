@@ -73,3 +73,33 @@ def sliding_window_counts(ds, ts_col: str = "ts", size_minutes: int = 60,
 
     return (ds.map_batches(explode, batch_format="pyarrow")
               .groupby("window_start").aggregate(Count(alias_name="n_events")))
+
+
+def rolling_mean_per_key(ds, key_col: str = "user_id", ts_col: str = "ts",
+                         order_col: str = "event_id", value_col: str = "value",
+                         preceding: int = 3, out_col: str = "rolling_avg",
+                         round_to: int = 6):
+    """Per-key rolling mean over the current row and the ``preceding``
+    rows in (ts, order) order — the batch form of
+    ``AVG(v) OVER (PARTITION BY key ORDER BY ts, order
+    ROWS BETWEEN n PRECEDING AND CURRENT ROW)``.
+
+    Scale shape: one ``groupby(key)`` shuffle, vectorized cumsum kernel
+    per group; keys are high-cardinality (users), so groups are small.
+    Means are float64 sums of <= preceding+1 values rounded to
+    ``round_to`` — summation-order differences vs a SQL engine are
+    below the rounding quantum.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col], kind="mergesort")
+        v = g[value_col].to_numpy(dtype=np.float64)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        n = len(v)
+        lo = np.maximum(np.arange(n) - preceding, 0)
+        means = (cs[np.arange(n) + 1] - cs[lo]) / (np.arange(n) - lo + 1)
+        out = g[[key_col, order_col]].copy()
+        out[out_col] = np.round(means, round_to)
+        return out
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
