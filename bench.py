@@ -172,7 +172,8 @@ def run_queries(num_cpus: int) -> dict:
     names = ["lineitem_summary", "filter_events", "dedup_exact", "token_counts",
              "ann_topk", "minhash_dedup", "hash_join_orders_nation", "simhash",
              "training_pipeline", "near_dup_embeddings", "near_dup_lsh",
-             "media_features"]
+             "media_features", "asof_join_events", "decontaminate",
+             "rolling_avg_events"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is
