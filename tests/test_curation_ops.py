@@ -1,0 +1,114 @@
+"""Unit semantics for the curation operators added in round 4 — PII
+redaction, repetition stats, vocabulary top-k, frequency capping and
+k-means — edge cases the registry-level DuckDB gate doesn't reach."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from web_crawler_ray.stages.aggregates import cap_per_group, vocab_topk
+from web_crawler_ray.stages.clustering import kmeans_assign, kmeans_fit
+from web_crawler_ray.stages.textstats import (pii_redact_batch,
+                                              repetition_stats_batch)
+
+
+# --- PII redaction -----------------------------------------------------------
+
+def test_pii_redact_kernel():
+    t = pa.table({"text": pa.array([
+        "mail a@b.co and c.d+x@e-f.org now",   # two emails
+        "call 555-1234 or 555-9999",           # two phones
+        "no pii here",                          # none
+        "x 555-12345 y",                        # 5 digits -> \b fails, no match? RE2 \b: '555-1234' then '5' -> boundary check
+        None,
+    ])})
+    out = pii_redact_batch(t)
+    n = out.column("n_pii").to_pylist()
+    red = out.column("text_redacted").to_pylist()
+    assert n[0] == 2 and red[0] == "mail <EMAIL> and <EMAIL> now"
+    assert n[1] == 2 and red[1] == "call <PHONE> or <PHONE>"
+    assert n[2] == 0 and red[2] == "no pii here"
+    assert red[4] is None and n[4] is None  # nulls propagate, not crash
+
+
+def test_pii_redact_word_boundary():
+    # 555-12345: the trailing digit breaks the \b boundary -> NOT redacted
+    t = pa.table({"text": pa.array(["a 555-12345 b", "a 555-1234 b"])})
+    out = pii_redact_batch(t)
+    assert out.column("n_pii").to_pylist() == [0, 1]
+
+
+# --- repetition stats --------------------------------------------------------
+
+def test_repetition_stats_edges():
+    t = pa.table({"text": pa.array(["a a a a", "a b c d", "", None, "!!!"])})
+    out = repetition_stats_batch(t)
+    assert out.column("n_words").to_pylist() == [4, 4, 0, 0, 0]
+    assert out.column("n_distinct").to_pylist() == [1, 4, 0, 0, 0]
+    r = out.column("rep_ratio").to_pylist()
+    assert r[0] == 0.75 and r[1] == 0.0 and r[2] == 0.0
+
+
+# --- vocabulary top-k --------------------------------------------------------
+
+def test_vocab_topk_counts_and_tiebreak(ray_session):
+    docs = rd.from_pandas(pd.DataFrame({"text": [
+        "b b b a a c", "a c b", "zz zz zz zz",
+    ]})).repartition(3)  # force multi-batch partials to exercise the merge
+    out = vocab_topk(docs, k=3).to_pandas()
+    # counts: a=3 b=4 c=2 zz=4 -> top3 by (n desc, word asc): b(4), zz(4), a(3)
+    assert list(out["word"]) == ["b", "zz", "a"]
+    assert list(out["n"]) == [4, 4, 3]
+
+
+# --- frequency capping -------------------------------------------------------
+
+def test_cap_per_group_semantics(ray_session):
+    df = pd.DataFrame({"k": ["x"] * 5 + ["y"] * 2,
+                       "id": [5, 3, 1, 4, 2, 10, 11]})
+    out = cap_per_group(rd.from_pandas(df).repartition(4), "k", "id", k=3) \
+        .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    # x: 3 smallest ids; y: fewer rows than k -> all kept
+    assert list(out["id"]) == [1, 2, 3, 10, 11]
+    # matches the SQL row_number() contract
+    exp = (df.sort_values(["k", "id"]).groupby("k").head(3)
+             .sort_values(["k", "id"]).reset_index(drop=True))
+    assert out.equals(exp[["k", "id"]].reset_index(drop=True))
+
+
+# --- k-means -----------------------------------------------------------------
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    rng = np.random.default_rng(11)
+    k, per, dim = 3, 60, 8
+    centers = np.array([[6.0] * dim, [-6.0] * dim,
+                        [6.0] * (dim // 2) + [-6.0] * (dim // 2)])
+    X = np.concatenate([centers[i] + rng.normal(0, 0.5, (per, dim))
+                        for i in range(k)])
+    labels = np.repeat(np.arange(k), per)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(k * per, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float64())),
+    })).repartition(4)
+    cent = kmeans_fit(ds, k=k, iters=6)
+    asg = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    # purity: every planted blob maps to ONE kmeans cluster
+    df = pd.DataFrame({"lab": labels, "cl": asg["cluster"].to_numpy()})
+    purity = df.groupby("lab")["cl"].agg(lambda s: s.value_counts().iloc[0]).sum()
+    assert purity / len(df) >= 0.99
+    # determinism: a second fit reproduces the centroids bit-for-bit
+    cent2 = kmeans_fit(ds, k=k, iters=6)
+    assert np.array_equal(cent, cent2)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    # 2 points, k=2, but both nearest to one init -> the empty cluster
+    # must keep its previous centroid (no NaN, no reseed)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.0, 0.0], [0.1, 0.0]], pa.list_(pa.float64())),
+    }))
+    cent = kmeans_fit(ds, k=2, iters=3)
+    assert not np.isnan(cent).any()

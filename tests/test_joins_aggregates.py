@@ -4,6 +4,7 @@ registry-level DuckDB gate (test_queries_oracle) doesn't reach."""
 
 import duckdb
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -37,7 +38,8 @@ def test_asof_broadcast_drops_unmatched_and_picks_latest():
     assert list(out["tag"]) == ["a", "b", "c"]  # exact-match boundary for id=4
 
 
-def test_asof_keyed_matches_merge_asof_and_breaks_ties():
+@pytest.mark.parametrize("shuffle", ["hash", "sort"])
+def test_asof_keyed_matches_merge_asof_and_breaks_ties(shuffle):
     rng = np.random.default_rng(7)
     n_l, n_r = 400, 200
     left = pd.DataFrame({
@@ -56,6 +58,7 @@ def test_asof_keyed_matches_merge_asof_and_breaks_ties():
     got = asof_join_keyed(
         rd.from_pandas(left), rd.from_pandas(right), key="k",
         left_on="lt", right_on="rt", left_cols=["lid"], right_cols=["rv"],
+        shuffle=shuffle,
     ).to_pandas().sort_values("lid").reset_index(drop=True)
 
     # reference: per-key merge_asof with ties broken to the max rv

@@ -260,6 +260,73 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(rest, sh, n=DECON_N).select_columns(["doc_id"])
 
 
+# PII injected deterministically per doc so the scrub oracle is non-trivial
+# on the synthetic corpus (which contains no natural emails/phones); the SQL
+# side builds the identical string.
+_PII_SUFFIX_SQL = ("' contact user' || doc_id || '@example.com tel 555-' || "
+                   "(1000 + doc_id % 9000)")
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub over documents: inject one deterministic email+phone per
+    doc (corpus has none naturally), then redact with the vectorized
+    Arrow-RE2 kernels — n_pii counts + redacted text, oracle-exact vs
+    DuckDB regexp_replace (both engines run RE2)."""
+    from ..stages.textstats import pii_redact_batch
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        suffix = [f" contact user{i}@example.com tel 555-{1000 + i % 9000}"
+                  for i in ids]
+        txt = pc.binary_join_element_wise(
+            t.column("text").cast(pa.string()), pa.array(suffix, pa.string()), "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    out = ds.map_batches(inject, batch_format="pyarrow") \
+            .map_batches(pii_redact_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_pii", "text_redacted"])
+
+
+def q_repetition_ratio(sf_dir: str):
+    """Gopher-style repetition signal per doc: word totals, distincts and
+    rep_ratio = 1 - distinct/total (ASCII tokenizer == DuckDB RE2)."""
+    from ..stages.textstats import repetition_stats_batch
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "n_words", "n_distinct", "rep_ratio"])
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary top-50: per-batch partial word counts (combiner)
+    → one small groupby(word) sum → deterministic sort+limit."""
+    from ..stages.aggregates import vocab_topk
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return vocab_topk(ds, k=50)
+
+
+def q_source_cap(sf_dir: str):
+    """Domain frequency capping: keep the 10 lowest-doc_id documents per
+    source (combiner pre-prune + one groupby(source) merge)."""
+    from ..stages.aggregates import cap_per_group
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return cap_per_group(ds, key="source", order_col="doc_id", k=10) \
+        .select_columns(["doc_id", "source"])
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means over the embeddings (broadcast centroids +
+    per-batch partial sums, no shuffle) — cluster sizes as the graded
+    surface (rows-only: float iteration order isn't SQL-expressible);
+    planted-label purity is pinned in pytest."""
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=4, iters=8)
+    asg = kmeans_assign(ds, cent)
+    from ray.data.aggregate import Count
+    return asg.groupby("cluster").aggregate(Count(alias_name="n_points"))
+
+
 def q_topk_per_segment(sf_dir: str):
     """Per-group top-k (F9 shape with an oracle): top 2 orders by price per
     market segment via broadcast join + groupby.map_groups."""
@@ -821,6 +888,11 @@ def registry() -> dict:
         "asof_join_events": q_asof_join_events,
         "interval_join_tiers": q_interval_join_tiers,
         "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "repetition_ratio": q_repetition_ratio,
+        "vocab_topk": q_vocab_topk,
+        "source_cap": q_source_cap,
+        "kmeans_clusters": q_kmeans_clusters,
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
         "hash_sample": q_hash_sample,
@@ -1123,6 +1195,28 @@ ORACLES: dict[str, str] = {
         f"bad AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench)) "
         f"SELECT doc_id FROM documents WHERE NOT ({_DECON_BENCH}) "
         f"AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    "pii_redact":
+        f"WITH t2 AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS tx "
+        f"FROM documents) SELECT doc_id, "
+        f"(len(regexp_extract_all(tx, '{T.PII_EMAIL_RE}')) + "
+        f"len(regexp_extract_all(tx, '{T.PII_PHONE_RE}')))::BIGINT AS n_pii, "
+        f"regexp_replace(regexp_replace(tx, '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{T.PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted FROM t2",
+    "repetition_ratio":
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents) "
+        "SELECT doc_id, len(ws)::BIGINT AS n_words, "
+        "len(list_distinct(ws))::BIGINT AS n_distinct, "
+        "CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+        "round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6) END "
+        "AS rep_ratio FROM toks",
+    "vocab_topk":
+        "SELECT w AS word, count(*)::BIGINT AS n FROM "
+        "(SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+        "FROM documents) GROUP BY w ORDER BY n DESC, word LIMIT 50",
+    "source_cap":
+        "SELECT doc_id, source FROM documents QUALIFY "
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10",
     "topk_per_segment":
         "SELECT c_mktsegment, o_orderkey, o_totalprice FROM orders "
         "JOIN customer ON o_custkey = c_custkey "

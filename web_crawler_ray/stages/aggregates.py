@@ -46,3 +46,59 @@ def group_quantiles(ds, key: str, value: str, qs: list[float],
         return pd.DataFrame(row)
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def vocab_topk(ds, text_col: str = "text", k: int = 50):
+    """Corpus vocabulary top-k (word, n) — the canonical combiner shape:
+    each batch pre-aggregates its own word counts (a Counter → a tiny
+    (word, n) table), so the ONE ``groupby(word)`` shuffle moves partial
+    counts, not exploded tokens; the final sort+limit runs over the
+    merged vocabulary only. Deterministic tie-break: (n desc, word asc).
+
+    Scale shape: shuffle volume = Σ per-batch distinct words — for
+    natural text that is orders of magnitude below the token count a
+    naive explode-then-count would move. The word class matches the
+    decontamination tokenizer (ASCII, DuckDB-RE2 identical).
+    """
+    from collections import Counter
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from .textstats import _SHINGLE_WORD_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            c.update(_SHINGLE_WORD_RE.findall((txt or "").lower()))
+        words = sorted(c)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "n": pa.array([c[w] for w in words], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("n", alias_name="n")))
+    return agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+def cap_per_group(ds, key: str, order_col: str, k: int):
+    """Frequency cap: keep the ``k`` rows with the SMALLEST ``order_col``
+    per ``key`` (domain/URL frequency capping in curation pipelines —
+    bound any one source's contribution to the corpus).
+
+    Scale shape: a combiner pass first — each batch prunes itself to
+    <=k rows per key in one vectorized sort+head — so the ONE
+    ``groupby(key)`` merge shuffles at most k×(keys-per-batch) rows per
+    batch, independent of how hot a source is. Per-group merge is the
+    same prune; semantics == ``row_number() OVER (PARTITION BY key
+    ORDER BY order_col) <= k`` (ties broken by order_col uniqueness —
+    use a unique id column).
+    """
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([key, order_col], kind="mergesort")
+                  .groupby(key, sort=False).head(k))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").head(k)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return pruned.groupby(key).map_groups(per_key, batch_format="pandas")

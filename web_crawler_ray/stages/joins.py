@@ -57,18 +57,27 @@ def asof_join_broadcast(ds, right: pd.DataFrame, left_on: str,
 
 def asof_join_keyed(left_ds, right_ds, key: str, left_on: str,
                     right_on: str, left_cols: list[str],
-                    right_cols: list[str]):
+                    right_cols: list[str], shuffle: str = "auto",
+                    num_partitions: int = 64):
     """Distributed as-of join: for each left row, the right row of the
     SAME ``key`` with the largest ``right_on`` <= ``left_on`` (inner).
 
     Scale shape: tag each side, align schemas, ``union``, then ONE
-    ``groupby(key)`` shuffle co-partitions both sides; the per-group
-    kernel is a sorted ``pd.merge_asof``. Assumption (documented, same
-    as sessionization): one key's rows fit a worker — keys here are
-    users/hosts, not the whole table. Right-side timestamp ties are
-    broken deterministically BEFORE the join (keep the last row in
-    ``right_on``-then-input order), so output does not depend on
-    shuffle arrival order.
+    keyed shuffle co-partitions both sides. Two shuffle routes:
+
+    - ``"hash"`` (default for integer keys): the raw-task hash shuffle
+      (``shuffles.int_part_map``), ``key % P`` partitioning, and ONE
+      vectorized ``pd.merge_asof(..., by=key)`` over ALL keys of the
+      partition at once — no per-group pandas dispatch, no sort-barrier
+      sampling. Eager-execution caveat as per shuffles module docstring.
+    - ``"sort"`` (default for non-integer keys): native
+      ``groupby(key).map_groups`` with a per-group sorted merge_asof.
+
+    Assumption (documented, same as sessionization): one PARTITION's
+    rows fit a worker — keys here are users/hosts, not the whole table.
+    Right-side timestamp ties are broken deterministically BEFORE the
+    join (keep the largest ``right_cols`` tuple per ``(key, right_on)``),
+    so output does not depend on shuffle arrival order.
     """
     lt = left_ds.select_columns(list(dict.fromkeys([key, left_on] + left_cols)))
     rt = right_ds.select_columns(list(dict.fromkeys([key, right_on] + right_cols)))
@@ -112,7 +121,28 @@ def asof_join_keyed(left_ds, right_ds, key: str, left_on: str,
         m = m.dropna(subset=right_cols[:1])  # inner semantics
         return m[out_cols]
 
-    out = u.groupby(key).map_groups(per_key, batch_format="pandas")
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized merge_asof(by=key) across every key in the
+        partition — same semantics as per_key, zero per-group calls."""
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        r = (r.sort_values([key, "__on"] + right_cols, kind="mergesort")
+              .drop_duplicates([key, "__on"], keep="last"))
+        # merge_asof(by=...) requires BOTH frames globally sorted on __on
+        l = l.sort_values("__on", kind="mergesort")
+        r = r.sort_values("__on", kind="mergesort")
+        m = pd.merge_asof(l[[key, "__on"] + left_cols],
+                          r[[key, "__on"] + right_cols], on="__on", by=key)
+        m = m.dropna(subset=right_cols[:1])  # inner semantics
+        return m[out_cols]
+
+    if shuffle == "auto":
+        shuffle = "hash" if pa.types.is_integer(ltypes[key]) else "sort"
+    if shuffle == "hash":
+        from .shuffles import int_part_map
+        out = int_part_map(u, key, per_part, num_partitions=num_partitions)
+    else:
+        out = u.groupby(key).map_groups(per_key, batch_format="pandas")
 
     # restore source arrow types: the union's typed nulls float int
     # columns through pandas, and map_groups re-infers timestamps as ns

@@ -266,6 +266,64 @@ def fingerprint_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns: pyarrow.compute's regex kernels and DuckDB both
+# run RE2, so the engine and the SQL oracle share EXACT match semantics.
+# ASCII classes only (RE2 \w is ASCII; keeps parity on any corpus).
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Scrub emails/phones from ``text_col`` — fully vectorized Arrow RE2
+    kernels (no Python loop): appends ``n_pii`` (matches found) and
+    ``text_redacted`` (matches replaced with ``<EMAIL>``/``<PHONE>``).
+
+    Scale shape: stateless map_batches, zero-copy in, no shuffle. For a
+    production scrubber the pattern list grows (SSNs, IBANs, addresses);
+    the kernel stays one ``replace_substring_regex`` per pattern.
+    """
+    import pyarrow.compute as pc
+
+    t = batch.column(text_col)
+    n = pc.add(pc.count_substring_regex(t, PII_EMAIL_RE),
+               pc.count_substring_regex(t, PII_PHONE_RE))
+    red = pc.replace_substring_regex(t, PII_EMAIL_RE, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+    out = batch.append_column("n_pii", pc.cast(n, pa.int64()))
+    return out.append_column("text_redacted", red)
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style repetition signal)
+# ---------------------------------------------------------------------------
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           round_to: int = 6) -> pa.Table:
+    """Word-repetition signal per document (Gopher/MassiveText-style
+    repetitious-text rule, public heuristic): ``n_words``,
+    ``n_distinct`` and ``rep_ratio = 1 - distinct/total`` (0.0 for empty
+    docs), tokenized with the ASCII word class so the DuckDB oracle
+    (``regexp_extract_all`` + ``list_distinct``) is bit-reproducible.
+    """
+    texts = batch.column(text_col).to_pylist()
+    n_words = np.zeros(len(texts), np.int64)
+    n_distinct = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        ws = _SHINGLE_WORD_RE.findall((t or "").lower())
+        n_words[i] = len(ws)
+        n_distinct[i] = len(set(ws))
+    ratio = np.where(n_words > 0,
+                     np.round(1.0 - n_distinct / np.maximum(n_words, 1),
+                              round_to), 0.0)
+    out = batch.append_column("n_words", pa.array(n_words))
+    out = out.append_column("n_distinct", pa.array(n_distinct))
+    return out.append_column("rep_ratio", pa.array(ratio, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap vs a held-out set)
 # ---------------------------------------------------------------------------
 
