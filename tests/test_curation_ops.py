@@ -77,6 +77,25 @@ def test_cap_per_group_semantics(ray_session):
     assert out.equals(exp[["k", "id"]].reset_index(drop=True))
 
 
+# --- weighted mixture sampling ------------------------------------------------
+
+def test_weighted_sample_rates_and_determinism(ray_session):
+    from web_crawler_ray.stages.aggregates import md5_low64, weighted_sample
+    n = 2000
+    df = pd.DataFrame({"id": np.arange(n),
+                       "src": np.where(np.arange(n) % 2 == 0, "a", "b")})
+    ds = rd.from_pandas(df).repartition(4)
+    out = weighted_sample(ds, {"a": 100, "b": 0}, "src", "id").to_pandas()
+    assert set(out["src"]) == {"a"} and len(out) == n // 2  # 100% vs 0%
+    half = weighted_sample(ds, {"a": 50, "b": 50}, "src", "id").to_pandas()
+    # membership is a pure function of the id -> exact expected set
+    exp = {i for i in range(n) if md5_low64(str(i)) % 100 < 50}
+    assert set(half["id"]) == exp
+    # missing key defaults to dropped
+    none = weighted_sample(ds, {"a": 80}, "src", "id").to_pandas()
+    assert set(none["src"]) <= {"a"}
+
+
 # --- k-means -----------------------------------------------------------------
 
 def test_kmeans_recovers_planted_blobs(ray_session):

@@ -314,6 +314,18 @@ def q_source_cap(sf_dir: str):
         .select_columns(["doc_id", "source"])
 
 
+def q_mixture_sample(sf_dir: str):
+    """Weighted domain-mixture sampling: each source sampled at its own
+    deterministic rate (5 + md5(source) % 90 percent), membership by
+    md5(doc_id) — the reproducible corpus-mixing op. Rates are a
+    broadcast dimension; the corpus streams through one filter."""
+    from ..stages.aggregates import md5_low64, weighted_sample
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    srcs = ds.unique("source")  # small dimension (driver holds #sources)
+    rates = {s: 5 + md5_low64(s) % 90 for s in srcs}
+    return weighted_sample(ds, rates, key_col="source", id_col="doc_id")
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed k-means over the embeddings (broadcast centroids +
     per-batch partial sums, no shuffle) — cluster sizes as the graded
@@ -892,6 +904,7 @@ def registry() -> dict:
         "repetition_ratio": q_repetition_ratio,
         "vocab_topk": q_vocab_topk,
         "source_cap": q_source_cap,
+        "mixture_sample": q_mixture_sample,
         "kmeans_clusters": q_kmeans_clusters,
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
@@ -1217,6 +1230,10 @@ ORACLES: dict[str, str] = {
     "source_cap":
         "SELECT doc_id, source FROM documents QUALIFY "
         "row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10",
+    "mixture_sample":
+        "SELECT doc_id, source FROM documents WHERE "
+        "md5_number_lower(doc_id::VARCHAR) % 100 < "
+        "(5 + md5_number_lower(source) % 90)",
     "topk_per_segment":
         "SELECT c_mktsegment, o_orderkey, o_totalprice FROM orders "
         "JOIN customer ON o_custkey = c_custkey "

@@ -102,3 +102,38 @@ def cap_per_group(ds, key: str, order_col: str, k: int):
 
     pruned = ds.map_batches(prune, batch_format="pandas")
     return pruned.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def md5_low64(s: str) -> int:
+    """Low 8 md5 digest bytes read little-endian — exactly DuckDB's
+    ``md5_number_lower(s)`` (the same convention the fingerprint/simhash
+    oracle twins pin, stages/dedup.py)."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
+def weighted_sample(ds, rates: dict, key_col: str, id_col: str,
+                    scale: int = 100):
+    """Domain-mixture sampling: keep a row iff
+    ``md5_low64(str(id)) % scale < rates[key]`` — each key (source,
+    domain, language) sampled at its own rate, reproducibly: membership
+    depends only on the row id, never on partitioning, run order or
+    cluster size, so reruns and resumes keep the identical subset.
+
+    Scale shape: the rate map is a dimension (``ray.put`` once); the
+    corpus streams through one stateless filter — no shuffle. Missing
+    keys default to rate 0 (dropped)."""
+    import pyarrow as pa
+    import ray
+
+    ref = ray.put(dict(rates))
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        ids = t.column(id_col).to_pylist()
+        keys = t.column(key_col).to_pylist()
+        mask = [md5_low64(str(i)) % scale < r.get(k, 0)
+                for i, k in zip(ids, keys)]
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
