@@ -131,3 +131,74 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     }))
     cent = kmeans_fit(ds, k=2, iters=3)
     assert not np.isnan(cent).any()
+
+
+# --- group centroids ---------------------------------------------------------
+
+def test_group_centroids_matches_numpy():
+    from web_crawler_ray.stages.aggregates import group_centroids
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    labels = (np.arange(40) % 3).astype(np.int32)
+    ds = rd.from_arrow(pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}))
+    got = group_centroids(ds.repartition(5), key="label",
+                          vec_col="embedding").to_pandas()
+    got = got.sort_values(["label", "dim"]).reset_index(drop=True)
+    for lbl in (0, 1, 2):
+        want = np.round(vecs[labels == lbl].astype(np.float64).mean(axis=0), 6)
+        have = got[got.label == lbl].sort_values("dim").centroid.to_numpy()
+        assert np.allclose(have, want, atol=1e-6), lbl
+    # dtype of the key column survives the partial-sum round-trip
+    assert got.label.dtype == np.int32
+
+
+# --- tf-idf ------------------------------------------------------------------
+
+def test_tfidf_topk_tiny_corpus():
+    from web_crawler_ray.stages.aggregates import tfidf_topk
+    docs = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "text": pa.array(["apple apple banana",
+                                       "banana cherry",
+                                       ""])})
+    out = tfidf_topk(rd.from_arrow(docs), k=2).to_pandas()
+    # 'apple' df=1 tf=2 -> 2*ln(3); 'banana' df=2 -> ln(1.5); cherry df=1
+    d1 = out[out.doc_id == 1].sort_values("score", ascending=False)
+    assert list(d1.word) == ["apple", "banana"]
+    assert abs(d1.score.iloc[0] - round(2 * np.log(3.0), 6)) < 1e-9
+    d2 = out[out.doc_id == 2].sort_values("score", ascending=False)
+    assert list(d2.word) == ["cherry", "banana"]
+    assert (out.doc_id != 3).all()  # empty doc emits no rows
+
+
+# --- duplicated n-grams ------------------------------------------------------
+
+def test_duplicated_ngram_stats_planted():
+    from web_crawler_ray.stages.textstats import duplicated_ngram_stats
+    shared = "alpha beta gamma delta epsilon"          # one shared 5-gram
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                     "text": pa.array([
+                         f"{shared} zeta",             # 2 positions, 1 dup
+                         f"intro {shared}",            # 2 positions, 1 dup
+                         "totally unrelated words here now",  # 1 pos, 0 dup
+                         "tiny doc",                   # < 5 words -> 0 grams
+                     ])})
+    out = duplicated_ngram_stats(rd.from_arrow(docs).repartition(3), n=5) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1].n_grams == 2 and out.loc[1].n_dup == 1
+    assert out.loc[2].n_grams == 2 and out.loc[2].n_dup == 1
+    assert out.loc[1].dup_frac == 0.5
+    assert out.loc[3].n_grams == 1 and out.loc[3].n_dup == 0
+    assert out.loc[4].n_grams == 0 and out.loc[4].dup_frac == 0.0
+
+
+# --- text normalization ------------------------------------------------------
+
+def test_normalize_text_batch():
+    from web_crawler_ray.stages.textstats import normalize_text_batch
+    t = pa.table({"text": pa.array(
+        ["  Hello\t\tWORLD \n", "a  b\r\nc", "", None])})
+    out = normalize_text_batch(t).column("text_norm").to_pylist()
+    assert out == ["hello world", "a b c", "", None]

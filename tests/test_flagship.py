@@ -114,3 +114,26 @@ def test_overlap_extract_equals_barrier_path(ray_session):
         ["discovery_seq", "location_address"]).reset_index(drop=True)
     assert len(la) > 0
     assert la.equals(lb)
+
+
+def test_overlap_assembler_equals_post_crawl_documents(ray_session):
+    """OverlapAssembler (span assembly running as a page_hook during the
+    crawl) must produce exactly assemble_documents(res.pages) — span
+    assembly is a per-page pure map, so block slicing is invisible."""
+    from web_crawler_ray.pipelines.crawl import crawl
+    from web_crawler_ray.pipelines.flagship import (MultiHook,
+                                                    OverlapAssembler,
+                                                    assemble_documents)
+    from web_crawler_ray.sources import synth_world as W
+
+    ps, rb, sd = W.world(seed=11, n_hosts=4, pages_per_host_base=14)
+    oa = OverlapAssembler()
+    res = crawl(ps, rb, sd, max_pages=10_000, max_depth=3,
+                round_seconds=6.0, frontier_mode="dataset",
+                page_hook=MultiHook(oa))
+    got = oa.dataset().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = assemble_documents(res.pages).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])

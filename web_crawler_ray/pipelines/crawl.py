@@ -296,6 +296,17 @@ class CrawlResult:
 # ---------------------------------------------------------------------------
 
 
+def _robots_check(robots, hosts: list[str], paths: list[str]) -> list[bool]:
+    """Gate helper for the bucket tasks: ``robots`` is either a broadcast
+    ``ray.put(robots_by_host)`` ref (static-rule crawl — evaluate locally,
+    no actor round-trip) or the RobotsCache actor handle (live-fetch
+    deployments)."""
+    from ..state.robots_cache import RobotsGate, local_check
+    if isinstance(robots, RobotsGate):
+        return local_check(robots.ref, hosts, paths)
+    return ray.get(robots.check.remote(hosts, paths))
+
+
 @ray.remote(num_cpus=0, num_returns=2)
 def _prep_bucket(tbl: pa.Table, robots, max_depth: int, order_cols):
     """Gate (depth + robots, once per URL — both are static per crawl) and
@@ -304,9 +315,9 @@ def _prep_bucket(tbl: pa.Table, robots, max_depth: int, order_cols):
     by _reduce_candidates as they enter."""
     tbl = tbl.filter(pc.less_equal(tbl.column("depth"), max_depth))
     if tbl.num_rows:
-        allowed = ray.get(robots.check.remote(
-            tbl.column("host").to_pylist(), tbl.column("path").to_pylist()))
-        tbl = tbl.filter(pa.array(allowed))
+        tbl = tbl.filter(pa.array(_robots_check(
+            robots, tbl.column("host").to_pylist(),
+            tbl.column("path").to_pylist())))
     tbl = tbl.sort_by([(c, "ascending") for c in order_cols])
     hosts, counts = np.unique(np.asarray(tbl.column("host")), return_counts=True)
     return tbl, {str(h): int(c) for h, c in zip(hosts, counts)}
@@ -458,8 +469,8 @@ def _reduce_candidates(shards, robots, max_depth: int, want_hashes: bool,
     gated = t.column("depth").to_numpy() <= max_depth
     if gated.any():
         paths = [_fast_path(u) for u in t.column("url").to_pylist()]
-        allowed = np.asarray(ray.get(robots.check.remote(
-            t.column("host").to_pylist(), paths)))
+        allowed = np.asarray(_robots_check(
+            robots, t.column("host").to_pylist(), paths))
         gated = gated & allowed
     t = t.append_column("__gated", pa.array(gated, pa.bool_()))
     gh, gc = np.unique(np.asarray(t.filter(pa.array(gated)).column("host")),
@@ -707,7 +718,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
             n_fetched, rnd, round_delta, delays_known, max_pages, max_depth,
             checkpoint_dir, keep_pages, backoff, order, page_hook,
             fetch_concurrency, visited_spill_dir, rank_assign,
-            rank_gather_limit)
+            rank_gather_limit, robots_raw=robots_by_host)
 
     visited_parts: list[pa.Table] = []
     page_datasets: list[rd.Dataset] = []
@@ -950,7 +961,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                           fetch_concurrency: int = 4,
                           visited_spill_dir: str | None = None,
                           rank_assign: str = "auto",
-                          rank_gather_limit: int = 4_000_000) -> CrawlResult:
+                          rank_gather_limit: int = 4_000_000,
+                          robots_raw: dict | None = None) -> CrawlResult:
     """frontier_mode="dataset": the frontier is sharded object-store
     state — K hash(host) buckets of Arrow tables, gated (depth + robots,
     both static per crawl) ONCE at insert time and kept sorted by the
@@ -1016,12 +1028,22 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
     # bookkeeping fan-out are unchanged)
     FP = max(1, -(-fetch_concurrency // K))
 
+    # Insert-time robots gating evaluates LOCALLY in the prep/reduce
+    # tasks against a broadcast of the (static-per-crawl) raw robots map
+    # — the single-actor check RPC otherwise serializes the KU parallel
+    # reduce tasks every round (robots_cache.local_check; decisions
+    # bit-identical). The actor still serves crawl-delays (small,
+    # driver-paced).
+    from ..state.robots_cache import RobotsGate
+    gate = (RobotsGate(ray.put(robots_raw)) if robots_raw is not None
+            else robots)
+
     # initial bucket split + insert-time gate (seeds / resumed frontier)
     if frontier_tbl.num_rows:
         hb = (hash64_many(frontier_tbl.column("host").to_pylist())
               % np.uint64(K)).astype(np.int64)
         prep = [_prep_bucket.remote(frontier_tbl.filter(pa.array(hb == i)),
-                                    robots, max_depth, oc) for i in range(K)]
+                                    gate, max_depth, oc) for i in range(K)]
         buckets = [p[0] for p in prep]
         counts: dict[str, int] = {}
         for d in ray.get([p[1] for p in prep]):
@@ -1034,14 +1056,19 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
     # stats["driver_phases"]): where the parallelism-INDEPENDENT time
     # goes — the quantity that caps scaling efficiency
     phases: dict[str, float] = {}
+    phases_rounds: list[dict] = []  # same keys, one dict per round
     _pt = [time.perf_counter()]
 
     def _ph(name: str) -> None:
         now = time.perf_counter()
         phases[name] = phases.get(name, 0.0) + (now - _pt[0])
+        if phases_rounds:
+            r = phases_rounds[-1]
+            r[name] = r.get(name, 0.0) + (now - _pt[0])
         _pt[0] = now
 
     while counts and n_fetched < max_pages and rnd < max_rounds:
+        phases_rounds.append({})
         _ph("idle")
         rows_in = sum(counts.values())
         grant = ray.get(politeness.grant.remote(counts))
@@ -1052,6 +1079,9 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         dist_taken = (rank_assign == "distributed" or
                       (rank_assign == "auto" and est_taken > rank_gather_limit))
         _ph("grant")
+        if os.environ.get("GRAFT_PHASE_SYNC"):  # diagnosis only: split
+            ray.wait(list(buckets), num_returns=len(buckets))
+            _ph("bucket_wait")
         marks = [_mark_bucket.remote(b, grant_ref, order == "priority",
                                      dist_taken) for b in buckets]
         deferred_refs = [m[1] for m in marks]
@@ -1126,7 +1156,7 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                       (rank_assign == "auto" and
                        min(n_taken, room) * 64 > rank_gather_limit))
         reduces = [_reduce_candidates.remote(
-            list(seen.shards), robots, max_depth, bool(checkpoint_dir),
+            list(seen.shards), gate, max_depth, bool(checkpoint_dir),
             dist_fresh,
             *[parts[i][u] for i in range(len(parts))]) for u in range(KU)]
         fresh_refs = [r[0] for r in reduces]
@@ -1269,6 +1299,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
              "politeness": ray.get(politeness.get_all_stats.remote())}
     _ph("final")
     stats["driver_phases"] = {k: round(v, 3) for k, v in phases.items()}
+    stats["driver_phases_rounds"] = [
+        {k: round(v, 3) for k, v in r.items()} for r in phases_rounds]
     return CrawlResult(visited=visited, pages=pages,
                        seen_snapshot=seen.snapshot(), stats=stats,
                        metrics=metrics, visited_dir=visited_spill_dir)

@@ -136,6 +136,69 @@ class OverlapExtractor:
         return rd.from_arrow_refs(refs)
 
 
+_WORKER_ASSEMBLE: list = []  # per-worker SpanAssemblyStage singleton
+
+
+@ray.remote
+def _assemble_span_block(tbl: pa.Table, part: int = 0,
+                         n_parts: int = 1) -> pa.Table:
+    """Span assembly for one fetched-block slice (per-page pure map, so
+    slicing is invisible in the output) — the overlap form of
+    ``assemble_documents(content_dedup=False)``."""
+    if n_parts > 1:
+        step = -(-tbl.num_rows // n_parts)
+        tbl = tbl.slice(part * step, step)
+    if not _WORKER_ASSEMBLE:
+        _WORKER_ASSEMBLE.append(SpanAssemblyStage())
+    return _WORKER_ASSEMBLE[0](tbl)
+
+
+class OverlapAssembler:
+    """page_hook collector for the DOCUMENTS path: submits span-assembly
+    tasks per fetched block as rounds complete, so the interleaved-span
+    documents are built WHILE later rounds crawl (same overlap shape as
+    OverlapExtractor; output ≡ ``assemble_documents(res.pages)`` with
+    content_dedup=False, pinned in tests). With both hooks installed the
+    post-crawl work is only the drain of the final round's tasks.
+
+    Measured honestly: at single-node bench scale this hook made the
+    headline SLOWER (both-hooks 33.9 s vs 25.4 s adjacent runs at
+    32 cpus) — the extra in-crawl tasks contend with the frontier
+    bookkeeping's critical path, while the post-crawl docs drain it
+    removes was only ~2 s. The win case is a real cluster where crawl
+    rounds dominate wall time and extract/assembly CPUs would otherwise
+    idle; the bench headline therefore uses the extract hook only."""
+
+    def __init__(self, splits_per_block: int = 2):
+        self.splits = max(1, splits_per_block)
+        self.refs: list = []
+
+    def __call__(self, ds: rd.Dataset) -> None:
+        for r in ds.to_arrow_refs():
+            for p in range(self.splits):
+                self.refs.append(_assemble_span_block.remote(r, p, self.splits))
+
+    def dataset(self, target_blocks: int = 128) -> rd.Dataset:
+        refs = self.refs
+        if len(refs) > target_blocks:
+            k = -(-len(refs) // target_blocks)
+            refs = [_concat_blocks.remote(*refs[i:i + k])
+                    for i in range(0, len(refs), k)]
+        return rd.from_arrow_refs(refs)
+
+
+class MultiHook:
+    """Compose page hooks: each fetched-round Dataset is handed to every
+    hook (extract + span assembly both overlapping the crawl)."""
+
+    def __init__(self, *hooks):
+        self.hooks = hooks
+
+    def __call__(self, ds: rd.Dataset) -> None:
+        for h in self.hooks:
+            h(ds)
+
+
 def assemble_documents(pages: rd.Dataset, content_dedup: bool = False,
                        n_dedup_shards: int = 4) -> rd.Dataset:
     """pages -> interleaved text+media span documents (input_hint shape).

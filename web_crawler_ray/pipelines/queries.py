@@ -339,6 +339,44 @@ def q_kmeans_clusters(sf_dir: str):
     return asg.groupby("cluster").aggregate(Count(alias_name="n_points"))
 
 
+def q_group_centroids(sf_dir: str):
+    """Mean embedding per label as (label, dim, centroid) rows —
+    partial-sum combiner + one tiny groupby((label, dim)); no vector
+    shuffle, no driver math."""
+    from ..stages.aggregates import group_centroids
+    ds = _rp(sf_dir, "embeddings", columns=["label", "embedding"])
+    return group_centroids(ds, key="label", vec_col="embedding")
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per document: vocab-combiner DF pass +
+    broadcast (word → df) dimension + one streaming score pass."""
+    from ..stages.aggregates import tfidf_topk
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+DUPGRAM_N = 5
+
+
+def q_dup_ngram_stats(sf_dir: str):
+    """Per-doc duplicated 5-gram counts/fraction (Lee et al. substring-
+    dup signal): distinct-shingle combiner → one groupby(shingle) →
+    broadcast duplicated set → streaming per-doc counter."""
+    from ..stages.textstats import duplicated_ngram_stats
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicated_ngram_stats(ds, n=DUPGRAM_N)
+
+
+def q_normalize_text(sf_dir: str):
+    """Pre-tokenization text normalization (lower, collapse whitespace,
+    strip) — one stateless Arrow-RE2 map, zero shuffle."""
+    from ..stages.textstats import normalize_text_batch
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "text_norm"])
+
+
 def q_topk_per_segment(sf_dir: str):
     """Per-group top-k (F9 shape with an oracle): top 2 orders by price per
     market segment via broadcast join + groupby.map_groups."""
@@ -906,6 +944,10 @@ def registry() -> dict:
         "source_cap": q_source_cap,
         "mixture_sample": q_mixture_sample,
         "kmeans_clusters": q_kmeans_clusters,
+        "group_centroids": q_group_centroids,
+        "tfidf_topk": q_tfidf_topk,
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "normalize_text": q_normalize_text,
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
         "hash_sample": q_hash_sample,
@@ -1234,6 +1276,41 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, source FROM documents WHERE "
         "md5_number_lower(doc_id::VARCHAR) % 100 < "
         "(5 + md5_number_lower(source) % 90)",
+    "group_centroids":
+        "SELECT label, i - 1 AS dim, "
+        "round(sum(embedding[i]::DOUBLE) / count(*), 6) AS centroid "
+        "FROM embeddings, "
+        "UNNEST(generate_series(1, len(embedding))) AS t(i) "
+        "GROUP BY label, i",
+    "tfidf_topk":
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w), "
+        "df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w), "
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents) "
+        "SELECT doc_id, w AS word, round(tf * ln(n / df), 6) AS score "
+        "FROM tf JOIN df USING (w), n "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY tf * ln(n / df) DESC, w) <= 3",
+    "dup_ngram_stats":
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents), "
+        f"sh AS (SELECT doc_id, array_to_string(ws[i:i+{DUPGRAM_N - 1}], ' ') AS s "
+        f"FROM toks, UNNEST(generate_series(1, greatest(len(ws)-{DUPGRAM_N - 1}, 0))) "
+        f"AS t(i)), "
+        f"dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c "
+        f"FROM sh GROUP BY s) WHERE c >= 2) "
+        f"SELECT d.doc_id, count(sh.s)::BIGINT AS n_grams, "
+        f"count(dup.s)::BIGINT AS n_dup, "
+        f"CASE WHEN count(sh.s) = 0 THEN 0.0 "
+        f"ELSE round(count(dup.s)::DOUBLE / count(sh.s), 6) END AS dup_frac "
+        f"FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id "
+        f"LEFT JOIN dup ON dup.s = sh.s GROUP BY d.doc_id",
+    "normalize_text":
+        "SELECT doc_id, regexp_replace(trim(lower(text), "
+        "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), "
+        "'\\s+', ' ', 'g') AS text_norm FROM documents",
     "topk_per_segment":
         "SELECT c_mktsegment, o_orderkey, o_totalprice FROM orders "
         "JOIN customer ON o_custkey = c_custkey "

@@ -137,3 +137,127 @@ def weighted_sample(ds, rates: dict, key_col: str, id_col: str,
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def group_centroids(ds, key: str, vec_col: str, round_to: int = 6):
+    """Per-group embedding centroid as (key, dim, centroid) rows — the
+    mean vector of each group (language/source/cluster), the building
+    block for corpus balancing and cluster labeling.
+
+    Scale shape: the classic partial-sum combiner. Each batch reduces
+    itself to one float64 sum vector + count PER KEY (numpy column
+    stack, no Python per-row math), emitted as (key, dim, s, n) rows —
+    shuffle volume = batches x keys-per-batch x dims, independent of
+    row count. ONE small ``groupby((key, dim))`` sum merges partials;
+    the division happens on the merged table. No full-vector shuffle,
+    no driver materialization.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_pylist()
+        # list<float32> -> (rows, dim) float64 without per-row Python
+        arrs = t.column(vec_col).combine_chunks()
+        mat = np.asarray(arrs.values.to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        dim = mat.size // len(keys) if keys else 0
+        mat = mat.reshape(len(keys), dim) if keys else mat.reshape(0, 0)
+        out_k, out_d, out_s, out_n = [], [], [], []
+        for k in sorted(set(keys)):
+            mask = np.array([x == k for x in keys])
+            s = mat[mask].sum(axis=0)
+            out_k.extend([k] * dim)
+            out_d.extend(range(dim))
+            out_s.extend(s.tolist())
+            out_n.extend([int(mask.sum())] * dim)
+        return pa.table({key: pa.array(out_k, t.column(key).type),
+                         "dim": pa.array(out_d, pa.int64()),
+                         "s": pa.array(out_s, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    ktype = ds.schema().base_schema.field(key).type
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([key, "dim"])
+                .aggregate(Sum("s", alias_name="s"),
+                           Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = np.round(t.column("s").to_numpy(zero_copy_only=False)
+                     / t.column("n").to_numpy(zero_copy_only=False),
+                     round_to)
+        # Ray's groupby widens integer keys to int64 — restore the
+        # input dtype so the result schema matches the source's
+        return pa.table({key: t.column(key).cast(ktype),
+                         "dim": t.column("dim"),
+                         "centroid": pa.array(c, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def tfidf_topk(ds, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text", round_to: int = 6):
+    """Top-k TF-IDF terms per document: score = tf * ln(N / df), ranked
+    (score desc, word asc) at full float64 precision, score rounded on
+    output only. Tokenizer is the ASCII word class (== DuckDB RE2 \\w).
+
+    Scale shape: two streaming passes over the corpus + one small
+    shuffle. Pass 1 computes document frequency with the vocab-style
+    combiner (each batch emits per-word DOC counts, one
+    ``groupby(word)`` sum merges them — shuffle volume is the distinct
+    vocabulary, not the token stream). The merged (word, df) vocabulary
+    is a broadcast dimension (``ray.put`` once; natural-language vocab
+    grows ~ corpus^0.5, MBs at corpus-TBs). Pass 2 streams the corpus
+    through a stateless scorer: per-doc Counter -> numpy score -> top-k
+    argpartition. No per-doc shuffle anywhere.
+    """
+    import math as _math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .textstats import _SHINGLE_WORD_RE
+
+    n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            c.update(set(_SHINGLE_WORD_RE.findall((txt or "").lower())))
+        words = sorted(c)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "df": pa.array([c[w] for w in words], pa.int64())})
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+                .groupby("word").aggregate(Sum("df", alias_name="df")))
+    df_map: dict = {}
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        df_map.update(zip(b.column("word").to_pylist(),
+                          b.column("df").to_pylist()))
+    ref = ray.put(df_map)
+
+    def score(t: pa.Table) -> pa.Table:
+        dfm = ray.get(ref)
+        out_id, out_w, out_s = [], [], []
+        ids = t.column(id_col).to_pylist()
+        for i, txt in zip(ids, t.column(text_col).to_pylist()):
+            c = Counter(_SHINGLE_WORD_RE.findall((txt or "").lower()))
+            if not c:
+                continue
+            # rank at full precision; ties broken by word asc (same as
+            # the oracle's ORDER BY score DESC, word)
+            scored = sorted(
+                ((tf * _math.log(n_docs / dfm[w]), w) for w, tf in c.items()),
+                key=lambda p: (-p[0], p[1]))[:k]
+            for s, w in scored:
+                out_id.append(i)
+                out_w.append(w)
+                out_s.append(round(s, round_to))
+        return pa.table({id_col: pa.array(out_id, t.column(id_col).type),
+                         "word": pa.array(out_w, pa.string()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -377,3 +377,73 @@ def decontaminate(docs_ds, bench_shingles: set[str], n: int = 8,
         return t.filter(pa.array(mask))
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def duplicated_ngram_stats(ds, n: int = 5, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Per-document duplicated-n-gram signal (Lee et al. 2022 "Deduplicating
+    Training Data" / Gopher repetition family): for each doc, the count of
+    word n-gram POSITIONS whose shingle also appears in at least one OTHER
+    document, plus the fraction of positions that are duplicated. Docs
+    shorter than n words report n_grams = 0, dup_frac = 0.0.
+
+    Scale shape: pass 1 explodes per-doc DISTINCT shingles (a combiner —
+    repeats inside a doc collapse before the shuffle) and ONE
+    ``groupby(shingle)`` sum finds corpus-duplicated shingles
+    (doc-count >= 2). The duplicated set is broadcast (``ray.put`` once);
+    pass 2 streams the corpus through a stateless counter. The broadcast
+    holds O(duplicated shingles) — at 100 TB swap the exact set for a
+    Bloom filter at the same call-site (false positives only inflate the
+    signal, never drop data) or hash shingles to 8-byte keys first.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh_out, seen_local = [], {}
+        for txt in t.column(text_col).to_pylist():
+            for s in _shingle_set(txt, n):
+                seen_local[s] = seen_local.get(s, 0) + 1
+        words = sorted(seen_local)
+        return pa.table({"shingle": pa.array(words, pa.string()),
+                         "ndocs": pa.array([seen_local[w] for w in words],
+                                           pa.int64())})
+
+    dup_tbl = (ds.map_batches(explode, batch_format="pyarrow")
+                 .groupby("shingle").aggregate(Sum("ndocs", alias_name="ndocs")))
+    dup: set = set()
+    for b in dup_tbl.iter_batches(batch_format="pyarrow"):
+        sh = b.column("shingle").to_pylist()
+        nd = b.column("ndocs").to_pylist()
+        dup.update(s for s, c in zip(sh, nd) if c >= 2)
+    ref = ray.put(dup)
+
+    def stats(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        n_grams, n_dup, frac = [], [], []
+        for txt in t.column(text_col).to_pylist():
+            ws = _SHINGLE_WORD_RE.findall((txt or "").lower())
+            total = max(len(ws) - n + 1, 0)
+            hits = sum(1 for i in range(total) if " ".join(ws[i:i + n]) in d)
+            n_grams.append(total)
+            n_dup.append(hits)
+            frac.append(round(hits / total, 6) if total else 0.0)
+        return pa.table({id_col: t.column(id_col),
+                         "n_grams": pa.array(n_grams, pa.int64()),
+                         "n_dup": pa.array(n_dup, pa.int64()),
+                         "dup_frac": pa.array(frac, pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Corpus text normalization, fully vectorized in Arrow's RE2:
+    lowercase, collapse every whitespace run to one space, strip leading/
+    trailing whitespace — the canonical pre-tokenization cleanup pass.
+    Appends ``text_norm``; semantics == DuckDB
+    ``regexp_replace(trim(lower(text), WS), '\\s+', ' ', 'g')``."""
+    import pyarrow.compute as pc
+    txt = pc.utf8_lower(batch.column(text_col).cast(pa.string()))
+    txt = pc.utf8_trim(txt, " \t\n\r\x0b\x0c")
+    txt = pc.replace_substring_regex(txt, r"\s+", " ")
+    return batch.append_column("text_norm", txt)
