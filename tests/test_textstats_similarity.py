@@ -362,3 +362,45 @@ def test_media_features_task_and_actor_forms_equal(ray_session):
         .sort_values("media_ref").reset_index(drop=True)
     assert len(a) > 0
     assert a.equals(b)
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+def test_semantic_dedup_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_crawler_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(10, 16))
+    rows, labels = [], []
+    # 10 anchors; ids 0-9. Near-dups of anchor i at id 10+i (cos ~0.999).
+    for i in range(10):
+        rows.append(base[i])
+        labels.append(i % 2)
+    for i in range(10):
+        rows.append(base[i] + rng.normal(scale=1e-3, size=16))
+        labels.append(i % 2)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "lbl": pa.array(labels, pa.int32()),
+        "embedding": pa.array([r.tolist() for r in rows],
+                              pa.list_(pa.float32()))}))
+    kept = semantic_dedup(ds.repartition(4), tau=0.95, cluster_col="lbl") \
+        .to_pandas()
+    # every near-dup (id >= 10) is dominated by its anchor (id < 10)
+    assert sorted(kept.vec_id) == list(range(10))
+
+    # kmeans route: same corpus, clusters fit on the data; anchors are
+    # far apart (random normals), dups land in the anchor's cluster
+    kept2 = semantic_dedup(ds.repartition(4), tau=0.95, k=4, iters=4) \
+        .to_pandas()
+    # each dup is ~identical to its anchor, so it lands in the anchor's
+    # cluster and is dominated there regardless of the k-means split
+    assert sorted(kept2.vec_id) == list(range(10))
+    # determinism: rerun is identical
+    kept3 = semantic_dedup(ds.repartition(4), tau=0.95, k=4, iters=4) \
+        .to_pandas()
+    assert sorted(kept2.vec_id) == sorted(kept3.vec_id)

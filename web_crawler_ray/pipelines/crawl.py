@@ -308,17 +308,17 @@ def _robots_check(robots, hosts: list[str], paths: list[str]) -> list[bool]:
 
 
 @ray.remote(num_cpus=0, num_returns=2)
-def _prep_bucket(tbl: pa.Table, robots, max_depth: int, order_cols):
-    """Gate (depth + robots, once per URL — both are static per crawl) and
-    order-sort one frontier bucket. Returns (gated sorted table, per-host
-    counts). Used for the initial/resumed frontier; candidates are gated
-    by _reduce_candidates as they enter."""
+def _prep_bucket(tbl: pa.Table, robots, max_depth: int):
+    """Gate (depth + robots, once per URL — both are static per crawl)
+    one frontier bucket. Returns (gated table, per-host counts) in
+    arrival order — buckets are unordered parts; _mark_bucket orders by
+    int keys per round. Used for the initial/resumed frontier;
+    candidates are gated by _reduce_candidates as they enter."""
     tbl = tbl.filter(pc.less_equal(tbl.column("depth"), max_depth))
     if tbl.num_rows:
         tbl = tbl.filter(pa.array(_robots_check(
             robots, tbl.column("host").to_pylist(),
             tbl.column("path").to_pylist())))
-    tbl = tbl.sort_by([(c, "ascending") for c in order_cols])
     hosts, counts = np.unique(np.asarray(tbl.column("host")), return_counts=True)
     return tbl, {str(h): int(c) for h, c in zip(hosts, counts)}
 
@@ -344,30 +344,49 @@ def _encode_taken_keys(taken: pa.Table, encode_pri: bool) -> np.ndarray:
 
 
 @ray.remote(num_cpus=0, num_returns=4)
-def _mark_bucket(tbl: pa.Table, grant: dict, encode_pri: bool = False,
-                 remote_keys: bool = False):
-    """Split one (order-sorted) frontier bucket into the granted prefix
-    per host vs the deferred rest. Returns (taken, deferred, info, keys):
-    info carries the per-host taken counts plus the taken rows' ORDER
-    KEYS (ints only) for the driver-side global argsort — or, with
-    ``remote_keys`` (rank_assign="distributed"), only a count + sample
-    while the full encoded key array rides in the 4th return for
-    state/distrank.py, so the driver never gathers O(round) keys."""
-    if tbl.num_rows == 0:
-        return tbl, tbl, {"taken_per_host": {}, "pri": None, "seq": None,
-                          "n": 0, "sample": None}, None
-    hosts = pd.Series(np.asarray(tbl.column("host")))
+def _mark_bucket(grant: dict, encode_pri: bool = False,
+                 remote_keys: bool = False, *parts: pa.Table):
+    """Select one frontier bucket's granted per-host prefix (in round
+    order) vs the deferred rest. The bucket arrives as concat PARTS
+    (previous rest + this round's gated-in candidate parts) in ANY
+    order: selection sorts the int ORDER KEYS only — the full table is
+    never order-permuted (the previous whole-bucket ``sort_by`` re-paid
+    an O(n log n) string permute EVERY round; at 2x bench world that
+    was ~26 task-seconds/run and the head of each round's critical
+    path). ``taken`` comes back key-sorted (the _encode_taken_keys
+    order — distrank's per-shard precondition); ``deferred`` keeps
+    arrival order, which no consumer relies on.
+
+    Returns (taken, deferred, info, keys): info carries the per-host
+    taken counts plus the taken rows' ORDER KEYS (ints only) for the
+    driver-side global argsort — or, with ``remote_keys``
+    (rank_assign="distributed"), only a count + sample while the full
+    encoded key array rides in the 4th return for state/distrank.py,
+    so the driver never gathers O(round) keys."""
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        e = _frontier_table([], [], [], [])
+        return e, e, {"taken_per_host": {}, "pri": None, "seq": None,
+                      "n": 0, "sample": None}, None
+    tbl = (pa.concat_tables(parts).combine_chunks() if len(parts) > 1
+           else parts[0])
+    keys_all = _encode_taken_keys(tbl, encode_pri)
+    order = np.argsort(keys_all)  # int keys; seqs unique -> total order
+    hosts = pd.Series(np.asarray(tbl.column("host"))[order])
     cc = hosts.groupby(hosts, sort=False).cumcount().to_numpy()
     budget = hosts.map(lambda h: grant.get(h, 0)).to_numpy()
-    mask = cc < budget
-    taken = tbl.filter(pa.array(mask))
+    mask_sorted = cc < budget
+    taken_idx = order[mask_sorted]  # ascending-key order preserved
+    mask = np.zeros(tbl.num_rows, dtype=bool)
+    mask[taken_idx] = True
+    taken = tbl.take(pa.array(taken_idx))
     deferred = tbl.filter(pa.array(~mask))
     th = np.asarray(taken.column("host"))
     uh, uc = np.unique(th, return_counts=True)
     info = {"taken_per_host": {str(h): int(c) for h, c in zip(uh, uc)},
             "pri": None, "seq": None, "n": taken.num_rows, "sample": None}
     if remote_keys:
-        keys = _encode_taken_keys(taken, encode_pri)
+        keys = keys_all[taken_idx]
         info["sample"] = distrank.sample_keys(keys)
         return taken, deferred, info, keys
     info["pri"] = taken.column("priority").to_numpy()
@@ -527,17 +546,6 @@ def _finish_fresh(tbl: pa.Table, k: int, *seq_parts):
     b = (hash64_many(hosts) % np.uint64(k)).astype(np.int64)
     out = tuple(fr.filter(pa.array(b == i)) for i in range(k))
     return out if k > 1 else out[0]
-
-
-@ray.remote(num_cpus=0)
-def _merge_bucket(order_cols, deferred: pa.Table, *adds: pa.Table) -> pa.Table:
-    """Next-round frontier bucket: deferred rows + this round's gated-in
-    candidates, re-sorted by the round order (bucket stays sorted — the
-    _mark_bucket invariant)."""
-    parts = [deferred] + [a for a in adds if a is not None and a.num_rows]
-    t = pa.concat_tables([p for p in parts if p.num_rows]) \
-        if any(p.num_rows for p in parts) else deferred
-    return t.sort_by([(c, "ascending") for c in order_cols])
 
 
 def _explode_links_batch(batch: pa.Table) -> pa.Table:
@@ -965,14 +973,18 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                           robots_raw: dict | None = None) -> CrawlResult:
     """frontier_mode="dataset": the frontier is sharded object-store
     state — K hash(host) buckets of Arrow tables, gated (depth + robots,
-    both static per crawl) ONCE at insert time and kept sorted by the
-    round order — while the round's heavy work (fetch + link extract)
-    is its single Ray Data job. Bookkeeping runs as small Ray tasks over
-    the bucket refs:
+    both static per crawl) ONCE at insert time and kept as UNORDERED
+    concat parts (prev rest + per-round gated-in candidates; zero-copy)
+    — while the round's heavy work (fetch + link extract) is its single
+    Ray Data job. Bookkeeping runs as small Ray tasks over the bucket
+    refs:
 
-    - mark: per bucket, take the granted per-host prefix (vectorized
-      cumcount; the bucket is order-sorted, an invariant _merge_bucket
-      restores each round).
+    - mark: per bucket, take the granted per-host prefix in round order
+      by argsorting the int ORDER KEYS only (groupby-cumcount over the
+      key order). No merge/sort task between rounds: the earlier
+      sorted-bucket invariant re-paid an O(n log n) full-table string
+      permute per round (~26 task-s/run at 2x bench world) on the
+      critical path of every round start.
     - rank / seq assignment: per-bucket ORDER KEYS (ints only — never
       urls/html) are gathered to the driver, argsorted, and the ranks
       shipped back per bucket. O(round x ~12 B) driver traffic — the
@@ -1039,18 +1051,19 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             else robots)
 
     # initial bucket split + insert-time gate (seeds / resumed frontier)
+    bucket_parts: list[list] = [[] for _ in range(K)]
     if frontier_tbl.num_rows:
         hb = (hash64_many(frontier_tbl.column("host").to_pylist())
               % np.uint64(K)).astype(np.int64)
         prep = [_prep_bucket.remote(frontier_tbl.filter(pa.array(hb == i)),
-                                    gate, max_depth, oc) for i in range(K)]
-        buckets = [p[0] for p in prep]
+                                    gate, max_depth) for i in range(K)]
+        bucket_parts = [[p[0]] for p in prep]
         counts: dict[str, int] = {}
         for d in ray.get([p[1] for p in prep]):
             for h, c in d.items():
                 counts[h] = counts.get(h, 0) + c
     else:
-        buckets, counts = [], {}
+        counts = {}
 
     # driver-phase wall-time accounting (exposed as
     # stats["driver_phases"]): where the parallelism-INDEPENDENT time
@@ -1080,11 +1093,14 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                       (rank_assign == "auto" and est_taken > rank_gather_limit))
         _ph("grant")
         if os.environ.get("GRAFT_PHASE_SYNC"):  # diagnosis only: split
-            ray.wait(list(buckets), num_returns=len(buckets))
+            flat = [r for parts in bucket_parts for r in parts]
+            if flat:
+                ray.wait(flat, num_returns=len(flat))
             _ph("bucket_wait")
-        marks = [_mark_bucket.remote(b, grant_ref, order == "priority",
-                                     dist_taken) for b in buckets]
-        deferred_refs = [m[1] for m in marks]
+        marks = [_mark_bucket.remote(grant_ref, order == "priority",
+                                     dist_taken, *bucket_parts[i])
+                 for i in range(K)]
+        deferred_parts = [[m[1]] for m in marks]
         infos = ray.get([m[2] for m in marks])
         _ph("mark_wait")
         for info in infos:
@@ -1122,8 +1138,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             for h, c in d.items():
                 counts[h] = counts.get(h, 0) + c
         if n_taken > room:
-            deferred_refs = [_merge_bucket.remote(oc, deferred_refs[i], f[1])
-                             for i, f in enumerate(fin)]
+            for i, f in enumerate(fin):
+                deferred_parts[i].append(f[1])
         _ph("rank_finish")
 
         # --- fetch + fused link extract: plain Ray tasks per bucket
@@ -1261,9 +1277,11 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
                 if hs:
                     round_delta.append(np.concatenate(hs))
 
-        buckets = [_merge_bucket.remote(oc, deferred_refs[b],
-                                        *add_per_bucket[b])
-                   for b in range(K)]
+        # next round's bucket = this round's rest + gated-in candidate
+        # parts, passed as-is: _mark_bucket concats zero-copy and orders
+        # by int keys, so no merge/sort task touches the frontier here
+        bucket_parts = [deferred_parts[b] + add_per_bucket[b]
+                        for b in range(K)]
         counts = {h: c for h, c in counts.items() if c > 0}
         _ph("fresh_merge")
 
@@ -1278,8 +1296,12 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         if checkpoint_dir:
             delta = (np.sort(np.concatenate(round_delta)) if round_delta
                      else np.zeros(0, np.uint64))
-            fr_parts = [t for t in ray.get(buckets) if t.num_rows]
+            flat = [r for parts in bucket_parts for r in parts]
+            fr_parts = [t for t in ray.get(flat) if t.num_rows]
+            # written ORDER-SORTED: resume (either mode) and the driver
+            # loop's ordering assumptions read it as a sorted frontier
             fr_tbl = (pa.concat_tables(fr_parts).combine_chunks()
+                      .sort_by([(c, "ascending") for c in oc])
                       if fr_parts else _frontier_table([], [], [], []))
             _write_checkpoint(checkpoint_dir, rnd, fr_tbl, round_visited,
                               delta, metrics[-1])

@@ -109,18 +109,20 @@ class OverlapExtractor:
     rows are tiny, so concat tasks are nearly free and overlap the
     crawl's final round."""
 
-    def __init__(self, splits_per_block: int = 3):
+    def __init__(self, splits_per_block: int = 3, task_num_cpus: float = 1.0):
         # ~3 slices per fetch block: the drain after the final round is
         # bounded by the LONGEST remaining task, and whole-block tasks
         # (~2.3 s) left a multi-second straggler tail
         self.splits = max(1, splits_per_block)
+        self.task_num_cpus = task_num_cpus
         self.refs: list = []
 
     def __call__(self, ds: rd.Dataset) -> None:
+        fn = (_classify_extract_block if self.task_num_cpus == 1.0 else
+              _classify_extract_block.options(num_cpus=self.task_num_cpus))
         for r in ds.to_arrow_refs():
             for p in range(self.splits):
-                self.refs.append(
-                    _classify_extract_block.remote(r, p, self.splits))
+                self.refs.append(fn.remote(r, p, self.splits))
 
     def dataset(self, target_blocks: int = 128) -> rd.Dataset:
         # 128, not n_cpus: the downstream fuzzy groupby's partition count

@@ -339,6 +339,28 @@ def q_kmeans_clusters(sf_dir: str):
     return asg.groupby("cluster").aggregate(Count(alias_name="n_points"))
 
 
+SEMDEDUP_TAU = 0.9
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the planted-dup corpus (the driver embeddings have
+    no pairs above any real near-dup threshold — max within-label cos
+    ≈ 0.48): within each grp cluster drop any vector whose cosine to a
+    lower-id vector is >= tau (one groupby(cluster) shuffle + per-group
+    matmul). Planted dup cosines ≥ 0.953 and cross-anchor cosines ≈ 0,
+    so τ=0.9 sits on a wide float margin. The k-means-cluster route
+    (the SemDeDup paper shape) is pytest-pinned — fixed grp clusters
+    keep the oracle SQL-expressible."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import semantic_dedup
+    tbl = _planted_sem_embeddings(_sf_of(sf_dir))
+    pq.write_table(tbl, _PLANTED_SEM_PATH,
+                   row_group_size=max(256, tbl.num_rows // 8))
+    ds = rd.read_parquet(_PLANTED_SEM_PATH)
+    return semantic_dedup(ds, tau=SEMDEDUP_TAU, cluster_col="grp")
+
+
 def q_group_centroids(sf_dir: str):
     """Mean embedding per label as (label, dim, centroid) rows —
     partial-sum combiner + one tiny groupby((label, dim)); no vector
@@ -553,6 +575,29 @@ def _planted_embeddings(sf: float) -> pa.Table:
         "embedding": pa.array([v.tolist() for v in vecs],
                               pa.list_(pa.float64())),
     })
+
+
+_PLANTED_SEM_PATH = "/tmp/graft_planted_sem_embeddings_v1.parquet"
+
+
+def _planted_sem_embeddings(sf: float) -> pa.Table:
+    """The planted-dup corpus with a ``grp`` CLUSTER column for the
+    SemDeDup gate: anchors fall in blocks of 40 (grp = anchor_id // 40),
+    every copy joins its anchor's grp — so clusters are ~44-52 rows with
+    real near-dups inside (cos ≥ 0.953) and unrelated anchors at cos ≈ 0,
+    a wide float margin on both sides of τ."""
+    base = _planted_embeddings(sf)
+    n = base.num_rows
+    # replicate the builder's copy loop to map each copy to its anchor:
+    # copies are appended in order for i in range(0, n_base, 10), with a
+    # 2nd copy every 4th anchor; n_base is the builder's own formula
+    n_base = max(256, int(60_000 * sf))
+    grp = list((np.arange(n_base) // 40).astype(np.int64))
+    for i in range(0, n_base, 10):
+        copies = 2 if (i // 10) % 4 == 0 else 1
+        grp.extend([i // 40] * copies)
+    assert len(grp) == n
+    return base.append_column("grp", pa.array(grp, pa.int64()))
 
 
 def q_near_dup_lsh(sf_dir: str):
@@ -944,6 +989,7 @@ def registry() -> dict:
         "source_cap": q_source_cap,
         "mixture_sample": q_mixture_sample,
         "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "group_centroids": q_group_centroids,
         "tfidf_topk": q_tfidf_topk,
         "dup_ngram_stats": q_dup_ngram_stats,
@@ -1276,6 +1322,13 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, source FROM documents WHERE "
         "md5_number_lower(doc_id::VARCHAR) % 100 < "
         "(5 + md5_number_lower(source) % 90)",
+    "semantic_dedup":
+        f"SELECT a.vec_id, a.grp FROM read_parquet('{_PLANTED_SEM_PATH}') a "
+        f"WHERE NOT EXISTS ("
+        f"SELECT 1 FROM read_parquet('{_PLANTED_SEM_PATH}') b "
+        f"WHERE b.grp = a.grp AND b.vec_id < a.vec_id AND "
+        f"list_cosine_similarity(b.embedding, a.embedding) "
+        f">= {SEMDEDUP_TAU})",
     "group_centroids":
         "SELECT label, i - 1 AS dim, "
         "round(sum(embedding[i]::DOUBLE) / count(*), 6) AS centroid "

@@ -156,25 +156,24 @@ def group_centroids(ds, key: str, vec_col: str, round_to: int = 6):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        keys = t.column(key).to_pylist()
+        n_rows = t.num_rows
         # list<float32> -> (rows, dim) float64 without per-row Python
         arrs = t.column(vec_col).combine_chunks()
         mat = np.asarray(arrs.values.to_numpy(zero_copy_only=False),
                          dtype=np.float64)
-        dim = mat.size // len(keys) if keys else 0
-        mat = mat.reshape(len(keys), dim) if keys else mat.reshape(0, 0)
-        out_k, out_d, out_s, out_n = [], [], [], []
-        for k in sorted(set(keys)):
-            mask = np.array([x == k for x in keys])
-            s = mat[mask].sum(axis=0)
-            out_k.extend([k] * dim)
-            out_d.extend(range(dim))
-            out_s.extend(s.tolist())
-            out_n.extend([int(mask.sum())] * dim)
-        return pa.table({key: pa.array(out_k, t.column(key).type),
-                         "dim": pa.array(out_d, pa.int64()),
-                         "s": pa.array(out_s, pa.float64()),
-                         "n": pa.array(out_n, pa.int64())})
+        dim = mat.size // n_rows if n_rows else 0
+        mat = mat.reshape(n_rows, dim) if n_rows else mat.reshape(0, 0)
+        keys_np = np.asarray(t.column(key).to_pandas())
+        uniq, inv = np.unique(keys_np, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({key: pa.array(np.repeat(uniq, dim),
+                                       t.column(key).type),
+                         "dim": pa.array(np.tile(np.arange(dim), len(uniq)),
+                                         pa.int64()),
+                         "s": pa.array(sums.ravel(), pa.float64()),
+                         "n": pa.array(np.repeat(cnt, dim), pa.int64())})
 
     ktype = ds.schema().base_schema.field(key).type
 
