@@ -409,13 +409,20 @@ def duplicated_ngram_stats(ds, n: int = 5, id_col: str = "doc_id",
                          "ndocs": pa.array([seen_local[w] for w in words],
                                            pa.int64())})
 
+    def only_dup(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t.column("ndocs"), 2))
+
+    # filter to duplicated shingles DISTRIBUTED-side: the driver pulls
+    # only the dup set, never the full shingle vocabulary (which is
+    # ~O(corpus tokens) — iterating it on the driver measured 8 s at
+    # sf0.1 vs ~1 s with the pushed-down filter)
     dup_tbl = (ds.map_batches(explode, batch_format="pyarrow")
-                 .groupby("shingle").aggregate(Sum("ndocs", alias_name="ndocs")))
+                 .groupby("shingle").aggregate(Sum("ndocs", alias_name="ndocs"))
+                 .map_batches(only_dup, batch_format="pyarrow"))
     dup: set = set()
     for b in dup_tbl.iter_batches(batch_format="pyarrow"):
-        sh = b.column("shingle").to_pylist()
-        nd = b.column("ndocs").to_pylist()
-        dup.update(s for s, c in zip(sh, nd) if c >= 2)
+        dup.update(b.column("shingle").to_pylist())
     ref = ray.put(dup)
 
     def stats(t: pa.Table) -> pa.Table:
