@@ -1,0 +1,157 @@
+"""Unit semantics for the relational operators (semi/anti join, explode,
+pivot, running windows) — edge cases the registry-level DuckDB gate
+(test_queries_oracle) doesn't reach: null keys, empty lists, broadcast
+vs shuffled plan equality, string keys on the shuffled path."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from web_crawler_ray.stages.relational import (anti_join_broadcast,
+                                               cumsum_per_key,
+                                               distinct_keys,
+                                               explode_list,
+                                               ntile_per_group,
+                                               pivot_sum,
+                                               semi_join_broadcast,
+                                               semi_join_shuffled,
+                                               split_explode)
+
+
+def _left():
+    return rd.from_pandas(pd.DataFrame({
+        "k": pd.array([1, 2, 3, 4, None, 2], dtype="Int64"),
+        "v": ["a", "b", "c", "d", "e", "f"],
+    }))
+
+
+def _right():
+    return rd.from_pandas(pd.DataFrame({
+        "rk": pd.array([2, 4, 4, None, 9], dtype="Int64"),
+    }))
+
+
+# --- semi / anti join --------------------------------------------------------
+
+def test_semi_join_broadcast_null_and_dup_semantics():
+    out = semi_join_broadcast(_left(), _right(), "k", "rk") \
+        .to_pandas().sort_values("v")
+    # EXISTS: k in {2,4}; the null left key never matches; left dups kept
+    assert list(out["v"]) == ["b", "d", "f"]
+
+
+def test_anti_join_broadcast_keeps_null_left_key():
+    out = anti_join_broadcast(_left(), _right(), "k", "rk") \
+        .to_pandas().sort_values("v")
+    # NOT EXISTS: null left key is kept (no right row can equal it)
+    assert list(out["v"]) == ["a", "c", "e"]
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_shuffled_plan_equals_broadcast_plan(anti):
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(0, 300, 2_000),
+                         "x": rng.integers(0, 10, 2_000)})
+    right = pd.DataFrame({"k": rng.integers(0, 400, 500)})
+    b = semi_join_broadcast(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", anti=anti).to_pandas()
+    s = semi_join_shuffled(rd.from_pandas(left), rd.from_pandas(right),
+                           "k", anti=anti, num_partitions=16).to_pandas()
+    key = ["k", "x"]
+    pd.testing.assert_frame_equal(
+        b.sort_values(key).reset_index(drop=True)[key],
+        s.sort_values(key).reset_index(drop=True)[key].astype(b.dtypes.to_dict()))
+
+
+def test_shuffled_semi_join_string_keys():
+    left = pd.DataFrame({"k": ["a", "b", "c", "a"], "x": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k": ["a", "z"]})
+    out = semi_join_shuffled(rd.from_pandas(left), rd.from_pandas(right),
+                             "k", num_partitions=4).to_pandas()
+    assert sorted(out["x"]) == [1, 4]
+
+
+def test_distinct_keys_is_global_distinct():
+    ds = rd.from_pandas(pd.DataFrame({"s": ["x", "y", "x", "z", "y"]}))
+    assert sorted(distinct_keys(ds, "s")) == ["x", "y", "z"]
+
+
+# --- explode -----------------------------------------------------------------
+
+def test_explode_list_drops_empty_and_null_repeats_keep_cols():
+    t = pa.table({
+        "id": [1, 2, 3, 4],
+        "xs": pa.array([[10, 11], [], None, [12]],
+                       type=pa.list_(pa.int64())),
+    })
+    out = explode_list(rd.from_arrow(t), "xs", out_col="x",
+                       keep_cols=("id",)).to_pandas().sort_values("x")
+    assert list(out["id"]) == [1, 1, 4]
+    assert list(out["x"]) == [10, 11, 12]
+
+
+def test_split_explode_words():
+    ds = rd.from_items([{"s": "red green"}, {"s": "blue"}])
+    out = split_explode(ds, "s", " ", out_col="w").to_pandas()
+    assert sorted(out["w"]) == ["blue", "green", "red"]
+
+
+# --- pivot -------------------------------------------------------------------
+
+def test_pivot_sum_matches_conditional_aggregation():
+    df = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "b"],
+        "p": ["x", "y", "x", "x", "z"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    out = pivot_sum(rd.from_pandas(df), "g", "p", "v",
+                    pivot_values=["x", "y", "z"], prefix="s_") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    assert list(out.columns) == ["g", "s_x", "s_y", "s_z"]
+    assert out.loc[0].tolist() == ["a", 1.0, 2.0, 0.0]
+    assert out.loc[1].tolist() == ["b", 7.0, 0.0, 5.0]
+
+
+def test_pivot_sum_discovers_values_distributed():
+    df = pd.DataFrame({"g": [1, 1, 2], "p": ["m", "n", "m"],
+                       "v": [1.0, 1.0, 1.0]})
+    out = pivot_sum(rd.from_pandas(df), "g", "p", "v").to_pandas()
+    assert sorted(out.columns) == ["g", "m", "n"]
+
+
+# --- running windows ---------------------------------------------------------
+
+def test_cumsum_per_key_matches_pandas_window():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 20, 500),
+        "ts": pd.to_datetime("2022-01-01")
+              + pd.to_timedelta(rng.integers(0, 1_000, 500), unit="s"),
+        "i": np.arange(500),
+        "v": rng.random(500),
+    })
+    got = cumsum_per_key(rd.from_pandas(df), "u", "ts", "i", "v") \
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    exp = df.sort_values(["u", "ts", "i"]).copy()
+    exp["cum"] = exp.groupby("u")["v"].cumsum().round(6)
+    exp = exp.sort_values("i").reset_index(drop=True)
+    assert np.allclose(got["cum_value"], exp["cum"], rtol=0, atol=0)
+
+
+def test_ntile_fill_rule():
+    # 7 rows, 3 buckets -> sizes 3,2,2 (SQL-standard NTILE fill)
+    df = pd.DataFrame({"g": ["a"] * 7, "o": range(7), "id": range(7)})
+    out = ntile_per_group(rd.from_pandas(df), "g", ["o"], 3, id_col="id") \
+        .to_pandas().sort_values("id")
+    assert list(out["tile"]) == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_ntile_fewer_rows_than_buckets():
+    df = pd.DataFrame({"g": ["a", "a"], "o": [1, 0], "id": [10, 11]})
+    out = ntile_per_group(rd.from_pandas(df), "g", ["o"], 5, id_col="id") \
+        .to_pandas().sort_values("tile")
+    # order by o: id=11 first -> tile 1, id=10 -> tile 2
+    assert list(out["id"]) == [11, 10]
+    assert list(out["tile"]) == [1, 2]

@@ -46,6 +46,20 @@ def hash64_many(strings) -> np.ndarray:
     return out
 
 
+def hash64_ints(a: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit mix (splitmix64 finalizer) over integer keys —
+    the integer-key twin of hash64_many for partition routing. Pure
+    numpy (wrapping uint64 arithmetic), no per-row Python."""
+    x = a.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
 def hash64_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Arrow column of strings -> uint64 hash column (nulls -> 0)."""
     py = col.to_pylist() if not isinstance(col, list) else col

@@ -236,6 +236,91 @@ def q_interval_join_tiers(sf_dir: str):
     return interval_join_broadcast(ds, _TIERS, value_col="value")
 
 
+# right-side predicates chosen so semi AND anti are both non-trivial at
+# every sf (neither all-rows nor empty)
+SEMI_PRICE = 350_000.0
+ANTI_PRICE = 300_000.0
+
+
+def q_semi_join_orders(sf_dir: str):
+    """Semi join (WHERE EXISTS): customers with at least one order above
+    SEMI_PRICE. Right side reduced to its distinct keys distributed,
+    broadcast once; left streams through one is_in filter — no shuffle."""
+    from ..stages.relational import semi_join_broadcast
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), SEMI_PRICE)),
+        batch_format="pyarrow")
+    return semi_join_broadcast(cust, big, "c_custkey", "o_custkey")
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Anti join (WHERE NOT EXISTS): customers with no order above
+    ANTI_PRICE — the broadcast-key complement filter."""
+    from ..stages.relational import anti_join_broadcast
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), ANTI_PRICE)),
+        batch_format="pyarrow")
+    return anti_join_broadcast(cust, big, "c_custkey", "o_custkey")
+
+
+def q_semi_join_shuffled(sf_dir: str):
+    """Same rows as q_semi_join_orders via the both-sides-large plan:
+    one raw-task hash exchange co-partitioning left rows with the right
+    side's (combiner-reduced) keys — the 100 TB shape when the right
+    key set exceeds broadcast size."""
+    from ..stages.relational import semi_join_shuffled
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), SEMI_PRICE)),
+        batch_format="pyarrow")
+    return semi_join_shuffled(cust, big, "c_custkey", "o_custkey")
+
+
+def q_explode_part_words(sf_dir: str):
+    """UNNEST: split part names into words (Arrow split_pattern, zero
+    Python per row), explode, count per word, deterministic top-20."""
+    from ..stages.relational import split_explode
+    parts = _rp(sf_dir, "part", columns=["p_name"])
+    words = split_explode(parts, "p_name", " ", out_col="word")
+    return (words.groupby("word").aggregate(Count(alias_name="n"))
+                 .sort(["n", "word"], descending=[True, False]).limit(20))
+
+
+def q_pivot_lineitem(sf_dir: str):
+    """Pivot / contingency: SUM(l_quantity) per l_returnflag ×
+    l_linestatus as wide columns (SUM(CASE WHEN ...) twin). Pivot values
+    discovered distributed; sums over integral doubles are IEEE-exact."""
+    from ..stages.relational import pivot_sum
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return pivot_sum(ds, key="l_returnflag", pivot_col="l_linestatus",
+                     value_col="l_quantity", prefix="qty_")
+
+
+def q_cumsum_events(sf_dir: str):
+    """Per-user running total (SUM OVER ... ROWS UNBOUNDED PRECEDING):
+    one groupby(user) shuffle, numpy cumsum per group."""
+    from ..stages.relational import cumsum_per_key
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    return cumsum_per_key(ds, key_col="user_id", ts_col="ts",
+                          order_col="event_id", value_col="value")
+
+
+def q_ntile_events(sf_dir: str):
+    """NTILE(4) per event_type ordered by (value, event_id) — integer-
+    exact order-statistic bucketing, one groupby shuffle."""
+    from ..stages.relational import ntile_per_group
+    ds = _rp(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    return ntile_per_group(ds, key_col="event_type",
+                           order_cols=["value", "event_id"], n=4,
+                           id_col="event_id")
+
+
 DECON_N = 8  # shingle width (words) for benchmark decontamination
 _DECON_BENCH = "doc_id % 17 = 3"  # the stand-in held-out benchmark slice
 
@@ -982,6 +1067,13 @@ def registry() -> dict:
         "asof_join_rates": q_asof_join_rates,
         "asof_join_events": q_asof_join_events,
         "interval_join_tiers": q_interval_join_tiers,
+        "semi_join_orders": q_semi_join_orders,
+        "anti_join_customers": q_anti_join_customers,
+        "semi_join_shuffled": q_semi_join_shuffled,
+        "explode_part_words": q_explode_part_words,
+        "pivot_lineitem": q_pivot_lineitem,
+        "cumsum_events": q_cumsum_events,
+        "ntile_events": q_ntile_events,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "repetition_ratio": q_repetition_ratio,
@@ -1286,6 +1378,36 @@ ORACLES: dict[str, str] = {
         "SELECT event_id, value, tier FROM events JOIN (VALUES "
         "('low', 0.0, 0.35), ('mid', 0.25, 0.65), ('high', 0.55, 1.01)"
         ") t(tier, lo, hi) ON value >= lo AND value < hi",
+    "semi_join_orders":
+        "SELECT c_custkey, c_acctbal FROM customer WHERE EXISTS ("
+        f"SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        f"AND o_totalprice > {SEMI_PRICE})",
+    "anti_join_customers":
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
+        f"SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        f"AND o_totalprice > {ANTI_PRICE})",
+    "semi_join_shuffled":
+        "SELECT c_custkey, c_acctbal FROM customer WHERE EXISTS ("
+        f"SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        f"AND o_totalprice > {SEMI_PRICE})",
+    "explode_part_words":
+        "SELECT word, count(*)::BIGINT AS n FROM ("
+        "SELECT unnest(string_split(p_name, ' ')) AS word FROM part) "
+        "GROUP BY word ORDER BY n DESC, word LIMIT 20",
+    "pivot_lineitem":
+        "SELECT l_returnflag, "
+        "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)::DOUBLE "
+        "AS qty_F, "
+        "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)::DOUBLE "
+        "AS qty_O FROM lineitem GROUP BY l_returnflag",
+    "cumsum_events":
+        "SELECT user_id, event_id, round(sum(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING), 6) AS cum_value FROM events",
+    "ntile_events":
+        "SELECT event_type, event_id, ntile(4) OVER ("
+        "PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS tile "
+        "FROM events",
     "decontaminate":
         f"WITH toks AS (SELECT doc_id, "
         f"regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents), "

@@ -1,0 +1,268 @@
+"""Relational operators Ray Data has no single-call form for — semi /
+anti join, list explode (UNNEST), pivot, and per-key running windows
+(cumulative sum, NTILE) — each expressed per the round brief's custom-
+operator ladder: broadcast + ``map_batches`` when one side is a
+dimension, ``groupby().map_groups`` when per-key order is needed, and
+the raw-task hash shuffle (stages/shuffles.py) when both sides are
+large.
+
+The reference engine's joins are exact client-side lookups (SURVEY
+§2.8); these widen the engine toward the full relational surface a
+100 TB curation pipeline leans on (membership filtering against other
+tables, contingency pivots, running aggregates). Every op here has a
+DuckDB oracle twin in pipelines/queries.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti join
+# ---------------------------------------------------------------------------
+
+def distinct_keys(ds, key: str) -> list:
+    """Distinct values of ``key`` — a per-batch ``pc.unique`` combiner
+    (each batch emits only its local distincts) followed by the small
+    global ``unique``. Driver traffic is O(global distinct keys), not
+    O(rows)."""
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({key: pc.unique(t.column(key).combine_chunks())})
+
+    return ds.map_batches(uniq, batch_format="pyarrow").unique(key)
+
+
+def semi_join_broadcast(left_ds, right_ds, left_key: str,
+                        right_key: str | None = None, anti: bool = False):
+    """``left ⋉ right`` (``anti=True`` ⇒ ``left ▷ right``): keep left
+    rows whose ``left_key`` appears (does not appear) among the right
+    side's ``right_key`` values. SQL twin: ``WHERE [NOT] EXISTS
+    (SELECT 1 FROM right WHERE right_key = left_key)``.
+
+    Scale shape: the right side is reduced DISTRIBUTED to its distinct
+    keys (combiner + unique — never its rows), the key set is
+    ``ray.put`` once, and the left side streams through one vectorized
+    ``pc.is_in`` filter — no shuffle. This is the right plan whenever
+    the right side's distinct keys fit one broadcast object (dimension
+    tables, benchmark membership lists — the same contract as
+    textstats.decontaminate's shingle set). For a right side whose
+    distinct keys exceed broadcast size, use ``semi_join_shuffled``.
+
+    NULL semantics: SQL's EXISTS never matches a NULL key on either
+    side; ``pc.is_in`` with null values on the left yields null → rows
+    dropped by ``filter`` (semi) — the anti path null-fills to False
+    explicitly so a null left key is kept, matching NOT EXISTS.
+    """
+    right_key = right_key or left_key
+    keys = distinct_keys(right_ds, right_key)
+    kref = ray.put(pa.array([k for k in keys if k is not None]))
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column(left_key), value_set=ray.get(kref))
+        if anti:
+            m = pc.invert(pc.fill_null(m, False))
+        return t.filter(m)
+
+    return left_ds.map_batches(filt, batch_format="pyarrow")
+
+
+def anti_join_broadcast(left_ds, right_ds, left_key: str,
+                        right_key: str | None = None):
+    """``WHERE NOT EXISTS`` — see semi_join_broadcast."""
+    return semi_join_broadcast(left_ds, right_ds, left_key, right_key,
+                               anti=True)
+
+
+_TAG = "__semi_side"
+
+
+def semi_join_shuffled(left_ds, right_ds, left_key: str,
+                       right_key: str | None = None, anti: bool = False,
+                       num_partitions: int = 64):
+    """Semi/anti join when BOTH sides are large: tag each side, union
+    the left rows with the right side's per-batch-distinct keys, hash-
+    shuffle once on the key, and filter left rows per partition against
+    that partition's right keys. One all-to-all exchange, no broadcast
+    object; per-partition state is that partition's distinct right
+    keys only.
+
+    Right rows are pre-reduced to per-batch distinct keys in the map
+    side (combiner), so the exchange ships at most O(batches × local
+    distincts) right rows. Output rows/columns identical to the
+    broadcast form (asserted in tests); only left columns survive.
+    """
+    right_key = right_key or left_key
+    sch = left_ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        pa_schema = base
+    else:  # pandas-block datasets: types are numpy dtypes
+        def _pa_type(t):
+            if isinstance(t, pa.DataType):
+                return t
+            if t is object or getattr(t, "kind", None) == "O":
+                return pa.string()  # pandas object column == string here
+            return pa.from_numpy_dtype(t)
+
+        pa_schema = pa.schema(
+            [pa.field(n, _pa_type(t)) for n, t in zip(sch.names, sch.types)])
+    left_cols = list(pa_schema.names)
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        u = pc.drop_null(pc.unique(t.column(right_key).combine_chunks()))
+        u = u.cast(pa_schema.field(left_key).type)
+        out = pa.table({left_key: u})
+        out = out.append_column(_TAG, pa.array(np.ones(len(u), np.int8)))
+        for c in left_cols:
+            if c != left_key:
+                out = out.append_column(c, pa.nulls(len(u), pa_schema.field(c).type))
+        return out.select(left_cols + [_TAG])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.select(left_cols).append_column(
+            _TAG, pa.array(np.zeros(t.num_rows, np.int8)))
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(keys_only, batch_format="pyarrow"))
+
+    def part_filter(g: pd.DataFrame) -> pd.DataFrame:
+        # one partition == all rows of one key-hash bucket; fn receives
+        # one KEY group at a time (hash_map_groups groups by key), so
+        # the membership test is just "did a right row land here?"
+        has_right = (g[_TAG] == 1).any()
+        keep = g[g[_TAG] == 0]
+        if anti:
+            return keep.drop(columns=[_TAG]) if not has_right \
+                else keep.iloc[0:0].drop(columns=[_TAG])
+        return keep.drop(columns=[_TAG]) if has_right \
+            else keep.iloc[0:0].drop(columns=[_TAG])
+
+    from .shuffles import hash_map_groups
+    return hash_map_groups(tagged, left_key, part_filter,
+                           num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Explode / UNNEST
+# ---------------------------------------------------------------------------
+
+def explode_list(ds, list_col: str, out_col: str | None = None,
+                 keep_cols: tuple[str, ...] = ()):
+    """UNNEST a ``list<...>`` column: one output row per element, with
+    ``keep_cols`` repeated via a vectorized parent-index ``take``. Rows
+    whose list is empty or null produce no output (DuckDB UNNEST
+    semantics). Stateless per-batch kernel — streams, no shuffle; the
+    fan-out only grows blocks locally, which Ray Data re-slices."""
+    out_col = out_col or list_col
+
+    def ex(t: pa.Table) -> pa.Table:
+        lc = t.column(list_col)
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.combine_chunks()
+        flat = pc.list_flatten(lc)
+        par = pc.list_parent_indices(lc)
+        cols = {c: t.column(c).take(par) for c in keep_cols}
+        cols[out_col] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def split_explode(ds, text_col: str, pattern: str = " ",
+                  out_col: str = "word", keep_cols: tuple[str, ...] = ()):
+    """Split a string column on a literal ``pattern`` and UNNEST the
+    pieces (``unnest(string_split(col, pat))``). The split is the
+    Arrow-native ``pc.split_pattern`` — zero Python per row."""
+    def sp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__parts", pc.split_pattern(t.column(text_col), pattern))
+
+    return explode_list(ds.map_batches(sp, batch_format="pyarrow"),
+                        "__parts", out_col=out_col, keep_cols=keep_cols)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (contingency / conditional aggregation)
+# ---------------------------------------------------------------------------
+
+def pivot_sum(ds, key: str, pivot_col: str, value_col: str,
+              pivot_values: list | None = None, prefix: str = ""):
+    """Wide pivot: one row per ``key``, one column per ``pivot_values``
+    entry holding ``SUM(value_col) FILTER (pivot_col = v)`` (0.0 when
+    no row matches — the ``SUM(CASE WHEN ... ELSE 0 END)`` form).
+
+    Scale shape: the map side widens each batch into indicator columns
+    (vectorized ``pc.if_else``), so the only exchange is ONE small
+    ``groupby(key)`` over ``len(pivot_values)+1`` columns — a classic
+    partial-aggregate pivot. ``pivot_values`` defaults to the column's
+    distinct values, computed distributed (combiner + unique); pass it
+    explicitly when known to skip that pass. Column order follows
+    sorted(pivot_values) for a deterministic schema."""
+    from ray.data.aggregate import Sum
+
+    if pivot_values is None:
+        pivot_values = distinct_keys(ds, pivot_col)
+    pivot_values = sorted(v for v in pivot_values if v is not None)
+    names = {v: f"{prefix}{v}" for v in pivot_values}
+
+    def widen(t: pa.Table) -> pa.Table:
+        pv = t.column(pivot_col)
+        val = t.column(value_col).cast(pa.float64())
+        cols = {key: t.column(key)}
+        for v, nm in names.items():
+            cols[nm] = pc.if_else(pc.equal(pv, v), val, 0.0)
+        return pa.table(cols)
+
+    return (ds.map_batches(widen, batch_format="pyarrow")
+              .groupby(key)
+              .aggregate(*[Sum(nm, alias_name=nm) for nm in names.values()]))
+
+
+# ---------------------------------------------------------------------------
+# Per-key running windows
+# ---------------------------------------------------------------------------
+
+def cumsum_per_key(ds, key_col: str, ts_col: str, order_col: str,
+                   value_col: str, out_col: str = "cum_value",
+                   round_to: int = 6):
+    """Per-key running total in (ts, order) order — ``SUM(v) OVER
+    (PARTITION BY key ORDER BY ts, order ROWS UNBOUNDED PRECEDING)``.
+    Same shape as windows.rolling_mean_per_key: one ``groupby(key)``
+    shuffle, numpy cumsum per group; high-cardinality keys keep groups
+    small. float64 running sums rounded to ``round_to`` (summation
+    order matches the SQL window's left-to-right accumulation; the
+    rounding absorbs sub-ulp engine differences)."""
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col], kind="mergesort")
+        cs = np.cumsum(g[value_col].to_numpy(dtype=np.float64))
+        out = g[[key_col, order_col]].copy()
+        out[out_col] = np.round(cs, round_to)
+        return out
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def ntile_per_group(ds, key_col: str, order_cols: list[str], n: int,
+                    id_col: str, out_col: str = "tile"):
+    """``NTILE(n) OVER (PARTITION BY key ORDER BY order_cols)``: rows of
+    each group split into ``n`` buckets as evenly as possible, the first
+    ``rows % n`` buckets one row larger (the SQL-standard fill DuckDB
+    implements). Integer-exact — no rounding caveats. One
+    ``groupby(key)`` shuffle; emits (key, id, tile)."""
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        k = len(g)
+        base, extra = divmod(k, n)
+        sizes = np.full(n, base, np.int64)
+        sizes[:extra] += 1
+        out = g[[key_col, id_col]].copy()
+        # zero-sized tail buckets (k < n) repeat 0 times — always k values
+        out[out_col] = np.repeat(np.arange(1, n + 1), sizes)
+        return out
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.hashing import hash64_many
+from ..functions.hashing import hash64_ints, hash64_many
 
 
 @ray.remote
@@ -53,7 +53,12 @@ def _hash_split(key: str, P: int, prepare, *tbls: pa.Table):
     if tbl.num_rows == 0:
         empty = tbl.schema.empty_table()
         return tuple(empty for _ in range(P)) + (np.zeros(P, np.int64),)
-    h = (hash64_many(tbl.column(key).to_pylist()) % np.uint64(P)).astype(np.int64)
+    kcol = tbl.column(key)
+    if pa.types.is_integer(kcol.type):  # vectorized mix for int keys
+        kv = kcol.combine_chunks().to_numpy(zero_copy_only=False)
+        h = (hash64_ints(kv) % np.uint64(P)).astype(np.int64)
+    else:
+        h = (hash64_many(kcol.to_pylist()) % np.uint64(P)).astype(np.int64)
     parts = tuple(tbl.filter(pa.array(h == p)) for p in range(P))
     return parts + (np.array([p.num_rows for p in parts], np.int64),)
 
