@@ -356,6 +356,12 @@ def levenshtein_ratio_many(pairs: list) -> list:
             out[i] = 0.0
         else:
             ix.append(i)
+            # row-loop the SHORTER string (lev is symmetric): the batch
+            # DP iterates max(len(s1)) Python-level rows, so keeping the
+            # short side on the row axis cuts iterations on mixed-length
+            # batches without changing any distance
+            if len(a) > len(b):
+                a, b = b, a
             s1s.append(a)
             s2s.append(b)
     if ix:

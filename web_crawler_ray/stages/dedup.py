@@ -271,18 +271,42 @@ def _haversine_km_vec(lat1: float, lon1: float, lat2: np.ndarray,
     return r * 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
 
 
+def _char_count_matrix(strs: list) -> np.ndarray:
+    """(n, alphabet) int32 codepoint-count matrix over the non-None
+    strings (None rows are all-zero). Used for the bag-of-characters
+    Levenshtein lower bound: dist(a,b) >= max(|a|,|b|) - Σ_c min(cnt_a,
+    cnt_b) — an alignment matches at most the multiset intersection, so
+    every other position of the longer string needs an edit. Fully
+    vectorized build: one utf-32 decode + one bincount."""
+    n = len(strs)
+    lens = np.array([len(s) if s else 0 for s in strs], np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros((n, 1), np.int32)
+    enc = np.frombuffer("".join(s for s in strs if s).encode("utf-32-le"),
+                        np.uint32)
+    _, inv = np.unique(enc, return_inverse=True)
+    a = int(inv.max()) + 1
+    row = np.repeat(np.arange(n), lens)
+    return np.bincount(row * a + inv, minlength=n * a).reshape(n, a) \
+             .astype(np.int32)
+
+
 def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
     """Greedy O(n²) clustering in input order (enhanced-dedup:7-41).
 
     Output identical to ``fuzzy_dedup_greedy_scalar`` (asserted in
     tests) but the inner scan is a vectorized UPPER-BOUND screen: for
     each anchor row, numpy computes per-candidate score bounds (exact
-    geo/postcode terms + the Levenshtein length bound) over all
-    unprocessed rows at once, and only the candidates whose bound
-    clears the threshold (minus an ulp epsilon — can only ADD
-    candidates) run the exact memoized kernel. Same asymptotics, but
-    the O(n²) part runs at numpy speed — the per-site all-pairs scan
-    of the reference stays affordable on multi-thousand-row hosts.
+    geo/postcode terms + the tighter of the Levenshtein LENGTH bound
+    and the bag-of-characters bound — both true upper bounds on
+    lev_ratio) over all unprocessed rows at once, and only the
+    candidates whose bound clears the threshold (minus an ulp epsilon —
+    can only ADD candidates) run the exact memoized kernel. The bag
+    bound prunes ~97% of the DP pairs the length bound alone admitted
+    at bench scale (profiled round 4). Same asymptotics, but the O(n²)
+    part runs at numpy speed — the per-site all-pairs scan of the
+    reference stays affordable on multi-thousand-row hosts.
     """
     n = len(locs)
     if n <= 2:
@@ -298,6 +322,8 @@ def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
     post = np.array([post_ids.setdefault(f.post, len(post_ids))
                      if f.post is not None else -1 for f in feats], np.int64)
     has_geo = ~np.isnan(lat)
+    addr_cnt = _char_count_matrix([f.addr for f in feats])
+    name_cnt = _char_count_matrix([f.name for f in feats])
 
     lev_memo: dict = {}
     merged = []
@@ -337,7 +363,36 @@ def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
                   + 0.2 * name_ub * m_name + 0.1 * post_t * m_post)
             with np.errstate(invalid="ignore", divide="ignore"):
                 ub = np.where(total_w > 0, ub / np.maximum(total_w, 1e-12), 0.0)
-            cand = j[ub >= threshold - 1e-9]
+            keep = ub >= threshold - 1e-9
+            cand = j[keep]
+            if len(cand):
+                # Stage-2 refinement on the (few) length-bound survivors:
+                # tighten the lev terms with the bag-of-characters bound
+                # (ratio <= Σ min(char counts) / max_len — see
+                # _char_count_matrix), recompute the score bound, and
+                # re-screen. Both are true upper bounds, so min() is too:
+                # pruning cannot change output (pinned in tests). Applied
+                # post-screen so the O(alphabet) per-pair cost is paid
+                # only on survivors, keeping the full O(n²) stage-1 cheap.
+                sel = np.flatnonzero(keep)
+                a_ub = addr_ub[sel]
+                ma = m_addr[sel]
+                if ma.any():
+                    amax = np.maximum(np.maximum(addr_len[i], al[sel]), 1.0)
+                    a_bag = np.minimum(addr_cnt[i], addr_cnt[cand]).sum(1) / amax
+                    a_ub = np.minimum(a_ub, a_bag)
+                n_ub = name_ub[sel]
+                mn = m_name[sel]
+                if mn.any():
+                    nmax = np.maximum(np.maximum(name_len[i], nl[sel]), 1.0)
+                    n_bag = np.minimum(name_cnt[i], name_cnt[cand]).sum(1) / nmax
+                    n_ub = np.minimum(n_ub, n_bag)
+                ub2 = (0.4 * a_ub * ma + 0.3 * geo_t[sel] * m_geo[sel]
+                       + 0.2 * n_ub * mn + 0.1 * post_t[sel] * m_post[sel])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    tw = total_w[sel]
+                    ub2 = np.where(tw > 0, ub2 / np.maximum(tw, 1e-12), 0.0)
+                cand = cand[ub2 >= threshold - 1e-9]
             # Batch-fill the Levenshtein memo for this anchor's screened
             # candidates (features are immutable during the scan, so the
             # values are scan-order independent): one numpy batch DP
