@@ -307,7 +307,50 @@ def _robots_check(robots, hosts: list[str], paths: list[str]) -> list[bool]:
     return ray.get(robots.check.remote(hosts, paths))
 
 
-@ray.remote(num_cpus=0, num_returns=2)
+@ray.remote(num_cpus=0)
+class _Keeper:
+    """Warm process pool for the per-round frontier bookkeeping.
+
+    The bookkeeping callables (_prep_bucket/_mark_bucket/_finish_taken/
+    _finish_fresh) are tiny int-key kernels, but as 0-cpu TASKS they
+    stalled the round critical path whenever the cluster was saturated
+    by the overlapped extract stage: Ray reaps idle workers beyond
+    num_cpus, so each round's batch of tiny tasks re-paid worker spawn
+    + package import on a busy node — measured 1.6 s (bare fn) to
+    6.7 s (package import) for 16 such tasks at 32 busy cpus, vs
+    0.08 s on a warm actor; that was round 3's 3.0 s mark_wait in the
+    phase profile. One 0-cpu actor per frontier bucket pins a warm
+    process for the whole crawl (and, via the session-keyed pool cache,
+    across crawls in a session); per-bucket calls serialize on the
+    bucket's actor, which matches the data dependencies (mark ->
+    finish_taken -> next-round parts consume each other's outputs).
+    """
+
+    def run(self, fn, *args):
+        return fn(*args)
+
+
+_KEEPER_POOLS: dict = {}
+
+
+def _keeper_pool(k: int) -> list:
+    """K warm _Keeper handles, cached per (ray cluster instance, job,
+    k). Keyed by node id AND job id: job ids restart at the same value
+    in every fresh local cluster, so job id alone would reuse dead
+    handles across an init/shutdown cycle in one process (bench runs
+    several); the node id is unique per cluster instance. Stale
+    other-cluster entries are pruned on miss."""
+    ctx = ray.get_runtime_context()
+    key = (ctx.get_node_id(), ctx.get_job_id(), k)
+    pool = _KEEPER_POOLS.get(key)
+    if pool is None:
+        for old in [o for o in _KEEPER_POOLS if o[:2] != key[:2]]:
+            del _KEEPER_POOLS[old]
+        pool = [_Keeper.remote() for _ in range(k)]
+        _KEEPER_POOLS[key] = pool
+    return pool
+
+
 def _prep_bucket(tbl: pa.Table, robots, max_depth: int):
     """Gate (depth + robots, once per URL — both are static per crawl)
     one frontier bucket. Returns (gated table, per-host counts) in
@@ -343,7 +386,6 @@ def _encode_taken_keys(taken: pa.Table, encode_pri: bool) -> np.ndarray:
     return keys
 
 
-@ray.remote(num_cpus=0, num_returns=4)
 def _mark_bucket(grant: dict, encode_pri: bool = False,
                  remote_keys: bool = False, *parts: pa.Table):
     """Select one frontier bucket's granted per-host prefix (in round
@@ -394,7 +436,6 @@ def _mark_bucket(grant: dict, encode_pri: bool = False,
     return taken, deferred, info, None
 
 
-@ray.remote(num_cpus=0, num_returns=3)
 def _finish_taken(tbl: pa.Table, room: int, *rank_parts):
     """Append the global fetch_rank and apply the max_pages cap: rows with
     rank < room are this round's fetch list, the rest flow back to the
@@ -519,7 +560,6 @@ def _reduce_candidates(shards, robots, max_depth: int, want_hashes: bool,
     return t, info, None
 
 
-@ray.remote(num_cpus=0)
 def _finish_fresh(tbl: pa.Table, k: int, *seq_parts):
     """Append the driver-assigned discovery_seqs (covering gated-out rows
     too — they consume seqs, as in the driver loop), drop gated-out rows,
@@ -1050,13 +1090,17 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
     gate = (RobotsGate(ray.put(robots_raw)) if robots_raw is not None
             else robots)
 
+    # warm bookkeeping actors (one per bucket; see _Keeper)
+    keepers = _keeper_pool(K)
+
     # initial bucket split + insert-time gate (seeds / resumed frontier)
     bucket_parts: list[list] = [[] for _ in range(K)]
     if frontier_tbl.num_rows:
         hb = (hash64_many(frontier_tbl.column("host").to_pylist())
               % np.uint64(K)).astype(np.int64)
-        prep = [_prep_bucket.remote(frontier_tbl.filter(pa.array(hb == i)),
-                                    gate, max_depth) for i in range(K)]
+        prep = [keepers[i].run.options(num_returns=2).remote(
+                    _prep_bucket, frontier_tbl.filter(pa.array(hb == i)),
+                    gate, max_depth) for i in range(K)]
         bucket_parts = [[p[0]] for p in prep]
         counts: dict[str, int] = {}
         for d in ray.get([p[1] for p in prep]):
@@ -1097,8 +1141,9 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             if flat:
                 ray.wait(flat, num_returns=len(flat))
             _ph("bucket_wait")
-        marks = [_mark_bucket.remote(grant_ref, order == "priority",
-                                     dist_taken, *bucket_parts[i])
+        marks = [keepers[i].run.options(num_returns=4).remote(
+                     _mark_bucket, grant_ref, order == "priority",
+                     dist_taken, *bucket_parts[i])
                  for i in range(K)]
         deferred_parts = [[m[1]] for m in marks]
         infos = ray.get([m[2] for m in marks])
@@ -1114,7 +1159,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         if dist_taken:
             rank_parts = distrank.assign_ranks(
                 [m[3] for m in marks], [i["sample"] for i in infos], n_taken)
-            fin = [_finish_taken.remote(m[0], room, *rank_parts[i])
+            fin = [keepers[i].run.options(num_returns=3).remote(
+                       _finish_taken, m[0], room, *rank_parts[i])
                    for i, m in enumerate(marks)]
         else:
             key_seq = [np.asarray(i["seq"]) if i["seq"] is not None
@@ -1130,8 +1176,9 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             ranks = np.empty(n_taken, dtype=np.int64)
             ranks[order_ix] = np.arange(n_taken)
             bounds = np.concatenate(([0], np.cumsum(lens)))
-            fin = [_finish_taken.remote(m[0], room,
-                                        ranks[bounds[i]:bounds[i + 1]])
+            fin = [keepers[i].run.options(num_returns=3).remote(
+                       _finish_taken, m[0], room,
+                       ranks[bounds[i]:bounds[i + 1]])
                    for i, m in enumerate(marks)]
         fetch_refs = [f[0] for f in fin]
         for d in ray.get([f[2] for f in fin]):  # cap overflow back to counts
@@ -1253,8 +1300,8 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             for u in range(KU):
                 if flens[u] == 0:
                     continue
-                outs = _finish_fresh.options(num_returns=K).remote(
-                    fresh_refs[u], K, *per_shard_parts[u])
+                outs = keepers[u % K].run.options(num_returns=K).remote(
+                    _finish_fresh, fresh_refs[u], K, *per_shard_parts[u])
                 if K == 1:
                     outs = [outs]
                 for b in range(K):
