@@ -155,3 +155,93 @@ def test_ntile_fewer_rows_than_buckets():
     # order by o: id=11 first -> tile 1, id=10 -> tile 2
     assert list(out["id"]) == [11, 10]
     assert list(out["tile"]) == [1, 2]
+
+
+# --- set ops / lag diff / rollup / argmax / moments / string_agg -------------
+
+def test_distinct_set_op_null_semantics():
+    from web_crawler_ray.stages.relational import distinct_set_op
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": pd.array([1, 1, 2, 3, None], dtype="Int64")}))
+    right_no_null = rd.from_pandas(pd.DataFrame(
+        {"k": pd.array([2, 9], dtype="Int64")}))
+    right_null = rd.from_pandas(pd.DataFrame(
+        {"k": pd.array([2, None], dtype="Int64")}))
+    # EXCEPT: distinct output; NULL survives iff right has no NULL
+    ex = distinct_set_op(left, right_no_null, "k", op="except").to_pandas()
+    assert sorted(ex["k"], key=lambda x: (pd.isna(x), x)) == [1, 3] \
+        or {v for v in ex["k"] if pd.notna(v)} == {1, 3} and ex["k"].isna().sum() == 1
+    ex2 = distinct_set_op(left, right_null, "k", op="except").to_pandas()
+    assert {int(v) for v in ex2["k"] if pd.notna(v)} == {1, 3}
+    assert ex2["k"].isna().sum() == 0
+    # INTERSECT: NULL survives iff right HAS a NULL
+    it = distinct_set_op(left, right_null, "k", op="intersect").to_pandas()
+    assert {int(v) for v in it["k"] if pd.notna(v)} == {2}
+    assert it["k"].isna().sum() == 1
+
+
+def test_lag_diff_first_row_is_zero_and_order():
+    from web_crawler_ray.stages.relational import lag_diff_per_key
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2],
+        "ts": pd.to_datetime(["2022-01-01 00:00:02", "2022-01-01 00:00:01",
+                              "2022-01-01 00:00:01", "2022-01-01 00:00:00"]),
+        "i": [0, 1, 2, 3],
+        "v": [5.0, 1.0, 3.0, 7.0],
+    })
+    out = lag_diff_per_key(rd.from_pandas(df), "u", "ts", "i", "v") \
+        .to_pandas().sort_values("i")
+    # user 1 order by (ts, i): i=1 (first -> 0.0), i=2 (3-1), i=0 (5-3)
+    assert dict(zip(out["i"], out["delta"])) == \
+        {1: 0.0, 2: 2.0, 0: 2.0, 3: 0.0}
+
+
+def test_rollup_levels_and_nulls():
+    from web_crawler_ray.stages.aggregates import rollup_sum
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "v": [1.0, 2.0, 4.0]})
+    out = rollup_sum(rd.from_pandas(df), ["a", "b"], "v",
+                     sum_name="s", count_name="n").to_pandas()
+    # 3 fine + 2 level-1 + 1 grand = 6 rows
+    assert len(out) == 6
+    grand = out[out["a"].isna()]
+    assert len(grand) == 1 and grand["s"].iloc[0] == 7.0 \
+        and grand["n"].iloc[0] == 3
+    lvl1 = out[out["a"].notna() & out["b"].isna()].set_index("a")
+    assert lvl1.loc["x", "s"] == 3.0 and lvl1.loc["y", "s"] == 4.0
+    assert lvl1.loc["x", "n"] == 2
+
+
+def test_group_argmax_tiebreak_min_id():
+    from web_crawler_ray.stages.aggregates import group_argmax
+    df = pd.DataFrame({"g": ["a", "a", "a", "b"],
+                       "id": [3, 1, 2, 9],
+                       "v": [5.0, 5.0, 4.0, 1.0]})
+    out = group_argmax(rd.from_pandas(df), "g", "v", "id") \
+        .to_pandas().set_index("g")
+    assert out.loc["a", "id"] == 1 and out.loc["a", "v"] == 5.0
+    assert out.loc["b", "id"] == 9
+
+
+def test_group_moments_matches_pandas():
+    from web_crawler_ray.stages.aggregates import group_moments
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 300),
+                       "v": rng.integers(1, 51, 300).astype(float)})
+    out = group_moments(rd.from_pandas(df), "g", "v") \
+        .to_pandas().set_index("g").sort_index()
+    exp = df.groupby("g")["v"].agg(["count", "mean", "var", "std"])
+    assert list(out["n_rows"]) == list(exp["count"])
+    assert np.allclose(out["avg_v"], exp["mean"].round(6), atol=1e-9)
+    assert np.allclose(out["var_v"], exp["var"].round(6), atol=1e-9)
+    assert np.allclose(out["std_v"], exp["std"].round(6), atol=1e-9)
+
+
+def test_string_agg_sorted_and_null_skip():
+    from web_crawler_ray.stages.aggregates import string_agg_per_group
+    df = pd.DataFrame({"g": ["r", "r", "r", "s"],
+                       "x": ["b", None, "a", "z"]})
+    out = string_agg_per_group(rd.from_pandas(df), "g", "x",
+                               out_col="agg").to_pandas().set_index("g")
+    assert out.loc["r", "agg"] == "a,b"
+    assert out.loc["s", "agg"] == "z"

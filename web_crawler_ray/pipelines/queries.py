@@ -321,6 +321,95 @@ def q_ntile_events(sf_dir: str):
                            id_col="event_id")
 
 
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus): one fine-grain shuffle,
+    coarser levels cascaded from the O(groups) fine result."""
+    from ..stages.aggregates import rollup_sum
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_sum(ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+                      sum_name="sum_qty", count_name="n_rows")
+
+
+def q_argmax_events(sf_dir: str):
+    """Per-type argmax row (row_number() = 1 twin) via the one-row-per-
+    key combiner — shuffle ships at most keys-per-batch rows."""
+    from ..stages.aggregates import group_argmax
+    ds = _rp(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    return group_argmax(ds, key="event_type", value="value",
+                        id_col="event_id")
+
+
+def q_stats_by_flag(sf_dir: str):
+    """Per-group mean/variance/stddev from exact (n, Σx, Σx²) partial
+    sums — integral l_quantity keeps the sums IEEE-exact, so the
+    closed-form finish matches DuckDB's Welford at 6 decimals."""
+    from ..stages.aggregates import group_moments
+    ds = _rp(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return group_moments(ds, key="l_returnflag", value="l_quantity")
+
+
+EXCEPT_PRICE = 400_000.0  # both set-op queries split orders on this
+
+
+def q_except_custkeys(sf_dir: str):
+    """EXCEPT set semantics: big-spender customers with no 'F'-status
+    order — both sides reduced to distinct keys distributed, one
+    broadcast membership filter."""
+    from ..stages.relational import distinct_set_op
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_custkey", "o_totalprice", "o_orderstatus"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), EXCEPT_PRICE)),
+        batch_format="pyarrow")
+    f = orders.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")),
+        batch_format="pyarrow")
+    return distinct_set_op(big, f, "o_custkey", op="except")
+
+
+def q_intersect_custkeys(sf_dir: str):
+    """INTERSECT twin of q_except_custkeys."""
+    from ..stages.relational import distinct_set_op
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_custkey", "o_totalprice", "o_orderstatus"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), EXCEPT_PRICE)),
+        batch_format="pyarrow")
+    f = orders.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")),
+        batch_format="pyarrow")
+    return distinct_set_op(big, f, "o_custkey", op="intersect")
+
+
+def q_lag_diff_events(sf_dir: str):
+    """Per-user first difference (LAG window) in (ts, event_id) order —
+    one groupby(user) shuffle, numpy diff per group."""
+    from ..stages.relational import lag_diff_per_key
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    return lag_diff_per_key(ds, key_col="user_id", ts_col="ts",
+                            order_col="event_id", value_col="value")
+
+
+def q_string_agg_nations(sf_dir: str):
+    """Ordered string_agg per region (broadcast dimension join + one
+    tiny groupby)."""
+    from ..stages.aggregates import string_agg_per_group
+    region = _rp(sf_dir, "region",
+                 columns=["r_regionkey", "r_name"]).to_pandas()
+    lk = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(lk)
+        names = [m.get(k) for k in t.column("n_regionkey").to_pylist()]
+        return t.append_column("r_name", pa.array(names, pa.string()))
+
+    nation = _rp(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    return string_agg_per_group(
+        nation.map_batches(tag, batch_format="pyarrow"),
+        key="r_name", value="n_name", sep=",", out_col="nations")
+
+
 DECON_N = 8  # shingle width (words) for benchmark decontamination
 _DECON_BENCH = "doc_id % 17 = 3"  # the stand-in held-out benchmark slice
 
@@ -1074,6 +1163,13 @@ def registry() -> dict:
         "pivot_lineitem": q_pivot_lineitem,
         "cumsum_events": q_cumsum_events,
         "ntile_events": q_ntile_events,
+        "rollup_lineitem": q_rollup_lineitem,
+        "argmax_events": q_argmax_events,
+        "stats_by_flag": q_stats_by_flag,
+        "except_custkeys": q_except_custkeys,
+        "intersect_custkeys": q_intersect_custkeys,
+        "lag_diff_events": q_lag_diff_events,
+        "string_agg_nations": q_string_agg_nations,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "repetition_ratio": q_repetition_ratio,
@@ -1408,6 +1504,34 @@ ORACLES: dict[str, str] = {
         "SELECT event_type, event_id, ntile(4) OVER ("
         "PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS tile "
         "FROM events",
+    "rollup_lineitem":
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity)::DOUBLE "
+        "AS sum_qty, count(*)::BIGINT AS n_rows FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    "argmax_events":
+        "SELECT event_type, event_id, value FROM events QUALIFY "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) = 1",
+    "stats_by_flag":
+        "SELECT l_returnflag, count(*)::BIGINT AS n_rows, "
+        "round(avg(l_quantity), 6) AS avg_v, "
+        "round(var_samp(l_quantity), 6) AS var_v, "
+        "round(stddev_samp(l_quantity), 6) AS std_v "
+        "FROM lineitem GROUP BY l_returnflag",
+    "except_custkeys":
+        f"SELECT o_custkey FROM orders WHERE o_totalprice > {EXCEPT_PRICE} "
+        f"EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+    "intersect_custkeys":
+        f"SELECT o_custkey FROM orders WHERE o_totalprice > {EXCEPT_PRICE} "
+        f"INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+    "lag_diff_events":
+        "SELECT user_id, event_id, round(value - lag(value, 1, value) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta "
+        "FROM events",
+    "string_agg_nations":
+        "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name",
     "decontaminate":
         f"WITH toks AS (SELECT doc_id, "
         f"regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents), "

@@ -195,6 +195,160 @@ def group_centroids(ds, key: str, vec_col: str, round_to: int = 6):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def rollup_sum(ds, keys: list[str], value: str, sum_name: str = "sum_v",
+               count_name: str = "n_rows"):
+    """``GROUP BY ROLLUP(keys...)``: the fine-grained aggregate plus every
+    prefix super-aggregate up to the grand total, rolled-up key columns
+    null-filled (DuckDB ROLLUP output shape).
+
+    Scale shape: exactly ONE data-scale shuffle — the finest-grain
+    ``groupby(keys)``. Every coarser level is re-aggregated from the
+    previous level's result, which is O(distinct groups), not O(rows) —
+    the classic rollup cascade. The grand total is a driver-side
+    ``aggregate()`` over the last O(groups) level (a few scalars).
+    Output: one unioned Dataset with columns ``keys + [sum_name,
+    count_name]``.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        key_types = {k: base.field(k).type for k in keys}
+    else:  # pandas-block datasets: numpy dtypes (object == string here)
+        key_types = {
+            k: (pa.string() if t is object or getattr(t, "kind", "") == "O"
+                else pa.from_numpy_dtype(t))
+            for k, t in zip(sch.names, sch.types) if k in keys}
+    cols = keys + [sum_name, count_name]
+
+    def null_fill(missing: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            for m in missing:
+                t = t.append_column(m, pa.nulls(t.num_rows, key_types[m]))
+            return t.select(cols)
+        return f
+
+    fine = (ds.groupby(keys)
+              .aggregate(Sum(value, alias_name=sum_name),
+                         Count(alias_name=count_name)))
+    levels = [fine.map_batches(null_fill([]), batch_format="pyarrow")]
+    prev = fine
+    for i in range(len(keys) - 1, 0, -1):
+        lvl = (prev.groupby(keys[:i])
+                   .aggregate(Sum(sum_name, alias_name=sum_name),
+                              Sum(count_name, alias_name=count_name)))
+        levels.append(lvl.map_batches(null_fill(keys[i:]),
+                                      batch_format="pyarrow"))
+        prev = lvl
+    tot = prev.aggregate(Sum(sum_name, alias_name=sum_name),
+                         Sum(count_name, alias_name=count_name))
+    grand = pa.table({
+        **{k: pa.nulls(1, key_types[k]) for k in keys},
+        sum_name: pa.array([tot[sum_name]], pa.float64()),
+        count_name: pa.array([tot[count_name]], pa.int64()),
+    }).select(cols)
+    levels.append(rd.from_arrow(grand))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def group_argmax(ds, key: str, value: str, id_col: str):
+    """Per-group argmax row: for each ``key``, the (id, value) of the
+    MAXIMUM ``value`` (ties broken by ``id_col`` asc) — ``row_number()
+    OVER (PARTITION BY key ORDER BY value DESC, id) = 1``.
+
+    Scale shape: combiner first — each batch prunes itself to one row
+    per key (a vectorized sort + head), so the ONE ``groupby(key)``
+    merge shuffles at most keys-per-batch rows per batch. The per-group
+    merge repeats the same prune. Emits ``(key, id_col, value)``."""
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, value, id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby(key, sort=False).head(1)[[key, id_col, value]]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([value, id_col], ascending=[False, True],
+                             kind="mergesort").head(1)
+
+    return (ds.map_batches(prune, batch_format="pandas")
+              .groupby(key).map_groups(per_key, batch_format="pandas"))
+
+
+def group_moments(ds, key: str, value: str, round_to: int = 6):
+    """Per-group mean / sample variance / sample stddev from exact
+    partial sums — the mergeable-moments combiner (n, Σx, Σx²).
+
+    Scale shape: each batch reduces itself to one (n, s1, s2) row per
+    key (numpy ``add.at``); ONE tiny ``groupby(key)`` sums the partials;
+    the closed-form finish ``var = (s2 - s1²/n) / (n-1)`` runs over
+    O(groups) rows. No per-row shuffle.
+
+    Exactness contract (why the DuckDB oracle matches hash-exact): over
+    INTEGRAL values with ``Σx² < 2^53`` the partial sums are exact IEEE
+    integers regardless of summation order, so the finish differs from
+    DuckDB's streaming (Welford) accumulator only at ulp level —
+    absorbed by ``round_to``. For general floats the result is still
+    numerically sound but not bit-pinned. Emits ``(key, n_rows, avg_v,
+    var_v, std_v)``."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys_np = np.asarray(t.column(key).to_pandas())
+        uniq, inv = np.unique(keys_np, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s1 = np.zeros(len(uniq), np.float64)
+        s2 = np.zeros(len(uniq), np.float64)
+        np.add.at(s1, inv, v)
+        np.add.at(s2, inv, v * v)
+        return pa.table({key: pa.array(uniq, t.column(key).type),
+                         "n_rows": pa.array(n, pa.int64()),
+                         "__s1": pa.array(s1, pa.float64()),
+                         "__s2": pa.array(s2, pa.float64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(key)
+                .aggregate(Sum("n_rows", alias_name="n_rows"),
+                           Sum("__s1", alias_name="__s1"),
+                           Sum("__s2", alias_name="__s2")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_rows").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t.column("__s1").to_numpy(zero_copy_only=False)
+        s2 = t.column("__s2").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = s1 / n
+            var = np.where(n > 1, (s2 - s1 * s1 / n) / np.maximum(n - 1, 1),
+                           np.nan)
+        return pa.table({key: t.column(key),
+                         "n_rows": t.column("n_rows"),
+                         "avg_v": pa.array(np.round(avg, round_to)),
+                         "var_v": pa.array(np.round(var, round_to)),
+                         "std_v": pa.array(np.round(np.sqrt(var), round_to))})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def string_agg_per_group(ds, key: str, value: str, sep: str = ",",
+                         out_col: str = "agg"):
+    """Ordered ``string_agg(value, sep ORDER BY value)`` per group — one
+    ``groupby(key)`` shuffle, per-group sorted join. Group state is the
+    group's strings (same memory shape as the SQL aggregate state);
+    high-cardinality keys keep groups small."""
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(v for v in g[value] if v is not None)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out_col: [sep.join(vals)]})
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def tfidf_topk(ds, k: int = 3, id_col: str = "doc_id",
                text_col: str = "text", round_to: int = 6):
     """Top-k TF-IDF terms per document: score = tf * ln(N / df), ranked

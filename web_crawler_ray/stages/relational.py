@@ -147,6 +147,69 @@ def semi_join_shuffled(left_ds, right_ds, left_key: str,
                            num_partitions=num_partitions)
 
 
+def distinct_set_op(left_ds, right_ds, key: str, op: str = "except"):
+    """SQL ``EXCEPT`` / ``INTERSECT`` over one key column (set semantics:
+    output is DISTINCT). The right side is reduced DISTRIBUTED to its
+    distinct keys (combiner + unique) and broadcast once; the left side
+    is reduced to its own distinct keys with the same combiner + ONE
+    small ``groupby(key)`` (shuffle volume = per-batch distincts), then
+    streams through one ``pc.is_in`` filter. Nothing materializes more
+    than O(distinct keys) anywhere.
+
+    NULL semantics: SQL set ops treat NULLs as equal — a left NULL
+    survives EXCEPT iff the right side has no NULL, and survives
+    INTERSECT iff it does. Handled explicitly (``is_in`` is
+    null-propagating)."""
+    from ray.data.aggregate import Count
+
+    if op not in ("except", "intersect"):
+        raise ValueError(op)
+    rkeys = distinct_keys(right_ds, key)
+    right_has_null = any(k is None for k in rkeys)
+    kref = ray.put(pa.array([k for k in rkeys if k is not None]))
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({key: pc.unique(t.column(key).combine_chunks())})
+
+    ldist = (left_ds.map_batches(uniq, batch_format="pyarrow")
+                    .groupby(key).aggregate(Count(alias_name="__n"))
+                    .drop_columns(["__n"]))
+
+    def filt(t: pa.Table) -> pa.Table:
+        col = t.column(key)
+        in_right = pc.fill_null(pc.is_in(col, value_set=ray.get(kref)), False)
+        if op == "intersect":
+            m = pc.if_else(pc.is_null(col), pa.scalar(right_has_null),
+                           in_right)
+        else:
+            m = pc.if_else(pc.is_null(col), pa.scalar(not right_has_null),
+                           pc.invert(in_right))
+        return t.filter(m)
+
+    return ldist.map_batches(filt, batch_format="pyarrow")
+
+
+def lag_diff_per_key(ds, key_col: str, ts_col: str, order_col: str,
+                     value_col: str, out_col: str = "delta",
+                     round_to: int = 6):
+    """Per-key first difference: ``round(value - lag(value, 1, value)
+    OVER (PARTITION BY key ORDER BY ts, order), round_to)`` — the first
+    row of each key diffs against itself (0.0), matching the SQL
+    3-argument ``lag`` default so no NULL rows are emitted. One
+    ``groupby(key)`` shuffle, vectorized numpy diff per group; the
+    subtraction is a single float64 op on both engines (bit-identical
+    before rounding)."""
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col], kind="mergesort")
+        v = g[value_col].to_numpy(dtype=np.float64)
+        lag = np.concatenate(([v[0]], v[:-1])) if len(v) else v
+        out = g[[key_col, order_col]].copy()
+        out[out_col] = np.round(v - lag, round_to)
+        return out
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Explode / UNNEST
 # ---------------------------------------------------------------------------
