@@ -77,14 +77,19 @@ def q_sort_paginate_events(sf_dir: str):
 
 def q_lineitem_summary(sf_dir: str):
     """A1/A6-style grouped summary (TPC-H Q1 shape). sum_qty is exact
-    (integral doubles); price extrema avoid float-sum order sensitivity."""
+    (integral doubles); price extrema avoid float-sum order sensitivity.
+    Map-side partial aggregation (grouped_agg_combine): the Ray merge
+    shuffle sees O(blocks × groups) rows, never the table."""
+    from ..stages.aggregates import grouped_agg_combine
     ds = _rp(sf_dir, "lineitem",
              columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
-    return (ds.groupby(["l_returnflag", "l_linestatus"])
-              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                         Count(alias_name="n_rows"),
-                         Max("l_extendedprice", alias_name="max_price"),
-                         Min("l_extendedprice", alias_name="min_price")))
+    return grouped_agg_combine(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"),
+         (None, "count", "n_rows"),
+         ("l_extendedprice", "max", "max_price"),
+         ("l_extendedprice", "min", "min_price")],
+        driver_merge=True)  # 6 groups: partial stream is O(blocks × 6)
 
 
 def q_join_orders_customers(sf_dir: str):
