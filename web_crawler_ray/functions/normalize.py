@@ -364,10 +364,36 @@ def levenshtein_ratio_many(pairs: list) -> list:
                 a, b = b, a
             s1s.append(a)
             s2s.append(b)
-    if ix:
-        d = _levenshtein_dist_batch(s1s, s2s)
-        for k, i in enumerate(ix):
-            out[i] = float(1.0 - d[k] / max(len(s1s[k]), len(s2s[k])))
+    if not ix:
+        return out
+    # sort by (short, long) length and chunk: the batch DP pads every
+    # pair to the chunk max, so one giant mixed-length batch pays
+    # max-length rows × max-length columns for EVERY pair; sorted
+    # chunks keep padding near-zero. Distances are per-pair independent
+    # of batch composition (padding never reaches the read-out cell),
+    # so re-batching is bit-identical.
+    if len(ix) > 512:
+        order = sorted(range(len(ix)),
+                       key=lambda k: (len(s1s[k]), len(s2s[k])))
+    else:
+        order = range(len(ix))
+    CHUNK = 4096
+    buf_i, buf_1, buf_2 = [], [], []
+
+    def flush():
+        d = _levenshtein_dist_batch(buf_1, buf_2)
+        for k, i in enumerate(buf_i):
+            out[i] = float(1.0 - d[k] / max(len(buf_1[k]), len(buf_2[k])))
+        buf_i.clear(), buf_1.clear(), buf_2.clear()
+
+    for k in order:
+        buf_i.append(ix[k])
+        buf_1.append(s1s[k])
+        buf_2.append(s2s[k])
+        if len(buf_i) >= CHUNK:
+            flush()
+    if buf_i:
+        flush()
     return out
 
 

@@ -296,17 +296,29 @@ def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
     """Greedy O(n²) clustering in input order (enhanced-dedup:7-41).
 
     Output identical to ``fuzzy_dedup_greedy_scalar`` (asserted in
-    tests) but the inner scan is a vectorized UPPER-BOUND screen: for
-    each anchor row, numpy computes per-candidate score bounds (exact
-    geo/postcode terms + the tighter of the Levenshtein LENGTH bound
-    and the bag-of-characters bound — both true upper bounds on
-    lev_ratio) over all unprocessed rows at once, and only the
-    candidates whose bound clears the threshold (minus an ulp epsilon —
-    can only ADD candidates) run the exact memoized kernel. The bag
-    bound prunes ~97% of the DP pairs the length bound alone admitted
-    at bench scale (profiled round 4). Same asymptotics, but the O(n²)
-    part runs at numpy speed — the per-site all-pairs scan of the
-    reference stays affordable on multi-thousand-row hosts.
+    tests). The scan is split into three vectorized phases:
+
+    1. **All-pairs UPPER-BOUND screen**, evaluated as chunked (rows ×
+       n) matrix kernels over the strict upper triangle: exact
+       geo/postcode terms + the tighter of the Levenshtein LENGTH
+       bound and the bag-of-characters bound (``_char_count_matrix``)
+       — both true upper bounds on lev_ratio, so the screen only
+       discards pairs that provably miss the threshold (minus an ulp
+       epsilon — can only ADD candidates). The per-anchor loop form of
+       this screen paid ~500k tiny numpy-kernel launches per bench run
+       (profiled round 4, ~40% of reduce CPU); the matrix form is the
+       same float64 elementwise arithmetic (bit-identical bounds) in
+       ~n/chunk launches. The screen ignores processed-status — a
+       superset of the pairs the online scan would screen — which is
+       what makes it order-free and batchable.
+    2. **One batched Levenshtein prefill** over every distinct string
+       pair the survivors need (features are immutable during the
+       scan, so memo values are scan-order independent). Replaces
+       ~10k per-anchor mini-batches with one sorted-and-chunked DP.
+    3. The **greedy scan itself**, now pure memo lookups over each
+       anchor's precomputed candidate list in ascending-j order —
+       exactly the reference's visit order, so cluster assignment is
+       unchanged.
     """
     n = len(locs)
     if n <= 2:
@@ -325,102 +337,112 @@ def fuzzy_dedup_greedy(locs: list[dict], threshold: float = 0.85) -> list[dict]:
     addr_cnt = _char_count_matrix([f.addr for f in feats])
     name_cnt = _char_count_matrix([f.name for f in feats])
 
+    eps = threshold - 1e-9
+    jj = np.arange(n)
+    pi_parts: list[np.ndarray] = []
+    pj_parts: list[np.ndarray] = []
+    # chunk the anchor axis so each (chunk × n) float64 matrix stays
+    # ~32 MB even at the FUZZY_ALLPAIRS_MAX host bound
+    chunk = max(1, int(4_000_000 // n))
+    for c0 in range(0, n - 1, chunk):
+        I = np.arange(c0, min(c0 + chunk, n - 1))
+        ali, alj = addr_len[I][:, None], addr_len[None, :]
+        nli, nlj = name_len[I][:, None], name_len[None, :]
+        m_addr = (ali >= 0) & (alj >= 0)
+        m_name = (nli >= 0) & (nlj >= 0)
+        m_geo = has_geo[I][:, None] & has_geo[None, :]
+        m_post = (post[I][:, None] >= 0) & (post[None, :] >= 0)
+        total_w = (0.4 * m_addr + 0.3 * m_geo + 0.2 * m_name
+                   + 0.1 * m_post)
+        # Levenshtein length bound: ratio <= 1 - |l1-l2|/max(l1,l2)
+        addr_ub = 1.0 - np.abs(ali - alj) / np.maximum(
+            np.maximum(ali, alj), 1.0)
+        name_ub = 1.0 - np.abs(nli - nlj) / np.maximum(
+            np.maximum(nli, nlj), 1.0)
+        with np.errstate(invalid="ignore"):
+            d = _haversine_km_vec(lat[I][:, None], lon[I][:, None], lat, lon)
+            # UPPER bound under d's ulp uncertainty vs the scalar
+            # haversine: widen the d<0.1 plateau (a 0.02 jump — an
+            # epsilon on the SCORE cannot absorb a boundary flip)
+            # and shift the linear branch up by the margin. NaN d
+            # (either side lacks geo) is masked to 0 by m_geo.
+            geo_t = np.where(m_geo,
+                             np.where(d < 0.1 + 1e-9, 1.0,
+                                      np.maximum(0.0, 1 - (d - 1e-9) / 5)),
+                             0.0)
+        post_t = (post[None, :] == post[I][:, None]).astype(np.float64)
+        ub = (0.4 * addr_ub * m_addr + 0.3 * geo_t * m_geo
+              + 0.2 * name_ub * m_name + 0.1 * post_t * m_post)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ub = np.where(total_w > 0, ub / np.maximum(total_w, 1e-12), 0.0)
+        keep = (jj[None, :] > I[:, None]) & (ub >= eps)
+        ci, cj = np.nonzero(keep)  # row-major => sorted by (i, j)
+        if not len(ci):
+            continue
+        pi, pj = I[ci], jj[cj]
+        # Stage-2 refinement on the (few) length-bound survivors:
+        # tighten the lev terms with the bag-of-characters bound
+        # (ratio <= Σ min(char counts) / max_len), recompute the score
+        # bound, re-screen. Both are true upper bounds, so min() is
+        # too: pruning cannot change output (pinned in tests). Applied
+        # post-screen so the O(alphabet) per-pair cost is paid only on
+        # survivors, keeping the full O(n²) stage-1 cheap. Per-pair
+        # unconditional application ≡ the per-anchor masked form: a
+        # pair with the addr/name mask off has its term zeroed either
+        # way.
+        ma, mn = m_addr[ci, cj], m_name[ci, cj]
+        a_ub = addr_ub[ci, cj]
+        if ma.any():
+            amax = np.maximum(np.maximum(addr_len[pi], addr_len[pj]), 1.0)
+            a_bag = np.minimum(addr_cnt[pi], addr_cnt[pj]).sum(1) / amax
+            a_ub = np.minimum(a_ub, a_bag)
+        n_ub = name_ub[ci, cj]
+        if mn.any():
+            nmax = np.maximum(np.maximum(name_len[pi], name_len[pj]), 1.0)
+            n_bag = np.minimum(name_cnt[pi], name_cnt[pj]).sum(1) / nmax
+            n_ub = np.minimum(n_ub, n_bag)
+        ub2 = (0.4 * a_ub * ma + 0.3 * geo_t[ci, cj] * m_geo[ci, cj]
+               + 0.2 * n_ub * mn + 0.1 * post_t[ci, cj] * m_post[ci, cj])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tw = total_w[ci, cj]
+            ub2 = np.where(tw > 0, ub2 / np.maximum(tw, 1e-12), 0.0)
+        keep2 = ub2 >= eps
+        pi_parts.append(pi[keep2])
+        pj_parts.append(pj[keep2])
+
+    pair_i = np.concatenate(pi_parts) if pi_parts else np.zeros(0, np.int64)
+    pair_j = np.concatenate(pj_parts) if pj_parts else np.zeros(0, np.int64)
+
+    # one batched DP over every distinct string pair the survivors need
     lev_memo: dict = {}
+    need = []
+    for i, k in zip(pair_i.tolist(), pair_j.tolist()):
+        fi, fk = feats[i], feats[k]
+        for s1, s2 in ((fi.addr, fk.addr), (fi.name, fk.name)):
+            if (s1 is not None and s2 is not None and s1 != s2
+                    and (s1, s2) not in lev_memo):
+                lev_memo[(s1, s2)] = 0.0  # placeholder marks membership
+                need.append((s1, s2))
+    if need:
+        for pr, r in zip(need, levenshtein_ratio_many(need)):
+            lev_memo[pr] = r
+
+    # greedy scan: ascending-j candidates per anchor, memo-only kernel
+    starts = np.searchsorted(pair_i, np.arange(n + 1))
+    pj_list = pair_j.tolist()
     merged = []
     processed = np.zeros(n, dtype=bool)
     for i in range(n):
         if processed[i]:
             continue
         processed[i] = True
-        j = np.flatnonzero(~processed[i + 1:]) + i + 1
         dups = [i]
-        if len(j):
-            m_addr = (addr_len[i] >= 0) & (addr_len[j] >= 0)
-            m_name = (name_len[i] >= 0) & (name_len[j] >= 0)
-            m_geo = has_geo[i] & has_geo[j]
-            m_post = (post[i] >= 0) & (post[j] >= 0)
-            total_w = (0.4 * m_addr + 0.3 * m_geo + 0.2 * m_name
-                       + 0.1 * m_post)
-            # Levenshtein length bound: ratio <= 1 - |l1-l2|/max(l1,l2)
-            al = addr_len[j]
-            addr_ub = 1.0 - np.abs(addr_len[i] - al) / np.maximum(
-                np.maximum(addr_len[i], al), 1.0)
-            nl = name_len[j]
-            name_ub = 1.0 - np.abs(name_len[i] - nl) / np.maximum(
-                np.maximum(name_len[i], nl), 1.0)
-            geo_t = np.zeros(len(j))
-            if has_geo[i] and m_geo.any():
-                gj = np.flatnonzero(m_geo)
-                d = _haversine_km_vec(lat[i], lon[i], lat[j[gj]], lon[j[gj]])
-                # UPPER bound under d's ulp uncertainty vs the scalar
-                # haversine: widen the d<0.1 plateau (a 0.02 jump — an
-                # epsilon on the SCORE cannot absorb a boundary flip)
-                # and shift the linear branch up by the margin
-                geo_t[gj] = np.where(d < 0.1 + 1e-9, 1.0,
-                                     np.maximum(0.0, 1 - (d - 1e-9) / 5))
-            post_t = (post[j] == post[i]).astype(np.float64)
-            ub = (0.4 * addr_ub * m_addr + 0.3 * geo_t * m_geo
-                  + 0.2 * name_ub * m_name + 0.1 * post_t * m_post)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                ub = np.where(total_w > 0, ub / np.maximum(total_w, 1e-12), 0.0)
-            keep = ub >= threshold - 1e-9
-            cand = j[keep]
-            if len(cand):
-                # Stage-2 refinement on the (few) length-bound survivors:
-                # tighten the lev terms with the bag-of-characters bound
-                # (ratio <= Σ min(char counts) / max_len — see
-                # _char_count_matrix), recompute the score bound, and
-                # re-screen. Both are true upper bounds, so min() is too:
-                # pruning cannot change output (pinned in tests). Applied
-                # post-screen so the O(alphabet) per-pair cost is paid
-                # only on survivors, keeping the full O(n²) stage-1 cheap.
-                sel = np.flatnonzero(keep)
-                a_ub = addr_ub[sel]
-                ma = m_addr[sel]
-                if ma.any():
-                    amax = np.maximum(np.maximum(addr_len[i], al[sel]), 1.0)
-                    a_bag = np.minimum(addr_cnt[i], addr_cnt[cand]).sum(1) / amax
-                    a_ub = np.minimum(a_ub, a_bag)
-                n_ub = name_ub[sel]
-                mn = m_name[sel]
-                if mn.any():
-                    nmax = np.maximum(np.maximum(name_len[i], nl[sel]), 1.0)
-                    n_bag = np.minimum(name_cnt[i], name_cnt[cand]).sum(1) / nmax
-                    n_ub = np.minimum(n_ub, n_bag)
-                ub2 = (0.4 * a_ub * ma + 0.3 * geo_t[sel] * m_geo[sel]
-                       + 0.2 * n_ub * mn + 0.1 * post_t[sel] * m_post[sel])
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    tw = total_w[sel]
-                    ub2 = np.where(tw > 0, ub2 / np.maximum(tw, 1e-12), 0.0)
-                cand = cand[ub2 >= threshold - 1e-9]
-            # Batch-fill the Levenshtein memo for this anchor's screened
-            # candidates (features are immutable during the scan, so the
-            # values are scan-order independent): one numpy batch DP
-            # replaces the per-pair pure-Python DP that profiling showed
-            # dominating the whole extract phase. _sim_feat below then
-            # always hits the memo; outputs are bit-identical (pinned in
-            # tests).
-            if len(cand):
-                fi = feats[i]
-                need = []
-                seen_pairs = set()
-                for k in cand:
-                    fk = feats[k]
-                    for s1, s2 in ((fi.addr, fk.addr), (fi.name, fk.name)):
-                        if (s1 is not None and s2 is not None and s1 != s2
-                                and (s1, s2) not in lev_memo
-                                and (s1, s2) not in seen_pairs):
-                            seen_pairs.add((s1, s2))
-                            need.append((s1, s2))
-                if need:
-                    for pr, r in zip(need, levenshtein_ratio_many(need)):
-                        lev_memo[pr] = r
-            for k in cand:
-                if processed[k]:
-                    continue
-                if _sim_feat(feats[i], feats[k], threshold, lev_memo) >= threshold:
-                    dups.append(int(k))
-                    processed[k] = True
+        for k in pj_list[starts[i]:starts[i + 1]]:
+            if processed[k]:
+                continue
+            if _sim_feat(feats[i], feats[k], threshold, lev_memo) >= threshold:
+                dups.append(k)
+                processed[k] = True
         merged.append(_merge_fuzzy([locs[idx] for idx in dups]))
     return merged
 
