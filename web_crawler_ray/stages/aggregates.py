@@ -257,33 +257,39 @@ def grouped_agg_combine(ds, keys: list[str], aggs: list[tuple],
     return partials.groupby(keys).aggregate(*[g for _, _, g in merge])
 
 
-def rollup_sum(ds, keys: list[str], value: str, sum_name: str = "sum_v",
-               count_name: str = "n_rows"):
-    """``GROUP BY ROLLUP(keys...)``: the fine-grained aggregate plus every
-    prefix super-aggregate up to the grand total, rolled-up key columns
-    null-filled (DuckDB ROLLUP output shape).
+DRIVER_CASCADE_MAX = 200_000  # fine-level rows below which the grouping-
+# sets cascade runs driver-side (the fine result is the SAME data a
+# driver aggregate() would return; above this, levels stay Ray jobs)
 
-    Scale shape: exactly ONE data-scale shuffle — the finest-grain
-    ``groupby(keys)``. Every coarser level is re-aggregated from the
-    previous level's result, which is O(distinct groups), not O(rows) —
-    the classic rollup cascade. The grand total is a driver-side
-    ``aggregate()`` over the last O(groups) level (a few scalars).
-    Output: one unioned Dataset with columns ``keys + [sum_name,
-    count_name]``.
-    """
+
+def _key_types(ds, keys: list[str]) -> dict:
     import pyarrow as pa
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
-
     sch = ds.schema()
     base = getattr(sch, "base_schema", None)
     if isinstance(base, pa.Schema):
-        key_types = {k: base.field(k).type for k in keys}
-    else:  # pandas-block datasets: numpy dtypes (object == string here)
-        key_types = {
-            k: (pa.string() if t is object or getattr(t, "kind", "") == "O"
+        return {k: base.field(k).type for k in keys}
+    # pandas-block datasets: numpy dtypes (object == string here)
+    return {k: (pa.string() if t is object or getattr(t, "kind", "") == "O"
                 else pa.from_numpy_dtype(t))
             for k, t in zip(sch.names, sch.types) if k in keys}
+
+
+def _grouping_sets(ds, keys: list[str], value: str, subsets: list[tuple],
+                   sum_name: str, count_name: str):
+    """Shared ROLLUP/CUBE engine: ONE data-scale shuffle (the finest
+    ``groupby(keys)``, with map-side partial aggregation), materialized
+    once at O(distinct groups) rows; every coarser ``subsets`` level
+    plus the grand total re-aggregates FROM that result. Below
+    DRIVER_CASCADE_MAX fine rows the cascade runs on the driver with
+    Arrow ``group_by`` kernels (the levels are a few dozen rows — each
+    would otherwise pay a whole Ray job's fixed cost); above it, each
+    level is its own O(groups) Ray job."""
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    key_types = _key_types(ds, keys)
     cols = keys + [sum_name, count_name]
 
     def null_fill(missing: list[str]):
@@ -293,19 +299,45 @@ def rollup_sum(ds, keys: list[str], value: str, sum_name: str = "sum_v",
             return t.select(cols)
         return f
 
-    fine = (ds.groupby(keys)
-              .aggregate(Sum(value, alias_name=sum_name),
-                         Count(alias_name=count_name)))
+    fine = grouped_agg_combine(
+        ds, keys, [(value, "sum", sum_name),
+                   (value, "count", count_name)]).materialize()
+
+    if fine.count() <= DRIVER_CASCADE_MAX:
+        parts = [pa.table(b) for b in
+                 fine.iter_batches(batch_format="pyarrow")]
+        ft = (pa.concat_tables(parts) if parts
+              else pa.table({c: pa.nulls(0, key_types.get(c, pa.float64()))
+                             for c in cols}))
+        levels = [ft.select(cols)]
+        for subset in subsets:
+            g = ft.group_by(list(subset), use_threads=False).aggregate(
+                [(sum_name, "sum"), (count_name, "sum")])
+            g = g.rename_columns(
+                [{f"{sum_name}_sum": sum_name,
+                  f"{count_name}_sum": count_name}.get(c, c)
+                 for c in g.column_names])
+            levels.append(null_fill([k for k in keys
+                                     if k not in subset])(g))
+        grand = pa.table({
+            **{k: pa.nulls(1, key_types[k]) for k in keys},
+            sum_name: pa.array([pc_.sum(ft.column(sum_name)).as_py()],
+                               pa.float64()),
+            count_name: pa.array(
+                [pc_.sum(ft.column(count_name)).as_py() or 0], pa.int64()),
+        }).select(cols)
+        levels.append(grand)
+        return rd.from_arrow(pa.concat_tables(levels))
+
     levels = [fine.map_batches(null_fill([]), batch_format="pyarrow")]
-    prev = fine
-    for i in range(len(keys) - 1, 0, -1):
-        lvl = (prev.groupby(keys[:i])
+    for subset in subsets:
+        lvl = (fine.groupby(list(subset))
                    .aggregate(Sum(sum_name, alias_name=sum_name),
                               Sum(count_name, alias_name=count_name)))
-        levels.append(lvl.map_batches(null_fill(keys[i:]),
-                                      batch_format="pyarrow"))
-        prev = lvl
-    tot = prev.aggregate(Sum(sum_name, alias_name=sum_name),
+        levels.append(lvl.map_batches(
+            null_fill([k for k in keys if k not in subset]),
+            batch_format="pyarrow"))
+    tot = fine.aggregate(Sum(sum_name, alias_name=sum_name),
                          Sum(count_name, alias_name=count_name))
     grand = pa.table({
         **{k: pa.nulls(1, key_types[k]) for k in keys},
@@ -317,6 +349,16 @@ def rollup_sum(ds, keys: list[str], value: str, sum_name: str = "sum_v",
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def rollup_sum(ds, keys: list[str], value: str, sum_name: str = "sum_v",
+               count_name: str = "n_rows"):
+    """``GROUP BY ROLLUP(keys...)``: the fine-grained aggregate plus every
+    prefix super-aggregate up to the grand total, rolled-up key columns
+    null-filled (DuckDB ROLLUP output shape). See _grouping_sets for the
+    scale shape (one data-scale shuffle; O(groups) cascade)."""
+    subsets = [tuple(keys[:i]) for i in range(len(keys) - 1, 0, -1)]
+    return _grouping_sets(ds, keys, value, subsets, sum_name, count_name)
 
 
 def group_argmax(ds, key: str, value: str, id_col: str):
@@ -484,58 +526,14 @@ def cube_sum(ds, keys: list[str], value: str, sum_name: str = "sum_v",
     key subset's super-aggregate (rollup_sum covers only prefixes),
     absent keys null-filled — DuckDB CUBE output shape.
 
-    Scale shape: one data-scale shuffle (the finest groupby); all 2^k-1
+    Scale shape: see _grouping_sets — one data-scale shuffle; all 2^k-1
     coarser levels re-aggregate from the fine level's O(distinct
-    groups) rows — for the usual 2-3 key cube that is a handful of
-    O(groups) jobs, never a second pass over the data."""
+    groups) rows, never a second pass over the data."""
     from itertools import combinations
 
-    import pyarrow as pa
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
-
-    sch = ds.schema()
-    base = getattr(sch, "base_schema", None)
-    if isinstance(base, pa.Schema):
-        key_types = {k: base.field(k).type for k in keys}
-    else:
-        key_types = {
-            k: (pa.string() if t is object or getattr(t, "kind", "") == "O"
-                else pa.from_numpy_dtype(t))
-            for k, t in zip(sch.names, sch.types) if k in keys}
-    cols = keys + [sum_name, count_name]
-
-    def null_fill(missing: list[str]):
-        def f(t: pa.Table) -> pa.Table:
-            for m in missing:
-                t = t.append_column(m, pa.nulls(t.num_rows, key_types[m]))
-            return t.select(cols)
-        return f
-
-    fine = (ds.groupby(keys)
-              .aggregate(Sum(value, alias_name=sum_name),
-                         Count(alias_name=count_name)))
-    levels = [fine.map_batches(null_fill([]), batch_format="pyarrow")]
-    for r in range(len(keys) - 1, 0, -1):
-        for subset in combinations(keys, r):
-            lvl = (fine.groupby(list(subset))
-                       .aggregate(Sum(sum_name, alias_name=sum_name),
-                                  Sum(count_name, alias_name=count_name)))
-            levels.append(lvl.map_batches(
-                null_fill([k for k in keys if k not in subset]),
-                batch_format="pyarrow"))
-    tot = fine.aggregate(Sum(sum_name, alias_name=sum_name),
-                         Sum(count_name, alias_name=count_name))
-    grand = pa.table({
-        **{k: pa.nulls(1, key_types[k]) for k in keys},
-        sum_name: pa.array([tot[sum_name]], pa.float64()),
-        count_name: pa.array([tot[count_name]], pa.int64()),
-    }).select(cols)
-    levels.append(rd.from_arrow(grand))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
-    return out
+    subsets = [s for r in range(len(keys) - 1, 0, -1)
+               for s in combinations(keys, r)]
+    return _grouping_sets(ds, keys, value, subsets, sum_name, count_name)
 
 
 def group_corr(ds, key: str, x: str, y: str, round_to: int = 6):
