@@ -1225,9 +1225,15 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         fresh_refs = [r[0] for r in reduces]
 
         _ph("submit")
-        fetched = rd.from_arrow_refs(fetched_refs)
         if page_hook is not None:
-            page_hook(fetched)
+            cr = getattr(page_hook, "consume_refs", None)
+            if cr is not None:
+                # raw refs: non-blocking, so hook tasks become runnable
+                # per fetch block instead of after the whole round's
+                # fetch metadata resolves (from_arrow_refs waits on it)
+                cr(list(fetched_refs))
+            else:
+                page_hook(rd.from_arrow_refs(fetched_refs))
         _ph("hook")
         # visited METADATA, ordered by fetch_rank (= round fetch order)
         meta_parts = ray.get([p[1] for p in fpairs])
@@ -1263,11 +1269,13 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
             if calls:
                 ray.get(calls)
 
-        if checkpoint_dir:
-            fetched.write_parquet(
-                os.path.join(checkpoint_dir, f"round={rnd}", "pages"))
-        if keep_pages:
-            page_datasets.append(fetched)
+        if checkpoint_dir or keep_pages:
+            fetched = rd.from_arrow_refs(fetched_refs)
+            if checkpoint_dir:
+                fetched.write_parquet(
+                    os.path.join(checkpoint_dir, f"round={rnd}", "pages"))
+            if keep_pages:
+                page_datasets.append(fetched)
 
         _ph("backoff_ckpt")
         rinfo = ray.get([r[1] for r in reduces])

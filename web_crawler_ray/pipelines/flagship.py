@@ -118,9 +118,18 @@ class OverlapExtractor:
         self.refs: list = []
 
     def __call__(self, ds: rd.Dataset) -> None:
+        self.consume_refs(ds.to_arrow_refs())
+
+    def consume_refs(self, refs: list) -> None:
+        # raw-ref fast path (crawl dataset mode): submitting directly on
+        # the fetch-task outputs is non-blocking, so each block's
+        # extract tasks become runnable the moment ITS fetch completes —
+        # the Dataset round-trip (from_arrow_refs -> to_arrow_refs)
+        # waits on every block's metadata first, which measured ~1.5 s
+        # of lost extract/fetch overlap in the final big round
         fn = (_classify_extract_block if self.task_num_cpus == 1.0 else
               _classify_extract_block.options(num_cpus=self.task_num_cpus))
-        for r in ds.to_arrow_refs():
+        for r in refs:
             for p in range(self.splits):
                 self.refs.append(fn.remote(r, p, self.splits))
 
@@ -176,7 +185,11 @@ class OverlapAssembler:
         self.refs: list = []
 
     def __call__(self, ds: rd.Dataset) -> None:
-        for r in ds.to_arrow_refs():
+        self.consume_refs(ds.to_arrow_refs())
+
+    def consume_refs(self, refs: list) -> None:
+        # non-blocking raw-ref path; see OverlapExtractor.consume_refs
+        for r in refs:
             for p in range(self.splits):
                 self.refs.append(_assemble_span_block.remote(r, p, self.splits))
 
@@ -199,6 +212,15 @@ class MultiHook:
     def __call__(self, ds: rd.Dataset) -> None:
         for h in self.hooks:
             h(ds)
+
+    def consume_refs(self, refs: list) -> None:
+        for h in self.hooks:
+            cr = getattr(h, "consume_refs", None)
+            if cr is not None:
+                cr(refs)
+            else:
+                import ray.data as _rd
+                h(_rd.from_arrow_refs(refs))
 
 
 def assemble_documents(pages: rd.Dataset, content_dedup: bool = False,
