@@ -1,0 +1,121 @@
+"""Unit semantics for the heavy-hitters sketch (Misra-Gries screen +
+exact verify + certificate) and distributed connected components —
+the paths the registry-level DuckDB gate doesn't reach: the MG
+compression/certificate machinery (lossless at gate scale, D=0), the
+certified-vs-fallback branch, and driver-union-find == distributed
+min-label-propagation parity."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from web_crawler_ray.stages.graph import (component_sizes,
+                                          connected_components,
+                                          _union_find)
+from web_crawler_ray.stages.sketches import _mg_reduce, heavy_hitters
+
+
+def _exact_topk(values, k):
+    c = collections.Counter(values)
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+# --- Misra-Gries reduction ---------------------------------------------------
+
+def test_mg_reduce_bound_and_passthrough():
+    vals = pa.array([1, 2, 3, 4, 5])
+    cnts = np.array([50, 40, 30, 20, 10])
+    v2, c2, theta = _mg_reduce(vals, cnts, m=5)
+    assert theta == 0 and len(v2) == 5  # fits: lossless
+    v3, c3, theta3 = _mg_reduce(vals, cnts, m=2)
+    # theta = 3rd largest (30); survivors decremented, positives kept
+    assert theta3 == 30
+    assert v3.to_pylist() == [1, 2] and c3.tolist() == [20, 10]
+    # MG guarantee: dropped values had count <= theta
+    dropped = set(vals.to_pylist()) - set(v3.to_pylist())
+    assert all(cnts[vals.to_pylist().index(d)] <= theta3 for d in dropped)
+
+
+def test_heavy_hitters_zipf_certified_exact(ray_session):
+    rng = np.random.default_rng(7)
+    v = rng.zipf(1.5, 120_000).astype(np.int64)
+    v = v[v < 10_000]
+    ds = rd.from_arrow(pa.table({"v": v})).repartition(8)
+    t = heavy_hitters(ds, "v", k=10, m=64)
+    got = list(zip(t.column("v").to_pylist(), t.column("n_rows").to_pylist()))
+    assert got == _exact_topk(v.tolist(), 10)
+
+
+def test_heavy_hitters_uniform_fallback_exact(ray_session):
+    # near-uniform data with a tiny summary: the certificate cannot
+    # hold, so the unconditional groupby fallback must fire — result
+    # is exact either way.
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 400, 30_000)
+    ds = rd.from_arrow(pa.table({"v": u})).repartition(4)
+    t = heavy_hitters(ds, "v", k=7, m=8)
+    got = list(zip(t.column("v").to_pylist(), t.column("n_rows").to_pylist()))
+    assert got == _exact_topk(u.tolist(), 7)
+
+
+def test_heavy_hitters_strings_and_ties(ray_session):
+    s = (["b"] * 30 + ["a"] * 30 + ["c"] * 10 + ["d"] * 5) * 3
+    ds = rd.from_arrow(pa.table({"v": pa.array(s)})).repartition(3)
+    t = heavy_hitters(ds, "v", k=3, m=16)
+    # tie between a and b broken by value ascending
+    assert t.column("v").to_pylist() == ["a", "b", "c"]
+    assert t.column("n_rows").to_pylist() == [90, 90, 30]
+
+
+# --- connected components ----------------------------------------------------
+
+def test_union_find_basic():
+    nodes, comp = _union_find(np.array([1, 3, 10]), np.array([2, 1, 11]))
+    m = dict(zip(nodes.tolist(), comp.tolist()))
+    assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_driver_equals_distributed(ray_session):
+    rng = np.random.default_rng(3)
+    u = rng.integers(0, 1500, 1000).astype(np.int64)
+    v = rng.integers(0, 1500, 1000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": u, "dst": v})).repartition(4)
+    drv = connected_components(ds, driver_limit=10**6)
+    dist = connected_components(ds, driver_limit=0, num_partitions=4)
+    dt = pa.concat_tables(
+        [pa.table(b) for b in dist.iter_batches(batch_format="pyarrow")]
+    ).sort_by("node")
+    assert drv.column("node").to_pylist() == dt.column("node").to_pylist()
+    assert (drv.column("component").to_pylist()
+            == dt.column("component").to_pylist())
+    sizes = component_sizes(drv)
+    assert sum(sizes.column("n_nodes").to_pylist()) == drv.num_rows
+    # every component label is the min node id of its members
+    comp = np.array(drv.column("component").to_pylist())
+    node = np.array(drv.column("node").to_pylist())
+    for c in np.unique(comp):
+        assert node[comp == c].min() == c
+
+
+def test_cc_chain_high_diameter(ray_session):
+    # a 60-node path graph: worst case for min-label propagation
+    # (diameter 59) — must still converge under max_iters
+    n = 60
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(np.arange(n - 1, 0, -1, dtype=np.int64)),
+        "dst": pa.array(np.arange(n - 2, -1, -1, dtype=np.int64))}))
+    dist = connected_components(ds, driver_limit=0, num_partitions=2,
+                                max_iters=64)
+    dt = pa.concat_tables(
+        [pa.table(b) for b in dist.iter_batches(batch_format="pyarrow")])
+    assert set(dt.column("component").to_pylist()) == {0}
+    assert dt.num_rows == n
+
+
+def test_cc_empty(ray_session):
+    ds = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64())}))
+    t = connected_components(ds)
+    assert t.num_rows == 0

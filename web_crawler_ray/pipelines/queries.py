@@ -1224,6 +1224,50 @@ def q_decontaminate_bloom(sf_dir: str):
             .select_columns(["doc_id"]))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """EXACT top-25 customers by order count via the two-pass
+    Misra-Gries screen + broadcast exact verify (stages/sketches.py
+    heavy_hitters). At this sf the per-batch distinct count fits the
+    summary (theta=0, D=0) so the certificate holds trivially; the
+    certificate/fallback machinery is pinned separately in pytest on
+    zipf data with a forced-small summary."""
+    from ..stages.sketches import heavy_hitters
+    ds = _rp(sf_dir, "orders", columns=["o_custkey"])
+    return heavy_hitters(ds, "o_custkey", k=25, m=512,
+                         count_name="n_orders")
+
+
+def q_connected_components(sf_dir: str):
+    """Connected components of the orders—customer—nation graph
+    (node encoding: order=4k, customer=4k+1, nation=4k+2), reported as
+    O(components) sizes. The same operator resolves near-dup pair sets
+    into duplicate clusters at 100 TB (stages/graph.py); here it is
+    graded against a DuckDB recursive-CTE transitive-closure oracle.
+    The edge count is far under DRIVER_CC_MAX so the union-find fast
+    path runs; driver==distributed parity is pinned in pytest."""
+    from ..stages.graph import component_sizes, connected_components
+
+    def ord_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.multiply(t.column("o_orderkey"), pa.scalar(4)),
+            "dst": pc.add(pc.multiply(t.column("o_custkey"),
+                                      pa.scalar(4)), pa.scalar(1))})
+
+    def cust_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.add(pc.multiply(t.column("c_custkey"),
+                                      pa.scalar(4)), pa.scalar(1)),
+            "dst": pc.add(pc.multiply(pc.cast(t.column("c_nationkey"),
+                                              pa.int64()),
+                                      pa.scalar(4)), pa.scalar(2))})
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_edges, batch_format="pyarrow")
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_edges, batch_format="pyarrow")
+    return component_sizes(connected_components(orders.union(cust)))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1261,6 +1305,8 @@ def registry() -> dict:
         "json_field_agg": q_json_field_agg,
         "hll_distinct": q_hll_distinct,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "heavy_hitters": q_heavy_hitters,
+        "connected_components": q_connected_components,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,
         "except_custkeys": q_except_custkeys,
@@ -1651,6 +1697,23 @@ ORACLES: dict[str, str] = {
         f"bad AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench)) "
         f"SELECT doc_id FROM documents WHERE NOT ({_DECON_BLOOM_BENCH}) "
         f"AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    "heavy_hitters":
+        "SELECT o_custkey, COUNT(*)::BIGINT AS n_orders FROM orders "
+        "GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 25",
+    "connected_components":
+        "WITH RECURSIVE e AS ("
+        "SELECT o_orderkey*4 AS u, o_custkey*4+1 AS v FROM orders "
+        "UNION SELECT c_custkey*4+1 AS u, c_nationkey*4+2 AS v "
+        "FROM customer), "
+        "und AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e "
+        "UNION SELECT u, u FROM e UNION SELECT v AS u, v AS v FROM e), "
+        "reach AS (SELECT u AS node, u AS r FROM und "
+        "UNION SELECT reach.node, und.v AS r FROM reach "
+        "JOIN und ON und.u = reach.r), "
+        "comp AS (SELECT node, MIN(r) AS component FROM reach "
+        "GROUP BY node) "
+        "SELECT component, COUNT(*)::BIGINT AS n_nodes FROM comp "
+        "GROUP BY component ORDER BY component",
     "argmax_events":
         "SELECT event_type, event_id, value FROM events QUALIFY "
         "row_number() OVER (PARTITION BY event_type "

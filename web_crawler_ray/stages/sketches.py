@@ -116,3 +116,122 @@ def hll_distinct(ds, key: str, value: str, p: int = HLL_P):
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(key)
               .map_groups(merge, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters: Misra-Gries screen + exact verify + certificate
+# ---------------------------------------------------------------------------
+
+def _mg_reduce(vals: pa.Array, cnts: np.ndarray, m: int):
+    """One Misra-Gries reduction: shrink a (value, count) summary to at
+    most ``m`` entries by subtracting the (m+1)-th largest count from
+    every entry and dropping the non-positives. Returns
+    (vals, cnts, theta) where ``theta`` is the decrement applied — any
+    value ABSENT from the result had a count of at most ``theta`` in
+    the summarized stream (Misra & Gries 1982)."""
+    if len(cnts) <= m:
+        return vals, cnts, 0
+    theta = int(np.partition(cnts, -(m + 1))[-(m + 1)])
+    keep = cnts > theta
+    return vals.filter(pa.array(keep)), cnts[keep] - theta, theta
+
+
+def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
+                  count_name: str = "n_rows"):
+    """EXACT top-``k`` most frequent values of ``value``, computed with
+    two streaming passes and no all-to-all shuffle — the scale answer
+    to ``GROUP BY value ORDER BY count DESC LIMIT k`` when the distinct
+    count is huge but the interesting set is small.
+
+    Pass 1 (screen): each batch builds a Misra-Gries summary of at most
+    ``m`` (value, count) rows via the Arrow ``group_by`` kernel + one
+    ``np.partition``; the driver merges O(blocks x m) tiny rows and
+    accumulates the total decrement D = sum(theta_b). Any value absent
+    from EVERY batch summary has true count <= D.
+
+    Pass 2 (verify): the merged candidate set is broadcast once
+    (``ray.put``) and each batch counts ONLY candidate occurrences
+    (``pc.is_in`` + group_by), so the exact counts of all candidates
+    arrive at the driver without shuffling the long tail.
+
+    Certificate: if the exact k-th candidate count > D, no non-candidate
+    can reach the top k, hence the result is PROVABLY the exact top-k
+    (ties broken by value ascending, both here and in the oracle SQL).
+    If the certificate fails (near-uniform data, m too small) the op
+    falls back to the plain distributed groupby-count -> sort -> limit —
+    exactness is unconditional; only the fast path is conditional.
+
+    Reference has no sketch layer (its aggregates are single-process
+    exact, data-quality.service.js:114-136); this is the LLM-pipeline
+    extension for e.g. hottest-domain / hottest-token reports at 100 TB.
+    Returns an ordered ``pyarrow.Table`` (value, count_name).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        g = (t.select([value]).group_by([value], use_threads=False)
+              .aggregate([([], "count_all")]))
+        vals = g.column(value).combine_chunks()
+        cnts = g.column("count_all").to_numpy(zero_copy_only=False)
+        vals, cnts, theta = _mg_reduce(vals, cnts, m)
+        dec = np.zeros(len(cnts), np.int64)
+        if len(dec):
+            dec[0] = theta
+        return pa.table({value: vals,
+                         "mg_count": pa.array(cnts, pa.int64()),
+                         "dec": pa.array(dec, pa.int64())})
+
+    parts = [pa.table(b) for b in
+             ds.map_batches(mg_partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")]
+    vtype = (parts[0].schema.field(value).type if parts
+             else getattr(ds.schema(), "base_schema", pa.schema(
+                 [(value, pa.int64())])).field(value).type)
+    empty = pa.table({value: pa.array([], vtype),
+                      count_name: pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    cat = pa.concat_tables(parts)
+    if cat.num_rows == 0:
+        return empty
+    total_dec = int(pc.sum(cat.column("dec")).as_py() or 0)
+    cand = (cat.group_by([value], use_threads=False)
+               .aggregate([("mg_count", "sum")]).column(value))
+
+    cand_ref = ray.put(cand.combine_chunks())
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        col = t.column(value)
+        hit = t.filter(pc.is_in(col, value_set=cset))
+        g = (hit.select([value]).group_by([value], use_threads=False)
+                .aggregate([([], "count_all")]))
+        return g.rename_columns([value, count_name])
+
+    eparts = [pa.table(b) for b in
+              ds.map_batches(exact_partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")]
+    ecat = pa.concat_tables([p for p in eparts if p.num_rows] or [empty])
+    merged = (ecat.group_by([value], use_threads=False)
+                  .aggregate([(count_name, "sum")])
+                  .rename_columns([value, count_name]))
+    topk = merged.sort_by([(count_name, "descending"),
+                           (value, "ascending")]).slice(0, k)
+
+    kth = (int(topk.column(count_name)[topk.num_rows - 1].as_py())
+           if topk.num_rows else 0)
+    if topk.num_rows >= min(k, merged.num_rows) and kth > total_dec:
+        return topk  # certified exact: no absent value can reach kth
+
+    # Certificate failed (heavy tail not separable at this m): fall back
+    # to the unconditional exact plan — distributed count + sort +
+    # limit; the driver sees only the k result rows.
+    from ray.data.aggregate import Count
+    full = (ds.groupby(value).aggregate(Count(alias_name=count_name))
+              .sort([count_name, value], descending=[True, False])
+              .limit(k))
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in full.iter_batches(batch_format="pyarrow")]
+        or [empty])
+    return tbl.select([value, count_name])
