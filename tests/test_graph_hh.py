@@ -119,3 +119,24 @@ def test_cc_empty(ray_session):
                                  "dst": pa.array([], pa.int64())}))
     t = connected_components(ds)
     assert t.num_rows == 0
+
+
+def test_drop_duplicates_by_pairs_driver_equals_distributed(ray_session):
+    import pandas as pd
+    import ray.data as rd2
+    from web_crawler_ray.stages.dedup import drop_duplicates_by_pairs
+    ids = np.arange(40, dtype=np.int64)
+    ds = rd2.from_arrow(pa.table({"doc_id": ids,
+                                  "text": [f"t{i}" for i in ids]})) \
+             .repartition(3)
+    # pairs forming chains {0,1,2}, {5,6}, {10,11,12,13}
+    pairs = pd.DataFrame({"id_a": [0, 1, 5, 10, 11, 12],
+                          "id_b": [1, 2, 6, 11, 12, 13]})
+    a = drop_duplicates_by_pairs(ds, pairs)            # driver path
+    b = drop_duplicates_by_pairs(ds, pairs, driver_limit=0,
+                                 num_partitions=2)     # distributed
+    ga = sorted(a.to_pandas()["doc_id"].tolist())
+    gb = sorted(b.to_pandas()["doc_id"].tolist())
+    assert ga == gb
+    expect = sorted(set(ids.tolist()) - {1, 2, 6, 11, 12, 13})
+    assert ga == expect

@@ -800,14 +800,18 @@ def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup: candidate pairs verified DISTRIBUTIVELY at
     Jaccard ≥ 0.8 (pair list broadcast, shingle sets joined by a
     groupby(pair_id) shuffle — the corpus never reaches the driver),
-    then keep the min doc_id per connected component via a broadcast
-    anti-join (non-SQL; rows-only driver check + pytest assertions vs
-    brute-force Jaccard)."""
+    then keep the min doc_id per connected component
+    (dedup.drop_duplicates_by_pairs: driver union-find + broadcast
+    anti-join at this pair count; the distributed min-label-propagation
+    + shuffled-anti-join form above DRIVER_CC_MAX is pinned output-equal
+    in tests). Non-SQL; rows-only driver check + pytest assertions vs
+    brute-force Jaccard."""
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = D.minhash_candidate_pairs_df(ds)  # O(pairs) — tiny
     verified = D.verify_jaccard_pairs(ds, pairs)
-    dropped = D.union_find_drop_set(verified[verified["jaccard"] >= 0.8])
-    return D.drop_ids(ds, dropped).select_columns(["doc_id"])
+    return D.drop_duplicates_by_pairs(
+        ds, verified[verified["jaccard"] >= 0.8]) \
+        .select_columns(["doc_id"])
 
 
 def q_jaccard_pairs(sf_dir: str):

@@ -1130,6 +1130,61 @@ def union_find_drop_set(verified: pd.DataFrame) -> set[int]:
     return {i for i in members if find(i) != i}
 
 
+def drop_duplicates_by_pairs(ds, pairs, id_col: str = "doc_id",
+                             driver_limit: int | None = None,
+                             num_partitions: int = 8):
+    """Resolve verified duplicate PAIRS into connected components and
+    drop every member except the component minimum — the clustering
+    tail of every near-dup pipeline (reference semantics:
+    enhanced-deduplication.service.js keeps the first of each group).
+
+    ``pairs`` is a pandas DataFrame or Dataset with (id_a, id_b).
+    Below ``driver_limit`` edges (default stages/graph.DRIVER_CC_MAX)
+    the union-find runs driver-side and the O(drop) id set broadcasts
+    into a streamed ``np.isin`` filter — right while pairs fit one
+    machine. Above it — or when forced with ``driver_limit=0`` — the
+    components run as the distributed min-label propagation
+    (stages/graph.py) and the drop is the keyed shuffled anti-join
+    (relational.semi_join_shuffled), so neither the pair graph nor the
+    corpus ever materializes on the driver. Output identical either
+    way (pinned in tests/test_graph_hh.py)."""
+    import pandas as pd
+    import ray.data as rd
+    from .graph import DRIVER_CC_MAX, connected_components
+    if driver_limit is None:
+        driver_limit = DRIVER_CC_MAX
+
+    if isinstance(pairs, pd.DataFrame):
+        edges_tbl = pa.table({
+            "src": pa.array(pairs["id_a"].to_numpy(np.int64)),
+            "dst": pa.array(pairs["id_b"].to_numpy(np.int64))})
+        edges = rd.from_arrow(edges_tbl)
+    else:
+        edges = pairs.map_batches(
+            lambda t: pa.table({"src": t.column("id_a").cast(pa.int64()),
+                                "dst": t.column("id_b").cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    cc = connected_components(edges, driver_limit=driver_limit,
+                              num_partitions=num_partitions)
+    if isinstance(cc, pa.Table):  # driver path: broadcast the drop set
+        node = cc.column("node").to_numpy(zero_copy_only=False)
+        comp = cc.column("component").to_numpy(zero_copy_only=False)
+        return drop_ids(ds, set(node[node != comp].tolist()), id_col)
+    # distributed path: (node != component) rows are the drops; remove
+    # them with the shuffled anti-join — one keyed exchange, no driver.
+    import pyarrow.compute as pc
+    from .relational import semi_join_shuffled
+
+    def _drops(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("node"), t.column("component"))
+        return pa.table({id_col: t.column("node").filter(keep)})
+
+    drops = cc.map_batches(_drops, batch_format="pyarrow")
+    return semi_join_shuffled(ds, drops, id_col, anti=True,
+                              num_partitions=num_partitions)
+
+
 def drop_ids(ds, dropped: set[int], id_col: str = "doc_id"):
     """Anti-join a (small, broadcast) drop set against a Dataset:
     vectorized np.isin inside map_batches — the corpus streams."""
