@@ -175,7 +175,9 @@ def run_queries(num_cpus: int) -> dict:
              "media_features", "asof_join_events", "decontaminate",
              "rolling_avg_events", "semantic_dedup", "tfidf_topk",
              "dup_ngram_stats", "group_centroids", "funnel_events",
-             "hll_distinct", "decontaminate_bloom", "cube_lineitem"]
+             "hll_distinct", "decontaminate_bloom", "cube_lineitem",
+             "heavy_hitters", "connected_components", "pagerank",
+             "approx_quantiles"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -140,3 +140,79 @@ def test_drop_duplicates_by_pairs_driver_equals_distributed(ray_session):
     assert ga == gb
     expect = sorted(set(ids.tolist()) - {1, 2, 6, 11, 12, 13})
     assert ga == expect
+
+
+# --- pagerank ----------------------------------------------------------------
+
+def test_pagerank_driver_equals_distributed(ray_session):
+    from web_crawler_ray.stages.graph import pagerank
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 300, 900).astype(np.int64)
+    v = rng.integers(0, 300, 900).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": u, "dst": v})).repartition(4)
+    a = pagerank(ds, n_iters=3)
+    b = pagerank(ds, n_iters=3, driver_limit=0, num_partitions=4)
+    assert a.column("node").to_pylist() == b.column("node").to_pylist()
+    ar = np.array(a.column("rank").to_pylist())
+    br = np.array(b.column("rank").to_pylist())
+    assert np.allclose(ar, br, rtol=1e-12, atol=1e-15)
+
+
+def test_pagerank_dangling_and_base(ray_session):
+    from web_crawler_ray.stages.graph import pagerank
+    # single edge 1 -> 2: node 2 is dangling (outdeg 0) and leaks its
+    # mass; node 1 has no in-edges so it keeps only the base term.
+    ds = rd.from_arrow(pa.table({"src": pa.array([1], pa.int64()),
+                                 "dst": pa.array([2], pa.int64())}))
+    t = pagerank(ds, n_iters=1, damping=0.85)
+    m = dict(zip(t.column("node").to_pylist(),
+                 t.column("rank").to_pylist()))
+    base = (1.0 - 0.85) / 2
+    assert abs(m[1] - base) < 1e-15
+    assert abs(m[2] - (base + 0.85 * 0.5)) < 1e-15
+
+
+def test_pagerank_mass_conserved_no_dangling(ray_session):
+    from web_crawler_ray.stages.graph import pagerank
+    # a 3-cycle: no dangling nodes => total mass stays 1 exactly
+    ds = rd.from_arrow(pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                                 "dst": pa.array([1, 2, 0], pa.int64())}))
+    t = pagerank(ds, n_iters=5)
+    assert abs(sum(t.column("rank").to_pylist()) - 1.0) < 1e-12
+
+
+# --- approx quantiles --------------------------------------------------------
+
+def test_approx_quantiles_lossless_equals_exact(ray_session):
+    import math
+    from web_crawler_ray.stages.sketches import approx_quantiles
+    rng = np.random.default_rng(1)
+    keys = rng.choice(["a", "b", "c"], 9000)
+    vals = rng.normal(size=9000)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(6)
+    t = approx_quantiles(ds, "k", "v", [0.25, 0.5, 0.9], k=4096) \
+        .to_pandas().set_index("k")
+    for kk in "abc":
+        sub = np.sort(vals[keys == kk])
+        n = len(sub)
+        for q, nm in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
+            exact = float(sub[min(max(math.ceil(q * n) - 1, 0), n - 1)])
+            assert t.loc[kk, nm] == exact, (kk, nm)
+
+
+def test_approx_quantiles_lossy_rank_bound(ray_session):
+    import math
+    from web_crawler_ray.stages.sketches import approx_quantiles
+    rng = np.random.default_rng(9)
+    vals = rng.normal(size=100_000)
+    ds = rd.from_arrow(pa.table({"k": np.repeat("x", len(vals)),
+                                 "v": vals})).repartition(8)
+    k = 64
+    t = approx_quantiles(ds, "k", "v", [0.1, 0.5, 0.99], k=k,
+                         names=["q10", "q50", "q99"]).to_pandas()
+    sv = np.sort(vals)
+    n = len(sv)
+    for q, nm in [(0.1, "q10"), (0.5, "q50"), (0.99, "q99")]:
+        got = t[nm].iloc[0]
+        true_rank = np.searchsorted(sv, got, side="right")
+        assert abs(true_rank - math.ceil(q * n)) <= 2 * n / (k - 1), nm

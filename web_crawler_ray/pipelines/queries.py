@@ -1272,6 +1272,87 @@ def q_connected_components(sf_dir: str):
     return component_sizes(connected_components(orders.union(cust)))
 
 
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank (3 iters, d=0.85) over the directed
+    both-ways orders<->customer<->nation link graph — the crawl-scale
+    ranking signal (stages/graph.py pagerank: iterated join + grouped
+    sum above the driver limit; numpy scatter below, parity-pinned).
+    Oracle: the SAME three iterations unrolled as plain SQL CTEs;
+    both sides round to 9 decimals."""
+    from ..stages.graph import pagerank
+
+    def ord_edges(t: pa.Table) -> pa.Table:
+        o = pc.multiply(t.column("o_orderkey"), pa.scalar(4))
+        c = pc.add(pc.multiply(t.column("o_custkey"), pa.scalar(4)),
+                   pa.scalar(1))
+        return pa.table({"src": pa.concat_arrays(
+                             [o.combine_chunks(), c.combine_chunks()]),
+                         "dst": pa.concat_arrays(
+                             [c.combine_chunks(), o.combine_chunks()])})
+
+    def cust_edges(t: pa.Table) -> pa.Table:
+        c = pc.add(pc.multiply(t.column("c_custkey"), pa.scalar(4)),
+                   pa.scalar(1))
+        n = pc.add(pc.multiply(pc.cast(t.column("c_nationkey"),
+                                       pa.int64()), pa.scalar(4)),
+                   pa.scalar(2))
+        return pa.table({"src": pa.concat_arrays(
+                             [c.combine_chunks(), n.combine_chunks()]),
+                         "dst": pa.concat_arrays(
+                             [n.combine_chunks(), c.combine_chunks()])})
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(ord_edges, batch_format="pyarrow")
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_edges, batch_format="pyarrow")
+    t = pagerank(orders.union(cust), n_iters=3, damping=0.85)
+    return pa.table({"node": t.column("node"),
+                     "pr": pa.array(np.round(
+                         t.column("rank").to_numpy(), 9))})
+
+
+def _pagerank_oracle_sql() -> str:
+    e = ("SELECT DISTINCT o_orderkey*4 AS u, o_custkey*4+1 AS v "
+         "FROM orders UNION "
+         "SELECT DISTINCT o_custkey*4+1 AS u, o_orderkey*4 AS v "
+         "FROM orders UNION "
+         "SELECT DISTINCT c_custkey*4+1 AS u, c_nationkey*4+2 AS v "
+         "FROM customer UNION "
+         "SELECT DISTINCT c_nationkey*4+2 AS u, c_custkey*4+1 AS v "
+         "FROM customer")
+    sql = (f"WITH e AS ({e}), "
+           "nodes AS (SELECT u AS n FROM e UNION SELECT v AS n FROM e), "
+           "nn AS (SELECT COUNT(*)::DOUBLE AS cnt FROM nodes), "
+           "deg AS (SELECT u, COUNT(*)::DOUBLE AS d FROM e GROUP BY u), "
+           "pr0 AS (SELECT nodes.n, 1.0/(SELECT cnt FROM nn) AS r "
+           "FROM nodes)")
+    prev = "pr0"
+    for i in (1, 2, 3):
+        sql += (f", s{i} AS (SELECT e.v AS n, SUM({prev}.r/deg.d) AS c "
+                f"FROM e JOIN {prev} ON {prev}.n = e.u "
+                f"JOIN deg ON deg.u = e.u GROUP BY e.v), "
+                f"pr{i} AS (SELECT nodes.n, "
+                f"(1.0-0.85)/(SELECT cnt FROM nn) + 0.85*COALESCE(s{i}.c, 0) "
+                f"AS r FROM nodes LEFT JOIN s{i} ON s{i}.n = nodes.n)")
+        prev = f"pr{i}"
+    return sql + (" SELECT n AS node, round(r, 9) AS pr FROM pr3 "
+                  "ORDER BY node")
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Per-group quantiles via the MERGEABLE uniform summary
+    (stages/sketches.py approx_quantiles — the order-statistics member
+    of the sketch family). At gate scale every batch-group fits the
+    k=4096 summary, so the sketch is lossless and the result equals
+    DuckDB quantile_disc exactly; the lossy-regime rank-error bound
+    (~2N/(k-1)) is pinned separately in pytest at forced-small k."""
+    from ..stages.sketches import approx_quantiles
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return approx_quantiles(ds, "event_type", "value",
+                            qs=[0.25, 0.5, 0.9], k=4096,
+                            names=["q25", "q50", "q90"])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1311,6 +1392,8 @@ def registry() -> dict:
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
+        "pagerank": q_pagerank,
+        "approx_quantiles": q_approx_quantiles,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,
         "except_custkeys": q_except_custkeys,
@@ -1598,6 +1681,11 @@ ORACLES: dict[str, str] = {
         "PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_avg "
         "FROM events",
+    "approx_quantiles":
+        "SELECT event_type, quantile_disc(value, 0.25) AS q25, "
+        "quantile_disc(value, 0.5) AS q50, "
+        "quantile_disc(value, 0.9) AS q90 FROM events "
+        "GROUP BY event_type",
     "quantiles_by_type":
         "SELECT event_type, quantile_disc(value, 0.25) AS q25, "
         "quantile_disc(value, 0.5) AS q50, quantile_disc(value, 0.75) AS q75, "
@@ -1718,6 +1806,7 @@ ORACLES: dict[str, str] = {
         "GROUP BY node) "
         "SELECT component, COUNT(*)::BIGINT AS n_nodes FROM comp "
         "GROUP BY component ORDER BY component",
+    "pagerank": _pagerank_oracle_sql(),
     "argmax_events":
         "SELECT event_type, event_id, value FROM events QUALIFY "
         "row_number() OVER (PARTITION BY event_type "
