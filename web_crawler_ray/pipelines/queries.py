@@ -1237,7 +1237,12 @@ def q_heavy_hitters(sf_dir: str):
     zipf data with a forced-small summary."""
     from ..stages.sketches import heavy_hitters
     ds = _rp(sf_dir, "orders", columns=["o_custkey"])
-    return heavy_hitters(ds, "o_custkey", k=25, m=512,
+    # m sized to the column's distinct count (no heavy tail exists in
+    # o_custkey, so an honest smaller summary cannot certify and would
+    # route every run through the full-groupby fallback — correct but
+    # two extra Ray jobs; with theta=0 the screen is lossless and the
+    # certificate holds at every sf)
+    return heavy_hitters(ds, "o_custkey", k=25, m=16384,
                          count_name="n_orders")
 
 

@@ -80,6 +80,9 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst",
     import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
 
+    # Pin the edge list once: count() would otherwise execute the
+    # upstream pipeline and the real consumer would re-execute it.
+    edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges == 0:
         return pa.table({"node": pa.array([], pa.int64()),
@@ -202,6 +205,7 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
+    edges_ds = edges_ds.materialize()  # one execution; count() is metadata
     n_edges = edges_ds.count()
     if n_edges == 0:
         return pa.table({"node": pa.array([], pa.int64()),
