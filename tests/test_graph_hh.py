@@ -216,3 +216,24 @@ def test_approx_quantiles_lossy_rank_bound(ray_session):
         got = t[nm].iloc[0]
         true_rank = np.searchsorted(sv, got, side="right")
         assert abs(true_rank - math.ceil(q * n)) <= 2 * n / (k - 1), nm
+
+
+def test_cc_and_pagerank_hot_hub_skew(ray_session):
+    # star graph: node 0 is a hub with 20k spokes — the grouped min/sum
+    # sees one hot key; decomposable aggs (min/sum) partial-merge, so
+    # the distributed path must complete and agree with the driver path
+    from web_crawler_ray.stages.graph import connected_components, pagerank
+    n = 20_000
+    spokes = np.arange(1, n + 1, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "src": np.zeros(n, np.int64), "dst": spokes})).repartition(8)
+    dist = connected_components(ds, driver_limit=0, num_partitions=4)
+    dt = pa.concat_tables(
+        [pa.table(b) for b in dist.iter_batches(batch_format="pyarrow")])
+    assert dt.num_rows == n + 1
+    assert set(dt.column("component").to_pylist()) == {0}
+    pr_d = pagerank(ds, n_iters=2, driver_limit=0, num_partitions=4)
+    pr_l = pagerank(ds, n_iters=2)
+    assert np.allclose(np.array(pr_d.column("rank").to_pylist()),
+                       np.array(pr_l.column("rank").to_pylist()),
+                       rtol=1e-12, atol=1e-15)

@@ -7,22 +7,65 @@ groups); the minhash/LSH ops in ``stages/dedup.py`` produce PAIRS and
 today resolve them into components with a driver union-find over
 O(pairs) rows. That is the right call while pairs fit on the driver;
 this module adds the 100 TB form: min-label propagation expressed as
-iterated Ray ``join`` + ``groupby().min()`` jobs, with the driver
-seeing only an O(1) convergence scalar per round.
+iterated keyed exchanges (tagged-union sort-groupby + ``min()``), with
+the driver seeing only an O(1) convergence scalar per round.
 
-Rounds needed = graph diameter (near-dup clusters are star-ish:
-diameter 2-3 in practice). Each round is one hash join of the
-undirected edge list against the current labels plus one grouped min —
-two keyed shuffles of O(E) rows; no driver materialization.
+Rounds needed = O(log diameter) with the pointer jump (near-dup
+clusters are star-ish: diameter 2-3 in practice). Each round is a
+keyed exchange of the undirected edge list with the current labels
+plus one grouped min — O(E)-row shuffles; no driver materialization.
+Dataset.join is deliberately avoided: its hash shuffle fails on
+fully-empty partitions, which converged label columns produce.
 """
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import ray
 
 DRIVER_CC_MAX = 500_000  # edge count below which union-find runs driver-
 # side: O(E alpha(N)) on one core beats 2 keyed shuffles per round, and
 # the input is the SAME O(E) row stream a single reduce task would see.
+
+
+def _owner_lookup(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition kernel for the keyed owner-lookup exchange (the
+    join-free form of ``edges JOIN labels``): rows with tag=1 define a
+    unique gkey -> lab mapping; rows with tag=0 carry (gkey, dst) and
+    emit (node=dst, label=lab[gkey]). Fully vectorized (argsort +
+    searchsorted); every follower's owner is co-partitioned by
+    construction (same gkey => same partition)."""
+    tag = df["tag"].to_numpy()
+    own, fol = df[tag == 1], df[tag == 0]
+    if not len(fol):
+        return pd.DataFrame({"node": np.array([], np.int64),
+                             "label": np.array([], np.int64)})
+    ok = own["gkey"].to_numpy(np.int64)
+    ol = own["lab"].to_numpy(np.int64)
+    o = np.argsort(ok, kind="stable")
+    ok, ol = ok[o], ol[o]
+    idx = np.searchsorted(ok, fol["gkey"].to_numpy(np.int64))
+    return pd.DataFrame({"node": fol["dst"].to_numpy(np.int64),
+                         "label": ol[idx]})
+
+
+def _min_per_node(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition kernel: MIN(label) GROUP BY node, vectorized."""
+    n = df["node"].to_numpy(np.int64)
+    lb = df["label"].to_numpy(np.int64)
+    if not len(n):
+        return pd.DataFrame({"node": n, "label": lb})
+    order = np.lexsort((lb, n))
+    ns, ls = n[order], lb[order]
+    starts = np.concatenate(([0], np.flatnonzero(ns[1:] != ns[:-1]) + 1))
+    return pd.DataFrame({"node": ns[starts], "label": ls[starts]})
+
+
+@ray.remote
+def _label_sum(t: pa.Table) -> int:
+    import pyarrow.compute as pc
+    return int(pc.sum(t.column("label")).as_py() or 0)
 
 
 def _union_find(u: np.ndarray, v: np.ndarray):
@@ -64,8 +107,10 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst",
     it — the distributed plan runs min-label propagation:
 
         labels   <- distinct nodes, label = node
-        repeat:  msgs  = und_edges JOIN labels ON src == node
-                 labels = msgs GROUP BY dst MIN(label)
+        repeat:  msgs  = (und_edges + labels) GROUP BY src:
+                         each edge row gets its src's label
+                 labels = msgs GROUP BY dst MIN(label), then one
+                         pointer-jump indirection
         until    sum(label) stops decreasing   (one scalar per round)
 
     The undirected edge list carries self-loops so every node hears its
@@ -121,34 +166,57 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst",
     labels = (und.groupby("src").aggregate(Count(alias_name="_n"))
               .map_batches(init_labels, batch_format="pyarrow")
               .materialize())
+    # Every keyed exchange below rides the raw-task hash shuffle
+    # (shuffles.int_part_map — two flat task waves, vectorized kernel
+    # per partition), never Dataset.join or the sort-based groupby:
+    # the join's hash shuffle breaks on fully-empty partitions
+    # (schema-less blocks), which converged label columns (all rows
+    # sharing one value) produce routinely, and the sort path pays a
+    # multi-second fixed job cost PER EXCHANGE — ruinous in a loop
+    # that runs three exchanges per round.
+    from .shuffles import int_part_map
+
+    def tag_und(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({"gkey": t.column("src"), "dst": t.column("dst"),
+                         "lab": pa.array(z),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_own(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("node"),
+                         "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "lab": t.column("label"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def tag_fol(t: pa.Table) -> pa.Table:
+        # pointer-jump followers: keyed by their LABEL, payload = node
+        return pa.table({"gkey": t.column("label"),
+                         "dst": t.column("node"),
+                         "lab": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
     prev_sum = None
     for _ in range(max_iters):
-        msgs = und.join(labels, join_type="inner",
-                        num_partitions=num_partitions,
-                        on=("src",), right_on=("node",))
-        l1 = (msgs.groupby("dst")
-                  .aggregate(Min("label", alias_name="label"))
-                  .map_batches(lambda t: t.rename_columns(
-                      ["node", "label"]),
-                      batch_format="pyarrow")
-                  .materialize())
+        tagged = und.map_batches(tag_und, batch_format="pyarrow") \
+                    .union(labels.map_batches(tag_own,
+                                              batch_format="pyarrow"))
+        msgs = int_part_map(tagged, "gkey", _owner_lookup,
+                            num_partitions=num_partitions)
+        l1 = int_part_map(msgs, "node", _min_per_node,
+                          num_partitions=num_partitions)
         # Pointer jump (label <- label(label)): every label IS a node
         # id (init = self, propagated = min of node ids), and labels
-        # are monotone non-increasing, so one extra self-join doubles
+        # are monotone non-increasing, so one extra indirection doubles
         # the effective propagation distance — O(log diameter) rounds
         # on path-like graphs instead of O(diameter).
-        jump = l1.map_batches(
-            lambda t: t.rename_columns(["jnode", "jlabel"]),
-            batch_format="pyarrow")
-        labels = (l1.join(jump, join_type="inner",
-                          num_partitions=num_partitions,
-                          on=("label",), right_on=("jnode",))
-                    .map_batches(lambda t: pa.table(
-                        {"node": t.column("node"),
-                         "label": t.column("jlabel")}),
-                        batch_format="pyarrow")
-                    .materialize())
-        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        jt = l1.map_batches(tag_fol, batch_format="pyarrow") \
+               .union(l1.map_batches(tag_own, batch_format="pyarrow"))
+        labels = int_part_map(jt, "gkey", _owner_lookup,
+                              num_partitions=num_partitions)
+        # Convergence scalar: per-block remote sums — the label vector
+        # itself never reaches the driver.
+        s = sum(ray.get([_label_sum.remote(r)
+                         for r in labels.to_arrow_refs()]))
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
@@ -196,8 +264,9 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
 
     Below ``driver_limit`` edges the loop is numpy on the driver
     (np.add.at scatter — same O(E) stream a reduce task sees). Above,
-    each iteration is one hash join of the static (src, dst, outdeg)
-    edge table against the current ranks plus one grouped sum, with a
+    each iteration is one keyed exchange of the static distinct edge
+    table with the current ranks (tagged-union sort-groupby; out-degree
+    counted inside the src group) plus one grouped sum, with a
     zero-contribution self row per node so rank-starved nodes keep the
     base term; the driver never sees the rank vector.
     """
@@ -238,9 +307,6 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     e = (edges_ds.map_batches(to_e, batch_format="pyarrow")
          .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
          .select_columns(["src", "dst"]).materialize())
-    deg = e.groupby("src").aggregate(Count(alias_name="outdeg"))
-    ewd = e.join(deg, join_type="inner", num_partitions=num_partitions,
-                 on=("src",)).materialize()  # (src, dst, outdeg), static
 
     def node_rows(t: pa.Table) -> pa.Table:
         a = t.column("src").combine_chunks()
@@ -257,29 +323,72 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
             np.full(t.num_rows, 1.0 / n))),
         batch_format="pyarrow").materialize()
     base = (1.0 - damping) / n
+
+    # Raw-task keyed exchanges instead of Dataset.join / sort-groupby
+    # (see connected_components: the join breaks on empty partitions,
+    # the sort pays seconds of fixed cost per exchange). The out-degree
+    # is counted INSIDE each src group, so no degree join exists.
+    from .shuffles import int_part_map
+
+    def tag_e(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("src"), "dst": t.column("dst"),
+                         "r": pa.array(np.zeros(t.num_rows)),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_r(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("node"),
+                         "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "r": t.column("rank"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def contrib_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        tag = df["tag"].to_numpy()
+        own, fol = df[tag == 1], df[tag == 0]
+        if not len(fol):  # partition of pure dangling owners
+            return pd.DataFrame({"node": np.array([], np.int64),
+                                 "c": np.array([], np.float64)})
+        ok = own["gkey"].to_numpy(np.int64)
+        orr = own["r"].to_numpy(np.float64)
+        o = np.argsort(ok, kind="stable")
+        ok, orr = ok[o], orr[o]
+        g = fol["gkey"].to_numpy(np.int64)
+        d = fol["dst"].to_numpy(np.int64)
+        so = np.argsort(g, kind="stable")
+        g, d = g[so], d[so]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(g[1:] != g[:-1]) + 1, [len(g)]))
+        deg = np.diff(starts)
+        c = orr[np.searchsorted(ok, g)] / np.repeat(deg, deg)
+        return pd.DataFrame({"node": d, "c": c})
+
+    def rank_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        n = df["node"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.float64)
+        if not len(n):
+            return pd.DataFrame({"node": n,
+                                 "rank": np.array([], np.float64)})
+        order = np.argsort(n, kind="stable")
+        ns, cs = n[order], c[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ns[1:] != ns[:-1]) + 1))
+        sums = np.add.reduceat(cs, starts)
+        return pd.DataFrame({"node": ns[starts],
+                             "rank": base + damping * sums})
+
+    zero = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "c": pa.array(np.zeros(t.num_rows))}),
+        batch_format="pyarrow").materialize()
     for _ in range(n_iters):
-        msgs = ewd.join(ranks, join_type="inner",
-                        num_partitions=num_partitions,
-                        on=("src",), right_on=("node",))
-
-        def contrib(t: pa.Table) -> pa.Table:
-            c = pc.divide(t.column("rank"),
-                          pc.cast(t.column("outdeg"), pa.float64()))
-            return pa.table({"node": t.column("dst"), "c": c})
-
-        zero = nodes.map_batches(
-            lambda t: t.append_column("c", pa.array(
-                np.zeros(t.num_rows))),
-            batch_format="pyarrow")
-        summed = (msgs.map_batches(contrib, batch_format="pyarrow")
-                  .union(zero)
-                  .groupby("node").aggregate(Sum("c", alias_name="c")))
-        ranks = summed.map_batches(
-            lambda t: pa.table({
-                "node": t.column("node"),
-                "rank": pc.add(pa.scalar(base), pc.multiply(
-                    pa.scalar(damping), t.column("c")))}),
-            batch_format="pyarrow").materialize()
+        tagged = e.map_batches(tag_e, batch_format="pyarrow") \
+                  .union(ranks.map_batches(tag_r,
+                                           batch_format="pyarrow"))
+        msgs = int_part_map(tagged, "gkey", contrib_kernel,
+                            num_partitions=num_partitions)
+        ranks = int_part_map(msgs.union(zero), "node", rank_kernel,
+                             num_partitions=num_partitions)
     out = pa.concat_tables(
         [pa.table(b) for b in ranks.iter_batches(batch_format="pyarrow")])
     return out.sort_by("node")
