@@ -237,3 +237,38 @@ def test_cc_and_pagerank_hot_hub_skew(ray_session):
     assert np.allclose(np.array(pr_d.column("rank").to_pylist()),
                        np.array(pr_l.column("rank").to_pylist()),
                        rtol=1e-12, atol=1e-15)
+
+
+def test_host_pagerank_matches_manual(ray_session):
+    from web_crawler_ray.functions.hashing import hash64_many
+    from web_crawler_ray.pipelines.crawl import crawl
+    from web_crawler_ray.sources import synth_world as W
+    from web_crawler_ray.stages.graph import host_pagerank, pagerank
+    tbl, robots, seeds = W.world(seed=42, n_hosts=5,
+                                 pages_per_host_base=20)
+    res = crawl(tbl, robots, seeds, keep_pages=False, max_depth=3)
+    hp = host_pagerank(res.visited, n_iters=3)
+    v = res.visited
+    urls = v.column("url").to_pylist()
+    hosts = v.column("host").to_pylist()
+    uh = hash64_many(urls).view(np.int64)
+    hh = hash64_many(hosts).view(np.int64)
+    ph = v.column("parent_url_hash").to_numpy() \
+          .astype(np.uint64).view(np.int64)
+    h_of = dict(zip(uh.tolist(), hh.tolist()))
+    edges = [(h_of[p], c) for p, c in zip(ph.tolist(), hh.tolist())
+             if p != 0]
+    e = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    pr = pagerank(rd.from_arrow(e), n_iters=3)
+    name = dict(zip(hash64_many(sorted(set(hosts))).view(np.int64)
+                    .tolist(), sorted(set(hosts))))
+    exp = sorted(((name[n], r) for n, r in
+                  zip(pr.column("node").to_pylist(),
+                      pr.column("rank").to_pylist())),
+                 key=lambda x: (-x[1], x[0]))
+    got = list(zip(hp.column("host").to_pylist(),
+                   hp.column("pr").to_pylist()))
+    assert [h for h, _ in got] == [h for h, _ in exp]
+    assert np.allclose([r for _, r in got], [r for _, r in exp],
+                       rtol=1e-12)

@@ -1228,6 +1228,20 @@ def q_decontaminate_bloom(sf_dir: str):
             .select_columns(["doc_id"]))
 
 
+def q_crawl_host_rank(sf_dir: str):
+    """Host-level PageRank over the crawl's REAL parent->child fetch
+    lineage (stages/graph.py host_pagerank: hash->host owner-lookup
+    exchange + the pagerank op). Crawl-derived, so rows-only at the
+    gate; the construction is pinned against a manual driver build in
+    pytest."""
+    from ..stages.graph import host_pagerank
+    v = _crawl_for(sf_dir)["crawl"].visited
+    t = host_pagerank(v, n_iters=3)
+    return pa.table({"host": t.column("host"),
+                     "pr": pa.array(np.round(t.column("pr").to_numpy(),
+                                             9))})
+
+
 def q_heavy_hitters(sf_dir: str):
     """EXACT top-25 customers by order count via the two-pass
     Misra-Gries screen + broadcast exact verify (stages/sketches.py
@@ -1398,6 +1412,7 @@ def registry() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
+        "crawl_host_rank": q_crawl_host_rank,
         "approx_quantiles": q_approx_quantiles,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,

@@ -45,7 +45,13 @@ def _owner_lookup(df: pd.DataFrame) -> pd.DataFrame:
     ol = own["lab"].to_numpy(np.int64)
     o = np.argsort(ok, kind="stable")
     ok, ol = ok[o], ol[o]
-    idx = np.searchsorted(ok, fol["gkey"].to_numpy(np.int64))
+    fg = fol["gkey"].to_numpy(np.int64)
+    idx = np.searchsorted(ok, fg)
+    if len(ok) == 0 or not np.array_equal(ok[np.clip(idx, 0,
+                                                     len(ok) - 1)], fg):
+        raise ValueError("owner-lookup exchange: follower key without "
+                         "an owner row (caller must key owners by "
+                         "every follower gkey)")
     return pd.DataFrame({"node": fol["dst"].to_numpy(np.int64),
                          "label": ol[idx]})
 
@@ -359,7 +365,12 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         starts = np.concatenate(
             ([0], np.flatnonzero(g[1:] != g[:-1]) + 1, [len(g)]))
         deg = np.diff(starts)
-        c = orr[np.searchsorted(ok, g)] / np.repeat(deg, deg)
+        idx = np.searchsorted(ok, g)
+        if len(ok) == 0 or not np.array_equal(
+                ok[np.clip(idx, 0, len(ok) - 1)], g):
+            raise ValueError("pagerank contribution exchange: edge src "
+                             "without a rank row")
+        c = orr[idx] / np.repeat(deg, deg)
         return pd.DataFrame({"node": d, "c": c})
 
     def rank_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -392,3 +403,72 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     out = pa.concat_tables(
         [pa.table(b) for b in ranks.iter_batches(batch_format="pyarrow")])
     return out.sort_by("node")
+
+
+def host_pagerank(visited, n_iters: int = 3, damping: float = 0.85,
+                  num_partitions: int = 8) -> pa.Table:
+    """Host-level PageRank over a crawl's REAL link graph — ranks the
+    crawled hosts by their parent->child fetch lineage (CrawlResult
+    .visited carries ``parent_url_hash``; the reference ranks links
+    with per-URL regex heuristics only, link-explorer.service.js).
+
+    Each visited row is an edge host(parent) -> host(child). Parent
+    hosts are resolved hash->host with the same owner-lookup exchange
+    the component/rank loops use (owners = every visited url_hash,
+    followers = every parent_url_hash), so a spilled visited Dataset
+    (crawl(visited_spill_dir=...), the 10^10-URL form) streams through
+    without driver materialization; a driver-held visited Table takes
+    the same path via a one-block Dataset. Host names ride as signed
+    64-bit host hashes through ``pagerank`` and are joined back from
+    the O(hosts) distinct map at the end.
+
+    Returns (host, pr) sorted by pr descending, host ascending.
+    """
+    import ray.data as rd
+    from .shuffles import int_part_map
+    from ..functions.hashing import hash64_many
+
+    if isinstance(visited, pa.Table):
+        visited = rd.from_arrow(visited)
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        hosts = t.column("host").to_pylist()
+        uh = hash64_many(urls).view(np.int64)  # bit reinterpret:
+        hh = hash64_many(hosts).view(np.int64)  # uint64 -> int64 keys
+        ph = t.column("parent_url_hash").to_numpy(
+            zero_copy_only=False).astype(np.uint64).view(np.int64)
+        live = ph != 0  # seeds have no parent
+        own = pa.table({"gkey": pa.array(uh), "dst": pa.array(uh),
+                        "lab": pa.array(hh),
+                        "tag": pa.array(np.ones(len(uh), np.int8))})
+        fol = pa.table({"gkey": pa.array(ph[live]),
+                        "dst": pa.array(hh[live]),  # child host hash
+                        "lab": pa.array(np.zeros(int(live.sum()),
+                                                 np.int64)),
+                        "tag": pa.array(np.zeros(int(live.sum()),
+                                                 np.int8))})
+        return pa.concat_tables([own, fol])
+
+    tagged = visited.map_batches(tag_rows, batch_format="pyarrow")
+    # owner-lookup emits (node=child_host_hash, label=parent_host_hash)
+    edges = int_part_map(tagged, "gkey", _owner_lookup,
+                         num_partitions=num_partitions) \
+        .map_batches(lambda t: pa.table({"src": t.column("label"),
+                                         "dst": t.column("node")}),
+                     batch_format="pyarrow")
+    ranks = pagerank(edges, n_iters=n_iters, damping=damping,
+                     num_partitions=num_partitions)
+
+    names = {}  # O(hosts) driver map, hash -> host string
+    for b in visited.select_columns(["host"]) \
+                    .iter_batches(batch_format="pyarrow"):
+        hs = sorted(set(pa.table(b).column("host").to_pylist()))
+        for k, h in zip(hash64_many(hs).view(np.int64).tolist(), hs):
+            names.setdefault(k, h)
+    out = pa.table({
+        "host": pa.array([names[k] for k in
+                          ranks.column("node").to_pylist()]),
+        "pr": ranks.column("rank"),
+    })
+    return out.sort_by([("pr", "descending"), ("host", "ascending")])
