@@ -272,3 +272,20 @@ def test_host_pagerank_matches_manual(ray_session):
     assert [h for h, _ in got] == [h for h, _ in exp]
     assert np.allclose([r for _, r in got], [r for _, r in exp],
                        rtol=1e-12)
+
+
+def test_heavy_hitters_short_candidate_pool_falls_back(ray_session):
+    # two giant values + a broad tail, m tiny: the MG pool holds fewer
+    # than k candidates AND D > 0, so the certificate must NOT accept
+    # the short result — the fallback fills all k rows exactly.
+    rng = np.random.default_rng(2)
+    v = np.concatenate([np.zeros(5000, np.int64),
+                        np.ones(4000, np.int64),
+                        rng.integers(2, 202, 5000)])
+    rng.shuffle(v)
+    ds = rd.from_arrow(pa.table({"v": v})).repartition(4)
+    t = heavy_hitters(ds, "v", k=10, m=4)
+    got = list(zip(t.column("v").to_pylist(),
+                   t.column("n_rows").to_pylist()))
+    assert got == _exact_topk(v.tolist(), 10)
+    assert len(got) == 10

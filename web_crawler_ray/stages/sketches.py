@@ -207,7 +207,8 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
         hit = t.filter(pc.is_in(col, value_set=cset))
         g = (hit.select([value]).group_by([value], use_threads=False)
                 .aggregate([([], "count_all")]))
-        return g.rename_columns([value, count_name])
+        return pa.table({value: g.column(value),
+                         count_name: g.column("count_all")})
 
     eparts = [pa.table(b) for b in
               ds.map_batches(exact_partial, batch_format="pyarrow")
@@ -221,8 +222,13 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
 
     kth = (int(topk.column(count_name)[topk.num_rows - 1].as_py())
            if topk.num_rows else 0)
-    if topk.num_rows >= min(k, merged.num_rows) and kth > total_dec:
-        return topk  # certified exact: no absent value can reach kth
+    # Certified exact iff (a) no absent value can reach the k-th count
+    # (kth > D) AND (b) the candidate pool can actually fill k rows —
+    # with fewer candidates than k, only a lossless screen (D == 0,
+    # hence candidates == all distinct values) proves the short result
+    # IS the complete answer.
+    if kth > total_dec and (merged.num_rows >= k or total_dec == 0):
+        return topk
 
     # Certificate failed (heavy tail not separable at this m): fall back
     # to the unconditional exact plan — distributed count + sort +
