@@ -74,6 +74,28 @@ def _label_sum(t: pa.Table) -> int:
     return int(pc.sum(t.column("label")).as_py() or 0)
 
 
+def _distinct_edges(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition kernel: DISTINCT (src, dst). Partitioned by src, so
+    within-partition dedup IS global dedup."""
+    u = df["src"].to_numpy(np.int64)
+    v = df["dst"].to_numpy(np.int64)
+    if not len(u):
+        return pd.DataFrame({"src": u, "dst": v})
+    uv = np.unique(np.stack([u, v], axis=1), axis=0)
+    return pd.DataFrame({"src": uv[:, 0], "dst": uv[:, 1]})
+
+
+def _init_labels_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition kernel: DISTINCT src as (node, label=node)."""
+    n = np.unique(df["src"].to_numpy(np.int64))
+    return pd.DataFrame({"node": n, "label": n})
+
+
+def _distinct_nodes(df: pd.DataFrame) -> pd.DataFrame:
+    n = np.unique(df["node"].to_numpy(np.int64))
+    return pd.DataFrame({"node": n})
+
+
 def _union_find(u: np.ndarray, v: np.ndarray):
     """Exact union-find with path halving; union-by-min so every root
     is its component's minimum node id. Returns (nodes, component)."""
@@ -157,21 +179,12 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst",
             "dst": pa.concat_arrays([b, a, a, b]),  # + self-loops
         })
 
-    from ray.data.aggregate import Count
+    from .shuffles import int_part_map as _ipm
 
-    und = (edges_ds.map_batches(to_und, batch_format="pyarrow")
-           .groupby(["src", "dst"])
-           .aggregate(Count(alias_name="_n"))
-           .select_columns(["src", "dst"])
-           .materialize())
-
-    def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t.column("src"),
-                         "label": t.column("src")})
-
-    labels = (und.groupby("src").aggregate(Count(alias_name="_n"))
-              .map_batches(init_labels, batch_format="pyarrow")
-              .materialize())
+    und = _ipm(edges_ds.map_batches(to_und, batch_format="pyarrow"),
+               "src", _distinct_edges, num_partitions=num_partitions)
+    labels = _ipm(und, "src", _init_labels_kernel,
+                  num_partitions=num_partitions)
     # Every keyed exchange below rides the raw-task hash shuffle
     # (shuffles.int_part_map — two flat task waves, vectorized kernel
     # per partition), never Dataset.join or the sort-based groupby:
@@ -310,18 +323,18 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         return pa.table({"src": t.column(src).cast(pa.int64()),
                          "dst": t.column(dst).cast(pa.int64())})
 
-    e = (edges_ds.map_batches(to_e, batch_format="pyarrow")
-         .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
-         .select_columns(["src", "dst"]).materialize())
+    from .shuffles import int_part_map as _ipm
+
+    e = _ipm(edges_ds.map_batches(to_e, batch_format="pyarrow"),
+             "src", _distinct_edges, num_partitions=num_partitions)
 
     def node_rows(t: pa.Table) -> pa.Table:
         a = t.column("src").combine_chunks()
         b = t.column("dst").combine_chunks()
         return pa.table({"node": pa.concat_arrays([a, b])})
 
-    nodes = (e.map_batches(node_rows, batch_format="pyarrow")
-             .groupby("node").aggregate(Count(alias_name="_n"))
-             .select_columns(["node"]).materialize())
+    nodes = _ipm(e.map_batches(node_rows, batch_format="pyarrow"),
+                 "node", _distinct_nodes, num_partitions=num_partitions)
     n = nodes.count()
 
     ranks = nodes.map_batches(
