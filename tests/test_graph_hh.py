@@ -289,3 +289,32 @@ def test_heavy_hitters_short_candidate_pool_falls_back(ray_session):
                    t.column("n_rows").to_pylist()))
     assert got == _exact_topk(v.tolist(), 10)
     assert len(got) == 10
+
+
+# --- curation: z-score + split ----------------------------------------------
+
+def test_zscore_zero_variance_group_is_null(ray_session):
+    from web_crawler_ray.stages.aggregates import zscore_per_group
+    t = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "k": pa.array(["a", "a", "b", "b"]),
+                  "v": pa.array([5.0, 5.0, 1.0, 3.0])})
+    out = zscore_per_group(rd.from_arrow(t), "k", "v", "id") \
+        .to_pandas().set_index("id")
+    assert np.isnan(out.loc[1, "z"]) and np.isnan(out.loc[2, "z"])
+    assert out.loc[3, "z"] == -1.0 and out.loc[4, "z"] == 1.0
+
+
+def test_split_assign_deterministic_and_complete(ray_session):
+    from web_crawler_ray.stages.aggregates import split_assign
+    ids = np.arange(2000, dtype=np.int64)
+    t = pa.table({"doc_id": ids})
+    a = split_assign(rd.from_arrow(t), "doc_id").to_pandas()
+    b = split_assign(rd.from_arrow(t).repartition(7), "doc_id") \
+        .to_pandas()
+    ma = dict(zip(a["doc_id"], a["split"]))
+    mb = dict(zip(b["doc_id"], b["split"]))
+    assert ma == mb  # membership independent of partitioning
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.85 < frac["train"] < 0.95
+    assert set(a["split"]) == {"train", "val", "test"}
+    assert len(a) == 2000

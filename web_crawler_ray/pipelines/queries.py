@@ -1228,6 +1228,25 @@ def q_decontaminate_bloom(sf_dir: str):
             .select_columns(["doc_id"]))
 
 
+def q_zscore_events(sf_dir: str):
+    """Per-group feature scaling (z-score of value within event_type)
+    via two streaming passes — grouped moments broadcast, rows never
+    shuffled (aggregates.zscore_per_group). Oracle computes the same
+    closed form from grouped SUMs (corr_lineitem convention)."""
+    from ..stages.aggregates import zscore_per_group
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return zscore_per_group(ds, "event_type", "value", "event_id")
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test assignment by md5(id) bucket —
+    membership depends only on the row id, so re-sharded or resumed
+    runs keep every row in the same split (aggregates.split_assign)."""
+    from ..stages.aggregates import split_assign
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+    return split_assign(ds, "doc_id")
+
+
 def q_crawl_host_rank(sf_dir: str):
     """Host-level PageRank over the crawl's REAL parent->child fetch
     lineage (stages/graph.py host_pagerank: hash->host owner-lookup
@@ -1413,6 +1432,8 @@ def registry() -> dict:
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
         "crawl_host_rank": q_crawl_host_rank,
+        "zscore_events": q_zscore_events,
+        "train_split": q_train_split,
         "approx_quantiles": q_approx_quantiles,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,
@@ -1809,6 +1830,21 @@ ORACLES: dict[str, str] = {
         f"bad AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench)) "
         f"SELECT doc_id FROM documents WHERE NOT ({_DECON_BLOOM_BENCH}) "
         f"AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    "zscore_events":
+        "WITH s AS (SELECT event_type, count(*)::DOUBLE AS n, "
+        "sum(value) AS sx, sum(value*value) AS sxx FROM events "
+        "GROUP BY event_type), "
+        "j AS (SELECT e.event_id, e.value, s.sx/s.n AS m, "
+        "s.sxx/s.n - (s.sx/s.n)*(s.sx/s.n) AS var FROM events e "
+        "JOIN s ON e.event_type = s.event_type) "
+        "SELECT event_id, CASE WHEN var > 0 THEN "
+        "round((value - m)/sqrt(var), 6) ELSE NULL END AS z FROM j",
+    "train_split":
+        "SELECT doc_id, CASE "
+        "WHEN md5_number_lower(doc_id::VARCHAR) % 1000 < 900 "
+        "THEN 'train' "
+        "WHEN md5_number_lower(doc_id::VARCHAR) % 1000 < 950 "
+        "THEN 'val' ELSE 'test' END AS split FROM documents",
     "heavy_hitters":
         "SELECT o_custkey, COUNT(*)::BIGINT AS n_orders FROM orders "
         "GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 25",

@@ -590,3 +590,85 @@ def group_corr(ds, key: str, x: str, y: str, round_to: int = 6):
                          "corr": pa.array(np.round(corr, round_to))})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def zscore_per_group(ds, key: str, value: str, id_col: str,
+                     round_to: int = 6):
+    """Per-group feature scaling: z = (v - mean) / std for every row,
+    the standard normalization step before training. Two streaming
+    passes, no shuffle of the rows themselves:
+
+    pass 1: map-side partial (n, sum v, sum v^2) per key
+            (grouped_agg_combine, driver-merged — O(groups) rows);
+    pass 2: the tiny moment map broadcasts (``ray.put``) and each batch
+            standardizes itself vectorized.
+
+    The closed form ((v - sx/n) / sqrt(sxx/n - (sx/n)^2), rounded) is
+    EXACTLY what the oracle SQL computes from the same grouped SUMs —
+    the corr_lineitem convention. Zero-variance groups yield null
+    (NULLIF in the SQL twin). Returns (id_col, z)."""
+    import pyarrow as pa
+    import ray
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        v = t.column(value).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        return t.append_column("_v2", pa.array(v * v))
+
+    sums = grouped_agg_combine(
+        ds.map_batches(add_sq, batch_format="pyarrow"), [key],
+        [(None, "count", "n"), (value, "sum", "sx"),
+         ("_v2", "sum", "sxx")], driver_merge=True)
+    moments = {k: (float(n), float(sx), float(sxx))
+               for k, n, sx, sxx in zip(sums.column(key).to_pylist(),
+                                        sums.column("n").to_pylist(),
+                                        sums.column("sx").to_pylist(),
+                                        sums.column("sxx").to_pylist())}
+    ref = ray.put(moments)
+
+    def standardize(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        v = t.column(value).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        keys = t.column(key).to_pylist()
+        tri = np.array([m[k] for k in keys])
+        n, sx, sxx = tri[:, 0], tri[:, 1], tri[:, 2]
+        mean = sx / n
+        var = sxx / n - mean * mean
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.round((v - mean) / np.sqrt(var), round_to)
+        z = np.where(var > 0, z, np.nan)
+        return pa.table({id_col: t.column(id_col),
+                         "z": pa.array(z, pa.float64(),
+                                       from_pandas=True)})
+
+    return ds.map_batches(standardize, batch_format="pyarrow")
+
+
+def split_assign(ds, id_col: str, fractions=None, scale: int = 1000,
+                 split_name: str = "split"):
+    """Deterministic train/val/test assignment: bucket =
+    ``md5_low64(str(id)) % scale``, cumulative-threshold lookup — the
+    same reproducible-membership convention as weighted_sample, so the
+    assignment depends only on the row id (never on partitioning, run
+    order or cluster size) and a resumed or re-sharded run keeps every
+    row in the same split. One stateless streaming map; the oracle is
+    a plain CASE over ``md5_number_lower``. Returns (id_col, split)."""
+    import pyarrow as pa
+
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names, bounds, acc = [], [], 0
+    for nm, f in fractions.items():
+        acc += int(round(f * scale))
+        names.append(nm)
+        bounds.append(acc)
+    bounds[-1] = scale  # rounding remainder goes to the last split
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        b = np.array([md5_low64(str(i)) % scale for i in ids])
+        idx = np.searchsorted(np.array(bounds), b, side="right")
+        return pa.table({id_col: t.column(id_col),
+                         split_name: pa.array([names[i] for i in idx])})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
