@@ -630,8 +630,11 @@ def zscore_per_group(ds, key: str, value: str, id_col: str,
         m = ray.get(ref)
         v = t.column(value).to_numpy(zero_copy_only=False) \
              .astype(np.float64)
-        keys = t.column(key).to_pylist()
-        tri = np.array([m[k] for k in keys])
+        # dict lookups per DISTINCT key, gathered back by code index
+        codes_arr = t.column(key).combine_chunks().dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        tri = np.array([m[k] for k in
+                        codes_arr.dictionary.to_pylist()])[codes]
         n, sx, sxx = tri[:, 0], tri[:, 1], tri[:, 2]
         mean = sx / n
         var = sxx / n - mean * mean
