@@ -318,3 +318,27 @@ def test_split_assign_deterministic_and_complete(ray_session):
     assert 0.85 < frac["train"] < 0.95
     assert set(a["split"]) == {"train", "val", "test"}
     assert len(a) == 2000
+
+
+def test_host_pagerank_spilled_dataset_equals_table(ray_session,
+                                                    tmp_path):
+    # the 10^10-URL form: visited spilled to per-round parquet and read
+    # back lazily as a Dataset must rank identically to the driver
+    # Table path
+    from web_crawler_ray.pipelines.crawl import crawl
+    from web_crawler_ray.sources import synth_world as W
+    from web_crawler_ray.stages.graph import host_pagerank
+    tbl, robots, seeds = W.world(seed=13, n_hosts=4,
+                                 pages_per_host_base=16)
+    ram = crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+                keep_pages=False)
+    d = str(tmp_path / "spill")
+    crawl(tbl, robots, seeds, max_pages=10_000, max_depth=3,
+          keep_pages=False, visited_spill_dir=d)
+    lazy = rd.read_parquet(d)
+    a = host_pagerank(ram.visited, n_iters=3)
+    b = host_pagerank(lazy, n_iters=3)
+    assert a.column("host").to_pylist() == b.column("host").to_pylist()
+    assert np.allclose(np.array(a.column("pr").to_pylist()),
+                       np.array(b.column("pr").to_pylist()),
+                       rtol=1e-12)
