@@ -342,3 +342,16 @@ def test_host_pagerank_spilled_dataset_equals_table(ray_session,
     assert np.allclose(np.array(a.column("pr").to_pylist()),
                        np.array(b.column("pr").to_pylist()),
                        rtol=1e-12)
+
+
+def test_drop_duplicates_by_pairs_dataset_input(ray_session):
+    from web_crawler_ray.stages.dedup import drop_duplicates_by_pairs
+    ids = np.arange(20, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids,
+                                 "text": [f"t{i}" for i in ids]}))
+    pairs_ds = rd.from_arrow(pa.table({
+        "id_a": pa.array([0, 5], pa.int64()),
+        "id_b": pa.array([1, 6], pa.int64())}))
+    out = sorted(drop_duplicates_by_pairs(ds, pairs_ds)
+                 .to_pandas()["doc_id"].tolist())
+    assert out == sorted(set(ids.tolist()) - {1, 6})
