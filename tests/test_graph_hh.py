@@ -355,3 +355,39 @@ def test_drop_duplicates_by_pairs_dataset_input(ray_session):
     out = sorted(drop_duplicates_by_pairs(ds, pairs_ds)
                  .to_pandas()["doc_id"].tolist())
     assert out == sorted(set(ids.tolist()) - {1, 6})
+
+
+def test_lm_score_brute_force_and_edges(ray_session):
+    import collections
+    import math
+    from web_crawler_ray.stages.textstats import lm_score
+    ref_texts = ["the cat sat on the mat", "the dog sat on the log"]
+    docs = ["the cat sat", "zz", "qqqxyz unseen trigrams", ""]
+    ref = rd.from_arrow(pa.table({"text": ref_texts}))
+    d = rd.from_arrow(pa.table({"doc_id": pa.array([0, 1, 2, 3],
+                                                   pa.int64()),
+                                "text": docs}))
+    out = lm_score(d, ref).to_pandas().set_index("doc_id")
+    # docs shorter than 3 chars are omitted
+    assert 1 not in out.index and 3 not in out.index
+    # brute force
+    tc = collections.Counter()
+    chars = set()
+    for x in ref_texts:
+        b = x.encode()
+        chars.update(b)
+        for i in range(len(b) - 2):
+            tc[bytes(b[i:i + 3])] += 1
+    bc = collections.Counter()
+    for k, c in tc.items():
+        bc[k[:2]] += c
+    V = len(chars)
+    for did, txt in [(0, docs[0]), (2, docs[2])]:
+        b = txt.encode()
+        lps = [math.log((tc.get(bytes(b[i:i + 3]), 0) + 1)
+                        / (bc.get(bytes(b[i:i + 2]), 0) + V))
+               for i in range(len(b) - 2)]
+        assert abs(out.loc[did, "lm_logprob"]
+                   - round(sum(lps) / len(lps), 6)) < 2e-6
+    # in-domain text scores higher than unseen-trigram text
+    assert out.loc[0, "lm_logprob"] > out.loc[2, "lm_logprob"]

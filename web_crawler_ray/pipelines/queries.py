@@ -1247,6 +1247,23 @@ def q_train_split(sf_dir: str):
     return split_assign(ds, "doc_id")
 
 
+def q_lm_score(sf_dir: str):
+    """CCNet/Gopher-class statistical quality signal: per-document mean
+    char-trigram log-probability under an add-one-smoothed LM fit on
+    the doc_id%13==1 reference slice (textstats.lm_score — bounded
+    model state, broadcast once; fully vectorized scoring). ASCII
+    corpus assumption shared with the simhash_md5 oracle twins."""
+    from ..stages.textstats import lm_score
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ref_slice(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t.column("doc_id").to_numpy() % 13 == 1))
+
+    ref = _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(ref_slice, batch_format="pyarrow")
+    return lm_score(docs, ref)
+
+
 def q_crawl_host_rank(sf_dir: str):
     """Host-level PageRank over the crawl's REAL parent->child fetch
     lineage (stages/graph.py host_pagerank: hash->host owner-lookup
@@ -1434,6 +1451,7 @@ def registry() -> dict:
         "crawl_host_rank": q_crawl_host_rank,
         "zscore_events": q_zscore_events,
         "train_split": q_train_split,
+        "lm_score": q_lm_score,
         "approx_quantiles": q_approx_quantiles,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,
@@ -1830,6 +1848,23 @@ ORACLES: dict[str, str] = {
         f"bad AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench)) "
         f"SELECT doc_id FROM documents WHERE NOT ({_DECON_BLOOM_BENCH}) "
         f"AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    "lm_score":
+        "WITH ref AS (SELECT text FROM documents WHERE doc_id % 13 = 1), "
+        "tri_r AS (SELECT substr(t.text, i, 3) AS tri FROM ref t, "
+        "UNNEST(generate_series(1, greatest(length(t.text)-2, 0))) AS g(i)), "
+        "tc AS (SELECT tri, count(*)::DOUBLE AS c FROM tri_r GROUP BY tri), "
+        "bc AS (SELECT substr(tri,1,2) AS bi, sum(c) AS cb FROM tc "
+        "GROUP BY substr(tri,1,2)), "
+        "vv AS (SELECT count(DISTINCT substr(t.text, i, 1))::DOUBLE AS v "
+        "FROM ref t, UNNEST(generate_series(1, length(t.text))) AS g(i)), "
+        "dt AS (SELECT d.doc_id, substr(d.text, i, 3) AS tri "
+        "FROM documents d, "
+        "UNNEST(generate_series(1, greatest(length(d.text)-2, 0))) AS g(i) "
+        "WHERE length(d.text) >= 3) "
+        "SELECT dt.doc_id, round(avg(ln((COALESCE(tc.c, 0)+1) / "
+        "(COALESCE(bc.cb, 0) + (SELECT v FROM vv)))), 6) AS lm_logprob "
+        "FROM dt LEFT JOIN tc USING (tri) "
+        "LEFT JOIN bc ON bc.bi = substr(dt.tri, 1, 2) GROUP BY dt.doc_id",
     "zscore_events":
         "WITH s AS (SELECT event_type, count(*)::DOUBLE AS n, "
         "sum(value) AS sx, sum(value*value) AS sxx FROM events "

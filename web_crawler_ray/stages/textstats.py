@@ -603,3 +603,103 @@ def decontaminate_hashed(docs_ds, bench_hashes: np.ndarray, n: int = 8,
         return t.filter(pa.array(doc_hits == 0))
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram LM scoring (CCNet/Gopher-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+def _tri_code_runs(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Byte-level trigram codes (c0*65536 + c1*256 + c2) for a batch of
+    texts, concatenated, plus per-doc offsets. ASCII-corpus assumption
+    (documented, same as the simhash_md5 oracle twins): SQL substr
+    counts characters, this counts bytes — identical for ASCII."""
+    runs, offs, total = [], [0], 0
+    for t in texts:
+        b = np.frombuffer((t or "").encode(), np.uint8)
+        if len(b) >= 3:
+            c = (b[:-2].astype(np.int64) << 16) \
+                + (b[1:-1].astype(np.int64) << 8) + b[2:]
+        else:
+            c = np.array([], np.int64)
+        runs.append(c)
+        total += len(c)
+        offs.append(total)
+    return (np.concatenate(runs) if runs else np.array([], np.int64),
+            np.array(offs, np.int64))
+
+
+def build_trigram_lm(ref_ds, text_col: str = "text"):
+    """Fit an add-one-smoothed char-trigram model on a reference slice:
+    p(c2|c0c1) = (C(c0c1c2)+1) / (C(c0c1·)+V), V = distinct chars.
+
+    Scale shape: each batch folds to (trigram code, count) pairs via
+    one ``np.unique`` — BOUNDED state (≤ alphabet³ entries no matter
+    the corpus size), so the driver merge is a combiner, not a gather;
+    bigram-prefix counts derive from the trigram table (matching the
+    SQL twin, which also derives them — end-of-doc bigrams without a
+    third char are counted by neither). Returns the broadcast-ready
+    model tuple (tri_sorted, tri_counts, bi_sorted, bi_counts, V)."""
+    def partial(t: pa.Table) -> pa.Table:
+        codes, _ = _tri_code_runs(t.column(text_col).to_pylist())
+        u, c = np.unique(codes, return_counts=True)
+        chars = np.unique(np.frombuffer(
+            "".join(t.column(text_col).to_pylist()).encode(), np.uint8))
+        pad = np.full(len(chars), -1, np.int64)  # char rows: code -1-ch
+        return pa.table({"code": np.concatenate([u, -1 - chars.astype(np.int64)]),
+                         "cnt": np.concatenate([c, np.ones(len(chars), np.int64)])})
+
+    parts = [pa.table(b) for b in
+             ref_ds.map_batches(partial, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow")]
+    cat = pa.concat_tables(parts)
+    code = cat.column("code").to_numpy(zero_copy_only=False)
+    cnt = cat.column("cnt").to_numpy(zero_copy_only=False)
+    is_char = code < 0
+    v = float(len(np.unique(code[is_char])))
+    tri, inv = np.unique(code[~is_char], return_inverse=True)
+    tric = np.bincount(inv, weights=cnt[~is_char]).astype(np.float64)
+    bi, binv = np.unique(tri >> 8, return_inverse=True)
+    bic = np.bincount(binv, weights=tric).astype(np.float64)
+    return tri, tric, bi, bic, v
+
+
+def lm_score(docs_ds, ref_ds, id_col: str = "doc_id",
+             text_col: str = "text", round_to: int = 6):
+    """Per-document mean trigram log-probability under the reference
+    LM — the CCNet/Gopher-class quality signal (low score = gibberish
+    or out-of-domain; the reference engine has no statistical quality
+    model, data-quality.service.js is field-completeness only).
+
+    The model (bounded, see build_trigram_lm) broadcasts once via
+    ``ray.put``; every batch then scores itself fully vectorized: one
+    concatenated trigram-code array per batch, two ``searchsorted``
+    lookups against the sorted model arrays, per-doc means via
+    prefix-sum differences. Docs with < 3 chars are omitted (mirroring
+    the oracle's length filter). Returns (id_col, lm_logprob)."""
+    import ray
+
+    model_ref = ray.put(build_trigram_lm(ref_ds, text_col))
+
+    def score(t: pa.Table) -> pa.Table:
+        tri, tric, bi, bic, v = ray.get(model_ref)
+        texts = t.column(text_col).to_pylist()
+        codes, offs = _tri_code_runs(texts)
+        ti = np.searchsorted(tri, codes)
+        tc = np.where((ti < len(tri)) & (tri[np.clip(ti, 0, max(len(tri) - 1, 0))] == codes),
+                      tric[np.clip(ti, 0, max(len(tri) - 1, 0))], 0.0) if len(tri) else np.zeros(len(codes))
+        bcodes = codes >> 8
+        bj = np.searchsorted(bi, bcodes)
+        bc = np.where((bj < len(bi)) & (bi[np.clip(bj, 0, max(len(bi) - 1, 0))] == bcodes),
+                      bic[np.clip(bj, 0, max(len(bi) - 1, 0))], 0.0) if len(bi) else np.zeros(len(codes))
+        lp = np.log((tc + 1.0) / (bc + v))
+        n_tris = np.diff(offs)
+        keep = n_tris > 0
+        cum = np.concatenate(([0.0], np.cumsum(lp)))
+        sums = cum[offs[1:]] - cum[offs[:-1]]
+        means = np.round(sums[keep] / n_tris[keep], round_to)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        return pa.table({id_col: pa.array(ids),
+                         "lm_logprob": pa.array(means)})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
