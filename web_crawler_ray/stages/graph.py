@@ -7,7 +7,8 @@ groups); the minhash/LSH ops in ``stages/dedup.py`` produce PAIRS and
 today resolve them into components with a driver union-find over
 O(pairs) rows. That is the right call while pairs fit on the driver;
 this module adds the 100 TB form: min-label propagation expressed as
-iterated keyed exchanges (tagged-union sort-groupby + ``min()``), with
+iterated keyed exchanges (tagged-union raw-task hash shuffle +
+grouped ``min()``), with
 the driver seeing only an O(1) convergence scalar per round.
 
 Rounds needed = O(log diameter) with the pointer jump (near-dup
