@@ -177,7 +177,8 @@ def run_queries(num_cpus: int) -> dict:
              "dup_ngram_stats", "group_centroids", "funnel_events",
              "hll_distinct", "decontaminate_bloom", "cube_lineitem",
              "heavy_hitters", "connected_components", "pagerank",
-             "approx_quantiles", "zscore_events", "train_split", "lm_score"]
+             "approx_quantiles", "zscore_events", "train_split", "lm_score",
+             "chunk_documents", "pack_docs"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -391,3 +391,48 @@ def test_lm_score_brute_force_and_edges(ray_session):
                    - round(sum(lps) / len(lps), 6)) < 2e-6
     # in-domain text scores higher than unseen-trigram text
     assert out.loc[0, "lm_logprob"] > out.loc[2, "lm_logprob"]
+
+
+def test_chunk_documents_boundaries(ray_session):
+    from web_crawler_ray.stages.textstats import chunk_documents
+    texts = ["abcdefghij", "abc", "", "x" * 25]
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": texts})
+    out = chunk_documents(rd.from_arrow(t), window=10, overlap=3) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    got = {(r.doc_id, r.chunk_idx): r.chunk_text
+           for r in out.itertuples()}
+    # len 10 -> chunks at 0, 7 (step 7): floor(9/7)+1 = 2 chunks
+    assert got[(0, 0)] == "abcdefghij" and got[(0, 1)] == "hij"
+    assert got[(1, 0)] == "abc"
+    assert 2 not in out["doc_id"].values  # empty doc: no chunks
+    # len 25 -> chunks at 0,7,14,21 -> 4 chunks, last is 4 chars
+    assert len(out[out["doc_id"] == 3]) == 4
+    assert got[(3, 3)] == "x" * 4
+    # overlap: consecutive chunks share `overlap` chars
+    assert got[(0, 0)][-3:] == got[(0, 1)][:3]
+
+
+def test_pack_greedy_invariants(ray_session):
+    from web_crawler_ray.stages.textstats import pack_greedy
+    rng = np.random.default_rng(4)
+    sizes = rng.integers(50, 3000, 500).astype(np.int64)
+    sizes[7] = 9999  # oversize item gets its own bin
+    t = pa.table({"doc_id": np.arange(500, dtype=np.int64),
+                  "n_chars": sizes})
+    a = pack_greedy(rd.from_arrow(t), cap=8000).to_pandas()
+    b = pack_greedy(rd.from_arrow(t).repartition(9), cap=8000) \
+        .to_pandas()
+    # deterministic under re-sharding
+    ma = dict(zip(a["doc_id"], a["bin_id"]))
+    mb = dict(zip(b["doc_id"], b["bin_id"]))
+    assert ma == mb
+    assert sorted(a["doc_id"]) == list(range(500))  # nothing lost
+    per_bin = a.groupby("bin_id")["n_chars"].sum()
+    multi = a["bin_id"].value_counts()
+    # any bin holding >1 item stays within cap; oversize item is alone
+    for bid, tot in per_bin.items():
+        if multi[bid] > 1:
+            assert tot <= 8000, (bid, tot)
+    over_bin = ma[7]
+    assert multi[over_bin] == 1

@@ -1264,6 +1264,27 @@ def q_lm_score(sf_dir: str):
     return lm_score(docs, ref)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Fixed-window chunking with overlap (200/50 chars — sized so the
+    gate corpus, 48-553 chars/doc, actually multi-chunks) — the
+    pre-tokenization layout step for training corpora
+    (textstats.chunk_documents: streaming flat-map, Arrow slice kernel
+    per chunk position, no Python row loop)."""
+    from ..stages.textstats import chunk_documents
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, window=200, overlap=50)
+
+
+def q_pack_docs(sf_dir: str):
+    """Greedy sequence packing of documents into <=8000-char bins
+    (textstats.pack_greedy: id-ordered greedy within hash partitions —
+    deterministic under re-sharding; rows-only check, invariants
+    pinned in pytest)."""
+    from ..stages.textstats import pack_greedy
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return pack_greedy(ds, cap=8000)
+
+
 def q_crawl_host_rank(sf_dir: str):
     """Host-level PageRank over the crawl's REAL parent->child fetch
     lineage (stages/graph.py host_pagerank: hash->host owner-lookup
@@ -1452,6 +1473,8 @@ def registry() -> dict:
         "zscore_events": q_zscore_events,
         "train_split": q_train_split,
         "lm_score": q_lm_score,
+        "chunk_documents": q_chunk_documents,
+        "pack_docs": q_pack_docs,
         "approx_quantiles": q_approx_quantiles,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,
@@ -1848,6 +1871,11 @@ ORACLES: dict[str, str] = {
         f"bad AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench)) "
         f"SELECT doc_id FROM documents WHERE NOT ({_DECON_BLOOM_BENCH}) "
         f"AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    "chunk_documents":
+        "SELECT d.doc_id, i AS chunk_idx, "
+        "substr(d.text, i*150 + 1, 200) AS chunk_text "
+        "FROM documents d, UNNEST(generate_series(0, "
+        "(length(d.text)-1)//150)) AS g(i) WHERE length(d.text) > 0",
     "lm_score":
         "WITH ref AS (SELECT text FROM documents WHERE doc_id % 13 = 1), "
         "tri_r AS (SELECT substr(t.text, i, 3) AS tri FROM ref t, "

@@ -703,3 +703,93 @@ def lm_score(docs_ds, ref_ds, id_col: str = "doc_id",
                          "lm_logprob": pa.array(means)})
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Training-data layout: chunking + sequence packing
+# ---------------------------------------------------------------------------
+
+def chunk_documents(ds, window: int = 800, overlap: int = 100,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split documents into fixed-size character windows with overlap —
+    the standard pre-tokenization chunking step for training corpora.
+    Chunk i covers [i*(window-overlap), i*(window-overlap)+window);
+    a document yields floor((len-1)/(window-overlap)) + 1 chunks
+    (empty docs yield none). Pure streaming flat-map: each batch
+    expands itself with the Arrow ``utf8_slice_codeunits`` kernel once
+    per chunk position (max chunks per batch iterations, each fully
+    vectorized across the batch), no shuffle, no Python loop over
+    rows. Returns (id_col, chunk_idx, chunk_text)."""
+    import pyarrow.compute as pc
+
+    step = window - overlap
+    if step <= 0:
+        raise ValueError("window must exceed overlap")
+
+    def explode(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t.column(text_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chunks = np.where(lens > 0, (lens - 1) // step + 1, 0)
+        outs = []
+        for i in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            keep = pa.array(n_chunks > i)
+            sub = t.filter(keep)
+            piece = pc.utf8_slice_codeunits(
+                sub.column(text_col), start=i * step,
+                stop=i * step + window)
+            outs.append(pa.table({
+                id_col: sub.column(id_col),
+                "chunk_idx": pa.array(
+                    np.full(sub.num_rows, i, np.int64)),
+                "chunk_text": piece}))
+        if not outs:
+            return pa.table({id_col: t.column(id_col).slice(0, 0),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def pack_greedy(ds, cap: int, id_col: str = "doc_id",
+                size_col: str = "n_chars"):
+    """Greedy sequence packing: assign items to bins so each bin's
+    total size stays <= cap (oversize items get a bin of their own) —
+    the batching step that turns variable-length documents into
+    fixed-budget training sequences. DETERMINISTIC given the input
+    set: items are packed in id order WITHIN each hash partition
+    (partition = hash(id) % P via the raw-task shuffle), and bin ids
+    are (partition << 32) | local_bin, so re-runs and re-sharded
+    inputs produce the identical assignment. First-fit-decreasing
+    would pack tighter but needs a global sort; per-partition
+    id-ordered greedy keeps the exchange at one flat shuffle and is
+    the documented trade. Returns (id_col, bin_id, size_col)."""
+    import pandas as pd
+    from .shuffles import int_part_map
+
+    def kernel_factory(part_bits: int = 32):
+        def kernel(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({id_col: np.array([], np.int64),
+                                     "bin_id": np.array([], np.int64),
+                                     size_col: np.array([], np.int64)})
+            part = int(df[id_col].iloc[0]) % NP  # stable partition tag
+            d = df.sort_values(id_col, kind="stable")
+            sizes = d[size_col].to_numpy(np.int64)
+            bins = np.empty(len(d), np.int64)
+            b, acc = 0, 0
+            for j, sz in enumerate(sizes.tolist()):
+                if acc and acc + sz > cap:
+                    b += 1
+                    acc = 0
+                bins[j] = b
+                acc += sz
+            return pd.DataFrame({
+                id_col: d[id_col].to_numpy(np.int64),
+                "bin_id": (np.int64(part) << np.int64(part_bits)) | bins,
+                size_col: sizes})
+        return kernel
+
+    NP = 16
+    return int_part_map(ds, id_col, kernel_factory(),
+                        num_partitions=NP)
