@@ -436,3 +436,19 @@ def test_pack_greedy_invariants(ray_session):
             assert tot <= 8000, (bid, tot)
     over_bin = ma[7]
     assert multi[over_bin] == 1
+
+
+def test_sketch_null_handling(ray_session):
+    from web_crawler_ray.stages.sketches import (approx_quantiles,
+                                                 heavy_hitters)
+    v = pa.array([1, 1, 2, None, None, None, 3], pa.int64())
+    t = heavy_hitters(rd.from_arrow(pa.table({"v": v})), k=3, m=8,
+                      value="v")
+    # nulls dropped: most-frequent-values semantics
+    assert t.column("v").to_pylist() == [1, 2, 3]
+    assert t.column("n_rows").to_pylist() == [2, 1, 1]
+    q = approx_quantiles(rd.from_arrow(pa.table(
+        {"k": ["a"] * 6,
+         "v": pa.array([1.0, None, 3.0, None, 5.0, 7.0])})),
+        "k", "v", [0.5], k=8).to_pandas()
+    assert q["q50"].iloc[0] == 3.0  # quantile_disc over non-nulls

@@ -161,6 +161,10 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
     falls back to the plain distributed groupby-count -> sort -> limit —
     exactness is unconditional; only the fast path is conditional.
 
+    Null values are dropped (standard most-frequent-values semantics;
+    the SQL twin's GROUP BY would otherwise rank a NULL group with
+    engine-vs-SQL-divergent null ordering).
+
     Reference has no sketch layer (its aggregates are single-process
     exact, data-quality.service.js:114-136); this is the LLM-pipeline
     extension for e.g. hottest-domain / hottest-token reports at 100 TB.
@@ -170,7 +174,8 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
     import pyarrow.compute as pc
 
     def mg_partial(t: pa.Table) -> pa.Table:
-        g = (t.select([value]).group_by([value], use_threads=False)
+        g = (t.select([value]).drop_null()
+              .group_by([value], use_threads=False)
               .aggregate([([], "count_all")]))
         vals = g.column(value).combine_chunks()
         cnts = g.column("count_all").to_numpy(zero_copy_only=False)
@@ -205,7 +210,8 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
         cset = ray.get(cand_ref)
         col = t.column(value)
         hit = t.filter(pc.is_in(col, value_set=cset))
-        g = (hit.select([value]).group_by([value], use_threads=False)
+        g = (hit.select([value]).drop_null()
+                .group_by([value], use_threads=False)
                 .aggregate([([], "count_all")]))
         return pa.table({value: g.column(value),
                          count_name: g.column("count_all")})
