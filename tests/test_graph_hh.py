@@ -452,3 +452,14 @@ def test_sketch_null_handling(ray_session):
          "v": pa.array([1.0, None, 3.0, None, 5.0, 7.0])})),
         "k", "v", [0.5], k=8).to_pandas()
     assert q["q50"].iloc[0] == 3.0  # quantile_disc over non-nulls
+    # null KEYS are dropped rather than crashing the dictionary path
+    from web_crawler_ray.stages.sketches import hll_distinct
+    qn = approx_quantiles(rd.from_arrow(pa.table(
+        {"k": pa.array(["a", None, "a", None]),
+         "v": pa.array([1.0, 2.0, 3.0, 4.0])})),
+        "k", "v", [0.5], k=8).to_pandas()
+    assert qn["k"].tolist() == ["a"] and qn["q50"].iloc[0] == 1.0
+    hn = hll_distinct(rd.from_arrow(pa.table(
+        {"k": pa.array(["a", None, "a"]),
+         "u": pa.array([1, 2, 3], pa.int64())})), "k", "u").to_pandas()
+    assert hn["k"].tolist() == ["a"] and hn["approx_distinct"].iloc[0] == 2

