@@ -463,3 +463,29 @@ def test_sketch_null_handling(ray_session):
         {"k": pa.array(["a", None, "a"]),
          "u": pa.array([1, 2, 3], pa.int64())})), "k", "u").to_pandas()
     assert hn["k"].tolist() == ["a"] and hn["approx_distinct"].iloc[0] == 2
+
+
+def test_mg_reduce_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(0, 30), min_size=1, max_size=300),
+           st.integers(1, 12))
+    def check(stream, m):
+        import collections
+        true = collections.Counter(stream)
+        vals = pa.array(sorted(true))
+        cnts = np.array([true[v] for v in sorted(true)])
+        v2, c2, theta = _mg_reduce(vals, cnts, m)
+        kept = dict(zip(v2.to_pylist(), c2.tolist()))
+        assert len(kept) <= m
+        for v, c in true.items():
+            if v in kept:
+                # undercount bounded by theta, never overcount
+                assert 0 <= c - kept[v] <= theta
+            else:
+                # dropped values had true count <= theta
+                assert c <= theta
+
+    check()
