@@ -489,3 +489,26 @@ def test_mg_reduce_property():
                 assert c <= theta
 
     check()
+
+
+def test_pagerank_seeded_parity_and_errors(ray_session):
+    import pytest as _pt
+    from web_crawler_ray.stages.graph import pagerank
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 300, 900).astype(np.int64)
+    v = rng.integers(0, 300, 900).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": u, "dst": v})).repartition(4)
+    seeds = [3, 7, 11, 9999]  # 9999 absent from the graph -> ignored
+    a = pagerank(ds, n_iters=3, seeds=seeds)
+    b = pagerank(ds, n_iters=3, seeds=seeds, driver_limit=0,
+                 num_partitions=4)
+    assert a.column("node").to_pylist() == b.column("node").to_pylist()
+    ar = np.array(a.column("rank").to_pylist())
+    br = np.array(b.column("rank").to_pylist())
+    assert np.array_equal(ar, br)  # bit-exact by float-op-order design
+    # all mass reachable from seeds; non-seed sources get rank 0 + flow
+    assert abs(ar.sum() - 1.0) < 1e-9 or ar.sum() < 1.0
+    with _pt.raises(ValueError):
+        pagerank(ds, n_iters=1, seeds=[999_999])
+    with _pt.raises(ValueError):
+        pagerank(ds, n_iters=1, seeds=[999_999], driver_limit=0)

@@ -1285,6 +1285,59 @@ def q_pack_docs(sf_dir: str):
     return pack_greedy(ds, cap=8000)
 
 
+def q_pagerank_seeded(sf_dir: str):
+    """PERSONALIZED PageRank: teleport mass concentrated on the 25
+    nation nodes of the same orders<->customer<->nation graph — the
+    seeded-relevance ranking a crawl frontier uses around a trust set
+    (stages/graph.py pagerank(seeds=...), driver/distributed parity
+    bit-exact). Oracle: the same 2 iterations unrolled with a
+    CASE-gated teleport term."""
+    from ..stages.graph import pagerank
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nk = sorted({int(x) * 4 + 2 for b in
+                 cust.iter_batches(batch_format="pyarrow")
+                 for x in pa.table(b).column("c_nationkey").to_pylist()})
+    t = pagerank(_pr_edges(sf_dir), n_iters=2, damping=0.85, seeds=nk)
+    return pa.table({"node": t.column("node"),
+                     "pr": pa.array(_round_away9(
+                         t.column("rank").to_numpy()))})
+
+
+def _pagerank_seeded_oracle_sql() -> str:
+    e = ("SELECT DISTINCT o_orderkey*4 AS u, o_custkey*4+1 AS v "
+         "FROM orders UNION "
+         "SELECT DISTINCT o_custkey*4+1 AS u, o_orderkey*4 AS v "
+         "FROM orders UNION "
+         "SELECT DISTINCT c_custkey*4+1 AS u, c_nationkey*4+2 AS v "
+         "FROM customer UNION "
+         "SELECT DISTINCT c_nationkey*4+2 AS u, c_custkey*4+1 AS v "
+         "FROM customer")
+    sql = (f"WITH e AS ({e}), "
+           "nodes AS (SELECT u AS n FROM e UNION SELECT v AS n FROM e), "
+           "seeds AS (SELECT DISTINCT c_nationkey*4+2 AS n "
+           "FROM customer), "
+           "ns AS (SELECT COUNT(*)::DOUBLE AS c FROM seeds "
+           "JOIN nodes USING (n)), "
+           "deg AS (SELECT u, COUNT(*)::DOUBLE AS d FROM e GROUP BY u), "
+           "pr0 AS (SELECT nodes.n, CASE WHEN seeds.n IS NOT NULL "
+           "THEN 1.0/(SELECT c FROM ns) ELSE 0.0 END AS r "
+           "FROM nodes LEFT JOIN seeds ON seeds.n = nodes.n)")
+    prev = "pr0"
+    for i in (1, 2):
+        sql += (f", s{i} AS (SELECT e.v AS n, SUM({prev}.r/deg.d) AS c "
+                f"FROM e JOIN {prev} ON {prev}.n = e.u "
+                f"JOIN deg ON deg.u = e.u GROUP BY e.v), "
+                f"pr{i} AS (SELECT nodes.n, "
+                f"(CASE WHEN seeds.n IS NOT NULL THEN "
+                f"(1.0-0.85)/(SELECT c FROM ns) ELSE 0.0 END) "
+                f"+ 0.85*COALESCE(s{i}.c, 0) AS r FROM nodes "
+                f"LEFT JOIN seeds ON seeds.n = nodes.n "
+                f"LEFT JOIN s{i} ON s{i}.n = nodes.n)")
+        prev = f"pr{i}"
+    return sql + (" SELECT n AS node, round(r, 9) AS pr FROM pr2 "
+                  "ORDER BY node")
+
+
 def q_crawl_host_rank(sf_dir: str):
     """Host-level PageRank over the crawl's REAL parent->child fetch
     lineage (stages/graph.py host_pagerank: hash->host owner-lookup
@@ -1348,14 +1401,17 @@ def q_connected_components(sf_dir: str):
     return component_sizes(connected_components(orders.union(cust)))
 
 
-def q_pagerank(sf_dir: str):
-    """Fixed-iteration PageRank (3 iters, d=0.85) over the directed
-    both-ways orders<->customer<->nation link graph — the crawl-scale
-    ranking signal (stages/graph.py pagerank: iterated join + grouped
-    sum above the driver limit; numpy scatter below, parity-pinned).
-    Oracle: the SAME three iterations unrolled as plain SQL CTEs;
-    both sides round to 9 decimals."""
-    from ..stages.graph import pagerank
+def _round_away9(x: np.ndarray) -> np.ndarray:
+    """round(x, 9) with DuckDB's half-AWAY-from-zero tie rule —
+    np.round is half-even, and PageRank over power-of-two degrees
+    produces exact decimal midpoints (e.g. 2.65625e-05) where the two
+    rules differ by one ulp. Non-negative inputs only."""
+    return np.floor(x * 1e9 + 0.5) / 1e9
+
+
+def _pr_edges(sf_dir: str):
+    """Directed both-ways orders<->customer<->nation link graph shared
+    by the pagerank / pagerank_seeded queries."""
 
     def ord_edges(t: pa.Table) -> pa.Table:
         o = pc.multiply(t.column("o_orderkey"), pa.scalar(4))
@@ -1381,10 +1437,21 @@ def q_pagerank(sf_dir: str):
         .map_batches(ord_edges, batch_format="pyarrow")
     cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]) \
         .map_batches(cust_edges, batch_format="pyarrow")
-    t = pagerank(orders.union(cust), n_iters=3, damping=0.85)
+    return orders.union(cust)
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank (3 iters, d=0.85) over the directed
+    both-ways orders<->customer<->nation link graph — the crawl-scale
+    ranking signal (stages/graph.py pagerank: raw-shuffle keyed
+    exchanges above the driver limit; numpy scatter below,
+    parity-pinned). Oracle: the SAME three iterations unrolled as
+    plain SQL CTEs; both sides round to 9 decimals."""
+    from ..stages.graph import pagerank
+    t = pagerank(_pr_edges(sf_dir), n_iters=3, damping=0.85)
     return pa.table({"node": t.column("node"),
-                     "pr": pa.array(np.round(
-                         t.column("rank").to_numpy(), 9))})
+                     "pr": pa.array(_round_away9(
+                         t.column("rank").to_numpy()))})
 
 
 def _pagerank_oracle_sql() -> str:
@@ -1475,6 +1542,7 @@ def registry() -> dict:
         "lm_score": q_lm_score,
         "chunk_documents": q_chunk_documents,
         "pack_docs": q_pack_docs,
+        "pagerank_seeded": q_pagerank_seeded,
         "approx_quantiles": q_approx_quantiles,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,
@@ -1926,6 +1994,7 @@ ORACLES: dict[str, str] = {
         "SELECT component, COUNT(*)::BIGINT AS n_nodes FROM comp "
         "GROUP BY component ORDER BY component",
     "pagerank": _pagerank_oracle_sql(),
+    "pagerank_seeded": _pagerank_seeded_oracle_sql(),
     "argmax_events":
         "SELECT event_type, event_id, value FROM events QUALIFY "
         "row_number() OVER (PARTITION BY event_type "

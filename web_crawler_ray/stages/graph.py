@@ -70,6 +70,12 @@ def _min_per_node(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @ray.remote
+def _isin_count(t: pa.Table, seed_arr) -> int:
+    return int(np.isin(t.column("node").to_numpy(zero_copy_only=False),
+                       seed_arr).sum())
+
+
+@ray.remote
 def _label_sum(t: pa.Table) -> int:
     import pyarrow.compute as pc
     return int(pc.sum(t.column("label")).as_py() or 0)
@@ -270,7 +276,7 @@ def component_sizes(cc) -> pa.Table:
 def pagerank(edges_ds, src: str = "src", dst: str = "dst",
              n_iters: int = 3, damping: float = 0.85,
              driver_limit: int = DRIVER_CC_MAX,
-             num_partitions: int = 8):
+             num_partitions: int = 8, seeds=None):
     """Fixed-iteration PageRank over a directed edge Dataset — the
     classic crawl-frontier ranking signal (the reference ranks links
     with regex heuristics, link-explorer.service.js; at 100 TB the
@@ -280,7 +286,12 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     Semantics (mirrored exactly by the DuckDB oracle): distinct edges;
     rank_0 = 1/N; rank_{t+1}(u) = (1-d)/N + d * sum over in-edges
     (v,u) of rank_t(v)/outdeg(v). Dangling nodes simply leak their
-    mass (no redistribution) — the documented choice.
+    mass (no redistribution) — the documented choice. With ``seeds``
+    (an iterable of node ids) the walk is PERSONALIZED: rank_0 and the
+    teleport term concentrate uniformly on the seed set (seeds absent
+    from the graph are ignored; at least one must be present) — the
+    seeded-relevance form a crawl frontier would use to rank hosts
+    around a trust set.
 
     Below ``driver_limit`` edges the loop is numpy on the driver
     (np.add.at scatter — same O(E) stream a reduce task sees). Above,
@@ -312,11 +323,21 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         ui, vi = inv[: len(u)], inv[len(u):]
         n = len(nodes)
         deg = np.bincount(ui, minlength=n).astype(np.float64)
-        r = np.full(n, 1.0 / n)
+        if seeds is not None:
+            sarr = np.unique(np.asarray(list(seeds), np.int64))
+            is_seed = np.isin(nodes, sarr)
+            ns = float(is_seed.sum())
+            if not ns:
+                raise ValueError("pagerank: no seed is a graph node")
+            r = np.where(is_seed, 1.0 / ns, 0.0)
+            basev = np.where(is_seed, (1.0 - damping) / ns, 0.0)
+        else:
+            r = np.full(n, 1.0 / n)
+            basev = (1.0 - damping) / n
         for _ in range(n_iters):
             acc = np.zeros(n)
             np.add.at(acc, vi, r[ui] / deg[ui])
-            r = (1.0 - damping) / n + damping * acc
+            r = basev + damping * acc
         return pa.table({"node": nodes, "rank": r})
 
     # ---- distributed path ------------------------------------------------
@@ -338,11 +359,30 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
                  "node", _distinct_nodes, num_partitions=num_partitions)
     n = nodes.count()
 
-    ranks = nodes.map_batches(
-        lambda t: t.append_column("rank", pa.array(
-            np.full(t.num_rows, 1.0 / n))),
-        batch_format="pyarrow").materialize()
-    base = (1.0 - damping) / n
+    if seeds is not None:
+        sarr = np.unique(np.asarray(list(seeds), np.int64))
+        seed_ref = ray.put(sarr)
+        ns = sum(ray.get([_isin_count.remote(r_, seed_ref)
+                          for r_ in nodes.to_arrow_refs()]))
+        if not ns:
+            raise ValueError("pagerank: no seed is a graph node")
+
+        def init_r(t: pa.Table) -> pa.Table:
+            sa = ray.get(seed_ref)
+            nd = t.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({"node": t.column("node"),
+                             "rank": pa.array(np.where(
+                                 np.isin(nd, sa), 1.0 / ns, 0.0))})
+
+        ranks = nodes.map_batches(init_r,
+                                  batch_format="pyarrow").materialize()
+        base = 0.0  # per-node teleport added after the grouped sum
+    else:
+        ranks = nodes.map_batches(
+            lambda t: t.append_column("rank", pa.array(
+                np.full(t.num_rows, 1.0 / n))),
+            batch_format="pyarrow").materialize()
+        base = (1.0 - damping) / n
 
     # Raw-task keyed exchanges instead of Dataset.join / sort-groupby
     # (see connected_components: the join breaks on empty partitions,
@@ -406,6 +446,17 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         lambda t: pa.table({"node": t.column("node"),
                             "c": pa.array(np.zeros(t.num_rows))}),
         batch_format="pyarrow").materialize()
+    def add_seed_base(t: pa.Table) -> pa.Table:
+        sa = ray.get(seed_ref)
+        nd = t.column("node").to_numpy(zero_copy_only=False)
+        bv = np.where(np.isin(nd, sa), (1.0 - damping) / ns, 0.0)
+        # kernel produced 0.0 + damping*sum, so this single add is the
+        # same float op order as the driver path's basev + damping*acc
+        return pa.table({"node": t.column("node"),
+                         "rank": pa.array(
+                             bv + t.column("rank").to_numpy(
+                                 zero_copy_only=False))})
+
     for _ in range(n_iters):
         tagged = e.map_batches(tag_e, batch_format="pyarrow") \
                   .union(ranks.map_batches(tag_r,
@@ -414,6 +465,9 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
                             num_partitions=num_partitions)
         ranks = int_part_map(msgs.union(zero), "node", rank_kernel,
                              num_partitions=num_partitions)
+        if seeds is not None:
+            ranks = ranks.map_batches(
+                add_seed_base, batch_format="pyarrow").materialize()
     out = pa.concat_tables(
         [pa.table(b) for b in ranks.iter_batches(batch_format="pyarrow")])
     return out.sort_by("node")
