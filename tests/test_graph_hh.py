@@ -512,3 +512,32 @@ def test_pagerank_seeded_parity_and_errors(ray_session):
         pagerank(ds, n_iters=1, seeds=[999_999])
     with _pt.raises(ValueError):
         pagerank(ds, n_iters=1, seeds=[999_999], driver_limit=0)
+
+
+def test_hits_parity_and_semantics(ray_session):
+    from web_crawler_ray.stages.graph import hits
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 300, 900).astype(np.int64)
+    v = rng.integers(0, 300, 900).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": u, "dst": v})).repartition(4)
+    a = hits(ds, n_iters=2)
+    b = hits(ds, n_iters=2, driver_limit=0, num_partitions=4)
+    assert a.column("node").to_pylist() == b.column("node").to_pylist()
+    for c in ("hub", "authority"):
+        assert np.allclose(np.array(a.column(c).to_pylist()),
+                           np.array(b.column(c).to_pylist()),
+                           rtol=1e-12, atol=1e-15)
+        assert abs(sum(a.column(c).to_pylist()) - 1.0) < 1e-9  # L1
+    # a pure source (only out-edges) has authority 0; a pure sink
+    # (only in-edges) has hub 0
+    star = rd.from_arrow(pa.table({
+        "src": pa.array([0, 0, 0], pa.int64()),
+        "dst": pa.array([1, 2, 3], pa.int64())}))
+    t = hits(star, n_iters=2)
+    m = {n: (h, au) for n, h, au in
+         zip(t.column("node").to_pylist(), t.column("hub").to_pylist(),
+             t.column("authority").to_pylist())}
+    assert m[0][1] == 0.0 and abs(m[0][0] - 1.0) < 1e-12
+    for spoke in (1, 2, 3):
+        assert m[spoke][0] == 0.0
+        assert abs(m[spoke][1] - 1 / 3) < 1e-12

@@ -1338,6 +1338,58 @@ def _pagerank_seeded_oracle_sql() -> str:
                   "ORDER BY node")
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities (2 iterations, L1 normalization) over the
+    orders<->customer<->nation link graph (stages/graph.py hits —
+    same two-path raw-shuffle shape as pagerank; driver/distributed
+    parity pinned). Oracle: the same half-steps unrolled as SQL CTEs,
+    half-away round 9."""
+    from ..stages.graph import hits
+    t = hits(_pr_edges(sf_dir), n_iters=2)
+    return pa.table({"node": t.column("node"),
+                     "hub": pa.array(_round_away9(
+                         t.column("hub").to_numpy())),
+                     "authority": pa.array(_round_away9(
+                         t.column("authority").to_numpy()))})
+
+
+def _hits_oracle_sql() -> str:
+    e = ("SELECT DISTINCT o_orderkey*4 AS u, o_custkey*4+1 AS v "
+         "FROM orders UNION "
+         "SELECT DISTINCT o_custkey*4+1 AS u, o_orderkey*4 AS v "
+         "FROM orders UNION "
+         "SELECT DISTINCT c_custkey*4+1 AS u, c_nationkey*4+2 AS v "
+         "FROM customer UNION "
+         "SELECT DISTINCT c_nationkey*4+2 AS u, c_custkey*4+1 AS v "
+         "FROM customer")
+    sql = (f"WITH e AS ({e}), "
+           "nodes AS (SELECT u AS n FROM e UNION SELECT v AS n FROM e), "
+           "nn AS (SELECT COUNT(*)::DOUBLE AS cnt FROM nodes), "
+           "h0 AS (SELECT nodes.n, 1.0/(SELECT cnt FROM nn) AS v "
+           "FROM nodes)")
+    prev_h = "h0"
+    for i in (1, 2):
+        sql += (f", a{i}r AS (SELECT e.v AS n, SUM({prev_h}.v) AS s "
+                f"FROM e JOIN {prev_h} ON {prev_h}.n = e.u "
+                f"GROUP BY e.v), "
+                f"a{i}z AS (SELECT nodes.n, COALESCE(a{i}r.s, 0) AS s "
+                f"FROM nodes LEFT JOIN a{i}r ON a{i}r.n = nodes.n), "
+                f"a{i}t AS (SELECT SUM(s) AS t FROM a{i}z), "
+                f"a{i} AS (SELECT n, s/(SELECT t FROM a{i}t) AS v "
+                f"FROM a{i}z), "
+                f"h{i}r AS (SELECT e.u AS n, SUM(a{i}.v) AS s "
+                f"FROM e JOIN a{i} ON a{i}.n = e.v GROUP BY e.u), "
+                f"h{i}z AS (SELECT nodes.n, COALESCE(h{i}r.s, 0) AS s "
+                f"FROM nodes LEFT JOIN h{i}r ON h{i}r.n = nodes.n), "
+                f"h{i}t AS (SELECT SUM(s) AS t FROM h{i}z), "
+                f"h{i} AS (SELECT n, s/(SELECT t FROM h{i}t) AS v "
+                f"FROM h{i}z)")
+        prev_h = f"h{i}"
+    return sql + (" SELECT h2.n AS node, round(h2.v, 9) AS hub, "
+                  "round(a2.v, 9) AS authority FROM h2 "
+                  "JOIN a2 ON a2.n = h2.n ORDER BY node")
+
+
 def q_crawl_host_rank(sf_dir: str):
     """Host-level PageRank over the crawl's REAL parent->child fetch
     lineage (stages/graph.py host_pagerank: hash->host owner-lookup
@@ -1543,6 +1595,7 @@ def registry() -> dict:
         "chunk_documents": q_chunk_documents,
         "pack_docs": q_pack_docs,
         "pagerank_seeded": q_pagerank_seeded,
+        "hits": q_hits,
         "approx_quantiles": q_approx_quantiles,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,
@@ -1995,6 +2048,7 @@ ORACLES: dict[str, str] = {
         "GROUP BY component ORDER BY component",
     "pagerank": _pagerank_oracle_sql(),
     "pagerank_seeded": _pagerank_seeded_oracle_sql(),
+    "hits": _hits_oracle_sql(),
     "argmax_events":
         "SELECT event_type, event_id, value FROM events QUALIFY "
         "row_number() OVER (PARTITION BY event_type "

@@ -540,3 +540,170 @@ def host_pagerank(visited, n_iters: int = 3, damping: float = 0.85,
         "pr": ranks.column("rank"),
     })
     return out.sort_by([("pr", "descending"), ("host", "ascending")])
+
+
+@ray.remote
+def _float_sum(t: pa.Table, col: str) -> float:
+    import pyarrow.compute as pc
+    return float(pc.sum(t.column(col)).as_py() or 0.0)
+
+
+def hits(edges_ds, src: str = "src", dst: str = "dst",
+         n_iters: int = 2, driver_limit: int = DRIVER_CC_MAX,
+         num_partitions: int = 8):
+    """HITS hubs & authorities (Kleinberg) over a directed edge
+    Dataset, L1-normalized per half-step (sum-normalization keeps the
+    oracle plain SQL — no sqrt subqueries; the ranking order equals
+    the L2 form's). h_0 = 1/N; per iteration: a = E^T h then a /= sum,
+    h = E a then h /= sum. Returns (node, hub, authority).
+
+    Same two-path shape as pagerank: numpy scatter below
+    ``driver_limit`` edges; above, each half-step is one owner-lookup
+    keyed exchange (raw-task hash shuffle, no joins) plus a grouped
+    sum with zero self-rows, and the normalizer is an O(blocks) remote
+    scalar reduction — the driver never holds a vector.
+    """
+    import pyarrow.compute as pc
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "hub": pa.array([], pa.float64()),
+                         "authority": pa.array([], pa.float64())})
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_ds.select_columns([src, dst])
+                                          .iter_batches(batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        u, v = uv[:, 0], uv[:, 1]
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u):]
+        n = len(nodes)
+        h = np.full(n, 1.0 / n)
+        a = np.zeros(n)
+        for _ in range(n_iters):
+            a = np.zeros(n)
+            np.add.at(a, vi, h[ui])
+            sa = a.sum()
+            if sa > 0:
+                a = a / sa
+            h = np.zeros(n)
+            np.add.at(h, ui, a[vi])
+            sh = h.sum()
+            if sh > 0:
+                h = h / sh
+        return pa.table({"node": nodes, "hub": h, "authority": a})
+
+    # ---- distributed path ------------------------------------------------
+    from .shuffles import int_part_map as _ipm
+
+    def to_e(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column(src).cast(pa.int64()),
+                         "dst": t.column(dst).cast(pa.int64())})
+
+    e = _ipm(edges_ds.map_batches(to_e, batch_format="pyarrow"),
+             "src", _distinct_edges, num_partitions=num_partitions)
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        aa = t.column("src").combine_chunks()
+        bb = t.column("dst").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([aa, bb])})
+
+    nodes = _ipm(e.map_batches(node_rows, batch_format="pyarrow"),
+                 "node", _distinct_nodes, num_partitions=num_partitions)
+    n = nodes.count()
+    zero = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "c": pa.array(np.zeros(t.num_rows))}),
+        batch_format="pyarrow").materialize()
+
+    def sum_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        nd = df["node"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.float64)
+        if not len(nd):
+            return pd.DataFrame({"node": nd, "val": c})
+        order = np.argsort(nd, kind="stable")
+        ns_, cs = nd[order], c[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ns_[1:] != ns_[:-1]) + 1))
+        return pd.DataFrame({"node": ns_[starts],
+                             "val": np.add.reduceat(cs, starts)})
+
+    def spread(vec_ds, key_col: str, out_col: str):
+        """One E-multiply half-step: vec keyed by ``key_col`` end of
+        each edge, mass lands on the other (``out_col``) end."""
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table({"gkey": t.column(key_col),
+                             "dst": t.column(out_col),
+                             "r": pa.array(np.zeros(t.num_rows)),
+                             "tag": pa.array(np.zeros(t.num_rows,
+                                                      np.int8))})
+
+        def tag_vec(t: pa.Table) -> pa.Table:
+            return pa.table({"gkey": t.column("node"),
+                             "dst": pa.array(np.zeros(t.num_rows,
+                                                      np.int64)),
+                             "r": t.column("val"),
+                             "tag": pa.array(np.ones(t.num_rows,
+                                                     np.int8))})
+
+        def emit(df: "pd.DataFrame") -> "pd.DataFrame":
+            tg = df["tag"].to_numpy()
+            own, fol = df[tg == 1], df[tg == 0]
+            if not len(fol):
+                return pd.DataFrame({"node": np.array([], np.int64),
+                                     "c": np.array([], np.float64)})
+            ok = own["gkey"].to_numpy(np.int64)
+            ov = own["r"].to_numpy(np.float64)
+            o = np.argsort(ok, kind="stable")
+            ok, ov = ok[o], ov[o]
+            g = fol["gkey"].to_numpy(np.int64)
+            idx = np.searchsorted(ok, g)
+            if len(ok) == 0 or not np.array_equal(
+                    ok[np.clip(idx, 0, len(ok) - 1)], g):
+                raise ValueError("hits spread: edge end without a "
+                                 "vector row")
+            return pd.DataFrame({"node": fol["dst"].to_numpy(np.int64),
+                                 "c": ov[idx]})
+
+        tagged = e.map_batches(tag_edge, batch_format="pyarrow") \
+                  .union(vec_ds.map_batches(tag_vec,
+                                            batch_format="pyarrow"))
+        msgs = _ipm(tagged, "gkey", emit,
+                    num_partitions=num_partitions)
+        summed = _ipm(msgs.union(zero), "node", sum_kernel,
+                      num_partitions=num_partitions)
+        total = sum(ray.get([_float_sum.remote(r_, "val")
+                             for r_ in summed.to_arrow_refs()]))
+
+        def norm(t: pa.Table) -> pa.Table:
+            vv = t.column("val").to_numpy(zero_copy_only=False)
+            return pa.table({"node": t.column("node"),
+                             "val": pa.array(vv / total if total > 0
+                                             else vv)})
+
+        return summed.map_batches(norm,
+                                  batch_format="pyarrow").materialize()
+
+    h = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "val": pa.array(np.full(t.num_rows,
+                                                    1.0 / n))}),
+        batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(n_iters):
+        a = spread(h, "src", "dst")   # authorities gather from hubs
+        h = spread(a, "dst", "src")   # hubs gather from authorities
+    at = pa.concat_tables([pa.table(b) for b in
+                           a.iter_batches(batch_format="pyarrow")]) \
+        .sort_by("node")
+    ht = pa.concat_tables([pa.table(b) for b in
+                           h.iter_batches(batch_format="pyarrow")]) \
+        .sort_by("node")
+    return pa.table({"node": ht.column("node"),
+                     "hub": ht.column("val"),
+                     "authority": at.column("val")})
