@@ -223,9 +223,10 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
               ds.map_batches(exact_partial, batch_format="pyarrow")
                 .iter_batches(batch_format="pyarrow")]
     ecat = pa.concat_tables([p for p in eparts if p.num_rows] or [empty])
-    merged = (ecat.group_by([value], use_threads=False)
-                  .aggregate([(count_name, "sum")])
-                  .rename_columns([value, count_name]))
+    mg = ecat.group_by([value], use_threads=False) \
+             .aggregate([(count_name, "sum")])
+    merged = pa.table({value: mg.column(value),
+                       count_name: mg.column(f"{count_name}_sum")})
     topk = merged.sort_by([(count_name, "descending"),
                            (value, "ascending")]).slice(0, k)
 
@@ -243,7 +244,13 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
     # to the unconditional exact plan — distributed count + sort +
     # limit; the driver sees only the k result rows.
     from ray.data.aggregate import Count
-    full = (ds.groupby(value).aggregate(Count(alias_name=count_name))
+
+    def _nonnull(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(value)))  # same null-drop
+        # semantics as the sketch path
+
+    full = (ds.map_batches(_nonnull, batch_format="pyarrow")
+              .groupby(value).aggregate(Count(alias_name=count_name))
               .sort([count_name, value], descending=[True, False])
               .limit(k))
     tbl = pa.concat_tables(
