@@ -565,6 +565,8 @@ def hits(edges_ds, src: str = "src", dst: str = "dst",
     """
     import pyarrow.compute as pc
 
+    if n_iters < 1:
+        raise ValueError("hits: n_iters must be >= 1")
     edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges == 0:
