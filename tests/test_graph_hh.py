@@ -60,6 +60,42 @@ def test_heavy_hitters_uniform_fallback_exact(ray_session):
     assert got == _exact_topk(u.tolist(), 7)
 
 
+def test_heavy_hitters_all_unique_batches(ray_session):
+    # Regression (round-5 ADVICE, high): all-unique batches reduce the
+    # MG summary to EMPTY with theta=1 — the theta used to be dropped
+    # with the rows (dec[0] had no row to land on), so the op returned
+    # an EMPTY table instead of the true top-k. Now the sentinel row
+    # carries theta and empty-candidate screens route to the fallback.
+    v = np.arange(20_000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"v": v})).repartition(8)
+    t = heavy_hitters(ds, "v", k=5, m=16)
+    got = list(zip(t.column("v").to_pylist(), t.column("n_rows").to_pylist()))
+    assert got == _exact_topk(v.tolist(), 5)  # was: == []
+
+
+def test_heavy_hitters_spread_value_not_dropped(ray_session):
+    # Regression (round-5 ADVICE, high): a value with true count 40
+    # spread 1-per-batch across otherwise-unique batches was dropped
+    # while the certificate wrongly passed (understated D). With theta
+    # carried on sentinel rows, D is honest, the certificate fails, and
+    # the fallback returns the true winner.
+    rng = np.random.default_rng(3)
+    parts = []
+    base = 1_000_000
+    for b in range(40):
+        # 499 unique fillers + ONE occurrence of the hot value 42
+        fillers = base + b * 1000 + np.arange(499, dtype=np.int64)
+        parts.append(np.concatenate([fillers, [42]]))
+    v = np.concatenate(parts)
+    rng.shuffle(v)
+    # one block per original batch-worth so summaries stay tiny
+    ds = rd.from_arrow(pa.table({"v": v})).repartition(40)
+    t = heavy_hitters(ds, "v", k=5, m=8)
+    got = list(zip(t.column("v").to_pylist(), t.column("n_rows").to_pylist()))
+    assert got == _exact_topk(v.tolist(), 5)
+    assert got[0] == (42, 40)  # the spread value wins and is present
+
+
 def test_heavy_hitters_strings_and_ties(ray_session):
     s = (["b"] * 30 + ["a"] * 30 + ["c"] * 10 + ["d"] * 5) * 3
     ds = rd.from_arrow(pa.table({"v": pa.array(s)})).repartition(3)

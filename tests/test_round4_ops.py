@@ -52,6 +52,35 @@ def test_hll_string_keys_and_distributed():
         assert abs(r["approx_distinct"] - e) / max(e, 1) < 0.05, (r, e)
 
 
+def test_hll_md5_matches_duckdb_raw_branch():
+    # High-cardinality per key so the RAW harmonic estimator (not linear
+    # counting) is exercised; the md5 twin must be bit-identical to the
+    # SQL unroll — exact-integer harmonic sum, identical literal chain,
+    # floor(x+0.5) rounding on both sides.
+    import duckdb
+    from web_crawler_ray.pipelines.queries import _HLL_MD5_SQL
+    from web_crawler_ray.stages.sketches import hll_distinct_md5
+    rng = np.random.default_rng(17)
+    n = 120_000
+    key = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    uid = rng.integers(0, 40_000, n).astype(np.int64)  # ~30k+ distinct/key
+    t = pa.table({"event_type": key, "user_id": uid})
+    got = (hll_distinct_md5(rd.from_arrow(t).repartition(8),
+                            "event_type", "user_id")
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute(_HLL_MD5_SQL + " ORDER BY event_type").df()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["approx_distinct"].tolist() == exp["approx_distinct"].tolist()
+    # and the estimate is actually accurate (raw branch, ~1.6% stderr)
+    exact = pd.DataFrame({"event_type": key, "user_id": uid}) \
+        .groupby("event_type")["user_id"].nunique()
+    for _, r in got.iterrows():
+        e = exact[r["event_type"]]
+        assert abs(r["approx_distinct"] - e) / e < 0.05, (r, e)
+
+
 # --- CUBE / corr -------------------------------------------------------------
 
 def test_cube_sum_three_keys():

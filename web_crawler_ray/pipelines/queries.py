@@ -1203,6 +1203,18 @@ def q_hll_distinct(sf_dir: str):
     return hll_distinct(ds, "event_type", "user_id")
 
 
+def q_hll_distinct_md5(sf_dir: str):
+    """SQL-oracle twin of q_hll_distinct (round-4 verdict item 3, the
+    simhash_md5 precedent): value hash = DuckDB md5_number_lower, the
+    register fold is deterministic given the hash, and the estimator is
+    exact-integer arithmetic — so the SAME registers and the SAME
+    rounded estimate are computable in pure SQL (_HLL_MD5_SQL unrolls
+    fold + estimate). blake2b hll_distinct stays the fast path."""
+    from ..stages.sketches import hll_distinct_md5
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_distinct_md5(ds, "event_type", "user_id")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -1584,6 +1596,7 @@ def registry() -> dict:
         "funnel_events": q_funnel_events,
         "json_field_agg": q_json_field_agg,
         "hll_distinct": q_hll_distinct,
+        "hll_distinct_md5": q_hll_distinct_md5,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -1833,6 +1846,35 @@ _FINGERPRINTS_MD5_SQL = (
     "list_min(list_transform(generate_series(1, greatest(1, len(ws)-7)), "
     "i -> md5_number_lower(array_to_string(ws[i:i+7], chr(1))))) END"
     ")::UBIGINT AS fingerprint FROM w"
+)
+
+# HyperLogLog register fold + estimate, fully unrolled in SQL: hash =
+# md5_number_lower (== sketches.hll_distinct_md5's per-value hash), idx =
+# top 12 bits, rank = 53 - bit_length(low 52 bits) (bin() gives the minimal
+# binary string), estimate via the EXACT-integer harmonic sum scaled by
+# 2^53 (HUGEINT — every 2^-rank term is integral) so the only float ops
+# are one division, the alpha*m^2 literal chain and one ln(), written with
+# identical literals/associativity as _hll_estimate_md5. 4503599627370496
+# = 2^52; 9007199254740992.0 = 2^53; 10240.0 = 2.5*m.
+_HLL_MD5_SQL = (
+    "WITH hx AS (SELECT event_type AS k, "
+    "md5_number_lower(CAST(user_id AS VARCHAR)) AS h FROM events "
+    "WHERE event_type IS NOT NULL AND user_id IS NOT NULL), "
+    "reg AS (SELECT k, h >> 52 AS idx, "
+    "MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53 "
+    "ELSE 53 - length(bin((h % 4503599627370496)::UBIGINT)) END) AS rnk "
+    "FROM hx GROUP BY k, idx), "
+    "s AS (SELECT k, 4096 - COUNT(*) AS zeros, "
+    "(4096 - COUNT(*))::HUGEINT * (1::HUGEINT << 53) "
+    "+ SUM(1::HUGEINT << (53 - rnk)) AS s_scaled FROM reg GROUP BY k), "
+    "e AS (SELECT k, zeros, "
+    "(0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE)) "
+    "* 4096.0::DOUBLE * 4096.0::DOUBLE * 9007199254740992.0::DOUBLE "
+    "/ CAST(s_scaled AS DOUBLE) AS raw FROM s) "
+    "SELECT k AS event_type, "
+    "CAST(FLOOR(CASE WHEN raw <= 10240.0::DOUBLE AND zeros > 0 "
+    "THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / zeros) "
+    "ELSE raw END + 0.5::DOUBLE) AS BIGINT) AS approx_distinct FROM e"
 )
 
 
@@ -2194,6 +2236,7 @@ ORACLES: dict[str, str] = {
         f"WHERE list_cosine_similarity(a.embedding, b.embedding) "
         f">= {PLANTED_TAU}",
     "lang_id": _LANG_ID_SQL,
+    "hll_distinct_md5": _HLL_MD5_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "simhash_md5": _SIMHASH_MD5_SQL,
     "simhash_pairs_md5": _SIMHASH_PAIRS_MD5_SQL,

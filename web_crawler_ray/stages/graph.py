@@ -246,6 +246,12 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst",
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
+    else:
+        import warnings
+        warnings.warn(
+            f"connected_components: label propagation did not stabilize "
+            f"within max_iters={max_iters}; components may be "
+            f"non-converged (raise max_iters)", RuntimeWarning)
     # Stays a Dataset: the labeling is O(nodes) — a sink or the
     # O(components) summary below consumes it, never the driver.
     return labels.map_batches(

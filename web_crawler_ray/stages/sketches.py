@@ -121,6 +121,75 @@ def hll_distinct(ds, key: str, value: str, p: int = HLL_P):
               .map_groups(merge, batch_format="pandas"))
 
 
+def _hll_estimate_md5(reg: np.ndarray) -> int:
+    """Deterministic, SQL-reproducible HLL estimate: the harmonic sum is
+    computed in EXACT integer arithmetic (every term 2^-rank scaled by
+    2^53 is an integer; ranks are <= 53 at p >= 11) so the only float
+    ops are one division, one multiply chain and one log — written with
+    the identical literals/associativity as the DuckDB oracle, hence
+    bit-identical across engines. Rounding is floor(x + 0.5) on both
+    sides (Python round() is banker's; SQL ROUND is half-away-zero —
+    neither matches the other)."""
+    import math
+    m = len(reg)
+    assert m >= 2048, "exact-integer scaling assumes rank <= 53 (p >= 11)"
+    zeros = int(np.count_nonzero(reg == 0))
+    s_scaled = zeros * (1 << 53) + sum(
+        1 << (53 - int(r)) for r in reg[reg > 0])
+    mf = float(m)
+    est = (0.7213 / (1 + 1.079 / mf)) * mf * mf * 9007199254740992.0 \
+        / float(s_scaled)
+    if est <= 2.5 * mf and zeros:
+        est = mf * math.log(mf / zeros)
+    return int(math.floor(est + 0.5))
+
+
+def hll_distinct_md5(ds, key: str, value: str, p: int = HLL_P):
+    """SQL-oracle twin of :func:`hll_distinct` (the simhash_md5
+    precedent, stages/dedup.py): the value hash is DuckDB's
+    ``md5_number_lower(value::VARCHAR)`` and the estimator is
+    :func:`_hll_estimate_md5`'s exact-integer form, so the identical
+    registers AND the identical estimate are computable in pure SQL —
+    the register fold is deterministic given the hash. blake2b
+    ``hll_distinct`` stays the fast path; this variant pays a per-value
+    Python md5 loop in the combiner (still a pure combiner — shuffle
+    volume is unchanged at O(keys_per_batch x 2^p))."""
+    from ..stages.aggregates import md5_low64
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key, value]).drop_null()
+        if not t.num_rows:
+            return pa.table({key: t.column(key),
+                             "reg": pa.array([], pa.binary())})
+        h = np.array([md5_low64(str(v)) for v in
+                      t.column(value).to_pylist()], np.uint64)
+        codes_arr = t.column(key).combine_chunks().dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        dictionary = codes_arr.dictionary.to_pylist()
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(sc[1:] != sc[:-1]) + 1, [len(sc)]))
+        h_sorted = h[order]
+        out_k = [dictionary[sc[s]] for s in starts[:-1]]
+        out_r = [_hll_fold(h_sorted[s:e], p).tobytes()
+                 for s, e in zip(starts[:-1], starts[1:])]
+        return pa.table({key: pa.array(out_k),
+                         "reg": pa.array(out_r, pa.binary())})
+
+    def merge(g) -> "pd.DataFrame":
+        import pandas as pd
+        regs = np.stack([np.frombuffer(b, np.uint8)
+                         for b in g["reg"].tolist()])
+        est = _hll_estimate_md5(regs.max(axis=0))
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "approx_distinct": [est]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(key)
+              .map_groups(merge, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # Exact heavy hitters: Misra-Gries screen + exact verify + certificate
 # ---------------------------------------------------------------------------
@@ -176,6 +245,9 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
     import ray
     import pyarrow.compute as pc
 
+    ds = ds.materialize()  # consumed by 2 passes (3 on fallback) —
+    # without this every pass re-executes the upstream pipeline
+
     def mg_partial(t: pa.Table) -> pa.Table:
         g = (t.select([value]).drop_null()
               .group_by([value], use_threads=False)
@@ -183,12 +255,23 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
         vals = g.column(value).combine_chunks()
         cnts = g.column("count_all").to_numpy(zero_copy_only=False)
         vals, cnts, theta = _mg_reduce(vals, cnts, m)
+        # theta must survive even when the reduced summary is EMPTY
+        # (all-unique batches: the (m+1)-th count equals every count, so
+        # every entry is dropped) — carry it on a sentinel null-value
+        # row instead of piggybacking on summary row 0, otherwise the
+        # Misra-Gries bound D is understated and the exactness
+        # certificate can wrongly pass.
         dec = np.zeros(len(cnts), np.int64)
-        if len(dec):
-            dec[0] = theta
-        return pa.table({value: vals,
-                         "mg_count": pa.array(cnts, pa.int64()),
-                         "dec": pa.array(dec, pa.int64())})
+        tbl = pa.table({value: vals,
+                        "mg_count": pa.array(cnts, pa.int64()),
+                        "dec": pa.array(dec, pa.int64())})
+        if theta:
+            sentinel = pa.table({
+                value: pa.array([None], vals.type),
+                "mg_count": pa.array([0], pa.int64()),
+                "dec": pa.array([theta], pa.int64())})
+            tbl = pa.concat_tables([tbl, sentinel])
+        return tbl
 
     parts = [pa.table(b) for b in
              ds.map_batches(mg_partial, batch_format="pyarrow")
@@ -201,11 +284,17 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
     if not parts:
         return empty
     cat = pa.concat_tables(parts)
-    if cat.num_rows == 0:
-        return empty
     total_dec = int(pc.sum(cat.column("dec")).as_py() or 0)
-    cand = (cat.group_by([value], use_threads=False)
-               .aggregate([("mg_count", "sum")]).column(value))
+    # candidates = non-sentinel survivors; if every batch's summary
+    # emptied (cat holds only sentinels) the screen learned nothing —
+    # route to the unconditional fallback rather than returning nothing.
+    surv = cat.filter(pc.is_valid(cat.column(value)))
+    if surv.num_rows == 0:
+        if total_dec == 0:
+            return empty  # truly empty input
+        return _hh_fallback(ds, value, k, count_name, empty)
+    cand = (surv.group_by([value], use_threads=False)
+                .aggregate([("mg_count", "sum")]).column(value))
 
     cand_ref = ray.put(cand.combine_chunks())
 
@@ -241,8 +330,15 @@ def heavy_hitters(ds, value: str, k: int = 20, m: int = 512,
         return topk
 
     # Certificate failed (heavy tail not separable at this m): fall back
-    # to the unconditional exact plan — distributed count + sort +
-    # limit; the driver sees only the k result rows.
+    # to the unconditional exact plan.
+    return _hh_fallback(ds, value, k, count_name, empty)
+
+
+def _hh_fallback(ds, value: str, k: int, count_name: str,
+                 empty: pa.Table) -> pa.Table:
+    """Unconditional exact top-k: distributed count + sort + limit; the
+    driver sees only the k result rows."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
     def _nonnull(t: pa.Table) -> pa.Table:

@@ -645,7 +645,7 @@ def build_trigram_lm(ref_ds, text_col: str = "text"):
         u, c = np.unique(codes, return_counts=True)
         chars = np.unique(np.frombuffer(
             "".join(t.column(text_col).to_pylist()).encode(), np.uint8))
-        pad = np.full(len(chars), -1, np.int64)  # char rows: code -1-ch
+        # char rows ride the same table as trigram rows, encoded -1-ch
         return pa.table({"code": np.concatenate([u, -1 - chars.astype(np.int64)]),
                          "cnt": np.concatenate([c, np.ones(len(chars), np.int64)])})
 
