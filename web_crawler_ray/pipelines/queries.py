@@ -1297,6 +1297,18 @@ def q_pack_docs(sf_dir: str):
     return pack_greedy(ds, cap=8000)
 
 
+def q_pack_docs_global(sf_dir: str):
+    """SQL-oracle twin of q_pack_docs (round-4 verdict item 4): with
+    num_partitions=1 the greedy fill is GLOBAL over id-ordered docs, so
+    bins depend only on the input set and DuckDB can replay the walk as
+    a recursive CTE (one row per step — the greedy state (bin, acc) is
+    inherently sequential; this is the verification config, the
+    16-partition variant stays the scale path)."""
+    from ..stages.textstats import pack_greedy
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return pack_greedy(ds, cap=8000, num_partitions=1)
+
+
 def q_pagerank_seeded(sf_dir: str):
     """PERSONALIZED PageRank: teleport mass concentrated on the 25
     nation nodes of the same orders<->customer<->nation graph — the
@@ -1607,6 +1619,7 @@ def registry() -> dict:
         "lm_score": q_lm_score,
         "chunk_documents": q_chunk_documents,
         "pack_docs": q_pack_docs,
+        "pack_docs_global": q_pack_docs_global,
         "pagerank_seeded": q_pagerank_seeded,
         "hits": q_hits,
         "approx_quantiles": q_approx_quantiles,
@@ -1875,6 +1888,27 @@ _HLL_MD5_SQL = (
     "CAST(FLOOR(CASE WHEN raw <= 10240.0::DOUBLE AND zeros > 0 "
     "THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / zeros) "
     "ELSE raw END + 0.5::DOUBLE) AS BIGINT) AS approx_distinct FROM e"
+)
+
+
+# Global greedy packing replayed as a recursive CTE: the walk's state
+# (current bin, accumulated size) is inherently sequential, so the
+# recursion advances exactly one id-ordered row per step — the same
+# (acc and acc+sz > cap) reset rule as textstats.pack_greedy's kernel.
+_PACK_GLOBAL_SQL = (
+    "WITH RECURSIVE d AS (SELECT doc_id, n_chars, "
+    "ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents), "
+    "walk AS ("
+    "SELECT rn, doc_id, n_chars, 0::BIGINT AS bin_id, n_chars AS acc "
+    "FROM d WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT d.rn, d.doc_id, d.n_chars, "
+    "CASE WHEN w.acc > 0 AND w.acc + d.n_chars > 8000 "
+    "THEN w.bin_id + 1 ELSE w.bin_id END, "
+    "CASE WHEN w.acc > 0 AND w.acc + d.n_chars > 8000 "
+    "THEN d.n_chars ELSE w.acc + d.n_chars END "
+    "FROM walk w JOIN d ON d.rn = w.rn + 1) "
+    "SELECT doc_id, bin_id, n_chars::BIGINT AS n_chars FROM walk"
 )
 
 
@@ -2237,6 +2271,7 @@ ORACLES: dict[str, str] = {
         f">= {PLANTED_TAU}",
     "lang_id": _LANG_ID_SQL,
     "hll_distinct_md5": _HLL_MD5_SQL,
+    "pack_docs_global": _PACK_GLOBAL_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "simhash_md5": _SIMHASH_MD5_SQL,
     "simhash_pairs_md5": _SIMHASH_PAIRS_MD5_SQL,

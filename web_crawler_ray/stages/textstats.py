@@ -752,7 +752,7 @@ def chunk_documents(ds, window: int = 800, overlap: int = 100,
 
 
 def pack_greedy(ds, cap: int, id_col: str = "doc_id",
-                size_col: str = "n_chars"):
+                size_col: str = "n_chars", num_partitions: int = 16):
     """Greedy sequence packing: assign items to bins so each bin's
     total size stays <= cap (oversize items get a bin of their own) —
     the batching step that turns variable-length documents into
@@ -790,6 +790,10 @@ def pack_greedy(ds, cap: int, id_col: str = "doc_id",
                 size_col: sizes})
         return kernel
 
-    NP = 16
+    # num_partitions=1 collapses to a GLOBAL id-ordered greedy fill —
+    # bins then depend only on the input set (the SQL-oracle twin,
+    # q_pack_docs_global, unrolls that walk as a recursive CTE); the
+    # default 16 is the scale path with partition-relative bins.
+    NP = num_partitions
     return int_part_map(ds, id_col, kernel_factory(),
                         num_partitions=NP)
