@@ -1297,6 +1297,19 @@ def q_pack_docs(sf_dir: str):
     return pack_greedy(ds, cap=8000)
 
 
+def q_bpe_vocab(sf_dir: str):
+    """BPE tokenizer-vocabulary induction: 10 greedy merges over the
+    documents corpus (aggregates.bpe_vocab — word-frequency reduction
+    once, then every iteration runs on the distinct-word table with a
+    combiner pair count and one vectorized replace). Oracle: the same
+    10 iterations unrolled as MATERIALIZED DuckDB CTEs (the pagerank
+    precedent) — SQL replace's left-to-right non-overlapping scan over
+    boundary-delimited symbol strings is exactly the greedy BPE apply."""
+    from ..stages.aggregates import bpe_vocab
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return bpe_vocab(ds, n_merges=10)
+
+
 def q_pack_docs_global(sf_dir: str):
     """SQL-oracle twin of q_pack_docs (round-4 verdict item 4): with
     num_partitions=1 the greedy fill is GLOBAL over id-ordered docs, so
@@ -1620,6 +1633,7 @@ def registry() -> dict:
         "chunk_documents": q_chunk_documents,
         "pack_docs": q_pack_docs,
         "pack_docs_global": q_pack_docs_global,
+        "bpe_vocab": q_bpe_vocab,
         "pagerank_seeded": q_pagerank_seeded,
         "hits": q_hits,
         "approx_quantiles": q_approx_quantiles,
@@ -1889,6 +1903,45 @@ _HLL_MD5_SQL = (
     "THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / zeros) "
     "ELSE raw END + 0.5::DOUBLE) AS BIGINT) AS approx_distinct FROM e"
 )
+
+
+def _build_bpe_sql(n_merges: int) -> str:
+    """Unroll bpe_vocab's merge loop as MATERIALIZED DuckDB CTEs (plain
+    CTEs inline exponentially here — words{k} chains back to documents
+    and best{k} is referenced four times per apply). Symbol strings are
+    boundary-delimited ('|a||b||c|'); SQL replace's left-to-right
+    non-overlapping scan == Arrow replace_substring == greedy BPE apply
+    (parity pinned in pytest on the 'aaa'/'ababa' overlap shapes)."""
+    parts = [
+        "words0 AS MATERIALIZED (SELECT '|' || "
+        "array_to_string(string_split(word, ''), '||') || '|' AS w, cnt "
+        "FROM (SELECT word, COUNT(*)::BIGINT AS cnt FROM (SELECT "
+        "UNNEST(regexp_extract_all(lower(coalesce(text,'')), "
+        "'[a-z0-9'']+')) AS word FROM documents) GROUP BY word))"]
+    for k in range(n_merges):
+        parts.append(
+            f"pairs{k} AS MATERIALIZED (SELECT l, r, SUM(cnt)::BIGINT "
+            f"AS cnt FROM (SELECT ss[i] AS l, ss[i+1] AS r, cnt FROM "
+            f"(SELECT string_split(trim(w, '|'), '||') AS ss, cnt "
+            f"FROM words{k}) t, "
+            f"UNNEST(generate_series(1, len(ss)-1)) AS u(i)) GROUP BY l, r)")
+        parts.append(
+            f"best{k} AS MATERIALIZED (SELECT l, r, cnt FROM pairs{k} "
+            f"ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)")
+        parts.append(
+            f"words{k + 1} AS MATERIALIZED (SELECT replace(w, "
+            f"'|' || (SELECT l FROM best{k}) || '||' || "
+            f"(SELECT r FROM best{k}) || '|', "
+            f"'|' || (SELECT l FROM best{k}) || "
+            f"(SELECT r FROM best{k}) || '|') AS w, cnt FROM words{k})")
+    union = " UNION ALL ".join(
+        f"SELECT {k + 1}::BIGINT AS step, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt AS pair_count FROM best{k}"
+        for k in range(n_merges))
+    return "WITH " + ", ".join(parts) + " " + union
+
+
+_BPE_SQL = _build_bpe_sql(10)
 
 
 # Global greedy packing replayed as a recursive CTE: the walk's state
@@ -2272,6 +2325,7 @@ ORACLES: dict[str, str] = {
     "lang_id": _LANG_ID_SQL,
     "hll_distinct_md5": _HLL_MD5_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
+    "bpe_vocab": _BPE_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "simhash_md5": _SIMHASH_MD5_SQL,
     "simhash_pairs_md5": _SIMHASH_PAIRS_MD5_SQL,

@@ -11,6 +11,8 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import ray
 
 
 def group_quantiles(ds, key: str, value: str, qs: list[float],
@@ -78,6 +80,131 @@ def vocab_topk(ds, text_col: str = "text", k: int = 50):
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("word").aggregate(Sum("n", alias_name="n")))
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+@ray.remote
+def _bpe_pairs_block(t: pa.Table) -> pa.Table:
+    """Per-block combiner for :func:`bpe_vocab`: adjacent-pair counts
+    weighted by word frequency over boundary-delimited symbol strings
+    — the driver receives O(distinct pairs per block) rows, never the
+    words."""
+    from collections import Counter
+    c: "Counter" = Counter()
+    if "w" not in t.column_names:  # schema-less empty block
+        t = pa.table({"w": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    for w, f in zip(t.column("w").to_pylist(), t.column("cnt").to_pylist()):
+        ss = w[1:-1].split("||")
+        for a, b in zip(ss, ss[1:]):
+            c[(a, b)] += f
+    keys = sorted(c)
+    return pa.table({"l": pa.array([k[0] for k in keys], pa.string()),
+                     "r": pa.array([k[1] for k in keys], pa.string()),
+                     "cnt": pa.array([c[k] for k in keys], pa.int64())})
+
+
+@ray.remote
+def _bpe_apply_block(t: pa.Table, pat: str, rep: str) -> pa.Table:
+    """Apply one BPE merge to a vocabulary block: Arrow's vectorized
+    left-to-right non-overlapping replace == greedy within-word BPE
+    apply == SQL replace (overlap parity pinned in pytest)."""
+    import pyarrow.compute as pc
+    if "w" not in t.column_names:  # schema-less empty block
+        return pa.table({"w": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    return pa.table({"w": pc.replace_substring(t.column("w"), pattern=pat,
+                                               replacement=rep),
+                     "cnt": t.column("cnt")})
+
+
+def bpe_vocab(ds, text_col: str = "text", n_merges: int = 10):
+    """BPE vocabulary induction (Sennrich et al. 2016): iteratively merge
+    the corpus-wide most frequent adjacent symbol pair, starting from
+    characters. Returns ONE row per merge —
+    (step, left_sym, right_sym, merged, pair_count) — the learned merge
+    table, which IS the tokenizer vocabulary.
+
+    Scale shape: the corpus is first reduced to the DISTINCT-WORD
+    frequency table (the vocab_topk combiner + one groupby(word)
+    shuffle) — after that, corpus size is irrelevant: every iteration
+    runs over the vocabulary table only. Per iteration: (1) a combiner
+    map_batches counts adjacent pairs weighted by word frequency, so the
+    driver merges O(distinct pairs) tiny rows (pagerank's
+    convergence-scalar convention — never rows); (2) the argmax merge is
+    broadcast as two task constants; (3) application is ONE vectorized
+    Arrow ``replace_substring`` over the boundary-delimited symbol
+    strings (``|a||b||c|`` — left-to-right non-overlapping replacement
+    is exactly BPE's greedy within-word scan, and exactly SQL
+    ``replace``, which is how the oracle unrolls the same iterations as
+    MATERIALIZED CTEs). Ties broken (count desc, left asc, right asc)
+    on both sides.
+
+    Word class matches the decontamination tokenizer ([a-z0-9']+ over
+    lower(), DuckDB-RE2 identical). Symbols never contain '|', so the
+    delimiters cannot be spoofed. The reference engine has no tokenizer
+    layer (aggregates are single-process exact,
+    data-quality.service.js:114-136); this is the LLM-pipeline
+    tokenizer-induction extension.
+    """
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .textstats import _WORD_RE
+
+    def wpartial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            c.update(_WORD_RE.findall((txt or "").lower()))
+        words = sorted(c)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "cnt": pa.array([c[w] for w in words], pa.int64())})
+
+    vocab = (ds.map_batches(wpartial, batch_format="pyarrow")
+               .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def to_sym(t: pa.Table) -> pa.Table:
+        w = ["|" + "||".join(x) + "|"
+             for x in t.column("word").to_pylist()]
+        return pa.table({"w": pa.array(w, pa.string()),
+                         "cnt": t.column("cnt")})
+
+    # The merge loop rides RAW TASKS over the materialized vocabulary's
+    # block refs (the graph.py loop convention): per iteration, one
+    # flat wave of pair-count tasks (driver gets O(distinct pairs)
+    # partials) and one flat wave of apply tasks whose OUTPUT REFS
+    # become the next round's blocks — the word strings themselves
+    # never leave the object store, and no per-iteration Dataset
+    # execution overhead is paid.
+    refs = (vocab.map_batches(to_sym, batch_format="pyarrow")
+                 .materialize().to_arrow_refs())
+
+    steps: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        parts = [p for p in ray.get([_bpe_pairs_block.remote(r)
+                                     for r in refs]) if p.num_rows]
+        if not parts:
+            break  # vocabulary fully merged — fewer rows than n_merges
+        g = (pa.concat_tables(parts)
+               .group_by(["l", "r"], use_threads=False)
+               .aggregate([("cnt", "sum")]))
+        top = g.sort_by([("cnt_sum", "descending"), ("l", "ascending"),
+                         ("r", "ascending")]).slice(0, 1)
+        lft = top.column("l")[0].as_py()
+        rgt = top.column("r")[0].as_py()
+        n = int(top.column("cnt_sum")[0].as_py())
+        steps.append((step, lft, rgt, lft + rgt, n))
+        refs = [_bpe_apply_block.remote(r, f"|{lft}||{rgt}|",
+                                        f"|{lft}{rgt}|") for r in refs]
+
+    return pa.table({
+        "step": pa.array([s[0] for s in steps], pa.int64()),
+        "left_sym": pa.array([s[1] for s in steps], pa.string()),
+        "right_sym": pa.array([s[2] for s in steps], pa.string()),
+        "merged": pa.array([s[3] for s in steps], pa.string()),
+        "pair_count": pa.array([s[4] for s in steps], pa.int64())})
 
 
 def cap_per_group(ds, key: str, order_col: str, k: int):
