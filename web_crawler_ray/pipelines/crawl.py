@@ -51,6 +51,7 @@ from ..functions.urltools import (
     should_exclude,
 )
 from ..state import distrank
+from ..state.placement import spread_opts
 from ..state.politeness import Politeness
 from ..state.robots_cache import RobotsCache
 from ..state.seen import SeenSet
@@ -346,7 +347,7 @@ def _keeper_pool(k: int) -> list:
     if pool is None:
         for old in [o for o in _KEEPER_POOLS if o[:2] != key[:2]]:
             del _KEEPER_POOLS[old]
-        pool = [_Keeper.remote() for _ in range(k)]
+        pool = [_Keeper.options(**spread_opts()).remote() for _ in range(k)]
         _KEEPER_POOLS[key] = pool
     return pool
 
@@ -710,10 +711,11 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         fetch_stage = FetchStage(PageStoreShards([pages_store], 1))
     else:
         fetch_stage = FetchStage(put_page_store(pages_store))
-    robots = RobotsCache.options(num_cpus=0.1).remote(robots_by_host)
+    robots = RobotsCache.options(**spread_opts(num_cpus=0.1)) \
+        .remote(robots_by_host)
     seen = SeenSet(n_shards=n_seen_shards,
                    spill_threshold=seen_spill_threshold)
-    politeness = Politeness.options(num_cpus=0.1).remote(
+    politeness = Politeness.options(**spread_opts(num_cpus=0.1)).remote(
         round_seconds if round_seconds is not None else float("inf"))
 
     info = resume_info(resume_from) if resume_from else None

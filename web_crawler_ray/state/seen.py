@@ -244,10 +244,11 @@ class SeenSet:
 
     def __init__(self, n_shards: int = 8, n_buckets_log2: int = 14,
                  spill_threshold: int | None = None):
+        from .placement import spread_opts
         self.n_shards = n_shards
         self.shards = [
-            SeenShard.options(num_cpus=0.1).remote(i, n_buckets_log2,
-                                                   spill_threshold)
+            SeenShard.options(**spread_opts(num_cpus=0.1)).remote(
+                i, n_buckets_log2, spill_threshold)
             for i in range(n_shards)
         ]
 
