@@ -635,7 +635,9 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
           page_hook=None,
           visited_spill_dir: str | None = None,
           rank_assign: str = "auto",
-          rank_gather_limit: int = 4_000_000) -> CrawlResult:
+          rank_gather_limit: int = 4_000_000,
+          fetch_stage=None,
+          seen_buckets_log2: int = 14) -> CrawlResult:
     """Run the round-based BFS. ``pages_store`` must be sorted by url_hash
     (pass ``None`` with ``fetcher="http"``).
 
@@ -703,7 +705,13 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
     # single shard without a driver-side get), or a plain table (sharded
     # here; the upload is world SETUP — the network stand-in — not crawl
     # work, so callers that time the crawl hoist put_page_store)
-    if fetcher == "http":
+    if fetch_stage is not None:
+        # caller-supplied fetch stage (same output schema contract as
+        # FetchStage: status/html/xhr_json/links_canon/fetch_ok) — e.g.
+        # sources/procedural_world.ProceduralFetchStage, the storage-free
+        # network-as-a-function used for frontier-scale demos
+        pass
+    elif fetcher == "http":
         fetch_stage = HttpFetchStage(fetch_timeout)
     elif isinstance(pages_store, PageStoreShards):
         fetch_stage = FetchStage(pages_store)
@@ -713,7 +721,12 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         fetch_stage = FetchStage(put_page_store(pages_store))
     robots = RobotsCache.options(**spread_opts(num_cpus=0.1)) \
         .remote(robots_by_host)
+    # size the per-shard cuckoo for expected keys/shard: capacity is
+    # 4 * 2^seen_buckets_log2 slots at ~95% load; an UNDERSIZED filter
+    # degrades every insert into the max-kick loop + overflow set (a
+    # silent cliff measured at ~100x on a 10^7-key run) — SCALE.md
     seen = SeenSet(n_shards=n_seen_shards,
+                   n_buckets_log2=seen_buckets_log2,
                    spill_threshold=seen_spill_threshold)
     politeness = Politeness.options(**spread_opts(num_cpus=0.1)).remote(
         round_seconds if round_seconds is not None else float("inf"))
@@ -969,6 +982,7 @@ def crawl(pages_store: pa.Table, robots_by_host: dict[str, str], seeds: list[str
         for d in page_datasets[1:]:
             pages = pages.union(d)
     stats = {"fetched": n_fetched, "rounds": rnd, "seen": seen.cardinality(),
+             "seen_shards": seen.memory_stats(),
              "politeness": ray.get(politeness.get_all_stats.remote())}
     return CrawlResult(visited=visited, pages=pages,
                        seen_snapshot=seen.snapshot(), stats=stats,
@@ -1375,6 +1389,7 @@ def _crawl_rounds_dataset(fetch_stage, robots, seen, politeness,
         for d in page_datasets[1:]:
             pages = pages.union(d)
     stats = {"fetched": n_fetched, "rounds": rnd, "seen": seen.cardinality(),
+             "seen_shards": seen.memory_stats(),
              "politeness": ray.get(politeness.get_all_stats.remote())}
     _ph("final")
     stats["driver_phases"] = {k: round(v, 3) for k, v in phases.items()}

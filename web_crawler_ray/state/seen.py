@@ -47,7 +47,10 @@ class CuckooFilter:
         self.max_kicks = max_kicks
         self.rng = np.random.default_rng(seed)
         self.overflow: set[int] = set()  # bloom-tier stand-in for kicked-out fps
+        self._overflow_arr: np.ndarray | None = None  # sorted probe cache
         self.count = 0
+        self.capacity = self.nb * 4
+        self._warned = False
 
     def _index(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         fp = fingerprint16(h)
@@ -62,16 +65,45 @@ class CuckooFilter:
         b2 = self.table[i2]
         hit = (b1 == fp[:, None]).any(axis=1) | (b2 == fp[:, None]).any(axis=1)
         if self.overflow:
-            for k in np.flatnonzero(~hit):
-                if int(fp[k]) in self.overflow:
-                    hit[k] = True
+            # vectorized probe against the sorted overflow cache (the
+            # per-key Python set loop was O(misses) interpreter work on
+            # every round once a filter saturated)
+            if self._overflow_arr is None \
+                    or len(self._overflow_arr) != len(self.overflow):
+                self._overflow_arr = np.fromiter(
+                    self.overflow, dtype=np.uint16, count=len(self.overflow))
+                self._overflow_arr.sort()
+            miss = np.flatnonzero(~hit)
+            if len(miss):
+                ov = self._overflow_arr
+                ix = np.searchsorted(ov, fp[miss])
+                inov = (ix < len(ov)) & \
+                    (ov[np.minimum(ix, len(ov) - 1)] == fp[miss])
+                hit[miss[inov]] = True
         return hit
 
     def insert_many(self, h: np.ndarray) -> None:
         fp, i1, i2 = self._index(h)
-        for k in range(len(h)):
+        n = len(h)
+        # saturation guard: past ~95% load the kick loop almost always
+        # runs its full max_kicks budget per key (measured: one 320k-key
+        # shard on a 2^14 filter burned >300 s) — route straight to the
+        # overflow tier instead. Membership stays false-negative-free;
+        # an undersized filter degrades to exact/bloom-tier lookups.
+        room = max(int(self.capacity * 0.95) - self.count, 0)
+        if room < n and not self._warned:
+            self._warned = True
+            import logging
+            logging.getLogger(__name__).warning(
+                "cuckoo filter saturated (%d/%d slots): fingerprints now "
+                "spill to the overflow tier; size n_buckets_log2 for "
+                "expected keys/shard (SCALE.md)", self.count, self.capacity)
+        for k in range(min(room, n)):
             self._insert_one(int(fp[k]), int(i1[k]), int(i2[k]))
-        self.count += len(h)
+        if room < n:
+            self.overflow.update(int(x) for x in fp[room:])
+            self._overflow_arr = None
+        self.count += n
 
     def _insert_one(self, fp: int, i1: int, i2: int) -> None:
         for idx in (i1, i2):
@@ -92,6 +124,7 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 return
         self.overflow.add(fp)  # spill tier (bloom stand-in, exact on fp)
+        self._overflow_arr = None
 
 
 class BloomFilter:
@@ -207,6 +240,23 @@ class _SeenShardImpl:
         so crawl metrics don't undercount after a spill."""
         return len(self.exact) + self.spilled_count
 
+    def memory_stats(self) -> dict:
+        """Per-shard memory accounting (scale-run instrumentation):
+        exact-tier key count, spilled key count, and the byte sizes of
+        the cuckoo table, bloom bits, and the exact set (sys.getsizeof
+        of the set + 28 B/int object, the CPython layout)."""
+        import sys
+        exact_bytes = sys.getsizeof(self.exact) + 28 * len(self.exact)
+        return {
+            "exact_keys": len(self.exact),
+            "spilled_keys": self.spilled_count,
+            "cuckoo_bytes": int(self.filter.table.nbytes),
+            "cuckoo_load": round(self.filter.count / self.filter.capacity, 3),
+            "cuckoo_overflow": len(self.filter.overflow),
+            "bloom_bytes": int(self.bloom.bits.nbytes) if self.bloom else 0,
+            "exact_bytes": int(exact_bytes),
+        }
+
 
 SeenShard = ray.remote(_SeenShardImpl)
 
@@ -259,6 +309,12 @@ class SeenSet:
         whole frontier round.
         """
         return scatter_check_and_add(self.shards, hashes)
+
+    def memory_stats(self) -> list[dict]:
+        """Per-shard memory accounting (see _SeenShardImpl.memory_stats);
+        one list entry per shard, gathered in one wave."""
+        import ray
+        return ray.get([s.memory_stats.remote() for s in self.shards])
 
     def bulk_add(self, hashes: np.ndarray) -> None:
         """Seed the shards from a checkpoint snapshot (resume path)."""
