@@ -202,3 +202,110 @@ def test_normalize_text_batch():
         ["  Hello\t\tWORLD \n", "a  b\r\nc", "", None])})
     out = normalize_text_batch(t).column("text_norm").to_pylist()
     assert out == ["hello world", "a b c", "", None]
+
+
+# --- fixed-size uniform / stratified sampling ---------------------------------
+
+def test_sample_uniform_k_matches_bruteforce(ray_session):
+    from web_crawler_ray.stages.aggregates import md5_low64, sample_uniform_k
+    n = 500
+    df = pd.DataFrame({"id": np.arange(n), "v": np.arange(n) * 2})
+    out = sample_uniform_k(rd.from_pandas(df).repartition(7), "id", k=40) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    # brute force: 40 smallest md5 hashes
+    h = np.array([md5_low64(str(i)) for i in df["id"]], dtype=np.uint64)
+    exp = df.iloc[np.argsort(h, kind="stable")[:40]] \
+        .sort_values("id").reset_index(drop=True)
+    assert out.equals(exp)
+    # re-sharding draws the identical sample
+    out2 = sample_uniform_k(rd.from_pandas(df).repartition(2), "id", k=40) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert out2.equals(out)
+
+
+def test_sample_uniform_k_small_input(ray_session):
+    from web_crawler_ray.stages.aggregates import sample_uniform_k
+    df = pd.DataFrame({"id": [1, 2, 3]})
+    out = sample_uniform_k(rd.from_pandas(df).repartition(2), "id", k=10) \
+        .to_pandas()
+    assert sorted(out["id"]) == [1, 2, 3]  # k > n keeps everything
+
+
+def test_stratified_sample_k_per_group(ray_session):
+    from web_crawler_ray.stages.aggregates import (md5_low64,
+                                                   stratified_sample_k)
+    n = 600
+    df = pd.DataFrame({"id": np.arange(n),
+                       "g": np.where(np.arange(n) % 3 == 0, "a",
+                                     np.where(np.arange(n) % 3 == 1, "b",
+                                              "c"))})
+    out = stratified_sample_k(rd.from_pandas(df).repartition(5),
+                              "g", "id", k=25) \
+        .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    # brute force per group
+    df2 = df.copy()
+    df2["h"] = [md5_low64(str(i)) for i in df2["id"]]
+    exp = (df2.sort_values(["g", "h", "id"]).groupby("g").head(25)
+              .sort_values(["g", "id"]).reset_index(drop=True))[["id", "g"]]
+    assert out[["id", "g"]].equals(exp)
+    assert (out.groupby("g").size() == 25).all()
+    # partitioning-independence
+    out2 = stratified_sample_k(rd.from_pandas(df).repartition(1),
+                               "g", "id", k=25) \
+        .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    assert out2[["id", "g"]].equals(exp)
+
+
+# --- BM25 ----------------------------------------------------------------------
+
+def test_bm25_matches_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    from web_crawler_ray.stages.aggregates import bm25_score
+    from web_crawler_ray.stages.textstats import _SHINGLE_WORD_RE
+
+    docs = ["the hash join is a hash hash thing",
+            "filter pushdown beats a late filter",
+            "nothing relevant here at all",
+            "",
+            "join join join join join",
+            "hash filter join"]
+    df_in = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    q = ["hash", "join", "filter"]
+    out = bm25_score(rd.from_pandas(df_in).repartition(3), q) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # brute force
+    toks = [_SHINGLE_WORD_RE.findall(t.lower()) for t in docs]
+    n = len(docs)
+    avgdl = sum(len(ts) for ts in toks) / n
+    df_t = {w: sum(1 for ts in toks if w in ts) for w in q}
+    idf = {w: math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+           for w, d in df_t.items()}
+    k1, b = 1.2, 0.75
+    exp = []
+    for ts in toks:
+        c = Counter(w for w in ts if w in idf)
+        norm = k1 * (1.0 - b + b * len(ts) / avgdl) if ts else 0.0
+        exp.append(round(sum(idf[w] * (c[w] * (k1 + 1.0)) / (c[w] + norm)
+                             for w in sorted(c)), 6))
+    assert list(out["bm25"]) == exp
+    # no-match and empty docs score exactly 0
+    assert out.loc[2, "bm25"] == 0.0 and out.loc[3, "bm25"] == 0.0
+    # tf saturation: 5x join scores higher than 1x but far below 5x
+    one_join = idf["join"] * (k1 + 1.0) / \
+        (1.0 + k1 * (1.0 - b + b * 3 / avgdl))
+    assert out.loc[4, "bm25"] > one_join
+    assert out.loc[4, "bm25"] < 5 * one_join
+
+
+def test_bm25_partitioning_independent(ray_session):
+    from web_crawler_ray.stages.aggregates import bm25_score
+    docs = [f"word{i % 7} hash join extra text {i}" for i in range(120)]
+    df_in = pd.DataFrame({"doc_id": range(120), "text": docs})
+    a = bm25_score(rd.from_pandas(df_in).repartition(8), ["hash", "join"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    c = bm25_score(rd.from_pandas(df_in).repartition(1), ["hash", "join"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(c)

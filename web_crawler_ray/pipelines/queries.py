@@ -621,6 +621,44 @@ def q_hash_sample(sf_dir: str):
     return ds.map_batches(sample, batch_format="pyarrow")
 
 
+def q_sample_k(sf_dir: str):
+    """Fixed-SIZE uniform sample: the 100 documents with the smallest
+    md5(doc_id) — the distributed, resumable equivalent of reservoir
+    sampling (the sample is a pure function of the ids, so re-sharded
+    or resumed runs draw the identical rows; streaming reservoirs are
+    order-dependent, which a resumable pipeline can't have).
+    aggregates.sample_uniform_k: per-batch top-k combiner, then one
+    sort+limit over <= blocks x k candidates — the corpus itself never
+    shuffles."""
+    from ..stages.aggregates import sample_uniform_k
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return sample_uniform_k(ds, "doc_id", k=100)
+
+
+def q_bm25(sf_dir: str):
+    """BM25 relevance of every document against the query
+    {filter, hash, join} (k1=1.2, b=0.75, Lucene/ATIRE idf) — the
+    lexical-retrieval scorer next to the ANN ops
+    (aggregates.bm25_score: one |query|-row combiner pass for df/avgdl,
+    stats broadcast once, corpus streams through a stateless scorer)."""
+    from ..stages.aggregates import bm25_score
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_score(ds, ["filter", "hash", "join"])
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum fixed-size sample: 40 uniformly-drawn documents per
+    language (row_number() OVER (PARTITION BY lang ORDER BY
+    md5(doc_id)) <= 40) — the corpus-balancing primitive when every
+    language must contribute equally regardless of its share
+    (aggregates.stratified_sample_k: cap_per_group's combiner on the
+    hash order; a hot stratum's excess rows die in the batch that read
+    them)."""
+    from ..stages.aggregates import stratified_sample_k
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample_k(ds, "lang", "doc_id", k=40)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -1658,6 +1696,9 @@ def registry() -> dict:
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
         "hash_sample": q_hash_sample,
+        "sample_k": q_sample_k,
+        "stratified_sample": q_stratified_sample,
+        "bm25": q_bm25,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "text_stats": q_text_stats,
@@ -2290,6 +2331,33 @@ ORACLES: dict[str, str] = {
         "UNION ALL SELECT event_id, value FROM events WHERE value <= 0.1",
     "hash_sample":
         "SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0",
+    "sample_k":
+        "SELECT doc_id, source FROM documents "
+        "ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id LIMIT 100",
+    "stratified_sample":
+        "SELECT doc_id, lang FROM documents QUALIFY row_number() OVER ("
+        "PARTITION BY lang "
+        "ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id) <= 40",
+    "bm25":
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+        "FROM documents), "
+        "dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id), "
+        "dl2 AS (SELECT d.doc_id, coalesce(dl.len, 0)::DOUBLE AS len "
+        "FROM documents d LEFT JOIN dl USING (doc_id)), "
+        "st AS (SELECT avg(len) AS avgdl, count(*)::DOUBLE AS n FROM dl2), "
+        "df AS (SELECT w, count(DISTINCT doc_id)::DOUBLE AS df FROM toks "
+        "WHERE w IN ('filter', 'hash', 'join') GROUP BY w), "
+        "tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM toks "
+        "WHERE w IN ('filter', 'hash', 'join') GROUP BY doc_id, w), "
+        "sc AS (SELECT tf.doc_id, sum("
+        "ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+        "(tf.tf * (1.2 + 1.0)) / "
+        "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl2.len / st.avgdl))) AS s "
+        "FROM tf JOIN df USING (w) JOIN dl2 USING (doc_id), st "
+        "GROUP BY tf.doc_id) "
+        "SELECT d.doc_id, round(coalesce(sc.s, 0.0), 6) AS bm25 "
+        "FROM documents d LEFT JOIN sc USING (doc_id)",
     "dedup_exact":
         "SELECT doc_id FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1",

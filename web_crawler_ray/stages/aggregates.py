@@ -802,3 +802,173 @@ def split_assign(ds, id_col: str, fractions=None, scale: int = 1000,
                          split_name: pa.array([names[i] for i in idx])})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sample_uniform_k(ds, id_col: str, k: int, keep_cols=None):
+    """Deterministic fixed-size uniform sample: the ``k`` rows with the
+    smallest ``md5_low64(str(id))`` — the distributed equivalent of
+    reservoir sampling (a uniform hash of a unique id is a uniform
+    random permutation of the rows, fixed by the ids alone), with the
+    same reproducible-membership convention as weighted_sample /
+    split_assign: the sample depends only on the row ids, never on
+    partitioning, run order or cluster size, so re-sharded and resumed
+    runs draw the IDENTICAL sample. (Classic streaming reservoirs are
+    order-dependent, which is exactly what a resumable distributed
+    pipeline can't have.)
+
+    Scale shape: a combiner pass first — each batch prunes itself to
+    its own k smallest hashes (one vectorized argpartition) — then ONE
+    sort+limit over the <= blocks x k surviving candidate rows; the
+    corpus itself never shuffles. Ties (impossible for distinct ids,
+    md5 is collision-free at any real k) break by id. Emits
+    ``keep_cols`` (default: all input columns)."""
+    import pyarrow as pa
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.array([md5_low64(str(i)) for i in ids], dtype=np.uint64)
+        if len(h) > k:
+            idx = np.argpartition(h, k - 1)[:k]
+            t = t.take(pa.array(np.sort(idx)))
+            h = h[np.sort(idx)]
+        # uint64 -> DuckDB-comparable float would lose bits; keep the
+        # exact value as int64 bit-view for the sort (order-preserving
+        # needs the sign flip: view ^ 2^63 maps uint64 order to int64)
+        key = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return t.append_column("__h", pa.array(key, pa.int64()))
+
+    cand = ds.map_batches(prune, batch_format="pyarrow")
+    out = cand.sort(["__h", id_col]).limit(k)
+    cols = keep_cols or [c for c in ds.schema().names]
+    return out.select_columns(cols)
+
+
+def stratified_sample_k(ds, key_col: str, id_col: str, k: int):
+    """Per-stratum uniform sample: for every ``key_col`` group keep the
+    ``k`` rows with the smallest ``md5_low64(str(id))`` —
+    ``row_number() OVER (PARTITION BY key ORDER BY md5_number_lower(id),
+    id) <= k``. The stratified twin of sample_uniform_k (same
+    reproducible-membership convention: the sample is a pure function
+    of the ids); the corpus-balancing primitive when every language /
+    source / domain must contribute equally regardless of its size.
+
+    Scale shape: cap_per_group's combiner — each batch prunes itself to
+    <=k rows per key (vectorized sort+head on the hash), so the ONE
+    ``groupby(key)`` merge shuffles at most k x keys-per-batch rows per
+    batch; a hot stratum's excess rows die in the batch that read them."""
+    import pyarrow as pa
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.array([md5_low64(str(i)) for i in ids], dtype=np.uint64)
+        key = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return t.append_column("__h", pa.array(key, pa.int64()))
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([key_col, "__h", id_col], kind="mergesort")
+                  .groupby(key_col, sort=False).head(k))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["__h", id_col], kind="mergesort").head(k)
+
+    cols = [c for c in ds.schema().names]
+    pruned = ds.map_batches(add_h, batch_format="pyarrow") \
+               .map_batches(prune, batch_format="pandas")
+    return (pruned.groupby(key_col)
+                  .map_groups(per_key, batch_format="pandas")
+                  .select_columns(cols))
+
+
+def bm25_score(ds, query_terms: list[str], id_col: str = "doc_id",
+               text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+               round_to: int = 6):
+    """BM25 relevance of every document against a fixed query-term set —
+    the ranking function behind classic full-text retrieval (and the
+    lexical half of hybrid search next to the ANN ops). Lucene/ATIRE
+    idf form (always positive): ``idf(t) = ln((N - df + 0.5)/(df + 0.5)
+    + 1)``; ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    b·|d|/avgdl))``. Tokenizer is the ASCII word class shared with
+    tfidf_topk / vocab_topk (== DuckDB RE2 ``\\w``). Emits (id, bm25)
+    for EVERY document (no-match docs score 0), rounded on output only.
+
+    Scale shape: two streaming passes. Pass 1 is a combiner that
+    reduces each batch to |query_terms|+1 rows — per-term document
+    frequencies plus a (token-count, doc-count) length partial — and
+    ONE tiny ``groupby`` merges them (shuffle volume: batches × terms,
+    never tokens). The merged stats (df per term, N, avgdl) are O(|q|)
+    driver state broadcast once; pass 2 streams the corpus through a
+    stateless scorer. No per-doc shuffle anywhere.
+    """
+    import math as _math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .textstats import _SHINGLE_WORD_RE
+
+    terms = sorted(set(query_terms))
+    tset = set(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        df_c: Counter = Counter()
+        n_tok = 0
+        n_doc = 0
+        for txt in t.column(text_col).to_pylist():
+            ws = _SHINGLE_WORD_RE.findall((txt or "").lower())
+            n_tok += len(ws)
+            n_doc += 1
+            df_c.update(tset.intersection(ws))
+        # one row per query term (df partial) + one length row; "word"
+        # values never collide: query terms are \w+, the length row is "#"
+        return pa.table({
+            "word": pa.array(terms + ["#"], pa.string()),
+            "df": pa.array([df_c[w] for w in terms] + [0], pa.int64()),
+            "n_tok": pa.array([0] * len(terms) + [n_tok], pa.int64()),
+            "n_doc": pa.array([0] * len(terms) + [n_doc], pa.int64())})
+
+    merged = (ds.map_batches(stats_partial, batch_format="pyarrow")
+                .groupby("word")
+                .aggregate(Sum("df", alias_name="df"),
+                           Sum("n_tok", alias_name="n_tok"),
+                           Sum("n_doc", alias_name="n_doc")))
+    df_map: dict = {}
+    n_docs = 0
+    total_tok = 0
+    for bt in merged.iter_batches(batch_format="pyarrow"):
+        for w, dfv, ntk, ndc in zip(bt.column("word").to_pylist(),
+                                    bt.column("df").to_pylist(),
+                                    bt.column("n_tok").to_pylist(),
+                                    bt.column("n_doc").to_pylist()):
+            if w == "#":
+                total_tok += ntk
+                n_docs += ndc
+            else:
+                df_map[w] = dfv
+    avgdl = (total_tok / n_docs) if n_docs else 0.0
+    idf = {w: _math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+           for w, dfv in df_map.items()}
+    ref = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_m, adl = ray.get(ref)
+        ids = t.column(id_col).to_pylist()
+        out = np.zeros(len(ids), np.float64)
+        for r, txt in enumerate(t.column(text_col).to_pylist()):
+            ws = _SHINGLE_WORD_RE.findall((txt or "").lower())
+            if not ws:
+                continue
+            c = Counter(w for w in ws if w in idf_m)
+            if not c:
+                continue
+            norm = k1 * (1.0 - b + b * len(ws) / adl)
+            # deterministic term order (sorted) so the float sum is
+            # reproducible run to run
+            out[r] = sum(idf_m[w] * (c[w] * (k1 + 1.0)) / (c[w] + norm)
+                         for w in sorted(c))
+        return pa.table({id_col: t.column(id_col),
+                         "bm25": pa.array(np.round(out, round_to),
+                                          pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
