@@ -309,3 +309,34 @@ def test_bm25_partitioning_independent(ray_session):
     c = bm25_score(rd.from_pandas(df_in).repartition(1), ["hash", "join"]) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(c)
+
+
+# --- per-group quantile gating ---------------------------------------------
+
+def test_filter_by_group_quantile(ray_session):
+    from web_crawler_ray.stages.aggregates import filter_by_group_quantile
+    import math
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"id": np.arange(300),
+                       "g": rng.choice(["a", "b", "c"], 300),
+                       "v": rng.integers(0, 1000, 300)})
+    out = filter_by_group_quantile(
+        rd.from_pandas(df).repartition(5), "g", "v", 0.25) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+
+    # brute force with quantile_disc semantics: sorted[ceil(q*n)-1]
+    def qdisc(vals, q):
+        s = np.sort(vals)
+        return s[min(max(math.ceil(q * len(s)) - 1, 0), len(s) - 1)]
+
+    thr = {g: qdisc(sub["v"].to_numpy(), 0.25)
+           for g, sub in df.groupby("g")}
+    exp = df[df.apply(lambda r: r["v"] >= thr[r["g"]], axis=1)] \
+        .sort_values("id").reset_index(drop=True)
+    assert out.equals(exp)
+    # keep="lt" is the exact complement
+    lo = filter_by_group_quantile(
+        rd.from_pandas(df).repartition(5), "g", "v", 0.25, keep="lt") \
+        .to_pandas()
+    assert len(lo) + len(out) == len(df)
+    assert set(lo["id"]).isdisjoint(set(out["id"]))

@@ -635,6 +635,18 @@ def q_sample_k(sf_dir: str):
     return sample_uniform_k(ds, "doc_id", k=100)
 
 
+def q_quantile_filter(sf_dir: str):
+    """Per-group quantile gating: keep documents at or above their own
+    language's 25th-percentile length — the 'drop the bottom quartile
+    per language' curation filter where a global threshold would gut
+    low-resource languages (aggregates.filter_by_group_quantile:
+    O(groups) threshold table broadcast once, corpus streams through
+    one vectorized filter)."""
+    from ..stages.aggregates import filter_by_group_quantile
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return filter_by_group_quantile(ds, "lang", "n_chars", 0.25)
+
+
 def q_bm25(sf_dir: str):
     """BM25 relevance of every document against the query
     {filter, hash, join} (k1=1.2, b=0.75, Lucene/ATIRE idf) — the
@@ -1699,6 +1711,7 @@ def registry() -> dict:
         "sample_k": q_sample_k,
         "stratified_sample": q_stratified_sample,
         "bm25": q_bm25,
+        "quantile_filter": q_quantile_filter,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "text_stats": q_text_stats,
@@ -2338,6 +2351,11 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, lang FROM documents QUALIFY row_number() OVER ("
         "PARTITION BY lang "
         "ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id) <= 40",
+    "quantile_filter":
+        "SELECT doc_id, lang, n_chars FROM ("
+        "SELECT doc_id, lang, n_chars, "
+        "quantile_disc(n_chars, 0.25) OVER (PARTITION BY lang) AS qq "
+        "FROM documents) WHERE n_chars >= qq",
     "bm25":
         "WITH toks AS (SELECT doc_id, "
         "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "

@@ -972,3 +972,38 @@ def bm25_score(ds, query_terms: list[str], id_col: str = "doc_id",
                                           pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def filter_by_group_quantile(ds, key: str, value: str, q: float,
+                             keep: str = "ge"):
+    """Per-group quantile gating: keep rows whose ``value`` is >= (or
+    < for ``keep="lt"``) their OWN group's ``quantile_disc(q)`` — the
+    curation primitive behind "drop the bottom quartile of quality
+    score per language" style filters, where a global threshold would
+    gut low-resource groups.
+
+    Scale shape: the threshold table comes from ``group_quantiles``
+    (ONE groupby shuffle, O(groups) output), is broadcast once
+    (``ray.put`` — groups are a dimension), and the corpus streams
+    through a stateless vectorized filter. No second shuffle, no
+    driver materialization of data rows."""
+    import pyarrow as pa
+    import ray
+
+    thr_tbl = group_quantiles(ds, key, value, [q], names=["__thr"])
+    thr: dict = {}
+    for b in thr_tbl.iter_batches(batch_format="pyarrow"):
+        thr.update(zip(b.column(key).to_pylist(),
+                       b.column("__thr").to_pylist()))
+    ref = ray.put(thr)
+    ge = keep == "ge"
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        cut = np.array([m[k] for k in t.column(key).to_pylist()],
+                       dtype=np.float64)
+        mask = v >= cut if ge else v < cut
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
