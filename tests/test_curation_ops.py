@@ -194,6 +194,48 @@ def test_duplicated_ngram_stats_planted():
     assert out.loc[4].n_grams == 0 and out.loc[4].dup_frac == 0.0
 
 
+def test_remove_dup_ngrams_planted():
+    from web_crawler_ray.stages.textstats import remove_dup_ngrams
+    shared = "alpha beta gamma delta epsilon"          # one shared 5-gram
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                     "text": pa.array([
+                         f"{shared} zeta",             # dup covers words 0-4
+                         f"intro {shared}",            # dup covers words 1-5
+                         "totally unrelated words here now",
+                         "tiny doc",                   # < 5 words, untouched
+                     ])})
+    out = remove_dup_ngrams(rd.from_arrow(docs).repartition(3), n=5) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1].clean_text == "zeta" and out.loc[1].n_removed == 5
+    assert out.loc[2].clean_text == "intro" and out.loc[2].n_removed == 5
+    assert out.loc[1].n_words == 6 and out.loc[2].n_words == 6
+    # unique doc and short doc pass through whole (lowercased/re-joined)
+    assert out.loc[3].clean_text == "totally unrelated words here now"
+    assert out.loc[3].n_removed == 0
+    assert out.loc[4].clean_text == "tiny doc" and out.loc[4].n_removed == 0
+
+
+def test_remove_dup_ngrams_overlap_and_in_doc_repeat():
+    from web_crawler_ray.stages.textstats import remove_dup_ngrams
+    # doc 1: the shared 5-gram occurs at two OVERLAPPING positions via a
+    # 6-word palindrome-ish run; coverage must union, not double-count
+    docs = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "text": pa.array([
+                         "a b c d e a b c d e tail",  # shared gram twice
+                         "head a b c d e",
+                         # in-doc-only repetition: appears twice here but in
+                         # no other doc -> NOT corpus-duplicated, kept whole
+                         "x y z w v x y z w v",
+                     ])})
+    out = remove_dup_ngrams(rd.from_arrow(docs).repartition(2), n=5) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # 'a b c d e' is in docs 1 and 2 -> all its word positions cut
+    assert out.loc[1].clean_text == "tail" and out.loc[1].n_removed == 10
+    assert out.loc[2].clean_text == "head" and out.loc[2].n_removed == 5
+    assert out.loc[3].clean_text == "x y z w v x y z w v"
+    assert out.loc[3].n_removed == 0
+
+
 # --- text normalization ------------------------------------------------------
 
 def test_normalize_text_batch():

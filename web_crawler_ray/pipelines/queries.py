@@ -569,6 +569,15 @@ def q_dup_ngram_stats(sf_dir: str):
     return duplicated_ngram_stats(ds, n=DUPGRAM_N)
 
 
+def q_remove_dup_ngrams(sf_dir: str):
+    """ExactSubstr-style duplicated-span removal (Lee et al.): words
+    covered by a corpus-duplicated 5-gram are cut, survivors re-joined.
+    Shared dup-shingle combiner + broadcast, then one streaming pass."""
+    from ..stages.textstats import remove_dup_ngrams
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_dup_ngrams(ds, n=DUPGRAM_N)
+
+
 def q_normalize_text(sf_dir: str):
     """Pre-tokenization text normalization (lower, collapse whitespace,
     strip) — one stateless Arrow-RE2 map, zero shuffle."""
@@ -1704,6 +1713,7 @@ def registry() -> dict:
         "group_centroids": q_group_centroids,
         "tfidf_topk": q_tfidf_topk,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "remove_dup_ngrams": q_remove_dup_ngrams,
         "normalize_text": q_normalize_text,
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
@@ -2330,6 +2340,33 @@ ORACLES: dict[str, str] = {
         f"ELSE round(count(dup.s)::DOUBLE / count(sh.s), 6) END AS dup_frac "
         f"FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id "
         f"LEFT JOIN dup ON dup.s = sh.s GROUP BY d.doc_id",
+    "remove_dup_ngrams":
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents), "
+        f"sh AS (SELECT doc_id, i - 1 AS s0, "
+        f"array_to_string(ws[i:i+{DUPGRAM_N - 1}], ' ') AS s "
+        f"FROM toks, UNNEST(generate_series(1, greatest(len(ws)-{DUPGRAM_N - 1}, 0))) "
+        f"AS t(i)), "
+        f"dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c "
+        f"FROM sh GROUP BY s) WHERE c >= 2), "
+        f"dsh AS (SELECT DISTINCT doc_id, s0 FROM sh "
+        f"WHERE s IN (SELECT s FROM dup)), "
+        f"words AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w "
+        f"FROM toks, UNNEST(generate_series(1, len(ws))) AS t(i)), "
+        f"cov AS (SELECT DISTINCT w.doc_id, w.pos FROM words w "
+        f"JOIN dsh ON dsh.doc_id = w.doc_id "
+        f"AND w.pos BETWEEN dsh.s0 AND dsh.s0 + {DUPGRAM_N - 1}), "
+        f"kept AS (SELECT w.doc_id, "
+        f"string_agg(w.w, ' ' ORDER BY w.pos) AS ct FROM words w "
+        f"LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.pos = w.pos "
+        f"WHERE cov.pos IS NULL GROUP BY w.doc_id), "
+        f"nrem AS (SELECT doc_id, count(*)::BIGINT AS nr FROM cov "
+        f"GROUP BY doc_id) "
+        f"SELECT t.doc_id, coalesce(k.ct, '') AS clean_text, "
+        f"len(t.ws)::BIGINT AS n_words, "
+        f"coalesce(nrem.nr, 0)::BIGINT AS n_removed "
+        f"FROM toks t LEFT JOIN kept k USING (doc_id) "
+        f"LEFT JOIN nrem USING (doc_id)",
     "normalize_text":
         "SELECT doc_id, regexp_replace(trim(lower(text), "
         "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), "

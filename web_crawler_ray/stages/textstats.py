@@ -575,6 +575,47 @@ def duplicated_ngram_stats(ds, n: int = 5, id_col: str = "doc_id",
     ~2^-64-per-pair hash collision inflating the signal — the DuckDB
     string-join oracle pins the graded corpora collision-free.
     """
+    import ray
+
+    ref = _dup_shingle_ref(ds, n, text_col)
+
+    def stats(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        pos_h, bounds = _shingle_pos_hashes(
+            t.column(text_col).to_pylist(), n)
+        if len(d) and len(pos_h):
+            ix = np.searchsorted(d, pos_h)
+            isdup = (ix < len(d)) & (d[np.minimum(ix, len(d) - 1)] == pos_h)
+        else:
+            isdup = np.zeros(len(pos_h), bool)
+        cum = np.concatenate(([0], np.cumsum(isdup)))
+        n_dup = cum[bounds[1:]] - cum[bounds[:-1]]
+        totals = (bounds[1:] - bounds[:-1]).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            frac = np.where(totals > 0,
+                            np.round(n_dup / np.maximum(totals, 1), 6), 0.0)
+        return pa.table({id_col: t.column(id_col),
+                         "n_grams": pa.array(totals, pa.int64()),
+                         "n_dup": pa.array(n_dup.astype(np.int64), pa.int64()),
+                         "dup_frac": pa.array(frac, pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _dup_shingle_ref(ds, n: int, text_col: str):
+    """Broadcastable corpus-duplicated shingle set: the sorted uint64
+    rolling hashes of every word n-gram that appears in >= 2 distinct
+    documents, as a ``ray.put`` ObjectRef.
+
+    One distributed pass: per batch, explode each doc's DISTINCT
+    shingle hashes (combiner — in-doc repeats collapse before the
+    shuffle), ``int_part_map`` sums doc-counts per hash, and only the
+    duplicated survivors reach the driver. The driver therefore pulls
+    O(duplicated shingles), never the full shingle vocabulary (which is
+    ~O(corpus tokens) — iterating it on the driver measured 8 s at
+    sf0.1 vs ~1 s with the pushed-down filter). At 100 TB the broadcast
+    swaps for a Bloom filter at the same call-site. NOTE: int_part_map
+    executes the upstream read eagerly."""
     import pandas as pd
     import ray
 
@@ -600,13 +641,6 @@ def duplicated_ngram_stats(ds, n: int = 5, id_col: str = "doc_id",
         sums = np.bincount(inv, weights=df["ndocs"].to_numpy())
         return pd.DataFrame({"shingle": u[sums >= 2]})
 
-    # filter to duplicated shingles DISTRIBUTED-side: the driver pulls
-    # only the dup set, never the full shingle vocabulary (which is
-    # ~O(corpus tokens) — iterating it on the driver measured 8 s at
-    # sf0.1 vs ~1 s with the pushed-down filter). The exchange is the
-    # raw-task int-key shuffle with explode fused into the split wave
-    # (replaces a Dataset sort-aggregate job: ~2 s fixed cost at bench
-    # scale). NOTE: int_part_map executes the upstream read eagerly.
     dup_tbl = int_part_map(ds, "shingle", dup_only,
                            num_partitions=32, prepare=explode)
     dup_parts = [b.column("shingle").to_numpy(zero_copy_only=False)
@@ -614,29 +648,74 @@ def duplicated_ngram_stats(ds, n: int = 5, id_col: str = "doc_id",
     dup_sorted = (np.sort(np.concatenate(dup_parts).astype(np.int64)
                           .view(np.uint64))
                   if dup_parts else np.zeros(0, np.uint64))
-    ref = ray.put(dup_sorted)
+    return ray.put(dup_sorted)
 
-    def stats(t: pa.Table) -> pa.Table:
+
+def remove_dup_ngrams(ds, n: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """ExactSubstr-style duplicated-SPAN REMOVAL (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better", the
+    removal counterpart of ``duplicated_ngram_stats``): every word
+    position covered by at least one corpus-duplicated word n-gram (a
+    shingle appearing in >= 2 distinct documents) is cut from the
+    document; the surviving words are re-joined with single spaces.
+    Returns ``(id_col, clean_text, n_words, n_removed)`` — one row per
+    input document (docs shorter than n words pass through whole, with
+    their words lowercased/re-joined like every other doc).
+
+    Scale shape: pass 1 is the shared ``_dup_shingle_ref`` combiner +
+    one uint64 ``int_part_map`` exchange + O(duplicated-shingles)
+    broadcast; pass 2 streams the corpus once, stateless. Coverage is
+    computed BATCH-vectorized: a diff-array (+1 at each duplicated
+    shingle start, -1 at start+n over the batch's concatenated word
+    stream — windows never cross doc bounds by construction) and one
+    cumsum give the covered mask; only the final per-doc ``' '.join``
+    is a Python loop, inherent to emitting text. Same 2^-64 hash-
+    collision caveat as duplicated_ngram_stats; the string-join DuckDB
+    oracle pins the graded corpora collision-free.
+    """
+    import ray
+
+    ref = _dup_shingle_ref(ds, n, text_col)
+
+    def clean(t: pa.Table) -> pa.Table:
         d = ray.get(ref)
-        pos_h, bounds = _shingle_pos_hashes(
-            t.column(text_col).to_pylist(), n)
+        texts = t.column(text_col).to_pylist()
+        pos_h, bounds = _shingle_pos_hashes(texts, n)
+        words_per_doc = [_SHINGLE_WORD_RE.findall((x or "").lower())
+                         for x in texts]
+        lens = np.array([len(w) for w in words_per_doc], np.int64)
+        woff = np.concatenate(([0], np.cumsum(lens)))
         if len(d) and len(pos_h):
             ix = np.searchsorted(d, pos_h)
             isdup = (ix < len(d)) & (d[np.minimum(ix, len(d) - 1)] == pos_h)
         else:
             isdup = np.zeros(len(pos_h), bool)
-        cum = np.concatenate(([0], np.cumsum(isdup)))
-        n_dup = cum[bounds[1:]] - cum[bounds[:-1]]
-        totals = (bounds[1:] - bounds[:-1]).astype(np.int64)
-        with np.errstate(invalid="ignore"):
-            frac = np.where(totals > 0,
-                            np.round(n_dup / np.maximum(totals, 1), 6), 0.0)
+        total_words = int(lens.sum())
+        covered = np.zeros(total_words, bool)
+        if isdup.any():
+            counts = bounds[1:] - bounds[:-1]
+            rep_doc = np.repeat(np.arange(len(texts)), counts)
+            # global word index of each shingle's first word
+            gstart = (woff[rep_doc]
+                      + (np.arange(len(pos_h)) - bounds[rep_doc]))
+            dup_starts = gstart[isdup]
+            diff = np.zeros(total_words + 1, np.int64)
+            np.add.at(diff, dup_starts, 1)
+            np.add.at(diff, dup_starts + n, -1)  # start+n <= doc end
+            covered = np.cumsum(diff[:total_words]) > 0
+        out, n_removed = [], np.zeros(len(texts), np.int64)
+        for i, ws in enumerate(words_per_doc):
+            cov = covered[woff[i]:woff[i + 1]]
+            n_removed[i] = int(cov.sum())
+            out.append(" ".join(w for w, c in zip(ws, cov) if not c)
+                       if n_removed[i] else " ".join(ws))
         return pa.table({id_col: t.column(id_col),
-                         "n_grams": pa.array(totals, pa.int64()),
-                         "n_dup": pa.array(n_dup.astype(np.int64), pa.int64()),
-                         "dup_frac": pa.array(frac, pa.float64())})
+                         "clean_text": pa.array(out, pa.string()),
+                         "n_words": pa.array(lens, pa.int64()),
+                         "n_removed": pa.array(n_removed, pa.int64())})
 
-    return ds.map_batches(stats, batch_format="pyarrow")
+    return ds.map_batches(clean, batch_format="pyarrow")
 
 
 _SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)  # odd => position mixing is a
