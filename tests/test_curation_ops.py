@@ -236,6 +236,46 @@ def test_remove_dup_ngrams_overlap_and_in_doc_repeat():
     assert out.loc[3].n_removed == 0
 
 
+def test_dedup_segments_keep_first():
+    from web_crawler_ray.stages.textstats import dedup_segments
+    seg = "a b c"                      # one full segment at w=3
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                     "text": pa.array([
+                         f"{seg} x y z",       # segs: 'a b c', 'x y z'
+                         f"{seg} q",           # segs: 'a b c', 'q' (partial)
+                         "q r",                # one partial seg 'q r'
+                         "",                   # zero segs
+                     ])})
+    out = dedup_segments(rd.from_arrow(docs).repartition(3), w=3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # doc 1 owns the first occurrence of 'a b c' -> kept whole
+    assert out.loc[1].clean_text == "a b c x y z"
+    assert out.loc[1].n_segs == 2 and out.loc[1].n_removed == 0
+    # doc 2's copy is cut; its partial tail 'q' survives (distinct from
+    # doc 3's 'q r' -- different segment strings)
+    assert out.loc[2].clean_text == "q"
+    assert out.loc[2].n_segs == 2 and out.loc[2].n_removed == 1
+    assert out.loc[3].clean_text == "q r" and out.loc[3].n_removed == 0
+    assert out.loc[4].clean_text == "" and out.loc[4].n_segs == 0
+
+
+def test_dedup_segments_in_doc_repeat_and_order():
+    from web_crawler_ray.stages.textstats import dedup_segments
+    # in-doc repeat: the SECOND copy inside the same doc is also a later
+    # occurrence (seg 1 > seg 0) and must be cut; keep-first is global
+    docs = pa.table({"doc_id": pa.array([7, 9], pa.int64()),
+                     "text": pa.array([
+                         "m n o m n o tail words here",  # 'm n o' twice + partial
+                         "m n o other stuff",
+                     ])})
+    out = dedup_segments(rd.from_arrow(docs).repartition(2), w=3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[7].clean_text == "m n o tail words here"
+    assert out.loc[7].n_segs == 3 and out.loc[7].n_removed == 1
+    assert out.loc[9].clean_text == "other stuff"
+    assert out.loc[9].n_removed == 1
+
+
 # --- text normalization ------------------------------------------------------
 
 def test_normalize_text_batch():

@@ -578,6 +578,18 @@ def q_remove_dup_ngrams(sf_dir: str):
     return remove_dup_ngrams(ds, n=DUPGRAM_N)
 
 
+SEGDEDUP_W = 10
+
+
+def q_dedup_segments(sf_dir: str):
+    """C4-style keep-first segment dedup (10-word windows): two keyed
+    raw-task exchanges (winner-by-(doc_id,seg) per segment, then
+    reassembly by doc) — no broadcast, no driver kept-set."""
+    from ..stages.textstats import dedup_segments
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_segments(ds, w=SEGDEDUP_W)
+
+
 def q_normalize_text(sf_dir: str):
     """Pre-tokenization text normalization (lower, collapse whitespace,
     strip) — one stateless Arrow-RE2 map, zero shuffle."""
@@ -1714,6 +1726,7 @@ def registry() -> dict:
         "tfidf_topk": q_tfidf_topk,
         "dup_ngram_stats": q_dup_ngram_stats,
         "remove_dup_ngrams": q_remove_dup_ngrams,
+        "dedup_segments": q_dedup_segments,
         "normalize_text": q_normalize_text,
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
@@ -2367,6 +2380,25 @@ ORACLES: dict[str, str] = {
         f"coalesce(nrem.nr, 0)::BIGINT AS n_removed "
         f"FROM toks t LEFT JOIN kept k USING (doc_id) "
         f"LEFT JOIN nrem USING (doc_id)",
+    "dedup_segments":
+        f"WITH toks AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents), "
+        f"segs AS (SELECT doc_id, i AS seg, "
+        f"array_to_string(ws[i*{SEGDEDUP_W}+1 : i*{SEGDEDUP_W}+{SEGDEDUP_W}], ' ') AS s "
+        f"FROM toks, UNNEST(generate_series(0, "
+        f"CAST(ceil(len(ws)/{SEGDEDUP_W}.0) AS BIGINT) - 1)) AS t(i)), "
+        f"keep AS (SELECT doc_id, seg, s FROM segs "
+        f"QUALIFY row_number() OVER (PARTITION BY s "
+        f"ORDER BY doc_id, seg) = 1), "
+        f"agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY seg) AS ct, "
+        f"count(*)::BIGINT AS nk FROM keep GROUP BY doc_id), "
+        f"cnt AS (SELECT doc_id, count(*)::BIGINT AS ns FROM segs "
+        f"GROUP BY doc_id) "
+        f"SELECT t.doc_id, coalesce(a.ct, '') AS clean_text, "
+        f"coalesce(c.ns, 0)::BIGINT AS n_segs, "
+        f"(coalesce(c.ns, 0) - coalesce(a.nk, 0))::BIGINT AS n_removed "
+        f"FROM toks t LEFT JOIN agg a USING (doc_id) "
+        f"LEFT JOIN cnt c USING (doc_id)",
     "normalize_text":
         "SELECT doc_id, regexp_replace(trim(lower(text), "
         "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), "

@@ -718,6 +718,91 @@ def remove_dup_ngrams(ds, n: int = 5, id_col: str = "doc_id",
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def dedup_segments(ds, w: int = 10, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """C4 / RefinedWeb-style line-level dedup over non-overlapping
+    w-word segments (Raffel et al. 2020 §2.2 dedup three-sentence
+    spans; our corpus has no sentence marks, so the unit is a fixed
+    word window, last partial window included): every segment keeps
+    exactly its globally FIRST occurrence — min ``(doc_id, seg_idx)``
+    — and later copies are cut from their documents. Contrast
+    ``remove_dup_ngrams``, which removes ALL copies of a duplicated
+    span. Returns ``(id_col, clean_text, n_segs, n_removed)``, one row
+    per input document. ``id_col`` must be integer-typed (it routes a
+    keyed exchange).
+
+    Scale shape — two keyed raw-task exchanges, NO broadcast and no
+    driver traffic beyond part counts: exchange 1 partitions exploded
+    ``(hash(segment), doc_id, seg, segment)`` rows by segment hash and
+    keeps each segment's (doc_id, seg)-min row (grouped by the STRING,
+    so a 2^-64 hash collision only co-locates, never merges); exchange
+    2 partitions the winners by doc_id — union a per-doc total row
+    (seg = -1, the tagged-union idiom) — and re-joins surviving
+    segments in seg order. The kept-segment set is never collected,
+    so memory per task is O(partition), not O(corpus distinct).
+    """
+    from ..functions.hashing import hash64_many
+    from .shuffles import int_part_map
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_pylist()
+        out_id, out_seg, out_s = [], [], []
+        for i, txt in enumerate(texts):
+            ws = _SHINGLE_WORD_RE.findall((txt or "").lower())
+            for j in range(0, len(ws), w):
+                out_id.append(ids[i])
+                out_seg.append(j // w)
+                out_s.append(" ".join(ws[j:j + w]))
+        h = (hash64_many(out_s).view(np.int64) if out_s
+             else np.zeros(0, np.int64))
+        return pa.table({"seg_hash": pa.array(h, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "seg": pa.array(out_seg, pa.int64()),
+                         "s": pa.array(out_s, pa.string())})
+
+    def winners(df):
+        import pandas as pd
+        if not len(df):
+            return df[[id_col, "seg", "s"]]
+        df = df.sort_values(["s", id_col, "seg"], kind="stable")
+        first = np.concatenate(
+            ([True], df["s"].to_numpy()[1:] != df["s"].to_numpy()[:-1]))
+        return df.loc[first, [id_col, "seg", "s"]]
+
+    kept = int_part_map(ds, "seg_hash", winners,
+                        num_partitions=64, prepare=explode)
+
+    def totals(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        n = [-(-len(_SHINGLE_WORD_RE.findall((x or "").lower())) // w)
+             for x in texts]
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "seg": pa.array([-1] * len(n), pa.int64()),
+                         "s": pa.array([str(x) for x in n], pa.string())})
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+
+    def assemble(df):
+        import pandas as pd
+        is_tot = df["seg"].to_numpy() == -1 if len(df) else np.zeros(0, bool)
+        t = df.loc[is_tot]
+        k = df.loc[~is_tot].sort_values([id_col, "seg"], kind="stable")
+        joined = k.groupby(id_col, sort=True)["s"].agg(" ".join)
+        n_kept = k.groupby(id_col, sort=True)["s"].size()
+        out = pd.DataFrame({
+            id_col: t[id_col].to_numpy(),
+            "n_segs": t["s"].astype(np.int64).to_numpy()})
+        out["clean_text"] = out[id_col].map(joined).fillna("")
+        out["n_removed"] = (out["n_segs"]
+                            - out[id_col].map(n_kept).fillna(0)
+                            .astype(np.int64))
+        return out[[id_col, "clean_text", "n_segs", "n_removed"]]
+
+    return int_part_map(kept.union(tot), id_col, assemble,
+                        num_partitions=64)
+
+
 _SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)  # odd => position mixing is a
 # bijection per slot; the polynomial over 8-byte blake2b word hashes keeps
 # equal word tuples equal and unequal ones distinct up to 2^-64 collisions
