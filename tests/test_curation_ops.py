@@ -276,6 +276,38 @@ def test_dedup_segments_in_doc_repeat_and_order():
     assert out.loc[9].n_removed == 1
 
 
+def test_pmi_pairs_hand_computed():
+    import math
+    from web_crawler_ray.stages.aggregates import pmi_pairs
+    # 2 docs, window=1 (adjacent ordered bigrams), min_count=2:
+    # tokens: doc1 = [a b a b], doc2 = [a b c]  -> N = 7
+    # pair events (x,y): (a,b)x3, (b,a)x1, (b,c)x1 -> T = 5
+    # only (a,b) survives min_count=2; c_a=3, c_b=3
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["a b a b", "a b c"])})
+    out = pmi_pairs(rd.from_arrow(docs).repartition(2),
+                    window=1, min_count=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.x, r.y, r.n) == ("a", "b", 3)
+    want = round(math.log((3 / 5) * (7 * 7) / (3 * 3)), 6)
+    assert abs(r.pmi - want) < 1e-12
+
+
+def test_pmi_pairs_window_reaches_past_neighbors():
+    from web_crawler_ray.stages.aggregates import pmi_pairs
+    # 'a ? b' pairs only exist at distance 2 -> window=1 finds nothing,
+    # window=2 counts them
+    docs = pa.table({"doc_id": pa.array([1], pa.int64()),
+                     "text": pa.array(["a x b a y b a z b"])})
+    w1 = pmi_pairs(rd.from_arrow(docs), window=1, min_count=3).to_pandas()
+    # every adjacent bigram occurs once -> nothing survives min_count=3
+    assert w1.empty
+    w2 = pmi_pairs(rd.from_arrow(docs), window=2, min_count=3).to_pandas()
+    ab = w2[(w2.x == "a") & (w2.y == "b")]
+    assert len(ab) == 1 and ab.iloc[0].n == 3
+
+
 # --- text normalization ------------------------------------------------------
 
 def test_normalize_text_batch():

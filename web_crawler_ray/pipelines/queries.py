@@ -578,6 +578,18 @@ def q_remove_dup_ngrams(sf_dir: str):
     return remove_dup_ngrams(ds, n=DUPGRAM_N)
 
 
+PMI_WINDOW, PMI_MINC = 3, 5
+
+
+def q_pmi_pairs(sf_dir: str):
+    """Windowed co-occurrence PMI (Church-Hanks collocations): two
+    combiner count passes + one groupby((x,y)) shuffle + broadcast
+    unigram dimension."""
+    from ..stages.aggregates import pmi_pairs
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return pmi_pairs(ds, window=PMI_WINDOW, min_count=PMI_MINC)
+
+
 SEGDEDUP_W = 10
 
 
@@ -1727,6 +1739,7 @@ def registry() -> dict:
         "dup_ngram_stats": q_dup_ngram_stats,
         "remove_dup_ngrams": q_remove_dup_ngrams,
         "dedup_segments": q_dedup_segments,
+        "pmi_pairs": q_pmi_pairs,
         "normalize_text": q_normalize_text,
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
@@ -2399,6 +2412,21 @@ ORACLES: dict[str, str] = {
         f"(coalesce(c.ns, 0) - coalesce(a.nk, 0))::BIGINT AS n_removed "
         f"FROM toks t LEFT JOIN agg a USING (doc_id) "
         f"LEFT JOIN cnt c USING (doc_id)",
+    "pmi_pairs":
+        f"WITH toks AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM "
+        f"(SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws "
+        f"FROM documents), UNNEST(generate_series(1, len(ws))) AS t(i)), "
+        f"pairs AS (SELECT a.w AS x, b.w AS y, count(*)::BIGINT AS n "
+        f"FROM toks a JOIN toks b ON a.doc_id = b.doc_id "
+        f"AND b.pos - a.pos BETWEEN 1 AND {PMI_WINDOW} GROUP BY a.w, b.w), "
+        f"uni AS (SELECT w, count(*)::DOUBLE AS c FROM toks GROUP BY w), "
+        f"nt AS (SELECT count(*)::DOUBLE AS nn FROM toks), "
+        f"tt AS (SELECT sum(n)::DOUBLE AS t FROM pairs) "
+        f"SELECT x, y, n, "
+        f"round(ln((n / tt.t) * (nt.nn * nt.nn) / (cx.c * cy.c)), 6) AS pmi "
+        f"FROM pairs CROSS JOIN nt CROSS JOIN tt "
+        f"JOIN uni cx ON cx.w = pairs.x JOIN uni cy ON cy.w = pairs.y "
+        f"WHERE n >= {PMI_MINC}",
     "normalize_text":
         "SELECT doc_id, regexp_replace(trim(lower(text), "
         "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), "

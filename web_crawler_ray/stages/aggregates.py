@@ -1007,3 +1007,82 @@ def filter_by_group_quantile(ds, key: str, value: str, q: float,
         return t.filter(pa.array(mask))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def pmi_pairs(ds, window: int = 3, min_count: int = 5,
+              text_col: str = "text", round_to: int = 6):
+    """Windowed co-occurrence PMI (pointwise mutual information) over
+    ordered word pairs — the collocation/word-association statistic
+    behind count-based embeddings (Church & Hanks 1990): for every
+    ordered pair (x, y) with y at most ``window`` positions after x in
+    the same document, ``pmi = ln((c_xy / T) * (N * N) / (c_x * c_y))``
+    with c_xy the pair event count, T the total pair events, c_x/c_y
+    unigram counts and N total tokens. Pairs with c_xy < ``min_count``
+    are dropped AFTER T is computed. Returns (x, y, n, pmi).
+
+    Scale shape: both count passes are combiners — each batch
+    pre-reduces its own pair/unigram Counters, so the ONE
+    groupby((x, y)) shuffle moves per-batch distinct pairs (bounded by
+    batch tokens x window, Zipf-collapsed), never the token stream.
+    The unigram vocabulary is a broadcast dimension (same contract as
+    tfidf_topk's df map: vocab grows ~ corpus^0.5). T is one
+    distributed sum over the materialized pair table; the driver sees
+    O(vocab) + scalars.
+    """
+    import math as _math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .textstats import _SHINGLE_WORD_RE
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            ws = _SHINGLE_WORD_RE.findall((txt or "").lower())
+            for d in range(1, window + 1):
+                c.update(zip(ws, ws[d:]))
+        ks = sorted(c)
+        return pa.table({"x": pa.array([k[0] for k in ks], pa.string()),
+                         "y": pa.array([k[1] for k in ks], pa.string()),
+                         "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["x", "y"]).aggregate(Sum("n", alias_name="n"))
+               .materialize())  # consumed twice: T sum + scoring pass
+    total_pairs = pairs.sum("n") or 0
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            c.update(_SHINGLE_WORD_RE.findall((txt or "").lower()))
+        ws = sorted(c)
+        return pa.table({"word": pa.array(ws, pa.string()),
+                         "c": pa.array([c[w] for w in ws], pa.int64())})
+
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("c", alias_name="c")))
+    uni_map: dict = {}
+    n_tokens = 0
+    for b in uni.iter_batches(batch_format="pyarrow"):
+        cs = b.column("c").to_pylist()
+        uni_map.update(zip(b.column("word").to_pylist(), cs))
+        n_tokens += sum(cs)
+    ref = ray.put((uni_map, float(n_tokens), float(total_pairs)))
+
+    def score(t: pa.Table) -> pa.Table:
+        um, nn, tt = ray.get(ref)
+        keep = t.column("n").to_numpy(zero_copy_only=False) >= min_count
+        t = t.filter(pa.array(keep))
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = np.array([um[w] for w in t.column("x").to_pylist()], np.float64)
+        cy = np.array([um[w] for w in t.column("y").to_pylist()], np.float64)
+        pmi = (np.round(np.log((n / tt) * (nn * nn) / (cx * cy)), round_to)
+               if len(n) else np.zeros(0, np.float64))
+        return pa.table({"x": t.column("x"), "y": t.column("y"),
+                         "n": t.column("n"),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return pairs.map_batches(score, batch_format="pyarrow")
