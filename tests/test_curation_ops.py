@@ -308,6 +308,40 @@ def test_pmi_pairs_window_reaches_past_neighbors():
     assert len(ab) == 1 and ab.iloc[0].n == 3
 
 
+def test_dsir_logweights_ranks_target_like_docs():
+    from web_crawler_ray.stages.textstats import dsir_logweights
+    # target distribution is all-'code'; doc 1 is target-like, doc 2 isn't
+    raw = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["code code code code",
+                                      "llama llama llama llama"])})
+    tgt = pa.table({"text": pa.array(["code code code", "code code"])})
+    out = dsir_logweights(rd.from_arrow(raw).repartition(2),
+                          rd.from_arrow(tgt)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1].logw > 0 > out.loc[2].logw
+    assert out.loc[1].n_feats == 7  # 4 unigrams + 3 bigrams
+
+
+def test_dsir_logweights_partitioning_invariant():
+    # regression: the driver count merge must np.add.at — iter_batches
+    # coalesces partial tables, so bucket ids repeat within one batch and
+    # a buffered fancy-index += silently drops duplicates
+    from web_crawler_ray.stages.textstats import dsir_logweights
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(60)]
+    raw = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                    "text": pa.array(texts)})
+    tgt = pa.table({"text": pa.array(texts[:20])})
+    a = dsir_logweights(rd.from_arrow(raw).repartition(1),
+                        rd.from_arrow(tgt).repartition(1)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    b = dsir_logweights(rd.from_arrow(raw).repartition(16),
+                        rd.from_arrow(tgt).repartition(13)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert (a.logw == b.logw).all() and (a.n_feats == b.n_feats).all()
+
+
 # --- text normalization ------------------------------------------------------
 
 def test_normalize_text_batch():

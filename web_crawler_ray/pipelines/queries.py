@@ -578,6 +578,22 @@ def q_remove_dup_ngrams(sf_dir: str):
     return remove_dup_ngrams(ds, n=DUPGRAM_N)
 
 
+DSIR_B = 1024
+
+
+def q_dsir_logweights(sf_dir: str):
+    """DSIR importance weights (Xie et al.): md5-bucketed unigram+bigram
+    features, target = lang='en' slice, raw = full corpus; two bincount
+    combiner passes + one broadcast log-ratio vector, zero shuffle."""
+    from ..stages.textstats import dsir_logweights
+    raw = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    tgt = (_rp(sf_dir, "documents", columns=["lang", "text"])
+           .map_batches(lambda t: t.filter(
+               pc.equal(t.column("lang"), "en")).select(["text"]),
+               batch_format="pyarrow"))
+    return dsir_logweights(raw, tgt, n_buckets=DSIR_B)
+
+
 PMI_WINDOW, PMI_MINC = 3, 5
 
 
@@ -1740,6 +1756,7 @@ def registry() -> dict:
         "remove_dup_ngrams": q_remove_dup_ngrams,
         "dedup_segments": q_dedup_segments,
         "pmi_pairs": q_pmi_pairs,
+        "dsir_logweights": q_dsir_logweights,
         "normalize_text": q_normalize_text,
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
@@ -2427,6 +2444,27 @@ ORACLES: dict[str, str] = {
         f"FROM pairs CROSS JOIN nt CROSS JOIN tt "
         f"JOIN uni cx ON cx.w = pairs.x JOIN uni cy ON cy.w = pairs.y "
         f"WHERE n >= {PMI_MINC}",
+    "dsir_logweights":
+        f"WITH toksl AS (SELECT doc_id, lang, "
+        f"regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents), "
+        f"feats AS (SELECT doc_id, lang, "
+        f"md5_number_lower(ws[i]) % {DSIR_B} AS b "
+        f"FROM toksl, UNNEST(generate_series(1, len(ws))) AS t(i) "
+        f"UNION ALL SELECT doc_id, lang, "
+        f"md5_number_lower(ws[i] || ' ' || ws[i+1]) % {DSIR_B} AS b "
+        f"FROM toksl, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)), "
+        f"tgt AS (SELECT b, count(*)::DOUBLE AS c FROM feats "
+        f"WHERE lang = 'en' GROUP BY b), "
+        f"rawc AS (SELECT b, count(*)::DOUBLE AS c FROM feats GROUP BY b), "
+        f"tot AS (SELECT "
+        f"(SELECT count(*) FROM feats WHERE lang = 'en')::DOUBLE AS tt, "
+        f"(SELECT count(*) FROM feats)::DOUBLE AS tr) "
+        f"SELECT f.doc_id, count(*)::BIGINT AS n_feats, "
+        f"round(avg(ln(((coalesce(tg.c, 0) + 1) * (tot.tr + {DSIR_B})) / "
+        f"((coalesce(rw.c, 0) + 1) * (tot.tt + {DSIR_B})))), 6) AS logw "
+        f"FROM feats f LEFT JOIN tgt tg USING (b) "
+        f"LEFT JOIN rawc rw USING (b) CROSS JOIN tot "
+        f"GROUP BY f.doc_id",
     "normalize_text":
         "SELECT doc_id, regexp_replace(trim(lower(text), "
         "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), "

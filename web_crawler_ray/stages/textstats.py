@@ -1128,3 +1128,98 @@ def pack_greedy(ds, cap: int, id_col: str = "doc_id",
     NP = num_partitions
     return int_part_map(ds, id_col, kernel_factory(),
                         num_partitions=NP)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed n-gram importance weights for data selection
+# ---------------------------------------------------------------------------
+
+def _dsir_feature_codes(texts: list, n_buckets: int) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch hashed DSIR feature stream: every word unigram and
+    adjacent bigram of every doc, bucketed by
+    ``md5_number_lower(feature) % n_buckets`` (DuckDB-identical).
+    Returns (codes, offs): codes[offs[d]:offs[d+1]] are doc d's feature
+    bucket ids, unigrams then bigrams. Only the batch's DISTINCT
+    feature strings pay an md5 call (Zipf: vocab << feature stream)."""
+    from ..stages.aggregates import md5_low64
+
+    per_doc = []
+    for txt in texts:
+        ws = _SHINGLE_WORD_RE.findall((txt or "").lower())
+        per_doc.append(ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])])
+    offs = np.concatenate(
+        ([0], np.cumsum([len(f) for f in per_doc]))).astype(np.int64)
+    allf = [f for fs in per_doc for f in fs]
+    if not allf:
+        return np.zeros(0, np.int64), offs
+    uniq, inv = np.unique(np.array(allf, dtype=object), return_inverse=True)
+    buckets = np.array([md5_low64(u) % n_buckets for u in uniq], np.int64)
+    return buckets[inv], offs
+
+
+def dsir_logweights(raw_ds, target_ds, n_buckets: int = 1024,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    round_to: int = 6):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): hash every word unigram/bigram into ``n_buckets``
+    md5 buckets, fit add-one-smoothed bucket distributions over the
+    TARGET corpus and the RAW corpus, and score each raw document by
+    the MEAN per-feature log likelihood ratio
+    ``ln(((c_t[b]+1) * (T_r+B)) / ((c_r[b]+1) * (T_t+B)))`` —
+    positive means target-like. The mean (not DSIR's sum) keeps the
+    statistic O(1) in doc length and numerically stable under
+    round-to-6 oracle comparison (the lm_score precedent). Docs with
+    zero features are omitted. Returns (id_col, n_feats, logw).
+
+    Scale shape: both count passes are per-batch ``bincount``
+    combiners — the driver receives O(blocks x n_buckets) partial
+    rows and holds two length-B int vectors; the B-length log-ratio
+    vector broadcasts once (``ray.put``) and the raw corpus streams
+    through a stateless vectorized scorer (direct index + prefix-sum
+    means). No shuffle anywhere."""
+    import ray
+
+    B = n_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, _ = _dsir_feature_codes(
+            t.column(text_col).to_pylist(), B)
+        c = np.bincount(codes, minlength=B)
+        nz = np.flatnonzero(c)
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "c": pa.array(c[nz], pa.int64())})
+
+    def count_vec(ds) -> np.ndarray:
+        vec = np.zeros(B, np.int64)
+        for blk in ds.map_batches(partial, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+            # np.add.at, NOT vec[b] += c: iter_batches coalesces several
+            # partial tables into one batch, so bucket ids repeat — the
+            # buffered fancy-index += keeps only the last duplicate
+            np.add.at(vec, blk.column("b").to_numpy(),
+                      blk.column("c").to_numpy())
+        return vec
+
+    ct, cr = count_vec(target_ds), count_vec(raw_ds)
+    tt, tr = float(ct.sum()), float(cr.sum())
+    ratio = np.log(((ct + 1.0) * (tr + B)) / ((cr + 1.0) * (tt + B)))
+    ref = ray.put(ratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        codes, offs = _dsir_feature_codes(
+            t.column(text_col).to_pylist(), B)
+        lp = r[codes]
+        cum = np.concatenate(([0.0], np.cumsum(lp)))
+        sums = cum[offs[1:]] - cum[offs[:-1]]
+        n = np.diff(offs)
+        keep = n > 0
+        logw = np.round(sums[keep] / n[keep], round_to)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        return pa.table({id_col: pa.array(ids),
+                         "n_feats": pa.array(n[keep], pa.int64()),
+                         "logw": pa.array(logw, pa.float64())})
+
+    return raw_ds.map_batches(score, batch_format="pyarrow")
