@@ -101,3 +101,35 @@ def test_early_break_when_fully_merged():
     # single 2-char word: one merge exhausts all pairs
     got = _run(["ab ab ab"], 10)
     assert got == [(1, "a", "b", "ab", 3)]
+
+
+def test_bpe_encode_hand_traced(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.aggregates import bpe_encode
+    # vocab: aa x3, ab x1, b x1 -> merge 1 = (a,a); after it
+    # 'aa' -> 1 symbol, 'ab' -> 2, 'b' -> 1
+    docs = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "text": pa.array(["aa aa ab", "aa b", ""])})
+    out = bpe_encode(rd.from_arrow(docs).repartition(2), n_merges=1) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert (out.loc[1].n_words, out.loc[1].n_tokens) == (3, 4)
+    assert (out.loc[2].n_words, out.loc[2].n_tokens) == (2, 2)
+    assert (out.loc[3].n_words, out.loc[3].n_tokens) == (0, 0)
+
+
+def test_bpe_encode_more_merges_never_increase_tokens(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.aggregates import bpe_encode
+    docs = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                     "text": pa.array(["the cat sat on the mat",
+                                       "the cat ate the rat",
+                                       "low lower lowest",
+                                       "banana bandana band"])})
+    t2 = bpe_encode(rd.from_arrow(docs), n_merges=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    t8 = bpe_encode(rd.from_arrow(docs), n_merges=8).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert (t8.n_tokens <= t2.n_tokens).all()
+    assert (t8.n_words == t2.n_words).all()

@@ -1733,6 +1733,7 @@ def registry() -> dict:
         "pack_docs": q_pack_docs,
         "pack_docs_global": q_pack_docs_global,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_encode": q_bpe_encode,
         "pagerank_seeded": q_pagerank_seeded,
         "hits": q_hits,
         "approx_quantiles": q_approx_quantiles,
@@ -2049,6 +2050,61 @@ def _build_bpe_sql(n_merges: int) -> str:
 
 
 _BPE_SQL = _build_bpe_sql(10)
+
+
+def _build_bpe_encode_sql(n_merges: int) -> str:
+    """_build_bpe_sql's CTE chain with the original ``word`` carried
+    through every merge, finished by a per-document token-count join:
+    n_tokens(word) = symbols in its final boundary-delimited string,
+    n_tokens(doc) = sum over the doc's word stream."""
+    parts = [
+        "words0 AS MATERIALIZED (SELECT word, '|' || "
+        "array_to_string(string_split(word, ''), '||') || '|' AS w, cnt "
+        "FROM (SELECT word, COUNT(*)::BIGINT AS cnt FROM (SELECT "
+        "UNNEST(regexp_extract_all(lower(coalesce(text,'')), "
+        "'[a-z0-9'']+')) AS word FROM documents) GROUP BY word))"]
+    for k in range(n_merges):
+        parts.append(
+            f"pairs{k} AS MATERIALIZED (SELECT l, r, SUM(cnt)::BIGINT "
+            f"AS cnt FROM (SELECT ss[i] AS l, ss[i+1] AS r, cnt FROM "
+            f"(SELECT string_split(trim(w, '|'), '||') AS ss, cnt "
+            f"FROM words{k}) t, "
+            f"UNNEST(generate_series(1, len(ss)-1)) AS u(i)) GROUP BY l, r)")
+        parts.append(
+            f"best{k} AS MATERIALIZED (SELECT l, r, cnt FROM pairs{k} "
+            f"ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)")
+        parts.append(
+            f"words{k + 1} AS MATERIALIZED (SELECT word, replace(w, "
+            f"'|' || (SELECT l FROM best{k}) || '||' || "
+            f"(SELECT r FROM best{k}) || '|', "
+            f"'|' || (SELECT l FROM best{k}) || "
+            f"(SELECT r FROM best{k}) || '|') AS w, cnt FROM words{k})")
+    parts.append(
+        f"enc AS (SELECT word, len(string_split(trim(w, '|'), "
+        f"'||'))::BIGINT AS n_sym FROM words{n_merges})")
+    parts.append(
+        "dt AS (SELECT doc_id, UNNEST(regexp_extract_all("
+        "lower(coalesce(text,'')), '[a-z0-9'']+')) AS word "
+        "FROM documents)")
+    tail = (
+        "SELECT d.doc_id, coalesce(s.n_words, 0)::BIGINT AS n_words, "
+        "coalesce(s.n_tokens, 0)::BIGINT AS n_tokens FROM documents d "
+        "LEFT JOIN (SELECT dt.doc_id, count(*)::BIGINT AS n_words, "
+        "sum(enc.n_sym)::BIGINT AS n_tokens FROM dt "
+        "JOIN enc USING (word) GROUP BY dt.doc_id) s USING (doc_id)")
+    return "WITH " + ", ".join(parts) + " " + tail
+
+
+_BPE_ENCODE_SQL = _build_bpe_encode_sql(10)
+
+
+def q_bpe_encode(sf_dir: str):
+    """Apply the learned 10-merge BPE vocabulary back to the corpus:
+    per-doc word and post-merge token counts via a broadcast
+    word->n_sym dimension."""
+    from ..stages.aggregates import bpe_encode
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_encode(ds, n_merges=10)
 
 
 # Global greedy packing replayed as a recursive CTE: the walk's state
@@ -2547,6 +2603,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct_md5": _HLL_MD5_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
+    "bpe_encode": _BPE_ENCODE_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "simhash_md5": _SIMHASH_MD5_SQL,
     "simhash_pairs_md5": _SIMHASH_PAIRS_MD5_SQL,

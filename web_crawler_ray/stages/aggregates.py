@@ -107,14 +107,15 @@ def _bpe_pairs_block(t: pa.Table) -> pa.Table:
 def _bpe_apply_block(t: pa.Table, pat: str, rep: str) -> pa.Table:
     """Apply one BPE merge to a vocabulary block: Arrow's vectorized
     left-to-right non-overlapping replace == greedy within-word BPE
-    apply == SQL replace (overlap parity pinned in pytest)."""
+    apply == SQL replace (overlap parity pinned in pytest). Extra
+    columns (e.g. bpe_encode's carried ``word``) pass through."""
     import pyarrow.compute as pc
     if "w" not in t.column_names:  # schema-less empty block
         return pa.table({"w": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64())})
-    return pa.table({"w": pc.replace_substring(t.column("w"), pattern=pat,
-                                               replacement=rep),
-                     "cnt": t.column("cnt")})
+    return t.set_column(t.column_names.index("w"), "w",
+                        pc.replace_substring(t.column("w"), pattern=pat,
+                                             replacement=rep))
 
 
 def bpe_vocab(ds, text_col: str = "text", n_merges: int = 10):
@@ -146,10 +147,32 @@ def bpe_vocab(ds, text_col: str = "text", n_merges: int = 10):
     data-quality.service.js:114-136); this is the LLM-pipeline
     tokenizer-induction extension.
     """
+    steps, _ = _bpe_learn(ds, text_col, n_merges)
+    return pa.table({
+        "step": pa.array([s[0] for s in steps], pa.int64()),
+        "left_sym": pa.array([s[1] for s in steps], pa.string()),
+        "right_sym": pa.array([s[2] for s in steps], pa.string()),
+        "merged": pa.array([s[3] for s in steps], pa.string()),
+        "pair_count": pa.array([s[4] for s in steps], pa.int64())})
+
+
+def _bpe_learn(ds, text_col: str, n_merges: int,
+               keep_word: bool = False) -> tuple[list, list]:
+    """bpe_vocab's merge loop, factored so bpe_encode can reuse it.
+    Returns ``(steps, refs)``: the learned merges and the FINAL
+    symbolized vocabulary block refs ('|a||bc|' strings + cnt, plus
+    the original ``word`` column when ``keep_word``).
+
+    The loop rides RAW TASKS over the materialized vocabulary's block
+    refs (the graph.py loop convention): per iteration, one flat wave
+    of pair-count tasks (driver gets O(distinct pairs) partials) and
+    one flat wave of apply tasks whose OUTPUT REFS become the next
+    round's blocks — the word strings themselves never leave the
+    object store, and no per-iteration Dataset execution overhead is
+    paid."""
     from collections import Counter
 
     import pyarrow as pa
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     from .textstats import _WORD_RE
@@ -166,18 +189,13 @@ def bpe_vocab(ds, text_col: str = "text", n_merges: int = 10):
                .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
 
     def to_sym(t: pa.Table) -> pa.Table:
-        w = ["|" + "||".join(x) + "|"
-             for x in t.column("word").to_pylist()]
-        return pa.table({"w": pa.array(w, pa.string()),
-                         "cnt": t.column("cnt")})
+        words = t.column("word").to_pylist()
+        w = ["|" + "||".join(x) + "|" for x in words]
+        cols = {"w": pa.array(w, pa.string()), "cnt": t.column("cnt")}
+        if keep_word:
+            cols["word"] = t.column("word")
+        return pa.table(cols)
 
-    # The merge loop rides RAW TASKS over the materialized vocabulary's
-    # block refs (the graph.py loop convention): per iteration, one
-    # flat wave of pair-count tasks (driver gets O(distinct pairs)
-    # partials) and one flat wave of apply tasks whose OUTPUT REFS
-    # become the next round's blocks — the word strings themselves
-    # never leave the object store, and no per-iteration Dataset
-    # execution overhead is paid.
     refs = (vocab.map_batches(to_sym, batch_format="pyarrow")
                  .materialize().to_arrow_refs())
 
@@ -198,13 +216,50 @@ def bpe_vocab(ds, text_col: str = "text", n_merges: int = 10):
         steps.append((step, lft, rgt, lft + rgt, n))
         refs = [_bpe_apply_block.remote(r, f"|{lft}||{rgt}|",
                                         f"|{lft}{rgt}|") for r in refs]
+    return steps, refs
 
-    return pa.table({
-        "step": pa.array([s[0] for s in steps], pa.int64()),
-        "left_sym": pa.array([s[1] for s in steps], pa.string()),
-        "right_sym": pa.array([s[2] for s in steps], pa.string()),
-        "merged": pa.array([s[3] for s in steps], pa.string()),
-        "pair_count": pa.array([s[4] for s in steps], pa.int64())})
+
+def bpe_encode(ds, n_merges: int = 10, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """BPE encoding — apply the vocabulary learned by :func:`bpe_vocab`
+    (same corpus, same ``n_merges``) back to every document and return
+    ``(id_col, n_words, n_tokens)`` with n_tokens the post-merge symbol
+    count (the pre-tokenization "how many BPE tokens is this corpus"
+    accounting pass). Docs with zero words report (0, 0).
+
+    Scale shape: learning reduces the corpus to the distinct-word
+    table once (one groupby(word) shuffle); encoding then touches only
+    that table — each merge is a vectorized Arrow replace over vocab
+    blocks in the object store. The final word -> token-count map is a
+    broadcast dimension (``ray.put`` once, vocab ~ corpus^0.5) and the
+    corpus streams through a stateless counting pass. No per-doc
+    shuffle."""
+    import ray
+
+    from .textstats import _WORD_RE
+
+    _, refs = _bpe_learn(ds, text_col, n_merges, keep_word=True)
+    n_sym: dict = {}
+    for t in ray.get(list(refs)):
+        if "word" not in t.column_names:
+            continue
+        for word, w in zip(t.column("word").to_pylist(),
+                           t.column("w").to_pylist()):
+            n_sym[word] = w.count("||") + 1
+    ref = ray.put(n_sym)
+
+    def encode(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nw, nt = [], []
+        for txt in t.column(text_col).to_pylist():
+            ws = _WORD_RE.findall((txt or "").lower())
+            nw.append(len(ws))
+            nt.append(sum(m[w] for w in ws))
+        return pa.table({id_col: t.column(id_col),
+                         "n_words": pa.array(nw, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
 
 
 def cap_per_group(ds, key: str, order_col: str, k: int):
