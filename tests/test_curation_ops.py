@@ -342,6 +342,48 @@ def test_dsir_logweights_partitioning_invariant():
     assert (a.logw == b.logw).all() and (a.n_feats == b.n_feats).all()
 
 
+def test_winnow_fingerprints_matches_naive():
+    from web_crawler_ray.stages.aggregates import md5_low64
+    from web_crawler_ray.stages.textstats import winnow_fingerprints
+    rng = np.random.default_rng(3)
+    texts = ["".join(rng.choice(list("abcd "), 40)) for _ in range(10)]
+    texts += ["abc", ""]  # shorter than k -> no rows
+    k, w = 5, 3
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+    out = winnow_fingerprints(rd.from_arrow(docs).repartition(3),
+                              k=k, w=w).to_pandas()
+    # naive reference: enumerate every window, take rightmost min
+    want = set()
+    for did, s in enumerate(texts):
+        s = s.lower()
+        h = [md5_low64(s[i:i + k]) for i in range(len(s) - k + 1)]
+        if not h:
+            continue
+        width = min(w, len(h))
+        for st in range(len(h) - width + 1):
+            win = h[st:st + width]
+            m = min(win)
+            p = st + max(i for i, v in enumerate(win) if v == m)
+            want.add((did, p, h[p]))
+    got = set(zip(out.doc_id, out.pos, out.fp))
+    assert got == want and not (out.doc_id >= 10).any()
+
+
+def test_winnow_shared_substring_guarantee():
+    from web_crawler_ray.stages.textstats import winnow_fingerprints
+    # winnowing guarantee: a shared substring of length >= k + w - 1
+    # (here 8 + 4 - 1 = 11) produces at least one shared fingerprint
+    shared = "the same eleven-plus character run appears here"
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array([f"prefix junk {shared}",
+                                       f"{shared} totally other tail"])})
+    out = winnow_fingerprints(rd.from_arrow(docs), k=8, w=4).to_pandas()
+    f1 = set(out[out.doc_id == 1].fp)
+    f2 = set(out[out.doc_id == 2].fp)
+    assert f1 & f2
+
+
 # --- text normalization ------------------------------------------------------
 
 def test_normalize_text_batch():

@@ -578,6 +578,17 @@ def q_remove_dup_ngrams(sf_dir: str):
     return remove_dup_ngrams(ds, n=DUPGRAM_N)
 
 
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing (MOSS) fingerprint selection: rightmost window-min of
+    md5 k-gram hashes; stateless vectorized pass, no shuffle."""
+    from ..stages.textstats import winnow_fingerprints
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_fingerprints(ds, k=WINNOW_K, w=WINNOW_W)
+
+
 DSIR_B = 1024
 
 
@@ -1758,6 +1769,7 @@ def registry() -> dict:
         "dedup_segments": q_dedup_segments,
         "pmi_pairs": q_pmi_pairs,
         "dsir_logweights": q_dsir_logweights,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "normalize_text": q_normalize_text,
         "topk_per_segment": q_topk_per_segment,
         "union_filters": q_union_filters,
@@ -2521,6 +2533,24 @@ ORACLES: dict[str, str] = {
         f"FROM feats f LEFT JOIN tgt tg USING (b) "
         f"LEFT JOIN rawc rw USING (b) CROSS JOIN tot "
         f"GROUP BY f.doc_id",
+    "winnow_fingerprints":
+        f"WITH hs AS (SELECT doc_id, i - 1 AS pos, "
+        f"md5_number_lower(substr(lower(coalesce(text, '')), i, {WINNOW_K})) "
+        f"AS h FROM documents, UNNEST(generate_series(1, "
+        f"greatest(length(coalesce(text, '')) - {WINNOW_K - 1}, 0))) "
+        f"AS t(i)), "
+        f"ng AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id), "
+        f"wins AS (SELECT doc_id, g.s - 1 AS s, least({WINNOW_W}, n) AS "
+        f"width FROM ng, UNNEST(generate_series(1, "
+        f"n - least({WINNOW_W}, n) + 1)) AS g(s)), "
+        f"memb AS (SELECT w.doc_id, w.s, h.pos, h.h FROM wins w "
+        f"JOIN hs h ON h.doc_id = w.doc_id "
+        f"AND h.pos BETWEEN w.s AND w.s + w.width - 1), "
+        f"sel AS (SELECT doc_id, s, pos, h FROM memb "
+        f"QUALIFY row_number() OVER (PARTITION BY doc_id, s "
+        f"ORDER BY h ASC, pos DESC) = 1) "
+        f"SELECT DISTINCT doc_id, pos::BIGINT AS pos, h::UBIGINT AS fp "
+        f"FROM sel",
     "normalize_text":
         "SELECT doc_id, regexp_replace(trim(lower(text), "
         "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), "

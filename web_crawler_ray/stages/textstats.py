@@ -1223,3 +1223,65 @@ def dsir_logweights(raw_ds, target_ds, n_buckets: int = 1024,
                          "logw": pa.array(logw, pa.float64())})
 
     return raw_ds.map_batches(score, batch_format="pyarrow")
+
+
+def winnow_fingerprints(ds, k: int = 8, w: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): hash every k-char gram of
+    ``lower(text)``, slide a w-hash window, and select each window's
+    RIGHTMOST minimal hash; the distinct selected ``(pos, fp)`` pairs
+    are the document's fingerprint sketch (guarantee: any shared
+    substring of length >= k + w - 1 yields at least one shared
+    fingerprint). Returns ``(id_col, pos, fp)``, one row per distinct
+    selected position, ``pos`` 0-based. Docs shorter than k chars
+    yield no rows. Hash = ``md5_number_lower(gram)`` kept UNSIGNED
+    (uint64 == UBIGINT) end-to-end — the window minimum must compare
+    in unsigned order on both sides, so the usual int64-view trick
+    would silently reorder hashes >= 2^63.
+
+    Scale shape: stateless single pass (``map_batches``), no shuffle;
+    only the batch's DISTINCT k-grams pay an md5 call (small-alphabet
+    text repeats grams heavily), and the window argmin is one
+    vectorized ``sliding_window_view`` argmin over the reversed window
+    axis (rightmost tie-break) per doc. Output is ~2/(w+1) of gram
+    count — the sketch downstream dedup ships instead of text."""
+    from ..stages.aggregates import md5_low64
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = [(x or "").lower() for x in t.column(text_col).to_pylist()]
+        grams_per_doc = [[s[i:i + k] for i in range(len(s) - k + 1)]
+                         for s in texts]
+        allg = [g for gs in grams_per_doc for g in gs]
+        if allg:
+            uniq, inv = np.unique(np.array(allg, dtype=object),
+                                  return_inverse=True)
+            uh = np.array([md5_low64(u) for u in uniq], np.uint64)
+            hcat = uh[inv]
+        else:
+            hcat = np.zeros(0, np.uint64)
+        bounds = np.concatenate(
+            ([0], np.cumsum([len(g) for g in grams_per_doc])))
+        out_id, out_pos, out_fp = [], [], []
+        for d, did in enumerate(ids):
+            h = hcat[bounds[d]:bounds[d + 1]]
+            n = len(h)
+            if n == 0:
+                continue
+            if n <= w:
+                # fewer hashes than one window: single window = all
+                sel = np.array([n - 1 - h[::-1].argmin()])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, w)
+                # argmin on the reversed window axis -> RIGHTMOST min
+                idx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+                sel = np.unique(np.arange(n - w + 1) + idx)
+            out_id.extend([did] * len(sel))
+            out_pos.extend(sel.tolist())
+            out_fp.extend(h[sel].tolist())
+        return pa.table({id_col: pa.array(out_id, t.column(id_col).type),
+                         "pos": pa.array(out_pos, pa.int64()),
+                         "fp": pa.array(out_fp, pa.uint64())})
+
+    return ds.map_batches(fp_batch, batch_format="pyarrow")
