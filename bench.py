@@ -180,7 +180,8 @@ def run_queries(num_cpus: int) -> dict:
              "approx_quantiles", "zscore_events", "train_split", "lm_score",
              "chunk_documents", "pack_docs", "pagerank_seeded", "hits",
              "bpe_vocab", "sample_k", "stratified_sample", "bm25",
-             "quantile_filter"]
+             "quantile_filter", "bpe_encode", "dsir_logweights", "pmi_pairs",
+             "dedup_segments", "remove_dup_ngrams", "winnow_fingerprints"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is
