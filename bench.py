@@ -181,7 +181,8 @@ def run_queries(num_cpus: int) -> dict:
              "chunk_documents", "pack_docs", "pagerank_seeded", "hits",
              "bpe_vocab", "sample_k", "stratified_sample", "bm25",
              "quantile_filter", "bpe_encode", "dsir_logweights", "pmi_pairs",
-             "dedup_segments", "remove_dup_ngrams", "winnow_fingerprints"]
+             "dedup_segments", "remove_dup_ngrams", "winnow_fingerprints",
+             "triangle_counts", "bfs_hops"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -577,3 +577,115 @@ def test_hits_parity_and_semantics(ray_session):
     for spoke in (1, 2, 3):
         assert m[spoke][0] == 0.0
         assert abs(m[spoke][1] - 1 / 3) < 1e-12
+
+
+# --- triangle counting + BFS hops --------------------------------------------
+
+def _brute_triangles(u, v):
+    """Per-node triangle counts by explicit set intersection."""
+    adj = {}
+    for a, b in zip(u.tolist(), v.tolist()):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cnt = {n: 0 for n in adj}
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            if b <= a:
+                continue
+            for c in adj[b]:
+                if c > b and c in nbrs:
+                    for x in (a, b, c):
+                        cnt[x] += 1
+    return cnt
+
+
+def test_triangle_counts_brute_force_and_parity(ray_session):
+    from web_crawler_ray.stages.graph import triangle_counts
+    rng = np.random.default_rng(13)
+    u = rng.integers(0, 120, 900).astype(np.int64)
+    v = rng.integers(0, 120, 900).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": u, "dst": v})).repartition(4)
+    t = triangle_counts(ds)
+    want = _brute_triangles(u, v)
+    got = dict(zip(t.column("node").to_pylist(),
+                   t.column("n_triangles").to_pylist()))
+    assert got == want
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
+    # distributed path: identical table
+    d = triangle_counts(rd.from_arrow(pa.table({"src": u, "dst": v}))
+                        .repartition(4), driver_limit=0,
+                        num_partitions=5)
+    assert d.equals(t)
+
+
+def test_triangle_counts_edge_cases(ray_session):
+    from web_crawler_ray.stages.graph import triangle_counts
+    # triangle + pendant: nodes 0,1,2 in 1 triangle, node 3 in none;
+    # duplicate/reversed/self-loop edges must not change counts
+    e = pa.table({"src": pa.array([0, 1, 2, 2, 0, 2, 3],
+                                  pa.int64()),
+                  "dst": pa.array([1, 2, 0, 0, 1, 3, 3],
+                                  pa.int64())})
+    t = triangle_counts(rd.from_arrow(e))
+    assert t.column("node").to_pylist() == [0, 1, 2, 3]
+    assert t.column("n_triangles").to_pylist() == [1, 1, 1, 0]
+    d = triangle_counts(rd.from_arrow(e), driver_limit=0,
+                        num_partitions=3)
+    assert d.equals(t)
+    # self-loops only -> no canonical edges -> empty
+    loops = pa.table({"src": pa.array([5, 6], pa.int64()),
+                      "dst": pa.array([5, 6], pa.int64())})
+    assert triangle_counts(rd.from_arrow(loops)).num_rows == 0
+
+
+def _brute_bfs(u, v, s):
+    adj = {}
+    for a, b in zip(u.tolist(), v.tolist()):
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0}
+    frontier = [s]
+    while frontier:
+        nxt = []
+        for a in frontier:
+            for b in adj.get(a, ()):
+                if b not in dist:
+                    dist[b] = dist[a] + 1
+                    nxt.append(b)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_brute_force_and_parity(ray_session):
+    from web_crawler_ray.stages.graph import bfs_hops
+    rng = np.random.default_rng(17)
+    u = rng.integers(0, 300, 700).astype(np.int64)
+    v = rng.integers(0, 300, 700).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": u, "dst": v})).repartition(4)
+    t = bfs_hops(ds)  # source = min node id
+    s = int(min(u.min(), v.min()))
+    want = _brute_bfs(u, v, s)
+    got = dict(zip(t.column("node").to_pylist(),
+                   t.column("hops").to_pylist()))
+    assert got == want
+    d = bfs_hops(rd.from_arrow(pa.table({"src": u, "dst": v})),
+                 driver_limit=0, num_partitions=5)
+    assert d.equals(t)
+
+
+def test_bfs_hops_chain_and_unreachable(ray_session):
+    from web_crawler_ray.stages.graph import bfs_hops
+    # directed chain 0->1->2->3 plus unreachable island 8->9
+    e = pa.table({"src": pa.array([0, 1, 2, 8], pa.int64()),
+                  "dst": pa.array([1, 2, 3, 9], pa.int64())})
+    t = bfs_hops(rd.from_arrow(e), source=0)
+    assert t.column("node").to_pylist() == [0, 1, 2, 3]
+    assert t.column("hops").to_pylist() == [0, 1, 2, 3]
+    d = bfs_hops(rd.from_arrow(e), source=0, driver_limit=0,
+                 num_partitions=3)
+    assert d.equals(t)
+    # source not in graph raises (driver path)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bfs_hops(rd.from_arrow(e), source=777)

@@ -1681,6 +1681,93 @@ def _pagerank_oracle_sql() -> str:
                   "ORDER BY node")
 
 
+def _tri_edges(sf_dir: str):
+    """Sparse mixed-key lineitem graph (both tuple key spaces folded
+    into one mod-8000 node domain, so odd cycles/triangles exist):
+    src = l_orderkey % 8000, dst = (l_partkey*7 + l_suppkey) % 8000.
+    ~60k edges / ~670 triangles at sf0.01; scales with lineitem."""
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"src": pa.array(ok % 8000),
+                         "dst": pa.array((pk * 7 + sk) % 8000)})
+
+    return _rp(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey"]) \
+        .map_batches(mk, batch_format="pyarrow")
+
+
+_TRI_E0 = ("SELECT l_orderkey % 8000 AS src, "
+           "(l_partkey*7 + l_suppkey) % 8000 AS dst FROM lineitem")
+
+
+def q_triangle_counts(sf_dir: str):
+    """Per-node triangle counts over the mixed-key lineitem graph —
+    the community/spam-detection signal next to pagerank (the
+    reference has no graph ops; stages/graph.py triangle_counts runs
+    Cohen's degree-oriented wedge-close, driver numpy below 500k edges
+    / five keyed exchanges above, parity pinned in pytest). Oracle:
+    the canonical three-way self-join, each triangle counted once at
+    its id-ordered corner."""
+    from ..stages.graph import triangle_counts
+    return triangle_counts(_tri_edges(sf_dir))
+
+
+def _triangle_counts_oracle_sql() -> str:
+    return (
+        f"WITH e0 AS ({_TRI_E0}), "
+        "canon AS (SELECT DISTINCT least(src,dst) AS u, "
+        "greatest(src,dst) AS v FROM e0 WHERE src <> dst), "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM canon e1 "
+        "JOIN canon e2 ON e2.u = e1.u AND e2.v > e1.v "
+        "JOIN canon e3 ON e3.u = e1.v AND e3.v = e2.v), "
+        "nodes AS (SELECT u AS node FROM canon "
+        "UNION SELECT v FROM canon), "
+        "tn AS (SELECT node, count(*) AS c FROM "
+        "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+        "UNION ALL SELECT c FROM tri) GROUP BY node) "
+        "SELECT nodes.node, COALESCE(tn.c, 0)::BIGINT AS n_triangles "
+        "FROM nodes LEFT JOIN tn USING(node) ORDER BY node")
+
+
+def q_bfs_hops(sf_dir: str):
+    """Single-source BFS hop distances from the minimum node over the
+    undirected mixed-key lineitem graph — the seed-distance tiering a
+    crawl frontier runs (the reference's per-page depth field,
+    site-crawler.service.js; stages/graph.py bfs_hops: driver CSR BFS
+    below 500k edges, min-plus label relaxation exchanges above,
+    parity pinned in pytest). Oracle: bounded recursive CTE + MIN
+    per node (bound 24 >> graph eccentricity, so exact)."""
+    from ..stages.graph import bfs_hops
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t.column("src").combine_chunks()
+        b = t.column("dst").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    return bfs_hops(_tri_edges(sf_dir).map_batches(
+        both, batch_format="pyarrow"))
+
+
+def _bfs_hops_oracle_sql() -> str:
+    return (
+        f"WITH RECURSIVE e0 AS ({_TRI_E0}), "
+        "e AS (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)), "
+        "r AS (SELECT (SELECT MIN(least(src, dst)) FROM e) AS node, "
+        "0 AS hops "
+        "UNION SELECT e.dst, r.hops + 1 FROM r "
+        "JOIN e ON e.src = r.node WHERE r.hops < 24) "
+        "SELECT node, MIN(hops)::BIGINT AS hops FROM r "
+        "GROUP BY node ORDER BY node")
+
+
 def q_approx_quantiles(sf_dir: str):
     """Per-group quantiles via the MERGEABLE uniform summary
     (stages/sketches.py approx_quantiles — the order-statistics member
@@ -1747,6 +1834,8 @@ def registry() -> dict:
         "bpe_encode": q_bpe_encode,
         "pagerank_seeded": q_pagerank_seeded,
         "hits": q_hits,
+        "triangle_counts": q_triangle_counts,
+        "bfs_hops": q_bfs_hops,
         "approx_quantiles": q_approx_quantiles,
         "argmax_events": q_argmax_events,
         "stats_by_flag": q_stats_by_flag,
@@ -2353,6 +2442,8 @@ ORACLES: dict[str, str] = {
     "pagerank": _pagerank_oracle_sql(),
     "pagerank_seeded": _pagerank_seeded_oracle_sql(),
     "hits": _hits_oracle_sql(),
+    "triangle_counts": _triangle_counts_oracle_sql(),
+    "bfs_hops": _bfs_hops_oracle_sql(),
     "argmax_events":
         "SELECT event_type, event_id, value FROM events QUALIFY "
         "row_number() OVER (PARTITION BY event_type "

@@ -715,3 +715,447 @@ def hits(edges_ds, src: str = "src", dst: str = "dst",
     return pa.table({"node": ht.column("node"),
                      "hub": ht.column("val"),
                      "authority": at.column("val")})
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented wedge-close) + BFS hop distances
+# ---------------------------------------------------------------------------
+
+def _pairs_from_sorted_groups(starts: np.ndarray, vals: np.ndarray):
+    """All unordered index pairs WITHIN each group of a group-sorted
+    array, vectorized per out-degree class. ``starts`` = group start
+    offsets (len = n_groups + 1); returns (first_val, second_val,
+    group_id) where pairs preserve the within-group order of ``vals``.
+    Orientation bounds the largest group at O(sqrt(edges)), so the
+    per-degree-class loop runs O(sqrt(edges)) times, each iteration
+    fully vectorized."""
+    k = np.diff(starts)
+    outs_b, outs_c, outs_g = [], [], []
+    for kk in np.unique(k):
+        if kk < 2:
+            continue
+        gsel = np.flatnonzero(k == kk)
+        s = starts[:-1][gsel]
+        ii, jj = np.triu_indices(int(kk), 1)
+        idx_b = (s[:, None] + ii[None, :]).ravel()
+        idx_c = (s[:, None] + jj[None, :]).ravel()
+        outs_b.append(vals[idx_b])
+        outs_c.append(vals[idx_c])
+        outs_g.append(np.repeat(gsel, len(ii)))
+    if not outs_b:
+        z = np.array([], np.int64)
+        return z, z, z
+    return (np.concatenate(outs_b), np.concatenate(outs_c),
+            np.concatenate(outs_g))
+
+
+def _count_per_node(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition kernel: COUNT(*) GROUP BY node, vectorized."""
+    n = df["node"].to_numpy(np.int64)
+    if not len(n):
+        return pd.DataFrame({"node": n, "deg": n})
+    ns, cnt = np.unique(n, return_counts=True)
+    return pd.DataFrame({"node": ns, "deg": cnt.astype(np.int64)})
+
+
+def _sum_cnt_per_node(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition kernel: SUM(cnt) GROUP BY node, vectorized."""
+    n = df["node"].to_numpy(np.int64)
+    c = df["cnt"].to_numpy(np.int64)
+    if not len(n):
+        return pd.DataFrame({"node": n, "n_triangles": c})
+    order = np.argsort(n, kind="stable")
+    ns, cs = n[order], c[order]
+    starts = np.concatenate(([0], np.flatnonzero(ns[1:] != ns[:-1]) + 1))
+    return pd.DataFrame({"node": ns[starts],
+                         "n_triangles": np.add.reduceat(cs, starts)})
+
+
+def triangle_counts(edges_ds, src: str = "src", dst: str = "dst",
+                    driver_limit: int = DRIVER_CC_MAX,
+                    num_partitions: int = 8):
+    """Per-node triangle counts of the undirected simple graph given by
+    an edge Dataset (duplicates / directions / self-loops normalized
+    away first). Returns a ``pyarrow.Table`` (node, n_triangles) over
+    ALL nodes (zeros included), sorted by node — the clustering-signal
+    primitive next to pagerank/hits (the reference ranks links with
+    regex heuristics only, link-explorer.service.js; at 100 TB the
+    community/spam signal is counted like this).
+
+    Both paths run the classic degree-oriented wedge-close (Cohen's
+    MapReduce triangle algorithm / GraphX's count): orient every
+    canonical edge from its lower-(degree, id) endpoint to the higher,
+    which bounds every out-neighborhood at O(sqrt(E)); emit the
+    out-neighbor pairs (wedges) of each node; a wedge (b, c) apexed at
+    ``a`` closes iff the oriented edge b->c exists. Each triangle is
+    generated exactly once, at its lowest-rank corner.
+
+    Below ``driver_limit`` edges the whole plan is numpy on the driver
+    (same O(E^1.5) work a reduce wave does). Above, five keyed
+    exchanges (shuffles.int_part_map — no Dataset.join, see
+    connected_components): canonical-distinct, degree count, two
+    degree-attach owner lookups, wedge emit, and the close+count;
+    wedge volume is the O(E^1.5) term and never touches the driver.
+    """
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "n_triangles": pa.array([], pa.int64())})
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_ds.select_columns([src, dst])
+                                          .iter_batches(batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        uv = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        if not len(uv):  # self-loops only: no canonical edges, no nodes
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "n_triangles": pa.array([], pa.int64())})
+        a, b = uv[:, 0], uv[:, 1]
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = inv[: len(a)], inv[len(a):]
+        n = len(nodes)
+        deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+        # strict total order (deg, node-id): rank[i] < rank[j] iff
+        # (deg[i], i) < (deg[j], j)
+        order = np.lexsort((np.arange(n), deg))
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n)
+        fwd = rank[ai] < rank[bi]
+        x = np.where(fwd, ai, bi)
+        y = np.where(fwd, bi, ai)
+        o = np.lexsort((rank[y], x))  # rank-sorted out-neighbor lists
+        x, y = x[o], y[o]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(x[1:] != x[:-1]) + 1, [len(x)]))
+        wb, wc, wg = _pairs_from_sorted_groups(starts, y)
+        wa = x[starts[:-1]][wg]
+        ekeys = np.sort(x * np.int64(n) + y)
+        wk = wb * np.int64(n) + wc
+        idx = np.searchsorted(ekeys, wk)
+        found = np.zeros(len(wk), bool)
+        inb = idx < len(ekeys)
+        found[inb] = ekeys[idx[inb]] == wk[inb]
+        tri = np.bincount(
+            np.concatenate([wa[found], wb[found], wc[found]]),
+            minlength=n).astype(np.int64)
+        return pa.table({"node": nodes, "n_triangles": tri})
+
+    # ---- distributed path ------------------------------------------------
+    from .shuffles import int_part_map as _ipm
+
+    def to_canon(t: pa.Table) -> pa.Table:
+        u = t.column(src).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t.column(dst).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        return pa.table({"src": pa.array(lo[keep]),
+                         "dst": pa.array(hi[keep])})
+
+    canon = _ipm(edges_ds.map_batches(to_canon, batch_format="pyarrow"),
+                 "src", _distinct_edges, num_partitions=num_partitions)
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        aa = t.column("src").combine_chunks()
+        bb = t.column("dst").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([aa, bb])})
+
+    deg = _ipm(canon.map_batches(node_rows, batch_format="pyarrow"),
+               "node", _count_per_node, num_partitions=num_partitions) \
+        .materialize()  # owner side of BOTH attach exchanges below
+
+    # attach deg(u) then deg(v): tagged-union owner lookups carrying the
+    # other endpoint + previously attached degree as payload columns
+    def tag_deg(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({"gkey": t.column("node"), "p1": t.column("deg"),
+                         "p2": pa.array(z),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def tag_e_u(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({"gkey": t.column("src"), "p1": t.column("dst"),
+                         "p2": pa.array(z),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        """owners: (gkey=node, p1=deg); followers: (gkey, p1=other
+        endpoint, p2=carried). Emits (gkey, other, carried, dg)."""
+        tag = df["tag"].to_numpy()
+        own, fol = df[tag == 1], df[tag == 0]
+        if not len(fol):
+            z = np.array([], np.int64)
+            return pd.DataFrame({"k": z, "other": z, "carried": z,
+                                 "dg": z})
+        ok = own["gkey"].to_numpy(np.int64)
+        od = own["p1"].to_numpy(np.int64)
+        o = np.argsort(ok, kind="stable")
+        ok, od = ok[o], od[o]
+        g = fol["gkey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, g)
+        if len(ok) == 0 or not np.array_equal(ok[np.clip(idx, 0,
+                                                         len(ok) - 1)], g):
+            raise ValueError("triangle attach: edge endpoint without a "
+                             "degree row")
+        return pd.DataFrame({"k": g,
+                             "other": fol["p1"].to_numpy(np.int64),
+                             "carried": fol["p2"].to_numpy(np.int64),
+                             "dg": od[idx]})
+
+    e_du = _ipm(canon.map_batches(tag_e_u, batch_format="pyarrow")
+                     .union(deg.map_batches(tag_deg,
+                                            batch_format="pyarrow")),
+                "gkey", _attach, num_partitions=num_partitions)
+    # e_du rows: k=u, other=v, carried=0, dg=deg(u)
+
+    def tag_e_v(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("other"), "p1": t.column("k"),
+                         "p2": t.column("dg"),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    e_duv = _ipm(e_du.map_batches(tag_e_v, batch_format="pyarrow")
+                     .union(deg.map_batches(tag_deg,
+                                            batch_format="pyarrow")),
+                 "gkey", _attach, num_partitions=num_partitions)
+    # e_duv rows: k=v, other=u, carried=deg(u), dg=deg(v)
+
+    def orient(t: pa.Table) -> pa.Table:
+        v_ = t.column("k").to_numpy(zero_copy_only=False)
+        u_ = t.column("other").to_numpy(zero_copy_only=False)
+        du = t.column("carried").to_numpy(zero_copy_only=False)
+        dv = t.column("dg").to_numpy(zero_copy_only=False)
+        fwd = (du < dv) | ((du == dv) & (u_ < v_))
+        return pa.table({"x": pa.array(np.where(fwd, u_, v_)),
+                         "y": pa.array(np.where(fwd, v_, u_)),
+                         "dy": pa.array(np.where(fwd, dv, du))})
+
+    oriented = e_duv.map_batches(orient,
+                                 batch_format="pyarrow").materialize()
+
+    def _wedge_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        dy = df["dy"].to_numpy(np.int64)
+        if not len(x):
+            z = np.array([], np.int64)
+            return pd.DataFrame({"b": z, "c": z, "a": z})
+        o = np.lexsort((y, dy, x))  # rank order (deg, id) within group
+        x, y = x[o], y[o]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(x[1:] != x[:-1]) + 1, [len(x)]))
+        wb, wc, wg = _pairs_from_sorted_groups(starts, y)
+        return pd.DataFrame({"b": wb, "c": wc, "a": x[starts[:-1]][wg]})
+
+    wedges = _ipm(oriented, "x", _wedge_kernel,
+                  num_partitions=num_partitions)
+
+    def tag_close_e(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({"gkey": t.column("x"), "c": t.column("y"),
+                         "a": pa.array(z),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def tag_close_w(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("b"), "c": t.column("c"),
+                         "a": t.column("a"),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def _close_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """Match wedge pairs (gkey, c) against oriented edges (gkey, c)
+        co-partitioned by gkey; emit one node row per triangle corner.
+        Arbitrary int64 ids -> local dense mapping before the combined
+        searchsorted key (no overflow)."""
+        tag = df["tag"].to_numpy()
+        own, fol = df[tag == 1], df[tag == 0]
+        if not len(fol) or not len(own):
+            return pd.DataFrame({"node": np.array([], np.int64),
+                                 "cnt": np.array([], np.int64)})
+        eb = own["gkey"].to_numpy(np.int64)
+        ec = own["c"].to_numpy(np.int64)
+        wb = fol["gkey"].to_numpy(np.int64)
+        wc = fol["c"].to_numpy(np.int64)
+        wa = fol["a"].to_numpy(np.int64)
+        allc, cinv = np.unique(np.concatenate([ec, wc]),
+                               return_inverse=True)
+        allb, binv = np.unique(np.concatenate([eb, wb]),
+                               return_inverse=True)
+        m = np.int64(len(allc))
+        ek = np.sort(binv[: len(eb)] * m + cinv[: len(ec)])
+        wk = binv[len(eb):] * m + cinv[len(ec):]
+        idx = np.searchsorted(ek, wk)
+        found = np.zeros(len(wk), bool)
+        inb = idx < len(ek)
+        found[inb] = ek[idx[inb]] == wk[inb]
+        nodes = np.concatenate([wa[found], wb[found], wc[found]])
+        return pd.DataFrame({"node": nodes,
+                             "cnt": np.ones(len(nodes), np.int64)})
+
+    corners = _ipm(oriented.map_batches(tag_close_e,
+                                        batch_format="pyarrow")
+                   .union(wedges.map_batches(tag_close_w,
+                                             batch_format="pyarrow")),
+                   "gkey", _close_kernel, num_partitions=num_partitions)
+    zero = deg.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "cnt": pa.array(np.zeros(t.num_rows,
+                                                     np.int64))}),
+        batch_format="pyarrow")
+    out = _ipm(corners.union(zero), "node", _sum_cnt_per_node,
+               num_partitions=num_partitions)
+    cat = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    return cat.sort_by("node")
+
+
+def bfs_hops(edges_ds, source: int | None = None,
+             src: str = "src", dst: str = "dst",
+             driver_limit: int = DRIVER_CC_MAX,
+             max_iters: int = 64, num_partitions: int = 8):
+    """Single-source BFS hop distances over a DIRECTED edge Dataset
+    (callers append reversed edges for undirected reach). Returns a
+    ``pyarrow.Table`` (node, hops) for REACHED nodes only, sorted by
+    node — the seed-distance signal a crawl frontier tiers on (the
+    reference's depth field, site-crawler.service.js queue items, is
+    exactly this, computed one page at a time). ``source=None`` uses
+    the minimum node id (deterministic, scale-independent).
+
+    Below ``driver_limit`` edges: numpy CSR frontier BFS on the driver.
+    Above: min-plus label relaxation — per round one tagged-union
+    owner-lookup exchange sends dist(u)+1 over every out-edge of a
+    reached node (unreached sources simply emit nothing), then one
+    grouped min folds messages into the label set; the driver sees an
+    O(1) (count, sum) convergence scalar per round. Reached labels only
+    ever grow in count and shrink in value, so (count, sum) fixed point
+    == exact BFS distances, in <= eccentricity+1 rounds.
+    """
+    import ray
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "hops": pa.array([], pa.int64())})
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_ds.select_columns([src, dst])
+                                          .iter_batches(batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u):]
+        n = len(nodes)
+        s = int(nodes[0]) if source is None else int(source)
+        si = np.searchsorted(nodes, s)
+        if si >= n or nodes[si] != s:
+            raise ValueError(f"bfs_hops: source {s} is not a graph node")
+        order = np.argsort(ui, kind="stable")
+        us, vs = ui[order], vi[order]
+        starts = np.searchsorted(us, np.arange(n + 1))
+        dist = np.full(n, -1, np.int64)
+        dist[si] = 0
+        frontier = np.array([si], np.int64)
+        d = 0
+        while len(frontier):
+            d += 1
+            cnts = starts[frontier + 1] - starts[frontier]
+            tot = int(cnts.sum())
+            if not tot:
+                break
+            idx = (np.repeat(starts[frontier], cnts)
+                   + np.arange(tot)
+                   - np.repeat(np.cumsum(cnts) - cnts, cnts))
+            nbrs = np.unique(vs[idx])
+            frontier = nbrs[dist[nbrs] < 0]
+            dist[frontier] = d
+        reached = dist >= 0
+        return pa.table({"node": nodes[reached], "hops": dist[reached]})
+
+    # ---- distributed path ------------------------------------------------
+    import ray.data as rd
+    from .shuffles import int_part_map as _ipm
+
+    def to_e(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column(src).cast(pa.int64()),
+                         "dst": t.column(dst).cast(pa.int64())})
+
+    e = _ipm(edges_ds.map_batches(to_e, batch_format="pyarrow"),
+             "src", _distinct_edges,
+             num_partitions=num_partitions).materialize()
+    if source is None:
+        import pyarrow.compute as pc
+
+        @ray.remote
+        def _min2(t: pa.Table) -> int:
+            return min(int(pc.min(t.column("src")).as_py()),
+                       int(pc.min(t.column("dst")).as_py()))
+
+        source = min(ray.get([_min2.remote(r) for r in e.to_arrow_refs()]))
+    labels = rd.from_arrow(pa.table(
+        {"node": pa.array([int(source)], pa.int64()),
+         "label": pa.array([0], pa.int64())})).materialize()
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({"gkey": t.column("src"), "dst": t.column("dst"),
+                         "lab": pa.array(z),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("node"),
+                         "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "lab": t.column("label"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def _relax(df: pd.DataFrame) -> pd.DataFrame:
+        """Lenient owner lookup: followers whose src has no dist row yet
+        (unreached) are dropped, matched ones emit dist+1 to dst."""
+        tag = df["tag"].to_numpy()
+        own, fol = df[tag == 1], df[tag == 0]
+        z = np.array([], np.int64)
+        if not len(fol) or not len(own):
+            return pd.DataFrame({"node": z, "label": z})
+        ok = own["gkey"].to_numpy(np.int64)
+        ol = own["lab"].to_numpy(np.int64)
+        o = np.argsort(ok, kind="stable")
+        ok, ol = ok[o], ol[o]
+        g = fol["gkey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, g)
+        fnd = np.zeros(len(g), bool)
+        inb = idx < len(ok)
+        fnd[inb] = ok[idx[inb]] == g[inb]
+        return pd.DataFrame({"node": fol["dst"].to_numpy(np.int64)[fnd],
+                             "label": ol[idx[fnd]] + 1})
+
+    @ray.remote
+    def _cnt_sum(t: pa.Table):
+        import pyarrow.compute as pc
+        return (t.num_rows, int(pc.sum(t.column("label")).as_py() or 0))
+
+    prev = None
+    for _ in range(max_iters):
+        tagged = e.map_batches(tag_edge, batch_format="pyarrow") \
+                  .union(labels.map_batches(tag_lab,
+                                            batch_format="pyarrow"))
+        msgs = _ipm(tagged, "gkey", _relax,
+                    num_partitions=num_partitions)
+        labels = _ipm(msgs.union(labels), "node", _min_per_node,
+                      num_partitions=num_partitions).materialize()
+        cs = ray.get([_cnt_sum.remote(r) for r in labels.to_arrow_refs()])
+        s = (sum(c for c, _ in cs), sum(v for _, v in cs))
+        if prev is not None and s == prev:
+            break
+        prev = s
+    else:
+        import warnings
+        warnings.warn(
+            f"bfs_hops: relaxation did not stabilize within "
+            f"max_iters={max_iters}; distances may be incomplete "
+            f"(raise max_iters)", RuntimeWarning)
+    cat = pa.concat_tables(
+        [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")])
+    return cat.rename_columns(["node", "hops"]).sort_by("node")
