@@ -225,3 +225,87 @@ def test_decontaminate_hashed_bloom_fp_tail():
     out2 = decontaminate_hashed(rd.from_arrow(clean), h, n=8,
                                 bloom_bits_per_key=1)
     assert out2.to_pandas()["doc_id"].tolist() == [0]
+
+
+# --- Count-Min sketch ---------------------------------------------------------
+
+def test_cms_guarantee_and_partition_invariance(ray_session):
+    import collections
+    from web_crawler_ray.stages.sketches import cms_estimates
+    rng = np.random.default_rng(23)
+    v = rng.zipf(1.3, 40_000)
+    v = v[v < 50_000].astype(np.int64)
+    true = collections.Counter(v.tolist())
+    t = pa.table({"v": v})
+    a = cms_estimates(rd.from_arrow(t).repartition(6), "v",
+                      w=512, d=4).to_pandas()
+    got = dict(zip(a["v"], a["est"]))
+    assert set(got) == set(true)
+    n = len(v)
+    eps_bound = (np.e / 512) * n  # CM guarantee at w=512
+    assert all(got[k] >= c for k, c in true.items())
+    # w.h.p. bound: allow a handful of cells past eN (delta = e^-d)
+    viol = sum(1 for k, c in true.items() if got[k] - c > eps_bound)
+    assert viol <= max(3, 0.01 * len(true))
+    # merge order / partitioning invariance: register sum is exact
+    b = cms_estimates(rd.from_arrow(t).repartition(2), "v",
+                      w=512, d=4).to_pandas()
+    assert dict(zip(b["v"], b["est"])) == got
+
+
+def test_cms_exact_when_wide(ray_session):
+    # few distinct keys, wide sketch: no collisions -> est == true count
+    from web_crawler_ray.stages.sketches import cms_estimates
+    v = np.repeat(np.arange(20, dtype=np.int64), np.arange(1, 21))
+    a = cms_estimates(rd.from_arrow(pa.table({"v": v})).repartition(3),
+                      "v", w=4096, d=4).to_pandas()
+    got = dict(zip(a["v"], a["est"]))
+    assert got == {k: k + 1 for k in range(20)}
+
+
+# --- priority sampling --------------------------------------------------------
+
+def test_priority_sample_brute_force_and_estimator(ray_session):
+    from web_crawler_ray.stages.aggregates import md5_low64, \
+        priority_sample
+    rng = np.random.default_rng(31)
+    n, k = 5_000, 150
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 10_000, n).astype(np.int64)
+    t = pa.table({"doc_id": ids, "n_chars": w})
+    got = priority_sample(rd.from_arrow(t).repartition(7),
+                          "n_chars", "doc_id", k)
+    # brute force: identical priority formula, top-k, tau = (k+1)-th
+    TWO53 = 9007199254740992
+    m = np.array([md5_low64(str(i)) % TWO53 for i in ids], np.int64)
+    pri = w.astype(np.float64) * float(TWO53) / (m + 1).astype(np.float64)
+    order = np.lexsort((ids, -pri))
+    keep, tau = order[:k], pri[order[k]]
+    want_ids = np.sort(ids[keep])
+    assert got.column("doc_id").to_pylist() == want_ids.tolist()
+    wh = dict(zip(got.column("doc_id").to_pylist(),
+                  got.column("w_hat").to_pylist()))
+    for i in want_ids.tolist():
+        assert wh[i] == max(float(w[i]), tau)
+    # unbiased subset-sum estimator: within 15% at k=150
+    assert abs(sum(wh.values()) / float(w.sum()) - 1.0) < 0.15
+    # partitioning invariance
+    got2 = priority_sample(rd.from_arrow(t).repartition(2),
+                           "n_chars", "doc_id", k)
+    assert got2.equals(got)
+
+
+def test_priority_sample_edges(ray_session):
+    from web_crawler_ray.stages.aggregates import priority_sample
+    # fewer rows than k: everything kept, tau=0 -> w_hat == w
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "n_chars": pa.array([10, 0, 7], pa.int64())})
+    got = priority_sample(rd.from_arrow(t), "n_chars", "doc_id", 10)
+    assert got.column("doc_id").to_pylist() == [1, 2, 3]
+    assert got.column("w_hat").to_pylist() == [10.0, 0.0, 7.0]
+    # negative weight raises
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "n_chars": pa.array([-5], pa.int64())})
+    import pytest as _pt
+    with _pt.raises(Exception):
+        priority_sample(rd.from_arrow(bad), "n_chars", "doc_id", 1)

@@ -1325,6 +1325,59 @@ def q_hll_distinct_md5(sf_dir: str):
     return hll_distinct_md5(ds, "event_type", "user_id")
 
 
+def q_cms_freq(sf_dir: str):
+    """Count-Min point-frequency estimates for every distinct
+    l_partkey — the frequency member of the sketch family (HLL =
+    cardinality, Misra-Gries = top-k, mergeable summaries = order
+    statistics; stages/sketches.py cms_estimates: per-batch (d x w)
+    register-blob combiner + broadcast-register estimate pass). Bucket
+    hash is md5_number_lower, so the oracle recomputes the IDENTICAL
+    registers and min-estimates in pure SQL; the one-sided guarantee
+    (est >= true, est <= true + eN w.h.p.) is pinned in pytest."""
+    from ..stages.sketches import cms_estimates
+    ds = _rp(sf_dir, "lineitem", columns=["l_partkey"])
+    return cms_estimates(ds, "l_partkey", w=1024, d=4)
+
+
+_CMS_SQL = (
+    "WITH keys AS (SELECT l_partkey, count(*)::BIGINT AS c "
+    "FROM lineitem GROUP BY l_partkey), "
+    "rows_ AS (SELECT unnest(generate_series(0, 3)) AS r), "
+    "kb AS (SELECT l_partkey, c, r, "
+    "md5_number_lower(r::VARCHAR || ':' || l_partkey::VARCHAR) % 1024 "
+    "AS b FROM keys CROSS JOIN rows_), "
+    "reg AS (SELECT r, b, SUM(c)::BIGINT AS cnt FROM kb GROUP BY r, b) "
+    "SELECT kb.l_partkey, MIN(reg.cnt)::BIGINT AS est FROM kb "
+    "JOIN reg USING (r, b) GROUP BY kb.l_partkey ORDER BY l_partkey")
+
+
+def q_priority_sample(sf_dir: str):
+    """Priority sampling (Duffield-Lund-Thorup): k=200 length-weighted
+    documents without replacement + the unbiased subset-sum estimator
+    w_hat = max(w, tau) — the weight-sensitive member of the sampling
+    family (uniform-k / stratified-k / rate-mixture are the others;
+    stages/aggregates.py priority_sample). Priorities are w * 2^53 /
+    (md5 % 2^53 + 1): single IEEE multiply+divide on exact integers,
+    libm-free, so the oracle's DOUBLE arithmetic is BIT-IDENTICAL;
+    unbiasedness (sum w_hat ~ corpus total) is pinned in pytest."""
+    from ..stages.aggregates import priority_sample
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return priority_sample(ds, "n_chars", "doc_id", 200)
+
+
+_PRIORITY_SAMPLE_SQL = (
+    "WITH p AS (SELECT doc_id, n_chars, n_chars::DOUBLE * "
+    "9007199254740992 / ((md5_number_lower(doc_id::VARCHAR) % "
+    "9007199254740992) + 1) AS pri FROM documents), "
+    "r AS (SELECT *, row_number() OVER (ORDER BY pri DESC, doc_id) "
+    "AS rn FROM p), "
+    "tau AS (SELECT COALESCE(MAX(CASE WHEN rn = 201 THEN pri END), "
+    "0.0) AS t FROM r) "
+    "SELECT doc_id, n_chars, CASE WHEN n_chars::DOUBLE >= tau.t "
+    "THEN n_chars::DOUBLE ELSE tau.t END AS w_hat "
+    "FROM r, tau WHERE rn <= 200 ORDER BY doc_id")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -1819,6 +1872,8 @@ def registry() -> dict:
         "json_field_agg": q_json_field_agg,
         "hll_distinct": q_hll_distinct,
         "hll_distinct_md5": q_hll_distinct_md5,
+        "cms_freq": q_cms_freq,
+        "priority_sample": q_priority_sample,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -2722,6 +2777,8 @@ ORACLES: dict[str, str] = {
         f">= {PLANTED_TAU}",
     "lang_id": _LANG_ID_SQL,
     "hll_distinct_md5": _HLL_MD5_SQL,
+    "cms_freq": _CMS_SQL,
+    "priority_sample": _PRIORITY_SAMPLE_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

@@ -1141,3 +1141,63 @@ def pmi_pairs(ds, window: int = 3, min_count: int = 5,
                          "pmi": pa.array(pmi, pa.float64())})
 
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def priority_sample(ds, weight_col: str, id_col: str, k: int):
+    """Priority sampling (Duffield, Lund & Thorup 2007): a fixed-size
+    weight-sensitive sample WITHOUT replacement with unbiased
+    subset-sum estimators. Each row gets priority
+    ``q_i = w_i / u_i`` with ``u_i`` a uniform (0,1] hash of its id;
+    the sample is the k highest priorities, the threshold ``tau`` is
+    the (k+1)-th, and every sampled row's estimator is
+    ``w_hat = max(w, tau)`` (sum of w_hat over the sample is an
+    unbiased estimate of the population total — THE weighted-sampling
+    primitive for quota-building over a skewed corpus).
+
+    Determinism/oracle shape: u = (md5_low64(str(id)) % 2^53 + 1) *
+    2^-53, priority = w * 2^53 / (md5 % 2^53 + 1). Every operation is
+    a single IEEE multiply or divide on exactly-representable
+    integers — correctly rounded, libm-free, hence BIT-IDENTICAL in
+    numpy and DuckDB SQL (unlike the ln/pow the Efraimidis-Spirakis
+    key needs). Same reproducible-membership convention as
+    sample_uniform_k: a pure function of ids + weights, invariant to
+    partitioning and cluster size.
+
+    Scale shape: per-batch combiner prunes to the batch's own top
+    (k+1) priorities (vectorized argpartition), then ONE sort+limit
+    over <= blocks x (k+1) candidates; the corpus never shuffles.
+    Returns a pyarrow Table (id, weight, w_hat) sorted by id.
+    """
+    import pyarrow as pa
+
+    TWO53 = 9007199254740992
+
+    def add_pri(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        m = np.array([md5_low64(str(i)) % TWO53 for i in ids], np.int64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if (w < 0).any():
+            raise ValueError("priority_sample: negative weight")
+        pri = w * float(TWO53) / (m + 1).astype(np.float64)
+        t = t.select([id_col, weight_col]) \
+             .append_column("pri", pa.array(pri))
+        if t.num_rows > k + 1:
+            idx = np.argpartition(-pri, k)[: k + 1]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    cand = ds.map_batches(add_pri, batch_format="pyarrow")
+    top = pa.concat_tables(
+        [pa.table(b) for b in
+         cand.sort(["pri", id_col], descending=[True, False])
+             .limit(k + 1).iter_batches(batch_format="pyarrow")])
+    tau = float(top.column("pri")[k].as_py()) if top.num_rows > k else 0.0
+    kept = top.slice(0, min(k, top.num_rows))
+    w = kept.column(weight_col).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    w_hat = np.maximum(w, tau)
+    out = pa.table({id_col: kept.column(id_col),
+                    weight_col: kept.column(weight_col),
+                    "w_hat": pa.array(w_hat)})
+    return out.sort_by(id_col)

@@ -459,3 +459,86 @@ def approx_quantiles(ds, key: str, value: str, qs: list[float],
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(key)
               .map_groups(merge, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimates for every distinct value
+# ---------------------------------------------------------------------------
+
+def _cms_fold(vals: list, cnts: np.ndarray, w: int, d: int) -> np.ndarray:
+    """Fold a (value, count) summary into a fresh (d, w) int64 register
+    matrix. Bucket hash = md5_number_lower(f"{row}:{value}") % w — the
+    DuckDB-reproducible convention every *_md5 twin pins."""
+    from ..stages.aggregates import md5_low64
+    reg = np.zeros((d, w), np.int64)
+    for r in range(d):
+        b = np.array([md5_low64(f"{r}:{v}") % w for v in vals], np.int64)
+        np.add.at(reg[r], b, cnts)
+    return reg
+
+
+def cms_estimates(ds, value: str, w: int = 1024, d: int = 4):
+    """Count-Min point estimates (Cormode & Muthukrishnan 2005) for
+    EVERY distinct ``value`` — the frequency sketch next to HLL
+    (cardinality) and Misra-Gries (top-k) in the family. Returns a
+    Dataset (value, est: int64) with the classic one-sided guarantee
+    est >= true count, est <= true + eps*N w.h.p. (eps = e/w).
+
+    Scale shape: pass 1 is a pure combiner — each batch folds its
+    distinct-value counts into ONE (d x w) int64 register blob
+    (d*w*8 bytes, ~32 KB at the defaults) regardless of row count;
+    register merge is elementwise integer + (associative/commutative,
+    order-free under Ray's reduce), done driver-side over O(batches)
+    blobs like the k-means partial sums. Pass 2 streams the distinct
+    values (per-batch unique combiner + one small groupby) through a
+    stateless estimator with the registers broadcast once (ray.put).
+    Exact frequencies at this shape would shuffle every distinct value
+    with its count; the sketch caps the wide state at d*w cells.
+
+    Bucket hash md5-based, so the identical registers AND estimates
+    are computable in DuckDB SQL (the hll_distinct_md5 precedent).
+    """
+    import ray
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([value]).drop_null()
+        if not t.num_rows:
+            return pa.table({"reg": pa.array([], pa.binary())})
+        col = t.column(value).combine_chunks()
+        enc = col.dictionary_encode()
+        cnts = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary)).astype(np.int64)
+        reg = _cms_fold(enc.dictionary.to_pylist(), cnts, w, d)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    ds = ds.materialize()  # consumed by both passes
+    reg = np.zeros((d, w), np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for blob in pa.table(b).column("reg").to_pylist():
+            reg += np.frombuffer(blob, np.int64).reshape(d, w)
+    reg_ref = ray.put(reg)
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        return pa.table({value: t.select([value]).drop_null()
+                         .column(value).combine_chunks().unique()})
+
+    distinct = ds.map_batches(batch_unique, batch_format="pyarrow") \
+                 .groupby(value).aggregate(Count())
+
+    def estimate(t: pa.Table) -> pa.Table:
+        from ..stages.aggregates import md5_low64
+        rg = ray.get(reg_ref)
+        vals = t.column(value).to_pylist()
+        est = np.full(len(vals), np.iinfo(np.int64).max, np.int64)
+        for r in range(d):
+            b = np.array([md5_low64(f"{r}:{v}") % w for v in vals],
+                         np.int64)
+            est = np.minimum(est, rg[r][b])
+        return pa.table({value: t.column(value), "est": pa.array(est)})
+
+    return distinct.map_batches(estimate, batch_format="pyarrow") \
+                   .select_columns([value, "est"])
