@@ -404,3 +404,35 @@ def test_semantic_dedup_planted(ray_session):
     kept3 = semantic_dedup(ds.repartition(4), tau=0.95, k=4, iters=4) \
         .to_pandas()
     assert sorted(kept2.vec_id) == sorted(kept3.vec_id)
+
+
+# --- reciprocal-rank fusion ---------------------------------------------------
+
+def test_rrf_fuse_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.similarity import rrf_fuse
+    # system A ranks: 3, 1, 2 ; system B ranks: 2, 3 (doc 1 absent)
+    a = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "s": pa.array([0.5, 0.2, 0.9])})
+    b = pa.table({"doc_id": pa.array([2, 3], pa.int64()),
+                  "s": pa.array([1.0, 0.1])})
+    out = rrf_fuse([(rd.from_arrow(a), "s"), (rd.from_arrow(b), "s")],
+                   k0=60, r=100, topk=3)
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("rrf").to_pylist()))
+    want = {3: 1 / 61 + 1 / 62, 1: 1 / 62, 2: 1 / 63 + 1 / 61}
+    assert got == want
+    # order: rrf desc, id asc
+    assert out.column("doc_id").to_pylist() == [3, 2, 1]
+
+
+def test_rrf_fuse_r_cutoff_ties_and_table_input(ray_session):
+    import pyarrow as pa
+    from web_crawler_ray.stages.similarity import rrf_fuse
+    # 5 docs all tied on score: ranks are id order; r=3 cuts 4 and 5
+    t = pa.table({"doc_id": pa.array([5, 4, 3, 2, 1], pa.int64()),
+                  "s": pa.array([1.0] * 5)})
+    out = rrf_fuse([(t, "s")], r=3, topk=10)
+    assert out.column("doc_id").to_pylist() == [1, 2, 3]
+    assert out.column("rrf").to_pylist() == [1 / 61, 1 / 62, 1 / 63]

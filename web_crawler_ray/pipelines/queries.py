@@ -1378,6 +1378,57 @@ _PRIORITY_SAMPLE_SQL = (
     "FROM r, tau WHERE rn <= 200 ORDER BY doc_id")
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    k0=60) of the BM25 lexical ranking ({filter, hash, join}) and the
+    cosine semantic ranking against the lowest-vec_id query vector,
+    top-100 lists fused to a top-50 (stages/similarity.py rrf_fuse:
+    per-system distributed sort+limit, O(systems x 100) driver fuse).
+    Ranks come from the two exact graded scorers (bm25 round-6,
+    cosine round-4 half-away, id tie-breaks), and each RRF term is one
+    IEEE integer division — so the SQL twin is bit-identical."""
+    from ..stages.aggregates import bm25_score
+    from ..stages.similarity import _as_matrix, rrf_fuse
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    bm = bm25_score(docs, ["filter", "hash", "join"])
+    qv = _query_vectors(sf_dir)
+    q0 = qv[min(qv)]
+
+    def cos_stage(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column("embedding"))
+        c = (m @ q0) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q0))
+        cr = np.sign(c) * np.floor(np.abs(c) * 1e4 + 0.5) / 1e4
+        return pa.table({"doc_id": t.column("vec_id"),
+                         "cs": pa.array(cr)})
+
+    cos = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(cos_stage, batch_format="pyarrow")
+    return rrf_fuse([(bm, "bm25"), (cos, "cs")], id_col="doc_id",
+                    r=100, k0=60, topk=50)
+
+
+def _rrf_oracle_sql() -> str:
+    bm = ORACLES["bm25"]
+    return (
+        f"WITH bmr AS (SELECT doc_id, row_number() OVER "
+        f"(ORDER BY bm25 DESC, doc_id) AS rn FROM ({bm})), "
+        "q AS (SELECT embedding AS qv FROM embeddings "
+        "ORDER BY vec_id LIMIT 1), "
+        "cr0 AS (SELECT vec_id AS doc_id, "
+        "round(list_cosine_similarity(qv::DOUBLE[], "
+        "embedding::DOUBLE[]), 4) AS cs FROM embeddings, q), "
+        "cr AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY cs DESC, doc_id) AS rn FROM cr0), "
+        "fused AS (SELECT doc_id, "
+        "coalesce(1.0 / (60 + b.rn), 0.0) + "
+        "coalesce(1.0 / (60 + c.rn), 0.0) AS rrf "
+        "FROM (SELECT * FROM bmr WHERE rn <= 100) b "
+        "FULL JOIN (SELECT * FROM cr WHERE rn <= 100) c "
+        "USING (doc_id)) "
+        "SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id "
+        "LIMIT 50")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -1874,6 +1925,7 @@ def registry() -> dict:
         "hll_distinct_md5": q_hll_distinct_md5,
         "cms_freq": q_cms_freq,
         "priority_sample": q_priority_sample,
+        "rrf_fusion": q_rrf_fusion,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -2807,3 +2859,6 @@ ORACLES: dict[str, str] = {
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "training_pipeline": _TRAINING_PIPELINE_SQL,
 }
+
+# composed after the literal: the RRF oracle embeds ORACLES["bm25"]
+ORACLES["rrf_fusion"] = _rrf_oracle_sql()

@@ -639,3 +639,49 @@ def semantic_dedup(ds, tau: float = 0.9, id_col: str = "vec_id",
 
     return ds.groupby(cluster_col).map_groups(keep_group,
                                               batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — the hybrid-retrieval combiner
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(systems, id_col: str = "doc_id", r: int = 100,
+             k0: int = 60, topk: int = 50) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009): combine the rankings of several retrieval systems by
+    ``score(d) = sum over systems of 1/(k0 + rank_s(d))``, counting
+    only each system's top ``r`` list — the standard hybrid-search
+    combiner over a lexical (BM25) and a semantic (cosine) ranker.
+
+    ``systems`` is an ordered list of ``(dataset, score_col)`` pairs,
+    higher score = better; ranks are 1-based by (score DESC, id ASC).
+    Contributions are accumulated in the given system order, so the
+    float sum has ONE deterministic association — and each term is a
+    single IEEE division of integers, so a SQL oracle computing
+    ``1.0/(k0+rn)`` reproduces the scores bit-for-bit given the same
+    integer ranks.
+
+    Scale shape: RRF only needs each system's top-``r`` candidates
+    (everything else contributes nothing) — per system one
+    distributed ``sort().limit(r)`` (sort prunes through the limit),
+    then O(systems x r) driver rows fuse in a dict. The corpus-sized
+    rankings are never materialized. Returns the fused top ``topk``
+    as (id, rrf), ordered by (rrf DESC, id)."""
+    contrib: dict = {}
+    for ds, score_col in systems:
+        if isinstance(ds, pa.Table):
+            top = ds.sort_by([(score_col, "descending"),
+                              (id_col, "ascending")]).slice(0, r)
+        else:
+            top = pa.concat_tables(
+                [pa.table(b) for b in
+                 ds.sort([score_col, id_col],
+                         descending=[True, False]).limit(r)
+                   .iter_batches(batch_format="pyarrow")])
+        for rank, i in enumerate(top.column(id_col).to_pylist(),
+                                 start=1):
+            contrib[i] = contrib.get(i, 0.0) + 1.0 / (k0 + rank)
+    rows = sorted(contrib.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return pa.table({id_col: pa.array([i for i, _ in rows]),
+                     "rrf": pa.array([s for _, s in rows],
+                                     pa.float64())})
