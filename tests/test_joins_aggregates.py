@@ -174,3 +174,58 @@ def test_decontaminate_drops_overlap_keeps_short_docs():
     assert len(sh) == 2
     out = decontaminate(rd.from_pandas(docs), sh, n=8).to_pandas()
     assert sorted(out["doc_id"]) == [2, 3]
+
+
+# --- approximate string join (banded Levenshtein) -----------------------------
+
+def _lev_ref(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[len(b)]
+
+
+def test_edit_distance_pairs_brute_force(ray_session):
+    import random
+    from web_crawler_ray.stages.joins import edit_distance_pairs
+    random.seed(5)
+    rows = []
+    for i in range(240):
+        base = "Supplier#%06d" % random.randint(0, 400)
+        rows.append((i, base, i % 5))
+    t = pa.table({"id": pa.array([r[0] for r in rows], pa.int64()),
+                  "name": pa.array([r[1] for r in rows]),
+                  "blk": pa.array([r[2] for r in rows], pa.int64())})
+    got = edit_distance_pairs(rd.from_arrow(t).repartition(4),
+                              "blk", "name", "id", max_dist=2) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    want = []
+    for (i1, n1, b1) in rows:
+        for (i2, n2, b2) in rows:
+            if i1 < i2 and b1 == b2:
+                d = _lev_ref(n1, n2)
+                if d <= 2:
+                    want.append((i1, i2, d))
+    want.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    assert len(want) > 50  # non-trivial fixture
+
+
+def test_edit_distance_pairs_band_edges(ray_session):
+    from web_crawler_ray.stages.joins import edit_distance_pairs
+    t = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "name": pa.array(["", "a", "ab", "abcd", "zzzz"]),
+                  "blk": pa.array([0] * 5, pa.int64())})
+    got = edit_distance_pairs(rd.from_arrow(t), "blk", "name", "id",
+                              max_dist=2).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    names = {1: "", 2: "a", 3: "ab", 4: "abcd", 5: "zzzz"}
+    want = sorted((a, b, _lev_ref(names[a], names[b]))
+                  for a in names for b in names
+                  if a < b and _lev_ref(names[a], names[b]) <= 2)
+    assert list(map(tuple, got.itertuples(index=False))) == want

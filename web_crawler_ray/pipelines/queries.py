@@ -1429,6 +1429,34 @@ def _rrf_oracle_sql() -> str:
         "LIMIT 50")
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Approximate-string join: supplier-name pairs within the same
+    nation at Levenshtein distance <= 2 — the record-linkage /
+    entity-resolution primitive (the reference fuzzy-matches location
+    names with substring heuristics, enhanced-deduplication.service.js;
+    stages/joins.py edit_distance_pairs runs ONE blocking-key hash
+    exchange + a banded Ukkonen DP vectorized across the pair axis —
+    loops over string positions x band width, never over pairs; the
+    length-difference prefilter kills most candidates before the DP).
+    Oracle: the blocked self-join with DuckDB's levenshtein() —
+    integer-exact, fuzzed against a reference DP in pytest."""
+    from ..stages.joins import edit_distance_pairs
+    ds = _rp(sf_dir, "supplier",
+             columns=["s_suppkey", "s_name", "s_nationkey"])
+    out = edit_distance_pairs(ds, "s_nationkey", "s_name", "s_suppkey",
+                              max_dist=2)
+    return out.select_columns(["id_a", "id_b", "dist"])
+
+
+_FUZZY_PAIRS_SQL = (
+    "SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, "
+    "levenshtein(a.s_name, b.s_name)::BIGINT AS dist "
+    "FROM supplier a JOIN supplier b "
+    "ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey "
+    "WHERE levenshtein(a.s_name, b.s_name) <= 2 "
+    "ORDER BY id_a, id_b")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -1926,6 +1954,7 @@ def registry() -> dict:
         "cms_freq": q_cms_freq,
         "priority_sample": q_priority_sample,
         "rrf_fusion": q_rrf_fusion,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -2831,6 +2860,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct_md5": _HLL_MD5_SQL,
     "cms_freq": _CMS_SQL,
     "priority_sample": _PRIORITY_SAMPLE_SQL,
+    "fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

@@ -217,3 +217,136 @@ def _as_orderable(a: np.ndarray) -> np.ndarray:
     if np.issubdtype(a.dtype, np.datetime64):
         return a.astype("datetime64[us]").astype(np.int64)
     return a
+
+
+# ---------------------------------------------------------------------------
+# Approximate string join: blocked banded-Levenshtein pairs
+# ---------------------------------------------------------------------------
+
+def _edit_distances_banded(s1_mat: np.ndarray, l1: np.ndarray,
+                           s2_mat: np.ndarray, l2: np.ndarray,
+                           k: int) -> np.ndarray:
+    """Levenshtein distance for P string pairs simultaneously, exact up
+    to ``k`` (pairs beyond the band report k+1). Ukkonen's diagonal
+    band vectorized ACROSS the pair axis: the DP state is a (P, 2k+1)
+    int matrix (band offset d = j - i + k); the loops run over string
+    POSITIONS (max len) and band offsets (2k+1), never over pairs.
+    Inputs: uint8 char matrices right-padded, per-pair lengths.
+    Caller guarantees l1 >= l2 and l1 - l2 <= k (cheap prefilters)."""
+    P = len(l1)
+    INF = np.int64(k + 1)
+    width = 2 * k + 1
+    row = np.full((P, width), INF)
+    # dp[0][j] = j for j <= k  (offset d = j + k - 0... i=0: d = j + k)
+    for j in range(0, k + 1):
+        row[:, j + k] = np.minimum(j, INF)
+    out = np.full(P, INF)
+    done0 = l1 == 0
+    out[done0] = np.minimum(l2[done0], INF)  # empty s1: distance = l2
+    max_l1 = int(l1.max()) if P else 0
+    for i in range(1, max_l1 + 1):
+        prev = row
+        row = np.full((P, width), INF)
+        c1 = s1_mat[:, i - 1]  # current char of s1 (garbage past l1;
+        # masked because finished pairs never update `out` again)
+        for d in range(width):
+            j = i + d - k  # actual column this offset represents
+            if j < 0:
+                continue
+            jj = np.int64(j)
+            # j must be within [0, l2] per pair
+            valid = (jj <= l2) & (np.int64(i) <= l1)
+            if not valid.any():
+                continue
+            if j == 0:
+                cand = np.full(P, INF)
+                cand[valid] = np.minimum(np.int64(i), INF)
+            else:
+                # delete from s1: dp[i-1][j] -> prev offset d+1
+                cand = (prev[:, d + 1] if d + 1 < width
+                        else np.full(P, INF)) + 1
+                # insert into s1: dp[i][j-1] -> same row offset d-1
+                if d - 1 >= 0:
+                    cand = np.minimum(cand, row[:, d - 1] + 1)
+                # substitute/match: dp[i-1][j-1] -> prev same offset d
+                sub = prev[:, d] + (c1 != s2_mat[:, j - 1])
+                cand = np.minimum(cand, sub)
+            cand = np.minimum(cand, INF)
+            row[:, d] = np.where(valid, cand, INF)
+        fin = l1 == i
+        if fin.any():
+            dres = l2[fin] - l1[fin] + k  # offset of (l1, l2)
+            out[fin] = row[fin, dres]
+    return out
+
+
+def edit_distance_pairs(ds, block_col: str, text_col: str, id_col: str,
+                        max_dist: int = 2, num_partitions: int = 64):
+    """Approximate-string join: all within-block pairs whose
+    Levenshtein distance is <= ``max_dist`` — the record-linkage /
+    entity-resolution primitive (the reference fuzzy-matches location
+    names with substring heuristics, enhanced-deduplication.service.js
+    similarity; this is the principled form). Returns a Dataset
+    (id_a, id_b, dist) with id_a < id_b.
+
+    Scale shape: one hash exchange on ``block_col`` (the blocking key
+    — same idiom as the fuzzy-dedup host blocking), then per block a
+    vectorized candidate generation (length-difference <= max_dist
+    prefilter on the sorted length array, O(pairs) not O(n^2) when
+    lengths spread) and ONE banded DP over all surviving pairs at
+    once (_edit_distances_banded: loops over string positions x band
+    width, never over pairs). Exact: band width 2k+1 covers every
+    distance <= k; prefiltered pairs can only be > k.
+    """
+    import pandas as pd
+    from .shuffles import hash_map_groups
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        txt = g[text_col].astype(str).tolist()
+        n = len(txt)
+        empty = pd.DataFrame({"id_a": np.array([], ids.dtype),
+                              "id_b": np.array([], ids.dtype),
+                              "dist": np.array([], np.int64)})
+        if n < 2:
+            return empty
+        bs = [t.encode("utf-8") for t in txt]
+        ln = np.array([len(b) for b in bs], np.int64)
+        L = int(ln.max()) if n else 0
+        mat = np.zeros((n, max(L, 1)), np.uint8)
+        for r, b in enumerate(bs):
+            mat[r, : len(b)] = np.frombuffer(b, np.uint8)
+        # candidates: upper-triangle pairs with |len diff| <= k
+        ii, jj = np.triu_indices(n, 1)
+        keep = np.abs(ln[ii] - ln[jj]) <= max_dist
+        ii, jj = ii[keep], jj[keep]
+        if not len(ii):
+            return empty
+        # orient so s1 is the longer string (band assumes l1 >= l2)
+        swap = ln[ii] < ln[jj]
+        a = np.where(swap, jj, ii)
+        b = np.where(swap, ii, jj)
+        d = _edit_distances_banded(mat[a], ln[a], mat[b], ln[b],
+                                   max_dist)
+        hit = d <= max_dist
+        ia, ib = ids[ii[hit]], ids[jj[hit]]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        out = pd.DataFrame({"id_a": lo, "id_b": hi,
+                            "dist": d[hit].astype(np.int64)})
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    id_t = ds.schema().base_schema.field(id_col).type
+    out = hash_map_groups(ds, block_col, per_block,
+                          num_partitions=num_partitions)
+
+    def norm(t: pa.Table) -> pa.Table:
+        # empty hash partitions surface as input-schema empty blocks
+        # (shuffles._reduce_apply); pin the output schema block-wise
+        if "id_a" in t.column_names:
+            return t.select(["id_a", "id_b", "dist"])
+        return pa.table({"id_a": pa.array([], id_t),
+                         "id_b": pa.array([], id_t),
+                         "dist": pa.array([], pa.int64())})
+
+    return out.map_batches(norm, batch_format="pyarrow")
