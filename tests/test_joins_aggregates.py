@@ -229,3 +229,26 @@ def test_edit_distance_pairs_band_edges(ray_session):
                   for a in names for b in names
                   if a < b and _lev_ref(names[a], names[b]) <= 2)
     assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_build_inverted_index_brute_force(ray_session):
+    from web_crawler_ray.stages.aggregates import build_inverted_index
+    docs = {1: "the cat sat", 2: "the dog the cat", 3: "a dog barks",
+            4: "", 5: "CAT cat CaT"}
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    out = build_inverted_index(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().sort_values("term").reset_index(drop=True)
+    import re
+    want = {}
+    for i, txt in docs.items():
+        for w in set(re.findall(r"[0-9a-z_]+", txt.lower())):
+            want.setdefault(w, set()).add(i)
+    assert list(out["term"]) == sorted(want)
+    for _, r in out.iterrows():
+        ids = sorted(want[r["term"]])
+        assert r["df"] == len(ids)
+        assert r["postings"] == ",".join(map(str, ids))
+    # min_df prunes the hapax tail
+    out2 = build_inverted_index(rd.from_arrow(t), min_df=2).to_pandas()
+    assert set(out2["term"]) == {w for w, s in want.items() if len(s) >= 2}

@@ -1457,6 +1457,28 @@ _FUZZY_PAIRS_SQL = (
     "ORDER BY id_a, id_b")
 
 
+def q_inverted_index(sf_dir: str):
+    """Bulk inverted-index build over documents (min_df=2): (term, df,
+    postings) with postings the comma-joined ascending doc_id list —
+    the retrieval-infrastructure job behind bm25/tfidf (those
+    broadcast the small (word, df) dimension; this materializes the
+    full posting lists; stages/aggregates.py build_inverted_index:
+    per-batch distinct (term, id) emit + ONE groupby(term) — the
+    honest O(term-doc pairs) indexing shuffle)."""
+    from ..stages.aggregates import build_inverted_index
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return build_inverted_index(ds, min_df=2)
+
+
+_INV_INDEX_SQL = (
+    "WITH toks AS (SELECT DISTINCT doc_id, "
+    "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term "
+    "FROM documents) "
+    "SELECT term, count(*)::BIGINT AS df, "
+    "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
+    "FROM toks GROUP BY term HAVING count(*) >= 2 ORDER BY term")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -1955,6 +1977,7 @@ def registry() -> dict:
         "priority_sample": q_priority_sample,
         "rrf_fusion": q_rrf_fusion,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "inverted_index": q_inverted_index,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -2861,6 +2884,7 @@ ORACLES: dict[str, str] = {
     "cms_freq": _CMS_SQL,
     "priority_sample": _PRIORITY_SAMPLE_SQL,
     "fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
+    "inverted_index": _INV_INDEX_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,
