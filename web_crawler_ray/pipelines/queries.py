@@ -1445,7 +1445,14 @@ def q_fuzzy_name_pairs(sf_dir: str):
              columns=["s_suppkey", "s_name", "s_nationkey"])
     out = edit_distance_pairs(ds, "s_nationkey", "s_name", "s_suppkey",
                               max_dist=2)
-    return out.select_columns(["id_a", "id_b", "dist"])
+    # O(pairs) result; concat to a schema-carrying Table (Ray iteration
+    # skips empty blocks, so an all-empty Dataset loses its columns)
+    tabs = [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    if not tabs:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    return pa.concat_tables(tabs).select(["id_a", "id_b", "dist"])
 
 
 _FUZZY_PAIRS_SQL = (

@@ -299,14 +299,15 @@ def edit_distance_pairs(ds, block_col: str, text_col: str, id_col: str,
     distance <= k; prefiltered pairs can only be > k.
     """
     import pandas as pd
-    from .shuffles import hash_map_groups
+    from .shuffles import int_part_map
+    from ..functions.hashing import hash64_many
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         txt = g[text_col].astype(str).tolist()
         n = len(txt)
-        empty = pd.DataFrame({"id_a": np.array([], ids.dtype),
-                              "id_b": np.array([], ids.dtype),
+        empty = pd.DataFrame({"id_a": np.array([], np.int64),
+                              "id_b": np.array([], np.int64),
                               "dist": np.array([], np.int64)})
         if n < 2:
             return empty
@@ -336,17 +337,26 @@ def edit_distance_pairs(ds, block_col: str, text_col: str, id_col: str,
                             "dist": d[hit].astype(np.int64)})
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
-    id_t = ds.schema().base_schema.field(id_col).type
-    out = hash_map_groups(ds, block_col, per_block,
-                          num_partitions=num_partitions)
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # a hash partition can hold several blocks (collisions only
+        # co-locate); run the pair kernel per ORIGINAL block key
+        outs = [per_block(g) for _, g in df.groupby(block_col,
+                                                    sort=True)]
+        if not outs:
+            return per_block(df)  # empty partition: schema from kernel
+        return pd.concat(outs, ignore_index=True)
 
-    def norm(t: pa.Table) -> pa.Table:
-        # empty hash partitions surface as input-schema empty blocks
-        # (shuffles._reduce_apply); pin the output schema block-wise
-        if "id_a" in t.column_names:
-            return t.select(["id_a", "id_b", "dist"])
-        return pa.table({"id_a": pa.array([], id_t),
-                         "id_b": pa.array([], id_t),
-                         "dist": pa.array([], pa.int64())})
+    def prepare(t: pa.Table) -> pa.Table:
+        # int64 partition key from the (arbitrary-typed) block column,
+        # computed inside the split tasks (shuffles.int_part_map's
+        # schema-stable reduce runs the kernel on EMPTY partitions too,
+        # unlike hash_map_groups whose key-less partitions surface
+        # input-schema blocks that empty-block-skipping map_batches
+        # can never normalize)
+        kv = hash64_many([str(v) for v in
+                          t.column(block_col).to_pylist()])
+        return t.append_column("__blk",
+                               pa.array(kv.view(np.int64)))
 
-    return out.map_batches(norm, batch_format="pyarrow")
+    return int_part_map(ds, "__blk", per_partition,
+                        num_partitions=num_partitions, prepare=prepare)
