@@ -134,3 +134,41 @@ def test_seen_shard_spill_cardinality_and_contains():
     assert sh.spilled_count > 0
     assert sh.cardinality() == 400          # exact tier + spilled tier
     assert sh.contains(keys).all()          # spilled keys still members
+
+
+# --- cohort retention ---------------------------------------------------------
+
+def test_cohort_retention_multi_cohort(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import cohort_retention
+    # users 1-3 start week of 2024-01-01 (Mon); users 4-5 start
+    # week of 2024-01-08; retention drops off deterministically
+    rows = [
+        (1, "2024-01-02"), (1, "2024-01-09"), (1, "2024-01-16"),
+        (2, "2024-01-03"), (2, "2024-01-10"),
+        (3, "2024-01-07"),                      # Sunday, still week 1
+        (4, "2024-01-08"), (4, "2024-01-21"),   # wk2 cohort, wk3 act.
+        (5, "2024-01-10"),
+        (1, "2024-01-02"),                      # duplicate event
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows])
+                       .values.astype("datetime64[us]"))})
+    out = cohort_retention(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = {(str(r.cohort_week.date()), int(r.week_offset)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {
+        ("2024-01-01", 0): 3,   # users 1,2,3 active cohort week
+        ("2024-01-01", 1): 2,   # users 1,2 retained week +1
+        ("2024-01-01", 2): 1,   # user 1 week +2
+        ("2024-01-08", 0): 2,   # users 4,5
+        ("2024-01-08", 1): 1,   # user 4: 2024-01-21 is a Sunday ->
+        # Monday floor 2024-01-15 -> offset 1 from the 01-08 cohort
+    }
+    # partitioning invariance
+    out2 = cohort_retention(rd.from_arrow(t).repartition(1)).to_pandas()
+    assert out2.equals(out)

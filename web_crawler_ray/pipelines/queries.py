@@ -1486,6 +1486,30 @@ _INV_INDEX_SQL = (
     "FROM toks GROUP BY term HAVING count(*) >= 2 ORDER BY term")
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over events: distinct users active in
+    week cohort+offset grouped by first-seen week (Monday-floored,
+    == date_trunc('week')) — the product-analytics classic next to
+    funnel/session (stages/windows.py cohort_retention: per-batch
+    (user, week) distinct combiner + ONE user-keyed exchange computing
+    cohort AND activity partials together — no join; driver merges
+    O(partitions x weeks^2) partials)."""
+    from ..stages.windows import cohort_retention
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds)
+
+
+_COHORT_SQL = (
+    "WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw "
+    "FROM events), "
+    "fs AS (SELECT user_id, MIN(aw) AS cw FROM uw GROUP BY user_id) "
+    "SELECT cw AS cohort_week, "
+    "(date_diff('day', cw, aw) // 7)::BIGINT AS week_offset, "
+    "count(*)::BIGINT AS n_users "
+    "FROM uw JOIN fs USING (user_id) GROUP BY cw, aw "
+    "ORDER BY cohort_week, week_offset")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -1985,6 +2009,7 @@ def registry() -> dict:
         "rrf_fusion": q_rrf_fusion,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "inverted_index": q_inverted_index,
+        "cohort_retention": q_cohort_retention,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -2892,6 +2917,7 @@ ORACLES: dict[str, str] = {
     "priority_sample": _PRIORITY_SAMPLE_SQL,
     "fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
     "inverted_index": _INV_INDEX_SQL,
+    "cohort_retention": _COHORT_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

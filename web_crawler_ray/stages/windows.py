@@ -103,3 +103,72 @@ def rolling_mean_per_key(ds, key_col: str = "user_id", ts_col: str = "ts",
         return out
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Cohort retention matrix: distinct users active in week
+    ``cohort + offset``, grouped by their first-seen (cohort) week —
+    the product-analytics classic (Monday-floored ISO weeks, matching
+    DuckDB ``date_trunc('week', ts)``). Returns a pyarrow Table
+    (cohort_week: timestamp[us], week_offset: int64, n_users: int64)
+    sorted by (cohort_week, week_offset).
+
+    Scale shape: ONE keyed exchange. Each batch first reduces to its
+    distinct (user, week) pairs (the combiner — shuffle volume is
+    user-weeks, not events), then a single raw-task exchange keyed by
+    user co-locates each user's whole history, so the partition kernel
+    computes the user's cohort (min week) AND the per-(cohort, week)
+    distinct-user partials locally; the driver merges O(partitions x
+    weeks^2) partial rows. No join: first-seen and activity fold in
+    the same exchange because both are per-user functions.
+    """
+    import pandas as pd
+    from .shuffles import int_part_map
+
+    def to_user_week(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        w = d - ((d + 3) % 7)  # Monday floor (1970-01-01 = Thursday)
+        uw = np.unique(np.stack([u, w], axis=1), axis=0)
+        return pa.table({"u": pa.array(uw[:, 0]),
+                         "w": pa.array(uw[:, 1])})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(np.int64)
+        w = df["w"].to_numpy(np.int64)
+        if not len(u):
+            return pd.DataFrame({"cw": u, "aw": u, "n": u})
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        uw = np.stack([u, w], axis=1)
+        keep = np.concatenate(([True], (uw[1:] != uw[:-1]).any(axis=1)))
+        u, w = u[keep], w[keep]  # distinct across batches
+        starts = np.concatenate(
+            ([0], np.flatnonzero(u[1:] != u[:-1]) + 1, [len(u)]))
+        cw = np.repeat(w[starts[:-1]], np.diff(starts))  # user's min wk
+        cells, n = np.unique(np.stack([cw, w], axis=1), axis=0,
+                             return_counts=True)
+        return pd.DataFrame({"cw": cells[:, 0], "aw": cells[:, 1],
+                             "n": n.astype(np.int64)})
+
+    parts = int_part_map(ds.map_batches(to_user_week,
+                                        batch_format="pyarrow"),
+                         "u", per_partition, num_partitions=32)
+    cat = pa.concat_tables([pa.table(b) for b in
+                            parts.iter_batches(batch_format="pyarrow")])
+    if cat.num_rows == 0:
+        return pa.table({"cohort_week": pa.array([], pa.timestamp("us")),
+                         "week_offset": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    df = cat.to_pandas().groupby(["cw", "aw"], as_index=False)["n"].sum()
+    cw = df["cw"].to_numpy(np.int64)
+    aw = df["aw"].to_numpy(np.int64)
+    out = pa.table({
+        "cohort_week": pa.array(cw.astype("datetime64[D]")
+                                .astype("datetime64[us]")),
+        "week_offset": pa.array((aw - cw) // 7),
+        "n_users": pa.array(df["n"].to_numpy(np.int64))})
+    return out.sort_by([("cohort_week", "ascending"),
+                        ("week_offset", "ascending")])
