@@ -252,3 +252,32 @@ def test_build_inverted_index_brute_force(ray_session):
     # min_df prunes the hapax tail
     out2 = build_inverted_index(rd.from_arrow(t), min_df=2).to_pandas()
     assert set(out2["term"]) == {w for w, s in want.items() if len(s) >= 2}
+
+
+def test_group_ols_matches_numpy_and_edges(ray_session):
+    from web_crawler_ray.stages.aggregates import group_ols
+    rng = np.random.default_rng(41)
+    n = 4000
+    k = rng.choice(["a", "b", "c"], n)
+    x = rng.integers(1, 50, n).astype(np.float64)
+    y = (3.5 * x + 10 + rng.normal(0, 2, n)).round(2)  # cents-exact
+    t = pa.table({"k": pa.array(k), "x": pa.array(x), "y": pa.array(y)})
+    out = group_ols(rd.from_arrow(t).repartition(5), "k", "x", "y",
+                    x_scale=1, y_scale=100).to_pandas()
+    assert list(out["k"]) == ["a", "b", "c"]
+    for _, r in out.iterrows():
+        m = k == r["k"]
+        # numpy lstsq on the scaled ints (y in cents)
+        slope, intercept = np.polyfit(x[m], np.rint(y[m] * 100), 1)
+        assert abs(r["slope"] - slope) < 1e-6
+        assert abs(r["intercept"] - intercept) < 1e-3
+        assert abs(r["slope"] - 350.0) < 15  # 3.5 $/unit = 350 c/unit
+    # partitioning invariance (exact-integer partials)
+    out2 = group_ols(rd.from_arrow(t).repartition(1), "k", "x", "y",
+                     x_scale=1, y_scale=100).to_pandas()
+    assert out2.equals(out)
+    # zero x-variance group -> null slope/intercept
+    t2 = pa.table({"k": pa.array(["z"] * 4), "x": pa.array([2.0] * 4),
+                   "y": pa.array([1.0, 2.0, 3.0, 4.0])})
+    o2 = group_ols(rd.from_arrow(t2), "k", "x", "y").to_pandas()
+    assert o2["slope"].isna().all() and o2["intercept"].isna().all()

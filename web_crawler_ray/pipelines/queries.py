@@ -1510,6 +1510,35 @@ _COHORT_SQL = (
     "ORDER BY cohort_week, week_offset")
 
 
+def q_ols_by_flag(sf_dir: str):
+    """Per-returnflag OLS fit extendedprice_cents = slope*quantity +
+    intercept — grouped linear regression next to corr_lineitem
+    (stages/aggregates.py group_ols: per-batch exact-integer
+    sufficient-statistic combiner, driver merges O(batches x keys)
+    rows with Python bigints; floats appear only in two correctly-
+    rounded int->double conversions and one division, mirrored
+    HUGEINT-for-HUGEINT by the oracle — bit-exact, no float-sum
+    order anywhere)."""
+    from ..stages.aggregates import group_ols
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return group_ols(ds, "l_returnflag", "l_quantity",
+                     "l_extendedprice", x_scale=1, y_scale=100)
+
+
+_OLS_SQL = (
+    "WITH b AS (SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS x, "
+    "CAST(round(l_extendedprice*100) AS HUGEINT) AS y FROM lineitem), "
+    "s AS (SELECT l_returnflag, count(*)::HUGEINT AS n, sum(x) AS sx, "
+    "sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy FROM b "
+    "GROUP BY l_returnflag) "
+    "SELECT l_returnflag, "
+    "(n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS slope, "
+    "(sy::DOUBLE - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE) "
+    "* sx::DOUBLE) / n::DOUBLE AS intercept "
+    "FROM s ORDER BY l_returnflag")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -2010,6 +2039,7 @@ def registry() -> dict:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "inverted_index": q_inverted_index,
         "cohort_retention": q_cohort_retention,
+        "ols_by_flag": q_ols_by_flag,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -2918,6 +2948,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
     "inverted_index": _INV_INDEX_SQL,
     "cohort_retention": _COHORT_SQL,
+    "ols_by_flag": _OLS_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

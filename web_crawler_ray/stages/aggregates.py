@@ -1248,3 +1248,75 @@ def build_inverted_index(ds, id_col: str = "doc_id",
     return (ds.map_batches(pairs, batch_format="pyarrow")
               .groupby("term")
               .map_groups(per_term, batch_format="pandas"))
+
+
+def group_ols(ds, key_col: str, x_col: str, y_col: str,
+              x_scale: int = 1, y_scale: int = 100):
+    """Per-group ordinary-least-squares fit y = slope*x + intercept —
+    the statistics member next to corr/zscore, with a BIT-EXACT SQL
+    twin. The trick: x and y are integral after scaling (quantities;
+    prices in cents), so the sufficient statistics (n, Sx, Sy, Sxx,
+    Sxy) are EXACT integers accumulated in any order, and the closed
+    form touches floats only in two correctly-rounded int->double
+    conversions and one division:
+
+        slope     = (n*Sxy - Sx*Sy)::DOUBLE / (n*Sxx - Sx*Sx)::DOUBLE
+        intercept = (Sy::DOUBLE - slope * Sx::DOUBLE) / n::DOUBLE
+
+    (identical operation order in the DuckDB oracle; HUGEINT there,
+    Python arbitrary-precision ints here). Outputs are in the SCALED
+    units (e.g. cents per unit when y_scale=100).
+
+    Scale shape: a pure combiner — each batch reduces to one
+    (key, n, sx, sy, sxx, sxy) int64 row per key seen (vectorized
+    np.add.reduceat over the dictionary-encoded key), the driver
+    merges O(batches x keys) partial rows with exact Python ints.
+    Groups with zero x-variance report null slope/intercept.
+    Returns a pyarrow Table sorted by key.
+    """
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks().dictionary_encode()
+        codes = k.indices.to_numpy(zero_copy_only=False)
+        keys = k.dictionary.to_pylist()
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * x_scale).astype(np.int64)
+        y = np.rint(t.column(y_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * y_scale).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c, xs, ys = codes[order], x[order], y[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
+        seg = lambda v: np.add.reduceat(v, starts)
+        return pa.table({
+            key_col: pa.array([keys[i] for i in c[starts]]),
+            "n": pa.array(np.diff(np.concatenate((starts, [len(c)])))
+                          .astype(np.int64)),
+            "sx": pa.array(seg(xs)), "sy": pa.array(seg(ys)),
+            "sxx": pa.array(seg(xs * xs)), "sxy": pa.array(seg(xs * ys))})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            kk = tb.column(key_col)[i].as_py()
+            row = acc.setdefault(kk, [0, 0, 0, 0, 0])
+            for j, cname in enumerate(("n", "sx", "sy", "sxx", "sxy")):
+                row[j] += int(tb.column(cname)[i].as_py())
+    out_k, out_s, out_i = [], [], []
+    for kk in sorted(acc):
+        n, sx, sy, sxx, sxy = acc[kk]
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope = intercept = None
+        else:
+            slope = float(n * sxy - sx * sy) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+        out_k.append(kk)
+        out_s.append(slope)
+        out_i.append(intercept)
+    return pa.table({key_col: pa.array(out_k),
+                     "slope": pa.array(out_s, pa.float64()),
+                     "intercept": pa.array(out_i, pa.float64())})
