@@ -436,3 +436,32 @@ def test_rrf_fuse_r_cutoff_ties_and_table_input(ray_session):
     out = rrf_fuse([(t, "s")], r=3, topk=10)
     assert out.column("doc_id").to_pylist() == [1, 2, 3]
     assert out.column("rrf").to_pylist() == [1 / 61, 1 / 62, 1 / 63]
+
+
+def test_quantize_embeddings_roundtrip_and_edges(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.similarity import quantize_embeddings
+    rng = np.random.default_rng(47)
+    vecs = rng.normal(0, 1, (30, 8)).astype(np.float32)
+    vecs[7] = 0.0  # all-zero vector
+    t = pa.table({"vec_id": pa.array(np.arange(30, dtype=np.int64)),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = quantize_embeddings(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().sort_values(["vec_id", "dim_idx"])
+    q = out["q"].to_numpy().reshape(30, 8)
+    ma = out["maxabs"].to_numpy().reshape(30, 8)[:, 0]
+    assert np.abs(q).max() <= 127
+    assert (q[7] == 0).all() and ma[7] == 0.0
+    # dequantization error bound: |x - q*maxabs/127| <= maxabs/254
+    deq = q * ma[:, None] / 127.0
+    err = np.abs(deq - vecs.astype(np.float64))
+    keep = np.arange(30) != 7
+    assert (err[keep] <= ma[keep, None] / 254.0 + 1e-12).all()
+    # the max-magnitude element quantizes to exactly +-127
+    amax = np.abs(vecs[keep]).argmax(axis=1)
+    rowmax = q[keep][np.arange(29), amax]
+    assert (np.abs(rowmax) == 127).all()

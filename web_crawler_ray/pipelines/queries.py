@@ -1539,6 +1539,30 @@ _OLS_SQL = (
     "FROM s ORDER BY l_returnflag")
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Symmetric int8 quantization of the embeddings table (the
+    vector-store compression layout, 4x vs float32; stages/
+    similarity.py quantize_embeddings — stateless flattened map, no
+    shuffle): q = round_half_away(x*127/max|x|) per vector. Exact:
+    float32->double widening, one multiply + one divide, half-away
+    rounding == DuckDB round()."""
+    from ..stages.similarity import quantize_embeddings
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds)
+
+
+_QUANT_SQL = (
+    "WITH m AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, x -> abs(x)))::DOUBLE "
+    "AS maxabs FROM embeddings) "
+    "SELECT vec_id, i - 1 AS dim_idx, "
+    "CASE WHEN maxabs = 0 THEN 0 ELSE "
+    "CAST(round((embedding[i]::DOUBLE * 127.0) / maxabs) AS BIGINT) "
+    "END AS q, maxabs "
+    "FROM m, UNNEST(generate_series(1, len(embedding))) AS t(i) "
+    "ORDER BY vec_id, dim_idx")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -1898,26 +1922,35 @@ def _pagerank_oracle_sql() -> str:
 def _tri_edges(sf_dir: str):
     """Sparse mixed-key lineitem graph (both tuple key spaces folded
     into one mod-8000 node domain, so odd cycles/triangles exist):
-    src = l_orderkey % 8000, dst = (l_partkey*7 + l_suppkey) % 8000.
-    ~60k edges / ~670 triangles at sf0.01; scales with lineitem."""
+    src = l_orderkey % 8000, dst = (l_partkey*7 + l_suppkey) % 8000,
+    over l_linenumber <= 3 — the line cap keeps density sub-quadratic
+    as lineitem grows (mod folding otherwise saturates the 8000-node
+    domain: the unfiltered sf0.1 graph hits ~600k edges / avg degree
+    150 and the wedge volume, the E^1.5 term every triangle algorithm
+    pays, costs ~30 s; filtered: 256k edges, 44k triangles).
+    10 / 63 / 44k triangles at sf0.001/0.01/0.1."""
 
     def mk(t: pa.Table) -> pa.Table:
+        keep = t.column("l_linenumber").to_numpy(
+            zero_copy_only=False).astype(np.int64) <= 3
         ok = t.column("l_orderkey").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+            .astype(np.int64)[keep]
         pk = t.column("l_partkey").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+            .astype(np.int64)[keep]
         sk = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+            .astype(np.int64)[keep]
         return pa.table({"src": pa.array(ok % 8000),
                          "dst": pa.array((pk * 7 + sk) % 8000)})
 
     return _rp(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_partkey", "l_suppkey"]) \
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_linenumber"]) \
         .map_batches(mk, batch_format="pyarrow")
 
 
 _TRI_E0 = ("SELECT l_orderkey % 8000 AS src, "
-           "(l_partkey*7 + l_suppkey) % 8000 AS dst FROM lineitem")
+           "(l_partkey*7 + l_suppkey) % 8000 AS dst FROM lineitem "
+           "WHERE l_linenumber <= 3")
 
 
 def q_triangle_counts(sf_dir: str):
@@ -2040,6 +2073,7 @@ def registry() -> dict:
         "inverted_index": q_inverted_index,
         "cohort_retention": q_cohort_retention,
         "ols_by_flag": q_ols_by_flag,
+        "quantize_embeddings": q_quantize_embeddings,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -2949,6 +2983,7 @@ ORACLES: dict[str, str] = {
     "inverted_index": _INV_INDEX_SQL,
     "cohort_retention": _COHORT_SQL,
     "ols_by_flag": _OLS_SQL,
+    "quantize_embeddings": _QUANT_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

@@ -834,12 +834,19 @@ def triangle_counts(edges_ds, src: str = "src", dst: str = "dst",
             ([0], np.flatnonzero(x[1:] != x[:-1]) + 1, [len(x)]))
         wb, wc, wg = _pairs_from_sorted_groups(starts, y)
         wa = x[starts[:-1]][wg]
-        ekeys = np.sort(x * np.int64(n) + y)
-        wk = wb * np.int64(n) + wc
-        idx = np.searchsorted(ekeys, wk)
-        found = np.zeros(len(wk), bool)
-        inb = idx < len(ekeys)
-        found[inb] = ekeys[idx[inb]] == wk[inb]
+        if n <= 16384:  # dense bitmap: one O(1) gather per wedge beats
+            # log(E) cache-missing probes (searchsorted measured ~6x
+            # slower at 5M wedges); n^2 bytes <= 256 MB here
+            bm = np.zeros(n * n, bool)
+            bm[x * np.int64(n) + y] = True
+            found = bm[wb * np.int64(n) + wc]
+        else:
+            ekeys = np.sort(x * np.int64(n) + y)
+            wk = wb * np.int64(n) + wc
+            idx = np.searchsorted(ekeys, wk)
+            found = np.zeros(len(wk), bool)
+            inb = idx < len(ekeys)
+            found[inb] = ekeys[idx[inb]] == wk[inb]
         tri = np.bincount(
             np.concatenate([wa[found], wb[found], wc[found]]),
             minlength=n).astype(np.int64)

@@ -685,3 +685,38 @@ def rrf_fuse(systems, id_col: str = "doc_id", r: int = 100,
     return pa.table({id_col: pa.array([i for i, _ in rows]),
                      "rrf": pa.array([s for _, s in rows],
                                      pa.float64())})
+
+
+def quantize_embeddings(ds, id_col: str = "vec_id",
+                        vec_col: str = "embedding", bits_max: int = 127):
+    """Symmetric int8 quantization of an embedding column — the
+    vector-store compression step (4x smaller than float32, the
+    standard ANN-index layout): per vector q_i = round_half_away(
+    (x_i * 127.0) / max|x|), emitted FLATTENED as (id, dim_idx, q,
+    maxabs) so the integer codes compare exactly against a SQL twin
+    (list columns stringify unstably across engines; the flat form is
+    also the columnar layout a scan-time dequantizer wants).
+
+    Determinism: float32 -> float64 widening is exact, the scale
+    arithmetic is one multiply + one divide (correctly rounded IEEE),
+    and rounding is half-away-from-zero == DuckDB ``round()``.
+    Stateless per-batch map — no shuffle, no driver state; an
+    all-zero vector quantizes to all-zero codes (maxabs 0 guard)."""
+
+    def qbatch(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col)).astype(np.float64)
+        n, d = m.shape
+        maxabs = np.abs(m).max(axis=1)
+        safe = np.where(maxabs == 0.0, 1.0, maxabs)
+        v = (m * float(bits_max)) / safe[:, None]
+        q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        q[maxabs == 0.0, :] = 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        n)),
+            "q": pa.array(q.ravel()),
+            "maxabs": pa.array(np.repeat(maxabs, d))})
+
+    return ds.map_batches(qbatch, batch_format="pyarrow")
