@@ -184,7 +184,8 @@ def run_queries(num_cpus: int) -> dict:
              "dedup_segments", "remove_dup_ngrams", "winnow_fingerprints",
              "triangle_counts", "bfs_hops", "cms_freq", "priority_sample",
              "rrf_fusion", "fuzzy_name_pairs", "inverted_index",
-             "cohort_retention", "ols_by_flag", "quantize_embeddings"]
+             "cohort_retention", "ols_by_flag", "quantize_embeddings",
+             "transition_counts"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -172,3 +172,35 @@ def test_cohort_retention_multi_cohort(ray_session):
     # partitioning invariance
     out2 = cohort_retention(rd.from_arrow(t).repartition(1)).to_pandas()
     assert out2.equals(out)
+
+
+def test_transition_counts_hand_sequence(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import transition_counts
+    # user 1: a->b->a ; user 2: b->b ; user 3: single event (no pair);
+    # equal timestamps broken by event_id (rows 4,5 same ts: 40 < 41)
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", 10),
+        (1, "2024-01-01 00:01:00", "b", 11),
+        (1, "2024-01-01 00:02:00", "a", 12),
+        (2, "2024-01-01 00:00:30", "b", 40),
+        (2, "2024-01-01 00:00:30", "b", 41),
+        (3, "2024-01-01 00:00:10", "a", 99),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows])
+                       .values.astype("datetime64[us]")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = transition_counts(rd.from_arrow(t).repartition(3))
+    got = {(s, d): n for s, d, n in
+           zip(out.column("src").to_pylist(), out.column("dst").to_pylist(),
+               out.column("n").to_pylist())}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+    # partitioning invariance
+    out2 = transition_counts(rd.from_arrow(t).repartition(1))
+    assert out2.equals(out)

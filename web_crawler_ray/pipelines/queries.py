@@ -1563,6 +1563,26 @@ _QUANT_SQL = (
     "ORDER BY vec_id, dim_idx")
 
 
+def q_transition_counts(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    sequences — the behavior-flow primitive next to funnel/session
+    (stages/windows.py transition_counts: ONE user-keyed exchange,
+    partition kernel lexsorts each user's history once and reduces to
+    O(states^2) local counts; sequence total-ordered by (ts, event_id)
+    so the oracle's lead() window is deterministic)."""
+    from ..stages.windows import transition_counts
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type", "event_id"])
+    return transition_counts(ds)
+
+
+_TRANSITION_SQL = (
+    "WITH s AS (SELECT user_id, event_type, lead(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+    "SELECT event_type AS src, nxt AS dst, count(*)::BIGINT AS n "
+    "FROM s WHERE nxt IS NOT NULL GROUP BY src, dst ORDER BY src, dst")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -2074,6 +2094,7 @@ def registry() -> dict:
         "cohort_retention": q_cohort_retention,
         "ols_by_flag": q_ols_by_flag,
         "quantize_embeddings": q_quantize_embeddings,
+        "transition_counts": q_transition_counts,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -2984,6 +3005,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": _COHORT_SQL,
     "ols_by_flag": _OLS_SQL,
     "quantize_embeddings": _QUANT_SQL,
+    "transition_counts": _TRANSITION_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

@@ -172,3 +172,77 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts"):
         "n_users": pa.array(df["n"].to_numpy(np.int64))})
     return out.sort_by([("cohort_week", "ascending"),
                         ("week_offset", "ascending")])
+
+
+def transition_counts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      state_col: str = "event_type",
+                      order_col: str = "event_id"):
+    """First-order Markov transition counts over per-user event
+    sequences: (src, dst, n) where dst is the NEXT state of the same
+    user ordered by (ts, order_col) — the behavior-model / session-flow
+    primitive next to funnel_events (== SQL ``lead() OVER (PARTITION BY
+    user ORDER BY ts, id)`` + GROUP BY; the tie column makes the
+    sequence total-ordered, hence deterministic). Returns a pyarrow
+    Table sorted by (src, dst).
+
+    Scale shape: ONE keyed exchange. Batches cannot pair transitions
+    that span them, so each batch ships (user, ts, order, state_code)
+    rows through a raw-task exchange keyed by user (a user's whole
+    history co-locates); the partition kernel lexsorts once, pairs
+    adjacent rows vectorized, and reduces to its local (src, dst)
+    counts — the driver merges O(partitions x states^2) partials, never
+    the event stream. States ride as dictionary codes with the
+    O(states) dictionary broadcast implicitly per block.
+    """
+    import pandas as pd
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(order_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"u": pa.array(u), "ts": pa.array(ts),
+                         "oc": pa.array(oc),
+                         "st": t.column(state_col)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"src": pd.array([], dtype=object),
+                                 "dst": pd.array([], dtype=object),
+                                 "n": np.array([], np.int64)})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        st, states = pd.factorize(df["st"], sort=True)
+        order = np.lexsort((oc, ts, u))
+        us, ss = u[order], st[order]
+        same = us[1:] == us[:-1]
+        a, b = ss[:-1][same], ss[1:][same]
+        if not len(a):
+            return pd.DataFrame({"src": pd.array([], dtype=object),
+                                 "dst": pd.array([], dtype=object),
+                                 "n": np.array([], np.int64)})
+        k = len(states)
+        cells, n = np.unique(a * k + b, return_counts=True)
+        return pd.DataFrame({
+            "src": states[(cells // k)].astype(object),
+            "dst": states[(cells % k)].astype(object),
+            "n": n.astype(np.int64)})
+
+    parts = int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                         "u", per_partition, num_partitions=32)
+    cat = pa.concat_tables([pa.table(b) for b in
+                            parts.iter_batches(batch_format="pyarrow")])
+    if cat.num_rows == 0:
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    df = cat.to_pandas().groupby(["src", "dst"], as_index=False)["n"] \
+            .sum()
+    out = pa.table({"src": pa.array(df["src"], pa.string()),
+                    "dst": pa.array(df["dst"], pa.string()),
+                    "n": pa.array(df["n"].to_numpy(np.int64))})
+    return out.sort_by([("src", "ascending"), ("dst", "ascending")])
