@@ -281,3 +281,30 @@ def test_group_ols_matches_numpy_and_edges(ray_session):
                    "y": pa.array([1.0, 2.0, 3.0, 4.0])})
     o2 = group_ols(rd.from_arrow(t2), "k", "x", "y").to_pandas()
     assert o2["slope"].isna().all() and o2["intercept"].isna().all()
+
+
+def test_bigram_lm_brute_force(ray_session):
+    import re
+    from collections import Counter
+    from web_crawler_ray.stages.aggregates import bigram_lm
+    docs = ["the cat sat on the mat", "the cat ran", "a dog ran fast",
+            "", "single"]
+    t = pa.table({"text": pa.array(docs)})
+    out = bigram_lm(rd.from_arrow(t).repartition(3), min_count=1) \
+        .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True)
+    pairs, lead = Counter(), Counter()
+    for d in docs:
+        ws = re.findall(r"[0-9a-z_]+", d.lower())
+        pairs.update(zip(ws[:-1], ws[1:]))
+        lead.update(ws[:-1])
+    got = {(r.w1, r.w2): (r.n, r.p) for r in out.itertuples()}
+    assert set(got) == set(pairs)
+    for (a, b), c in pairs.items():
+        n, p = got[(a, b)]
+        assert n == c and p == c / lead[a]
+    # p sums to 1 per w1 (min_count=1 keeps everything)
+    sums = out.groupby("w1")["p"].sum()
+    assert np.allclose(sums, 1.0)
+    # min_count prunes
+    out2 = bigram_lm(rd.from_arrow(t), min_count=2).to_pandas()
+    assert set(zip(out2["w1"], out2["w2"])) == {("the", "cat")}

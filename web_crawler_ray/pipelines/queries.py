@@ -1583,6 +1583,31 @@ _TRANSITION_SQL = (
     "FROM s WHERE nxt IS NOT NULL GROUP BY src, dst ORDER BY src, dst")
 
 
+def q_bigram_lm(sf_dir: str):
+    """Bigram conditional-probability table (n >= 2): p(w2 | w1) =
+    pair count / leading count — the count-based n-gram LM companion
+    to pmi_pairs and lm_score (stages/aggregates.py bigram_lm:
+    per-batch pair + leading-total Counter combiners folded into ONE
+    groupby(w1) shuffle via sentinel rows; p is one integer division,
+    bit-exact vs SQL)."""
+    from ..stages.aggregates import bigram_lm
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return bigram_lm(ds, min_count=2)
+
+
+_BIGRAM_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    "regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws "
+    "FROM documents), "
+    "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM toks, "
+    "UNNEST(generate_series(1, len(ws)-1)) AS t(i)), "
+    "pc AS (SELECT w1, w2, count(*)::BIGINT AS n FROM bg "
+    "GROUP BY w1, w2), "
+    "lt AS (SELECT w1, count(*)::BIGINT AS total FROM bg GROUP BY w1) "
+    "SELECT pc.w1, pc.w2, pc.n, pc.n::DOUBLE / lt.total::DOUBLE AS p "
+    "FROM pc JOIN lt USING (w1) WHERE pc.n >= 2 ORDER BY w1, w2")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -2095,6 +2120,7 @@ def registry() -> dict:
         "ols_by_flag": q_ols_by_flag,
         "quantize_embeddings": q_quantize_embeddings,
         "transition_counts": q_transition_counts,
+        "bigram_lm": q_bigram_lm,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -3006,6 +3032,7 @@ ORACLES: dict[str, str] = {
     "ols_by_flag": _OLS_SQL,
     "quantize_embeddings": _QUANT_SQL,
     "transition_counts": _TRANSITION_SQL,
+    "bigram_lm": _BIGRAM_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

