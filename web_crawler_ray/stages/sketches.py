@@ -465,15 +465,36 @@ def approx_quantiles(ds, key: str, value: str, qs: list[float],
 # Count-Min sketch: point-frequency estimates for every distinct value
 # ---------------------------------------------------------------------------
 
+_CMS_MEMO: dict = {}  # (value -> d-bucket tuple), per worker process:
+# batches of the same stream re-see the same hot keys, and the Python
+# md5 loop dominates the fold otherwise (~2.4M hashlib calls at sf0.1
+# vs ~80k distinct keys). Capped; misses just pay the hash.
+_CMS_MEMO_MAX = 1 << 20
+
+
+def _cms_buckets(vals: list, w: int, d: int) -> np.ndarray:
+    """(len(vals), d) bucket matrix, md5_number_lower(f"{row}:{value}")
+    % w — the DuckDB-reproducible convention every *_md5 twin pins."""
+    from ..stages.aggregates import md5_low64
+    key = (w, d)
+    out = np.empty((len(vals), d), np.int64)
+    for i, v in enumerate(vals):
+        got = _CMS_MEMO.get((key, v))
+        if got is None:
+            got = tuple(md5_low64(f"{r}:{v}") % w for r in range(d))
+            if len(_CMS_MEMO) < _CMS_MEMO_MAX:
+                _CMS_MEMO[(key, v)] = got
+        out[i] = got
+    return out
+
+
 def _cms_fold(vals: list, cnts: np.ndarray, w: int, d: int) -> np.ndarray:
     """Fold a (value, count) summary into a fresh (d, w) int64 register
-    matrix. Bucket hash = md5_number_lower(f"{row}:{value}") % w — the
-    DuckDB-reproducible convention every *_md5 twin pins."""
-    from ..stages.aggregates import md5_low64
+    matrix."""
     reg = np.zeros((d, w), np.int64)
+    b = _cms_buckets(vals, w, d)
     for r in range(d):
-        b = np.array([md5_low64(f"{r}:{v}") % w for v in vals], np.int64)
-        np.add.at(reg[r], b, cnts)
+        np.add.at(reg[r], b[:, r], cnts)
     return reg
 
 
@@ -530,14 +551,12 @@ def cms_estimates(ds, value: str, w: int = 1024, d: int = 4):
                  .groupby(value).aggregate(Count())
 
     def estimate(t: pa.Table) -> pa.Table:
-        from ..stages.aggregates import md5_low64
         rg = ray.get(reg_ref)
         vals = t.column(value).to_pylist()
+        b = _cms_buckets(vals, w, d)
         est = np.full(len(vals), np.iinfo(np.int64).max, np.int64)
         for r in range(d):
-            b = np.array([md5_low64(f"{r}:{v}") % w for v in vals],
-                         np.int64)
-            est = np.minimum(est, rg[r][b])
+            est = np.minimum(est, rg[r][b[:, r]])
         return pa.table({value: t.column(value), "est": pa.array(est)})
 
     return distinct.map_batches(estimate, batch_format="pyarrow") \
