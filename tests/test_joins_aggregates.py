@@ -308,3 +308,40 @@ def test_bigram_lm_brute_force(ray_session):
     # min_count prunes
     out2 = bigram_lm(rd.from_arrow(t), min_count=2).to_pandas()
     assert set(zip(out2["w1"], out2["w2"])) == {("the", "cat")}
+
+
+def test_grid_distance_pairs_brute_force(ray_session):
+    from web_crawler_ray.stages.joins import grid_distance_pairs
+    rng = np.random.default_rng(53)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    la = rng.uniform(-90, 90, n)
+    lo = rng.uniform(-180, 180, n)
+    # plant exact-duplicate coordinates and a boundary pair
+    la[10], lo[10] = la[11], lo[11]
+    t = pa.table({"id": pa.array(ids), "la": pa.array(la),
+                  "lo": pa.array(lo)})
+    r, cref = 6.0, 0.75
+    got = grid_distance_pairs(rd.from_arrow(t).repartition(4),
+                              "id", "la", "lo", radius_deg=r,
+                              cos_ref=cref)
+    want = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d2 = (la[i] - la[j]) ** 2 + ((lo[i] - lo[j]) * cref) ** 2
+            if d2 <= r * r:
+                want.append((i, j, d2))
+    want.sort()
+    rows = list(zip(got.column("id_a").to_pylist(),
+                    got.column("id_b").to_pylist(),
+                    got.column("dist2").to_pylist()))
+    assert [(a, b) for a, b, _ in rows] == [(a, b) for a, b, _ in want]
+    assert all(abs(x - y) < 1e-12 for (_, _, x), (_, _, y)
+               in zip(rows, want))
+    assert (10, 11, 0.0) in [(a, b, d) for a, b, d in rows]
+    assert len(want) > 100  # non-trivial fixture
+    # partitioning invariance
+    got2 = grid_distance_pairs(rd.from_arrow(t).repartition(1),
+                               "id", "la", "lo", radius_deg=r,
+                               cos_ref=cref)
+    assert got2.equals(got)

@@ -1608,6 +1608,50 @@ _BIGRAM_SQL = (
     "FROM pc JOIN lt USING (w1) WHERE pc.n >= 2 ORDER BY w1, w2")
 
 
+def q_geo_near_pairs(sf_dir: str):
+    """Spatial near-pair self-join over md5-derived customer
+    coordinates, radius 2 deg under the equirectangular metric
+    (cos_ref=0.75 literal) — the location-radius primitive the
+    reference's geo data calls for (it dedups locations by exact
+    coordinate match only; stages/joins.py grid_distance_pairs: 3x3
+    grid-cell replication + ONE keyed exchange, each pair scored once
+    in its lexicographically-smaller home cell). The metric is pure
+    subtract/multiply/add, no trig or sqrt — bit-identical to the
+    oracle's quadratic self-join."""
+    from ..stages.joins import grid_distance_pairs
+    from ..stages.aggregates import md5_low64
+
+    def coords(t: pa.Table) -> pa.Table:
+        ids = t.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        la = np.array([md5_low64(str(i)) % 1800 for i in ids.tolist()],
+                      np.float64) / 10.0 - 90.0
+        lo = np.array([md5_low64("x" + str(i)) % 3600
+                       for i in ids.tolist()],
+                      np.float64) / 10.0 - 180.0
+        return pa.table({"id": pa.array(ids), "la": pa.array(la),
+                         "lo": pa.array(lo)})
+
+    pts = _rp(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(coords, batch_format="pyarrow")
+    return grid_distance_pairs(pts, "id", "la", "lo",
+                               radius_deg=2.0, cos_ref=0.75)
+
+
+_GEO_SQL = (
+    "WITH pts AS (SELECT c_custkey AS id, "
+    "(md5_number_lower(c_custkey::VARCHAR) % 1800) / 10.0 - 90.0 "
+    "AS la, "
+    "(md5_number_lower('x' || c_custkey::VARCHAR) % 3600) / 10.0 "
+    "- 180.0 AS lo FROM customer) "
+    "SELECT a.id AS id_a, b.id AS id_b, "
+    "(a.la-b.la)*(a.la-b.la) + ((a.lo-b.lo)*0.75)*((a.lo-b.lo)*0.75) "
+    "AS dist2 FROM pts a JOIN pts b ON a.id < b.id "
+    "WHERE (a.la-b.la)*(a.la-b.la) + "
+    "((a.lo-b.lo)*0.75)*((a.lo-b.lo)*0.75) <= 4.0 "
+    "ORDER BY id_a, id_b")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -2121,6 +2165,7 @@ def registry() -> dict:
         "quantize_embeddings": q_quantize_embeddings,
         "transition_counts": q_transition_counts,
         "bigram_lm": q_bigram_lm,
+        "geo_near_pairs": q_geo_near_pairs,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -3033,6 +3078,7 @@ ORACLES: dict[str, str] = {
     "quantize_embeddings": _QUANT_SQL,
     "transition_counts": _TRANSITION_SQL,
     "bigram_lm": _BIGRAM_SQL,
+    "geo_near_pairs": _GEO_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

@@ -360,3 +360,111 @@ def edit_distance_pairs(ds, block_col: str, text_col: str, id_col: str,
 
     return int_part_map(ds, "__blk", per_partition,
                         num_partitions=num_partitions, prepare=prepare)
+
+
+# ---------------------------------------------------------------------------
+# Spatial distance join: grid-cell blocked planar near-pairs
+# ---------------------------------------------------------------------------
+
+def grid_distance_pairs(ds, id_col: str, lat_col: str, lon_col: str,
+                        radius_deg: float, cos_ref: float = 0.75,
+                        num_partitions: int = 64):
+    """Spatial self-join: all pairs within ``radius_deg`` under the
+    equirectangular metric dist^2 = (dlat)^2 + (dlon*cos_ref)^2 — the
+    location-data near-pair primitive (the reference dedups locations
+    by exact coordinate match, enhanced-deduplication.service.js;
+    this is the radius form its geo data calls for). ``cos_ref`` is a
+    FIXED literal latitude-correction factor, so the whole predicate
+    is subtractions/multiplies/one add — correctly-rounded IEEE,
+    bit-identical to a SQL twin (no trig, no sqrt: compare squared).
+
+    Scale shape: the classic grid-cell blocking. Each point lands in
+    cell (floor(lat/s), floor(lon/(s/cos_ref))) with s = radius_deg,
+    so any qualifying pair's cells differ by <= 1 per axis; every
+    point is replicated to its 3x3 cell neighborhood (constant 9x)
+    and ONE keyed exchange co-locates candidates. Each pair is
+    counted exactly once: the kernel scores a pair only in the
+    lexicographically-smaller of the two home cells. Per cell the
+    candidate set is O(density), never O(n).
+
+    Returns a pyarrow Table (id_a, id_b, dist2) with id_a < id_b,
+    sorted; dist2 is the exact squared degree distance.
+    """
+    import pandas as pd
+    from .shuffles import int_part_map
+
+    s_lat = float(radius_deg)
+    s_lon = float(radius_deg) / float(cos_ref)
+    r2 = float(radius_deg) * float(radius_deg)
+    C = np.int64(1 << 20)  # cell key packing (lat cells offset-folded)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        la = t.column(lat_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lo = t.column(lon_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cx = np.floor(la / s_lat).astype(np.int64)
+        cy = np.floor(lo / s_lon).astype(np.int64)
+        home = (cx + C // 2) * C + (cy + C // 2)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = (cx + dx + C // 2) * C + (cy + dy + C // 2)
+                outs.append(pa.table({
+                    "cell": pa.array(cell), "home": pa.array(home),
+                    "id": pa.array(ids), "la": pa.array(la),
+                    "lo": pa.array(lo)}))
+        return pa.concat_tables(outs)
+
+    def per_cells(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": np.array([], np.int64),
+                              "id_b": np.array([], np.int64),
+                              "dist2": np.array([], np.float64)})
+        if len(df) < 2:
+            return empty
+        outs = [empty]
+        for cell, g in df.groupby("cell", sort=True):
+            n = len(g)
+            if n < 2:
+                continue
+            ids = g["id"].to_numpy(np.int64)
+            la = g["la"].to_numpy(np.float64)
+            lo = g["lo"].to_numpy(np.float64)
+            hm = g["home"].to_numpy(np.int64)
+            ii, jj = np.triu_indices(n, 1)
+            # count each pair once: only in the smaller home cell
+            keep = np.minimum(hm[ii], hm[jj]) == cell
+            # drop same-point duplicates (a point replicated into this
+            # cell 9x never pairs with itself: ids are unique)
+            ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                continue
+            dla = la[ii] - la[jj]
+            dlo = (lo[ii] - lo[jj]) * float(cos_ref)
+            d2 = dla * dla + dlo * dlo
+            hit = d2 <= r2
+            if not hit.any():
+                continue
+            a, b = ids[ii[hit]], ids[jj[hit]]
+            outs.append(pd.DataFrame({
+                "id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
+                "dist2": d2[hit]}))
+        out = pd.concat(outs, ignore_index=True)
+        # a pair replicated into the same partition through several
+        # cells is impossible (unique counting cell), but two points
+        # sharing coordinates are fine — ids differ
+        return out
+
+    pairs = int_part_map(
+        ds.map_batches(replicate, batch_format="pyarrow"),
+        "cell", per_cells, num_partitions=num_partitions)
+    tabs = [pa.table(b) for b in
+            pairs.iter_batches(batch_format="pyarrow")]
+    if not tabs:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "dist2": pa.array([], pa.float64())})
+    return pa.concat_tables(tabs).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")])
