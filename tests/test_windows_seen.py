@@ -204,3 +204,48 @@ def test_transition_counts_hand_sequence(ray_session):
     # partitioning invariance
     out2 = transition_counts(rd.from_arrow(t).repartition(1))
     assert out2.equals(out)
+
+
+def test_resample_ffill_hand_grid(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import resample_ffill
+    # user 1: events at 00:30 (v=1), 00:45 (v=2, later event_id wins the
+    # same hour), 03:10 (v=9) -> hours 00..03 fill [2, 2, 2, 9]
+    # user 2: single event at 05:59 -> one row
+    rows = [
+        (1, "2024-01-01 00:30:00", 1.0, 10),
+        (1, "2024-01-01 00:45:00", 2.0, 11),
+        (1, "2024-01-01 03:10:00", 9.0, 12),
+        (2, "2024-01-01 05:59:00", 7.0, 20),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows])
+                       .values.astype("datetime64[us]")),
+        "value": pa.array([r[2] for r in rows]),
+        "event_id": pa.array([r[3] for r in rows], pa.int64())})
+    out = resample_ffill(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .sort_values(["user_id", "hour"]).reset_index(drop=True)
+    got = [(int(r.user_id), str(r.hour), r.value)
+           for r in out.itertuples()]
+    assert got == [
+        (1, "2024-01-01 00:00:00", 2.0),
+        (1, "2024-01-01 01:00:00", 2.0),
+        (1, "2024-01-01 02:00:00", 2.0),
+        (1, "2024-01-01 03:00:00", 9.0),
+        (2, "2024-01-01 05:00:00", 7.0),
+    ]
+    # same-timestamp tie goes to the larger event_id
+    rows2 = [(3, "2024-01-01 10:00:01", 5.0, 2),
+             (3, "2024-01-01 10:00:01", 6.0, 3)]
+    t2 = pa.table({
+        "user_id": pa.array([r[0] for r in rows2], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows2])
+                       .values.astype("datetime64[us]")),
+        "value": pa.array([r[2] for r in rows2]),
+        "event_id": pa.array([r[3] for r in rows2], pa.int64())})
+    o2 = resample_ffill(rd.from_arrow(t2)).to_pandas()
+    assert list(o2["value"]) == [6.0]

@@ -1652,6 +1652,36 @@ _GEO_SQL = (
     "ORDER BY id_a, id_b")
 
 
+def q_resample_ffill(sf_dir: str):
+    """Per-user hourly forward-fill resampling of the event stream
+    (irregular events -> regular grid, values carried from the
+    latest event before each hour boundary; ties by event_id) — the
+    time-series gap-fill primitive next to the window family
+    (stages/windows.py resample_ffill: ONE user-keyed exchange,
+    per-user sort + vectorized searchsorted fill, O(user-hours)
+    output emitted from the partitions). Values are copied, never
+    combined — float-exact vs the ASOF JOIN oracle."""
+    from ..stages.windows import resample_ffill
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "value", "event_id"])
+    return resample_ffill(ds)
+
+
+_RESAMPLE_SQL = (
+    "WITH ev AS (SELECT user_id, ts, value FROM "
+    "(SELECT user_id, ts, value, row_number() OVER "
+    "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn "
+    "FROM events) WHERE rn = 1), "
+    "span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0, "
+    "date_trunc('hour', max(ts)) AS h1 FROM events GROUP BY user_id), "
+    "hours AS (SELECT user_id, unnest(generate_series(h0, h1, "
+    "INTERVAL 1 HOUR)) AS hour FROM span) "
+    "SELECT h.user_id, h.hour, e.value FROM hours h "
+    "ASOF JOIN ev e ON h.user_id = e.user_id AND "
+    "e.ts <= h.hour + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND "
+    "ORDER BY h.user_id, h.hour")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -2166,6 +2196,7 @@ def registry() -> dict:
         "transition_counts": q_transition_counts,
         "bigram_lm": q_bigram_lm,
         "geo_near_pairs": q_geo_near_pairs,
+        "resample_ffill": q_resample_ffill,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -3079,6 +3110,7 @@ ORACLES: dict[str, str] = {
     "transition_counts": _TRANSITION_SQL,
     "bigram_lm": _BIGRAM_SQL,
     "geo_near_pairs": _GEO_SQL,
+    "resample_ffill": _RESAMPLE_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

@@ -246,3 +246,77 @@ def transition_counts(ds, user_col: str = "user_id", ts_col: str = "ts",
                     "dst": pa.array(df["dst"], pa.string()),
                     "n": pa.array(df["n"].to_numpy(np.int64))})
     return out.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+def resample_ffill(ds, user_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value", order_col: str = "event_id"):
+    """Per-user hourly forward-fill resampling: one row per (user,
+    hour) from the user's first event hour to their last, carrying the
+    value of the user's LATEST event with ts < hour+1h — the
+    time-series gap-fill primitive (irregular events -> regular grid
+    for window models). Same-timestamp ties resolve to the largest
+    ``order_col`` (a total order, so the fill is deterministic).
+    Values are COPIED, never combined — float-exact by construction.
+
+    Scale shape: ONE keyed exchange. Batches can't forward-fill across
+    themselves, so events ship (user, ts, order, value) through a
+    raw-task exchange keyed by user; the partition kernel sorts each
+    user's co-located history once, builds the hour grid with arange,
+    and fills with a single vectorized searchsorted — output is
+    O(user-hours), emitted from the partitions (the driver never holds
+    the grid). Returns a Dataset (user, hour, value).
+    """
+    import pandas as pd
+    from .shuffles import int_part_map
+
+    US_H = 3_600_000_000  # microseconds per hour
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t.column(user_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(order_col).cast(pa.int64()),
+            "v": t.column(value_col).cast(pa.float64())})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"u": np.array([], np.int64),
+                                 "hour": np.array([], np.int64),
+                                 "v": np.array([], np.float64)})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((oc, ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(u[1:] != u[:-1]) + 1, [len(u)]))
+        out_u, out_h, out_v = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            t0 = (ts[s] // US_H) * US_H
+            t1 = (ts[e - 1] // US_H) * US_H
+            hours = np.arange(t0, t1 + US_H, US_H)
+            # latest event with ts <= hour end (hour + 1h - 1us)
+            idx = np.searchsorted(ts[s:e], hours + (US_H - 1),
+                                  side="right") - 1
+            out_u.append(np.full(len(hours), u[s]))
+            out_h.append(hours)
+            out_v.append(v[s:e][idx])
+        return pd.DataFrame({"u": np.concatenate(out_u),
+                             "hour": np.concatenate(out_h),
+                             "v": np.concatenate(out_v)})
+
+    parts = int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                         "u", per_partition, num_partitions=32)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            user_col: t.column("u"),
+            "hour": pa.array(t.column("hour")
+                             .to_numpy(zero_copy_only=False)
+                             .astype("datetime64[us]")),
+            value_col: t.column("v")})
+
+    return parts.map_batches(finish, batch_format="pyarrow")
