@@ -245,3 +245,40 @@ def test_string_agg_sorted_and_null_skip():
                                out_col="agg").to_pandas().set_index("g")
     assert out.loc["r", "agg"] == "a,b"
     assert out.loc["s", "agg"] == "z"
+
+
+# --- data-validation profile + SCD-1 upsert -----------------------------------
+
+def test_profile_columns_nulls_and_extremes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.relational import profile_columns
+    t = pa.table({
+        "a": pa.array([1, None, 3, None, -7], pa.int64()),
+        "b": pa.array([0.5, 2.5, None, -1.5, 0.0], pa.float64())})
+    out = profile_columns(rd.from_arrow(t).repartition(3), ["a", "b"])
+    rows = {r["column"]: r for r in out.to_pylist()}
+    assert rows["a"] == {"column": "a", "n_rows": 5, "n_nulls": 2,
+                         "min_v": -7.0, "max_v": 3.0}
+    assert rows["b"] == {"column": "b", "n_rows": 5, "n_nulls": 1,
+                         "min_v": -1.5, "max_v": 2.5}
+    # all-null column -> null min/max
+    t2 = pa.table({"c": pa.array([None, None], pa.float64())})
+    o2 = profile_columns(rd.from_arrow(t2), ["c"]).to_pylist()[0]
+    assert o2["n_nulls"] == 2 and o2["min_v"] is None
+
+
+def test_merge_upsert_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.relational import merge_upsert
+    base = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "v": pa.array([10.0, 20.0, 30.0, 40.0])})
+    upd = pa.table({"k": pa.array([2, 5], pa.int64()),
+                    "v": pa.array([99.0, 55.0])})
+    out = merge_upsert(rd.from_arrow(base).repartition(2),
+                       rd.from_arrow(upd), "k") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [1, 2, 3, 4, 5]
+    assert list(out["v"]) == [10.0, 99.0, 30.0, 40.0, 55.0]

@@ -1682,6 +1682,70 @@ _RESAMPLE_SQL = (
     "ORDER BY h.user_id, h.hour")
 
 
+def q_profile_events(sf_dir: str):
+    """Expectations-style data-validation profile of the events
+    table's numeric columns: (n_rows, n_nulls, min, max) per column —
+    the pre-ingestion audit (stages/relational.py profile_columns:
+    pure combiner, one partial row per column per batch, no shuffle;
+    min/max are selections so floats compare exact)."""
+    from ..stages.relational import profile_columns
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return profile_columns(ds, ["event_id", "user_id", "value"])
+
+
+_PROFILE_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n_rows, "
+        f"(count(*) - count({c}))::BIGINT AS n_nulls, "
+        f"min({c})::DOUBLE AS min_v, max({c})::DOUBLE AS max_v "
+        f"FROM events"
+        for c in ("event_id", "user_id", "value"))
+    + ") ORDER BY \"column\"")
+
+
+def q_merge_upsert(sf_dir: str):
+    """SCD-1 snapshot merge: a 10%-of-keys update slice (acctbal
+    bumped by 1000) replaces its base customer rows, the rest pass
+    through — the incremental re-crawl page-store maintenance
+    primitive (stages/relational.py merge_upsert: tagged union + ONE
+    keyed exchange, vectorized membership mask, no joins)."""
+    from ..stages.relational import merge_upsert
+    base = _rp(sf_dir, "customer",
+               columns=["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def mk_updates(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        keep = (k % 10) == 3
+        bal = t.column("c_acctbal").to_numpy(
+            zero_copy_only=False).astype(np.float64)[keep] + 1000.0
+        return pa.table({
+            "c_custkey": pa.array(k[keep]),
+            "c_acctbal": pa.array(bal),
+            "c_nationkey": t.filter(pa.array(keep))
+                            .column("c_nationkey")})
+
+    upd = _rp(sf_dir, "customer",
+              columns=["c_custkey", "c_acctbal", "c_nationkey"]) \
+        .map_batches(mk_updates, batch_format="pyarrow")
+    out = merge_upsert(base, upd, "c_custkey")
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "c_acctbal": t.column("c_acctbal").cast(pa.float64()),
+            "c_nationkey": t.column("c_nationkey").cast(pa.int64())})
+
+    return out.map_batches(fix_types, batch_format="pyarrow")
+
+
+_UPSERT_SQL = (
+    "SELECT c_custkey, CASE WHEN c_custkey % 10 = 3 "
+    "THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal, "
+    "c_nationkey::BIGINT AS c_nationkey "
+    "FROM customer ORDER BY c_custkey")
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -2197,6 +2261,8 @@ def registry() -> dict:
         "bigram_lm": q_bigram_lm,
         "geo_near_pairs": q_geo_near_pairs,
         "resample_ffill": q_resample_ffill,
+        "profile_events": q_profile_events,
+        "merge_upsert": q_merge_upsert,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,
@@ -3111,6 +3177,8 @@ ORACLES: dict[str, str] = {
     "bigram_lm": _BIGRAM_SQL,
     "geo_near_pairs": _GEO_SQL,
     "resample_ffill": _RESAMPLE_SQL,
+    "profile_events": _PROFILE_SQL,
+    "merge_upsert": _UPSERT_SQL,
     "pack_docs_global": _PACK_GLOBAL_SQL,
     "bpe_vocab": _BPE_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,

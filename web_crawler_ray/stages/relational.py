@@ -410,3 +410,102 @@ def json_int_field(tbl: pa.Table, col: str, field: str,
                 pass
         vals = pa.array(py, pa.int64())
     return tbl.append_column(out_col, vals)
+
+
+def profile_columns(ds, cols: list[str]):
+    """Data-validation profile of numeric columns: one row per column
+    with (n_rows, n_nulls, min_v, max_v) — the expectations-style
+    audit a pipeline runs before training ingestion (the reference
+    validates only request shapes, middleware/validator.js; data-side
+    checks are implicit). min/max are SELECTIONS (never arithmetic),
+    so floats compare exact against SQL.
+
+    Scale shape: a pure combiner — each batch reduces to one row per
+    column (vectorized isnull + min/max), the driver folds
+    O(batches x columns) partial rows; no shuffle. Returns a pyarrow
+    Table sorted by column name."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, nr, nn, mn, mx = [], [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            names.append(c)
+            nr.append(t.num_rows)
+            nn.append(col.null_count)
+            valid = col.drop_null()
+            if len(valid):
+                mn.append(float(pc.min(valid).as_py()))
+                mx.append(float(pc.max(valid).as_py()))
+            else:
+                mn.append(None)
+                mx.append(None)
+        return pa.table({"column": pa.array(names),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "n_nulls": pa.array(nn, pa.int64()),
+                         "min_v": pa.array(mn, pa.float64()),
+                         "max_v": pa.array(mx, pa.float64())})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            c = tb.column("column")[i].as_py()
+            row = acc.setdefault(c, [0, 0, None, None])
+            row[0] += int(tb.column("n_rows")[i].as_py())
+            row[1] += int(tb.column("n_nulls")[i].as_py())
+            mn = tb.column("min_v")[i].as_py()
+            mx = tb.column("max_v")[i].as_py()
+            if mn is not None:
+                row[2] = mn if row[2] is None else min(row[2], mn)
+            if mx is not None:
+                row[3] = mx if row[3] is None else max(row[3], mx)
+    ks = sorted(acc)
+    return pa.table({
+        "column": pa.array(ks),
+        "n_rows": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "n_nulls": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "min_v": pa.array([acc[k][2] for k in ks], pa.float64()),
+        "max_v": pa.array([acc[k][3] for k in ks], pa.float64())})
+
+
+def merge_upsert(base_ds, updates_ds, key_col: str,
+                 num_partitions: int = 32):
+    """SCD-1 (last-write-wins) merge: every key in ``updates`` replaces
+    its row in ``base``; unmatched base rows pass through; new update
+    keys insert — the snapshot-maintenance primitive behind every
+    incremental re-crawl (fresh fetches overriding the page store —
+    the reference re-crawls from scratch each run). Columns must
+    match. Assumes unique keys per side (the page-store convention).
+
+    Scale shape: tagged union + ONE keyed raw-task exchange; the
+    partition kernel keeps, per key, the update row when one exists —
+    a vectorized membership mask, no joins, no driver state. Returns
+    a Dataset with base's schema.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from .shuffles import int_part_map
+
+    names = [n for n in base_ds.schema().names]
+
+    def tag(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.select(names)
+            return t.append_column(
+                "__upd", pa.array(np.full(t.num_rows, flag, np.int8)))
+        return f
+
+    u = base_ds.map_batches(tag(0), batch_format="pyarrow") \
+        .union(updates_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        upd = df["__upd"].to_numpy(np.int8) == 1
+        upd_keys = df.loc[upd, key_col].to_numpy()
+        keep_base = ~upd & ~df[key_col].isin(upd_keys).to_numpy()
+        return df.loc[upd | keep_base, names]
+
+    return int_part_map(u, key_col, per_partition,
+                        num_partitions=num_partitions)
