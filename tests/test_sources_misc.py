@@ -146,3 +146,50 @@ def test_storage_switch(tmp_path):
             ST.write_table(t, str(tmp_path / "l"), fmt="lance")
     with pytest.raises(ValueError):
         ST.write_table(t, p, fmt="orc")
+
+
+# --- real PPM decode ----------------------------------------------------------
+
+def test_ppm_codec_roundtrip_and_reference_decode():
+    import numpy as np
+    from web_crawler_ray.stages.multimodal import decode_ppm, encode_ppm
+    rng = np.random.default_rng(61)
+    for h, w in ((1, 1), (3, 7), (16, 9)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+    # independent reference parse: comments + whitespace per spec
+    img = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    weird = (b"P6\n# a comment\n  2\t2\n# more\n255\n"
+             + img.tobytes())
+    assert (decode_ppm(weird) == img).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pt.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated
+
+
+def test_image_stats_stage_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from web_crawler_ray.stages.multimodal import (ImageStatsStage,
+                                                   encode_ppm)
+    rng = np.random.default_rng(67)
+    imgs = [rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+            for _ in range(6)]
+    t = pa.table({"media_ref": pa.array([f"m{i}" for i in range(6)]),
+                  "payload": pa.array([encode_ppm(im) for im in imgs],
+                                      pa.large_binary())})
+    out = ImageStatsStage()(t)
+    for i, im in enumerate(imgs):
+        px = im.reshape(-1, 3).astype(np.int64)
+        assert out.column("width")[i].as_py() == 4
+        assert out.column("height")[i].as_py() == 5
+        for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert out.column(name)[i].as_py() == \
+                float(px[:, c].sum()) / float(px.shape[0])
+        luma = (px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114) // 1000
+        want = np.bincount(luma // 32, minlength=8)[:8]
+        got = [out.column(f"luma_{b}")[i].as_py() for b in range(8)]
+        assert got == want.tolist()
+        assert sum(got) == 20  # every pixel binned

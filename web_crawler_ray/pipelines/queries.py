@@ -1746,6 +1746,28 @@ _UPSERT_SQL = (
     "FROM customer ORDER BY c_custkey")
 
 
+def q_image_stats(sf_dir: str):
+    """REAL image decode pipeline (no external libs): the v2 world's
+    media refs -> deterministic P6 PPM blob store -> ImageStatsStage
+    (pure-numpy netpbm decoder; per-image width/height, exact
+    per-channel means, all-integer 8-bin luma histogram). Upgrades
+    the multimodal family from stubbed decode to a working one;
+    rows-only at the gate (binary decode is not SQL-expressible) with
+    the decoder pinned against an independent reference in pytest."""
+    from ..stages import multimodal as M
+    refs = _media_refs(sf_dir)
+    n = refs.num_rows
+    k = max(2, min(16, n // 32 + 1))
+    slices = [refs.slice(i * n // k, (i + 1) * n // k - i * n // k)
+              for i in range(k)]
+    uniq = rd.from_arrow([s for s in slices if s.num_rows])
+    blob = uniq.map_batches(
+        lambda t: M.synth_ppm_table(t.column("media_ref").to_pylist()),
+        batch_format="pyarrow", batch_size=32)
+    return blob.map_batches(M.ImageStatsStage(), batch_format="pyarrow",
+                            batch_size=32)
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -2263,6 +2285,7 @@ def registry() -> dict:
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
+        "image_stats": q_image_stats,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,

@@ -117,3 +117,115 @@ class FrameSampleStage:
                 o_ts.append(ts)
         return pa.table({"media_ref": pa.array(o_ref, pa.string()),
                          "frame_ts_ms": pa.array(o_ts, pa.int32())})
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: P6 PPM (pure numpy — no image libs needed)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary P6 PPM."""
+    h, w = rgb.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary P6 PPM to an (h, w, 3) uint8 array — a REAL
+    image decoder with zero external deps (the import-gated PIL path
+    stays for formats that need it). Handles whitespace and ``#``
+    comments per the netpbm spec; raises ValueError on malformed
+    input."""
+    if payload[:2] != b"P6":
+        raise ValueError("decode_ppm: not a P6 PPM")
+    # tokenize header: magic, width, height, maxval (comments skipped)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("decode_ppm: only maxval 255 supported")
+    need = w * h * 3
+    raw = payload[pos:pos + need]
+    if len(raw) != need:
+        raise ValueError("decode_ppm: truncated pixel data")
+    return np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+
+
+def synth_ppm_table(refs: list[str], seed: int = 42) -> pa.Table:
+    """Deterministic REAL P6 payloads per media ref (the sandbox 'blob
+    store' for the decode path): size and pixel pattern are pure
+    functions of (seed, ref)."""
+    payloads, widths, heights = [], [], []
+    for r in refs:
+        hsh = hashlib.blake2b(f"{seed}|ppm|{r}".encode(),
+                              digest_size=16).digest()
+        w = 8 + hsh[0] % 25
+        h = 8 + hsh[1] % 25
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack([
+            (xx * (1 + hsh[2]) + hsh[3]) % 256,
+            (yy * (1 + hsh[4]) + hsh[5]) % 256,
+            ((xx + yy) * (1 + hsh[6]) + hsh[7]) % 256,
+        ], axis=-1).astype(np.uint8)
+        payloads.append(encode_ppm(rgb))
+        widths.append(w)
+        heights.append(h)
+    return pa.table({"media_ref": pa.array(refs, pa.string()),
+                     "payload": pa.array(payloads, pa.large_binary()),
+                     "width": pa.array(widths, pa.int32()),
+                     "height": pa.array(heights, pa.int32())})
+
+
+class ImageStatsStage:
+    """Actor-pool/worker-singleton stage: REAL decode (P6 PPM, pure
+    numpy) + per-image statistics — decoded width/height, per-channel
+    means (integer pixel sums / pixel count: ONE division, exact), and
+    an 8-bin integer-luma histogram (luma = (r*299 + g*587 + b*114)
+    // 1000, bin = luma // 32 — all-integer, bit-reproducible). Use
+    small ``batch_size``: payload bytes dominate block size."""
+
+    def __init__(self, decoder: str = "ppm"):
+        if decoder != "ppm":  # pragma: no cover - import-gated
+            raise NotImplementedError(
+                "only the dependency-free ppm decoder ships in-sandbox")
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        out = {"media_ref": refs, "width": [], "height": [],
+               "mean_r": [], "mean_g": [], "mean_b": []}
+        hist = np.zeros((len(refs), 8), np.int64)
+        for i, payload in enumerate(batch.column("payload").to_pylist()):
+            img = decode_ppm(payload)
+            h, w = img.shape[:2]
+            out["width"].append(w)
+            out["height"].append(h)
+            px = img.reshape(-1, 3).astype(np.int64)
+            npx = px.shape[0]
+            sums = px.sum(axis=0)
+            out["mean_r"].append(float(sums[0]) / float(npx))
+            out["mean_g"].append(float(sums[1]) / float(npx))
+            out["mean_b"].append(float(sums[2]) / float(npx))
+            luma = (px[:, 0] * 299 + px[:, 1] * 587
+                    + px[:, 2] * 114) // 1000
+            hist[i] = np.bincount(luma // 32, minlength=8)[:8]
+        t = pa.table({
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "width": pa.array(out["width"], pa.int32()),
+            "height": pa.array(out["height"], pa.int32()),
+            "mean_r": pa.array(out["mean_r"], pa.float64()),
+            "mean_g": pa.array(out["mean_g"], pa.float64()),
+            "mean_b": pa.array(out["mean_b"], pa.float64())})
+        for b in range(8):
+            t = t.append_column(f"luma_{b}", pa.array(hist[:, b]))
+        return t
