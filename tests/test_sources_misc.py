@@ -193,3 +193,47 @@ def test_image_stats_stage_exact(ray_session):
         got = [out.column(f"luma_{b}")[i].as_py() for b in range(8)]
         assert got == want.tolist()
         assert sum(got) == 20  # every pixel binned
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+    import numpy as np
+    import pytest as _pt
+    from web_crawler_ray.stages.multimodal import decode_wav, encode_wav
+    rng = np.random.default_rng(71)
+    s = rng.integers(-32768, 32767, 500, dtype=np.int16)
+    d, r = decode_wav(encode_wav(s, 22050))
+    assert (d == s).all() and r == 22050
+    # decoder walks unknown chunks (LIST before data) per RIFF spec
+    body = encode_wav(s, 8000)
+    fmt_chunk = body[12:12 + 8 + 16]
+    data_chunk = body[12 + 8 + 16:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    reordered = body[:12] + fmt_chunk + extra + data_chunk
+    d2, r2 = decode_wav(reordered)
+    assert (d2 == s).all() and r2 == 8000
+    with _pt.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVI ")
+    # stereo rejected
+    stereo = bytearray(encode_wav(s, 8000))
+    stereo[22] = 2
+    with _pt.raises(ValueError):
+        decode_wav(bytes(stereo))
+
+
+def test_audio_stats_stage_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from web_crawler_ray.stages.multimodal import (AudioStatsStage,
+                                                   encode_wav)
+    s = np.array([0, 100, -100, 50, -50, 0, 25], np.int16)
+    t = pa.table({"media_ref": pa.array(["x"]),
+                  "payload": pa.array([encode_wav(s, 10000)],
+                                      pa.large_binary())})
+    out = AudioStatsStage()(t).to_pylist()[0]
+    x = s.astype(np.int64)
+    assert out["n_samples"] == 7 and out["rate"] == 10000
+    assert out["duration_ms"] == 7 * 1000 // 10000
+    assert out["peak"] == 100
+    assert out["rms"] == float(np.sqrt(float((x * x).sum()) / 7.0))
+    assert out["zero_crossings"] == int(((x[1:] < 0) != (x[:-1] < 0)).sum())

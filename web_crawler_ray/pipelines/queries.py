@@ -1768,6 +1768,27 @@ def q_image_stats(sf_dir: str):
                             batch_size=32)
 
 
+def q_audio_stats(sf_dir: str):
+    """REAL audio decode pipeline (no external libs): media refs ->
+    deterministic PCM16 WAV blob store -> AudioStatsStage (RIFF
+    chunk-walking decoder; duration/peak/zero-crossings integer-exact,
+    RMS = one division + one sqrt). The audio sibling of
+    q:image_stats; rows-only at the gate, decoder pinned against
+    struct-level reference parsing in pytest."""
+    from ..stages import multimodal as M
+    refs = _media_refs(sf_dir)
+    n = refs.num_rows
+    k = max(2, min(16, n // 32 + 1))
+    slices = [refs.slice(i * n // k, (i + 1) * n // k - i * n // k)
+              for i in range(k)]
+    uniq = rd.from_arrow([s for s in slices if s.num_rows])
+    blob = uniq.map_batches(
+        lambda t: M.synth_wav_table(t.column("media_ref").to_pylist()),
+        batch_format="pyarrow", batch_size=32)
+    return blob.map_batches(M.AudioStatsStage(), batch_format="pyarrow",
+                            batch_size=32)
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -2286,6 +2307,7 @@ def registry() -> dict:
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
         "image_stats": q_image_stats,
+        "audio_stats": q_audio_stats,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,

@@ -229,3 +229,103 @@ class ImageStatsStage:
         for b in range(8):
             t = t.append_column(f"luma_{b}", pa.array(hist[:, b]))
         return t
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: PCM16 WAV (pure numpy — no audio libs needed)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode mono int16 samples as a canonical 44-byte-header PCM WAV."""
+    import struct
+    data = samples.astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                   rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM16 mono WAV to (samples: int16 array, rate) — a
+    REAL audio decoder with zero external deps. Walks RIFF chunks (so
+    LIST/INFO chunks before ``data`` are fine); raises ValueError on
+    non-PCM16-mono input."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE stream")
+    pos, rate, nch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, nch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                raise ValueError("decode_wav: only PCM supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("decode_wav: missing fmt or data chunk")
+    if nch != 1 or bits != 16:
+        raise ValueError("decode_wav: only 16-bit mono supported")
+    return np.frombuffer(data, "<i2"), rate
+
+
+def synth_wav_table(refs: list[str], seed: int = 42) -> pa.Table:
+    """Deterministic REAL PCM16 payloads per media ref (sawtooth +
+    hash-seeded phase/period; length and content are pure functions
+    of (seed, ref))."""
+    payloads, rates, nsamp = [], [], []
+    for r in refs:
+        hsh = hashlib.blake2b(f"{seed}|wav|{r}".encode(),
+                              digest_size=16).digest()
+        n = 256 + hsh[0] * 16
+        period = 16 + hsh[1] % 64
+        phase = hsh[2]
+        t = np.arange(n, dtype=np.int64)
+        s = ((((t + phase) % period) * 2048 // period) - 1024) \
+            .astype(np.int16)
+        payloads.append(encode_wav(s, rate=8000 * (1 + hsh[3] % 2)))
+        rates.append(8000 * (1 + hsh[3] % 2))
+        nsamp.append(n)
+    return pa.table({"media_ref": pa.array(refs, pa.string()),
+                     "payload": pa.array(payloads, pa.large_binary())})
+
+
+class AudioStatsStage:
+    """Worker-singleton stage: REAL WAV decode + per-clip statistics —
+    sample count, rate, duration_ms (integer), peak (integer), RMS
+    (integer sum of squares / n, then ONE sqrt — correctly-rounded
+    IEEE, bit-reproducible), and zero-crossing count (integer)."""
+
+    def __init__(self, decoder: str = "wav"):
+        if decoder != "wav":  # pragma: no cover - import-gated
+            raise NotImplementedError(
+                "only the dependency-free wav decoder ships in-sandbox")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        ns, rs, dur, peak, rms, zc = [], [], [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            s, rate = decode_wav(payload)
+            x = s.astype(np.int64)
+            n = len(x)
+            ns.append(n)
+            rs.append(rate)
+            dur.append(n * 1000 // rate)
+            peak.append(int(np.abs(x).max()) if n else 0)
+            rms.append(float(np.sqrt(float(int((x * x).sum()))
+                                     / float(n))) if n else 0.0)
+            zc.append(int(((x[1:] < 0) != (x[:-1] < 0)).sum())
+                      if n > 1 else 0)
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "rate": pa.array(rs, pa.int64()),
+            "duration_ms": pa.array(dur, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zero_crossings": pa.array(zc, pa.int64())})
