@@ -237,3 +237,32 @@ def test_audio_stats_stage_exact(ray_session):
     assert out["peak"] == 100
     assert out["rms"] == float(np.sqrt(float((x * x).sum()) / 7.0))
     assert out["zero_crossings"] == int(((x[1:] < 0) != (x[:-1] < 0)).sum())
+
+
+def test_y4m_codec_and_frame_sampling(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pt
+    from web_crawler_ray.stages.multimodal import (VideoFrameSampleStage,
+                                                   decode_y4m, encode_y4m)
+    rng = np.random.default_rng(73)
+    fr = rng.integers(0, 256, (7, 6, 4, 3), dtype=np.uint8)
+    d, fps = decode_y4m(encode_y4m(fr, 12))
+    assert (d == fr).all() and fps == 12
+    with _pt.raises(ValueError):
+        decode_y4m(b"NOTY4M W1 H1\n")
+    with _pt.raises(ValueError):  # C420 unsupported
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + b"\x00" * 6)
+    with _pt.raises(ValueError):  # truncated frame
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + b"\x00" * 5)
+    # frame sampling: every 3rd of 7 frames -> indices 0, 3, 6
+    t = pa.table({"media_ref": pa.array(["v"]),
+                  "payload": pa.array([encode_y4m(fr, 12)],
+                                      pa.large_binary())})
+    out = VideoFrameSampleStage(every_k=3)(t)
+    assert out.column("frame_idx").to_pylist() == [0, 3, 6]
+    assert out.column("n_frames").to_pylist() == [7, 7, 7]
+    for row, i in enumerate((0, 3, 6)):
+        y = fr[i, :, :, 0].astype(np.int64)
+        assert out.column("mean_y")[row].as_py() == \
+            float(int(y.sum())) / float(y.size)

@@ -1789,6 +1789,26 @@ def q_audio_stats(sf_dir: str):
                             batch_size=32)
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video decode + frame sampling (no external libs): media
+    refs -> deterministic YUV4MPEG2 blob store -> VideoFrameSample
+    Stage (C444 y4m parser; every-5th-frame sample, exact per-frame
+    mean luma). Completes the real-decode multimodal trio (image/
+    audio/video); rows-only at the gate, decoder pinned in pytest."""
+    from ..stages import multimodal as M
+    refs = _media_refs(sf_dir)
+    n = refs.num_rows
+    k = max(2, min(16, n // 32 + 1))
+    slices = [refs.slice(i * n // k, (i + 1) * n // k - i * n // k)
+              for i in range(k)]
+    uniq = rd.from_arrow([s for s in slices if s.num_rows])
+    blob = uniq.map_batches(
+        lambda t: M.synth_y4m_table(t.column("media_ref").to_pylist()),
+        batch_format="pyarrow", batch_size=32)
+    return blob.map_batches(M.VideoFrameSampleStage(every_k=5),
+                            batch_format="pyarrow", batch_size=32)
+
+
 _DECON_BLOOM_BENCH = "doc_id % 13 = 5"  # distinct slice from q_decontaminate
 
 
@@ -2308,6 +2328,7 @@ def registry() -> dict:
         "merge_upsert": q_merge_upsert,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
+        "video_frames": q_video_frames,
         "decontaminate_bloom": q_decontaminate_bloom,
         "heavy_hitters": q_heavy_hitters,
         "connected_components": q_connected_components,

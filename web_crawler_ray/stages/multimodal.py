@@ -329,3 +329,121 @@ class AudioStatsStage:
             "peak": pa.array(peak, pa.int64()),
             "rms": pa.array(rms, pa.float64()),
             "zero_crossings": pa.array(zc, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode: YUV4MPEG2 (y4m, C444 8-bit — pure numpy)
+# ---------------------------------------------------------------------------
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (n, h, w, 3) uint8 YUV444 frames as a YUV4MPEG2 stream."""
+    n, h, w = frames.shape[:3]
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for f in frames:
+        out.append(b"FRAME\n")
+        # y4m stores planar: full Y plane, then U, then V
+        out.append(f[:, :, 0].tobytes())
+        out.append(f[:, :, 1].tobytes())
+        out.append(f[:, :, 2].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """Decode a YUV4MPEG2 (C444 8-bit) stream to ((n, h, w, 3) uint8
+    frames, fps) — a REAL video decoder with zero external deps.
+    Raises ValueError on non-C444 or malformed streams."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("decode_y4m: not a YUV4MPEG2 stream")
+    w = h = fps = None
+    colorspace = b"C420jpeg"  # y4m default when absent
+    for tok in head[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            fps = int(tok[1:].split(b":")[0])
+        elif tok[:1] == b"C":
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError("decode_y4m: missing W/H header")
+    if colorspace != b"C444":
+        raise ValueError("decode_y4m: only C444 supported")
+    plane = w * h
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("decode_y4m: bad FRAME marker")
+        pos = fnl + 1
+        raw = payload[pos:pos + 3 * plane]
+        if len(raw) != 3 * plane:
+            raise ValueError("decode_y4m: truncated frame")
+        yuv = np.frombuffer(raw, np.uint8).reshape(3, h, w)
+        frames.append(np.stack([yuv[0], yuv[1], yuv[2]], axis=-1))
+        pos += 3 * plane
+    return (np.stack(frames) if frames
+            else np.zeros((0, h, w, 3), np.uint8)), fps
+
+
+def synth_y4m_table(refs: list[str], seed: int = 42) -> pa.Table:
+    """Deterministic REAL y4m payloads per media ref: frame count,
+    dims and a per-frame drifting gradient are pure functions of
+    (seed, ref)."""
+    payloads = []
+    for r in refs:
+        hsh = hashlib.blake2b(f"{seed}|y4m|{r}".encode(),
+                              digest_size=16).digest()
+        n = 4 + hsh[0] % 21
+        w = 8 + hsh[1] % 9
+        h = 8 + hsh[2] % 9
+        fi = np.arange(n, dtype=np.int64)[:, None, None]
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack([
+            (xx[None] * (1 + hsh[3]) + fi * 7 + hsh[4]) % 256,
+            (yy[None] * (1 + hsh[5]) + fi * 11 + hsh[6]) % 256,
+            ((xx + yy)[None] * (1 + hsh[7]) + fi * 13) % 256,
+        ], axis=-1).astype(np.uint8)
+        payloads.append(encode_y4m(frames, fps=25))
+    return pa.table({"media_ref": pa.array(refs, pa.string()),
+                     "payload": pa.array(payloads, pa.large_binary())})
+
+
+class VideoFrameSampleStage:
+    """Worker-singleton stage: REAL y4m decode + every-k-th frame
+    sampling (the multimodal brief's frame-sample op) — emits one row
+    per SAMPLED frame with (media_ref, frame_idx, n_frames, fps,
+    width, height, mean_y): mean luma is an integer pixel sum / count,
+    ONE division, exact."""
+
+    def __init__(self, every_k: int = 5, decoder: str = "y4m"):
+        if decoder != "y4m":  # pragma: no cover - import-gated
+            raise NotImplementedError(
+                "only the dependency-free y4m decoder ships in-sandbox")
+        self.k = int(every_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, fidx, nfr, fpss, ws, hs, my = [], [], [], [], [], [], []
+        for ref, payload in zip(batch.column("media_ref").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            frames, fps = decode_y4m(payload)
+            n, h, w = frames.shape[:3]
+            for i in range(0, n, self.k):
+                y = frames[i, :, :, 0].astype(np.int64)
+                refs.append(ref)
+                fidx.append(i)
+                nfr.append(n)
+                fpss.append(fps)
+                ws.append(w)
+                hs.append(h)
+                my.append(float(int(y.sum())) / float(h * w))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "n_frames": pa.array(nfr, pa.int64()),
+            "fps": pa.array(fpss, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_y": pa.array(my, pa.float64())})
