@@ -187,7 +187,8 @@ def run_queries(num_cpus: int) -> dict:
              "cohort_retention", "ols_by_flag", "quantize_embeddings",
              "transition_counts", "bigram_lm", "geo_near_pairs",
              "resample_ffill", "profile_events", "merge_upsert",
-             "image_stats", "audio_stats", "video_frames"]
+             "image_stats", "audio_stats", "video_frames",
+             "winsorize_events", "mad_outliers", "percent_rank_events"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

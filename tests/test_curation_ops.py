@@ -530,3 +530,67 @@ def test_filter_by_group_quantile(ray_session):
         .to_pandas()
     assert len(lo) + len(out) == len(df)
     assert set(lo["id"]).isdisjoint(set(out["id"]))
+
+
+def test_winsorize_by_group(ray_session):
+    from web_crawler_ray.stages.aggregates import winsorize_by_group
+    import math
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"id": np.arange(400),
+                       "g": rng.choice(["a", "b"], 400),
+                       "v": rng.normal(0, 10, 400)})
+    out = winsorize_by_group(
+        rd.from_pandas(df).repartition(5), "g", "v", "id", 0.05, 0.95) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+
+    def qdisc(vals, q):
+        s = np.sort(vals)
+        return s[min(max(math.ceil(q * len(s)) - 1, 0), len(s) - 1)]
+
+    for g, sub in df.groupby("g"):
+        lo, hi = qdisc(sub["v"].to_numpy(), 0.05), qdisc(sub["v"].to_numpy(), 0.95)
+        got = out[out["g"] == g].set_index("id")["v_clip"]
+        exp = sub.set_index("id")["v"].clip(lo, hi)
+        assert np.array_equal(got.sort_index().to_numpy(),
+                              exp.sort_index().to_numpy())
+    # clipped values are actual group values at the edges; interior
+    # rows pass through bit-identical
+    assert len(out) == len(df)
+
+
+def test_mad_outliers_bruteforce(ray_session):
+    from web_crawler_ray.stages.aggregates import mad_outliers
+    import math
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 1, 300)
+    v[:6] += 40.0  # planted outliers
+    df = pd.DataFrame({"id": np.arange(300),
+                       "g": ["a"] * 150 + ["b"] * 150, "v": v})
+    out = mad_outliers(rd.from_pandas(df).repartition(4),
+                       "g", "v", "id", k=3.0).to_pandas()
+
+    def qdisc(vals, q):
+        s = np.sort(vals)
+        return s[min(max(math.ceil(q * len(s)) - 1, 0), len(s) - 1)]
+
+    exp_ids = []
+    for g, sub in df.groupby("g"):
+        med = qdisc(sub["v"].to_numpy(), 0.5)
+        ad = np.abs(sub["v"].to_numpy() - med)
+        mad = qdisc(ad, 0.5)
+        exp_ids.extend(sub["id"].to_numpy()[ad > 3.0 * mad].tolist())
+    assert sorted(out["id"].tolist()) == sorted(exp_ids)
+    assert set(np.arange(6)).issubset(set(out["id"]))  # planted found
+
+
+def test_percent_rank_ties_and_singleton(ray_session):
+    from web_crawler_ray.stages.windows import percent_rank_per_group
+    df = pd.DataFrame({"id": [1, 2, 3, 4, 5, 6],
+                       "g": ["a", "a", "a", "a", "a", "b"],
+                       "v": [10.0, 20.0, 20.0, 30.0, 40.0, 7.0]})
+    out = percent_rank_per_group(rd.from_pandas(df), "g", "v", "id") \
+        .to_pandas().set_index("id")["pr"]
+    # ranks (min): 10->1, 20->2, 20->2, 30->4, 40->5; n-1 = 4
+    assert out[1] == 0.0 and out[2] == 0.25 and out[3] == 0.25
+    assert out[4] == 0.75 and out[5] == 1.0
+    assert out[6] == 0.0  # singleton group -> 0.0 (DuckDB convention)

@@ -1652,6 +1652,77 @@ _GEO_SQL = (
     "ORDER BY id_a, id_b")
 
 
+def q_winsorize_events(sf_dir: str):
+    """Per-group winsorization: clip each event's value into its own
+    event_type's [p5, p95] quantile_disc range — the robust
+    outlier-taming normalizer next to zscore_events
+    (stages/aggregates.py winsorize_by_group: ONE column-pruned
+    groupby shuffle for the O(groups) threshold table, broadcast once,
+    corpus streams through a vectorized clip). Values are copied via
+    min/max, never combined — float-exact vs least/greatest over
+    quantile_disc windows."""
+    from ..stages.aggregates import winsorize_by_group
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    return winsorize_by_group(ds, "event_type", "value", "event_id",
+                              0.05, 0.95)
+
+
+_WINSORIZE_SQL = (
+    "SELECT event_id, event_type, "
+    "least(greatest(value, lo), hi) AS v_clip FROM ("
+    "SELECT event_id, event_type, value, "
+    "quantile_disc(value, 0.05) OVER (PARTITION BY event_type) AS lo, "
+    "quantile_disc(value, 0.95) OVER (PARTITION BY event_type) AS hi "
+    "FROM events) ORDER BY event_id")
+
+
+def q_mad_outliers(sf_dir: str):
+    """Per-group MAD outlier detection: events whose |value - median|
+    exceeds 3x their event_type's median absolute deviation — the
+    heavy-tail-robust gate where a stddev threshold would be inflated
+    by the very outliers it hunts (stages/aggregates.py mad_outliers:
+    ONE groupby shuffle, both order statistics and the flags computed
+    group-locally, output is the outlier rows only). Bit-exact: two
+    quantile_disc order statistics, one subtract+abs, one
+    multiply+compare."""
+    from ..stages.aggregates import mad_outliers
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    return mad_outliers(ds, "event_type", "value", "event_id", k=3.0)
+
+
+_MAD_SQL = (
+    "WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med "
+    "FROM events GROUP BY event_type), "
+    "dev AS (SELECT e.event_id, e.event_type, e.value, "
+    "abs(e.value - m.med) AS ad, m.med FROM events e "
+    "JOIN med m USING (event_type)), "
+    "mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad "
+    "FROM dev GROUP BY event_type) "
+    "SELECT d.event_id, d.event_type, d.value, d.med, m.mad "
+    "FROM dev d JOIN mad m USING (event_type) "
+    "WHERE d.ad > 3.0 * m.mad ORDER BY d.event_id")
+
+
+def q_percent_rank_events(sf_dir: str):
+    """Per-group percent_rank of event value (rank-min ties,
+    (rank-1)/(n-1)) — the distribution-free [0,1] score normalizer
+    (stages/windows.py percent_rank_per_group: ONE groupby shuffle,
+    per-group numpy sort + searchsorted). pr is the single double
+    division DuckDB's percent_rank performs — bit-exact."""
+    from ..stages.windows import percent_rank_per_group
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    return percent_rank_per_group(ds, "event_type", "value", "event_id")
+
+
+_PRANK_SQL = (
+    "SELECT event_id, event_type, percent_rank() OVER ("
+    "PARTITION BY event_type ORDER BY value) AS pr "
+    "FROM events ORDER BY event_id")
+
+
 def q_resample_ffill(sf_dir: str):
     """Per-user hourly forward-fill resampling of the event stream
     (irregular events -> regular grid, values carried from the
@@ -2323,6 +2394,9 @@ def registry() -> dict:
         "transition_counts": q_transition_counts,
         "bigram_lm": q_bigram_lm,
         "geo_near_pairs": q_geo_near_pairs,
+        "winsorize_events": q_winsorize_events,
+        "mad_outliers": q_mad_outliers,
+        "percent_rank_events": q_percent_rank_events,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3242,6 +3316,9 @@ ORACLES: dict[str, str] = {
     "transition_counts": _TRANSITION_SQL,
     "bigram_lm": _BIGRAM_SQL,
     "geo_near_pairs": _GEO_SQL,
+    "winsorize_events": _WINSORIZE_SQL,
+    "mad_outliers": _MAD_SQL,
+    "percent_rank_events": _PRANK_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

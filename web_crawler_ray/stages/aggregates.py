@@ -1380,3 +1380,83 @@ def bigram_lm(ds, text_col: str = "text", min_count: int = 2):
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("w1")
               .map_groups(per_w1, batch_format="pandas"))
+
+
+def winsorize_by_group(ds, key: str, value: str, id_col: str,
+                       q_lo: float = 0.05, q_hi: float = 0.95):
+    """Per-group winsorization: clip ``value`` into its OWN group's
+    [quantile_disc(q_lo), quantile_disc(q_hi)] range — the outlier-
+    taming normalizer used before loss-weighting / mixing-rate
+    computations where a handful of extreme rows would otherwise
+    dominate a group statistic (the robust cousin of zscore_per_group).
+
+    Scale shape (same contract as filter_by_group_quantile): the
+    threshold table is ONE column-pruned ``groupby(key)`` shuffle with
+    O(groups) output, broadcast once via ``ray.put``; the corpus then
+    streams through a stateless vectorized clip — no second shuffle,
+    no driver materialization of data rows.
+
+    Exactness: thresholds are order statistics (actual values), the
+    clip is min/max — values are COPIED, never combined, so the result
+    is float-identical to the oracle's least/greatest over
+    quantile_disc window functions. Returns (id_col, key, v_clip)."""
+    thr_tbl = group_quantiles(ds, key, value, [q_lo, q_hi],
+                              names=["__lo", "__hi"])
+    thr: dict = {}
+    for b in thr_tbl.iter_batches(batch_format="pyarrow"):
+        thr.update(zip(b.column(key).to_pylist(),
+                       zip(b.column("__lo").to_pylist(),
+                           b.column("__hi").to_pylist())))
+    ref = ray.put(thr)
+
+    def clip(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        v = t.column(value).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        pairs = np.array([m[k] for k in t.column(key).to_pylist()],
+                         dtype=np.float64)
+        out = np.minimum(np.maximum(v, pairs[:, 0]), pairs[:, 1])
+        return pa.table({id_col: t.column(id_col),
+                         key: t.column(key),
+                         "v_clip": pa.array(out)})
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def mad_outliers(ds, key: str, value: str, id_col: str, k: float = 3.0):
+    """Per-group robust outlier detection: flag rows where
+    ``|v - median| > k * MAD`` with MAD the median absolute deviation
+    (median of ``|v - median|``) — the standard robust alternative to
+    z-score gating when the value distribution is heavy-tailed (a few
+    giant documents / event values would inflate a stddev threshold
+    and hide every other outlier). Returns the OUTLIER rows only:
+    (id_col, key, value, med, mad).
+
+    Scale shape: ONE ``groupby(key)`` shuffle; each group computes
+    both order statistics and its own flags locally (same
+    group-fits-a-worker contract as group_quantiles — pre-reduce with
+    a quantile sketch for low-cardinality keys at 100 TB). Output is
+    outliers only, typically orders of magnitude smaller than input.
+
+    Exactness: both medians are quantile_disc order statistics
+    (ceil(n/2)-1), the deviation is one subtract + abs and the gate one
+    multiply + compare — bit-identical to the nested quantile_disc
+    oracle."""
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value].to_numpy(dtype=np.float64)
+        sv = np.sort(v, kind="stable")
+        med = float(sv[min(max(math.ceil(0.5 * len(sv)) - 1, 0),
+                           len(sv) - 1)])
+        ad = np.abs(v - med)
+        sad = np.sort(ad, kind="stable")
+        mad = float(sad[min(max(math.ceil(0.5 * len(sad)) - 1, 0),
+                            len(sad) - 1)])
+        mask = ad > k * mad
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy()[mask],
+            key: g[key].iloc[0],
+            value: v[mask],
+            "med": med,
+            "mad": mad})
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

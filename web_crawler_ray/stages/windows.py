@@ -320,3 +320,33 @@ def resample_ffill(ds, user_col: str = "user_id", ts_col: str = "ts",
             value_col: t.column("v")})
 
     return parts.map_batches(finish, batch_format="pyarrow")
+
+
+def percent_rank_per_group(ds, key_col: str, value_col: str,
+                           id_col: str):
+    """Per-group percent_rank: ``(rank - 1) / (n - 1)`` with rank-min
+    tie handling (SQL ``percent_rank() OVER (PARTITION BY key ORDER BY
+    value)``) — the distribution-free score normalizer: downstream
+    mixing / gating sees a uniform [0, 1] position instead of a raw
+    value, robust to any per-group scale difference (the rank cousin
+    of zscore_per_group / winsorize_by_group).
+
+    Scale shape: ONE ``groupby(key)`` shuffle; the per-group kernel is
+    a numpy sort + searchsorted (rank of v = 1 + #strictly-smaller),
+    O(n log n) local work, no driver traffic. Same group-fits-a-worker
+    contract as group_quantiles.
+
+    Exactness: rank and n are integers; pr is the single double
+    division DuckDB's percent_rank performs — bit-exact. A 1-row group
+    yields 0.0 (DuckDB convention). Returns (id_col, key_col, pr)."""
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        sv = np.sort(v, kind="stable")
+        rank = np.searchsorted(sv, v, side="left") + 1
+        pr = (rank - 1) / (n - 1) if n > 1 else np.zeros(n)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: g[key_col].iloc[0],
+                             "pr": pr})
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
