@@ -689,3 +689,63 @@ def test_bfs_hops_chain_and_unreachable(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         bfs_hops(rd.from_arrow(e), source=777)
+
+
+def _brute_sssp(u, v, w, s):
+    import heapq
+    adj = {}
+    for a, b, c in zip(u.tolist(), v.tolist(), w.tolist()):
+        adj.setdefault(a, []).append((b, c))
+    dist = {s: 0}
+    q = [(0, s)]
+    while q:
+        d, a = heapq.heappop(q)
+        if d > dist.get(a, 1 << 60):
+            continue
+        for b, c in adj.get(a, ()):
+            nd = d + c
+            if nd < dist.get(b, 1 << 60):
+                dist[b] = nd
+                heapq.heappush(q, (nd, b))
+    return dist
+
+
+def test_sssp_weighted_brute_force_and_parity(ray_session):
+    from web_crawler_ray.stages.graph import sssp_weighted
+    rng = np.random.default_rng(23)
+    u = rng.integers(0, 300, 700).astype(np.int64)
+    v = rng.integers(0, 300, 700).astype(np.int64)
+    w = rng.integers(1, 9, 700).astype(np.int64)
+    tbl = pa.table({"src": u, "dst": v, "w": w})
+    t = sssp_weighted(rd.from_arrow(tbl).repartition(4))
+    s = int(min(u.min(), v.min()))
+    want = _brute_sssp(u, v, w, s)
+    got = dict(zip(t.column("node").to_pylist(),
+                   t.column("dist").to_pylist()))
+    assert got == want
+    # distributed path output-identical to the driver path
+    d = sssp_weighted(rd.from_arrow(tbl), driver_limit=0,
+                      num_partitions=5)
+    assert d.equals(t)
+
+
+def test_sssp_weighted_picks_cheap_detour(ray_session):
+    from web_crawler_ray.stages.graph import sssp_weighted
+    # direct 0->2 costs 10; detour 0->1->2 costs 3 — weighted beats BFS
+    e = pa.table({"src": pa.array([0, 0, 1, 7], pa.int64()),
+                  "dst": pa.array([2, 1, 2, 8], pa.int64()),
+                  "w": pa.array([10, 1, 2, 1], pa.int64())})
+    t = sssp_weighted(rd.from_arrow(e), source=0)
+    assert t.column("node").to_pylist() == [0, 1, 2]
+    assert t.column("dist").to_pylist() == [0, 1, 3]
+    d = sssp_weighted(rd.from_arrow(e), source=0, driver_limit=0,
+                      num_partitions=3)
+    assert d.equals(t)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sssp_weighted(rd.from_arrow(e), source=777)
+    bad = pa.table({"src": pa.array([0], pa.int64()),
+                    "dst": pa.array([1], pa.int64()),
+                    "w": pa.array([0], pa.int64())})
+    with _pt.raises(ValueError):
+        sssp_weighted(rd.from_arrow(bad), source=0)

@@ -282,3 +282,43 @@ def test_merge_upsert_semantics(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     assert list(out["k"]) == [1, 2, 3, 4, 5]
     assert list(out["v"]) == [10.0, 99.0, 30.0, 40.0, 55.0]
+
+
+def _brute_skyline(x, y):
+    keep = []
+    for i in range(len(x)):
+        dom = any((x[j] <= x[i] and y[j] <= y[i]
+                   and (x[j] < x[i] or y[j] < y[i]))
+                  for j in range(len(x)))
+        keep.append(not dom)
+    return np.array(keep, bool)
+
+
+def test_skyline_mask_matches_brute_force():
+    from web_crawler_ray.stages.relational import _skyline_2d
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 2, 50, 300):
+        x = rng.integers(0, 12, n).astype(np.float64)
+        y = rng.integers(0, 12, n).astype(np.float64)
+        got = _skyline_2d(x, y)
+        assert (got == _brute_skyline(x, y)).all()
+
+
+def test_skyline_duplicates_all_survive():
+    from web_crawler_ray.stages.relational import _skyline_2d
+    # two exact-duplicate optimal points: neither dominates the other
+    x = np.array([1.0, 1.0, 2.0, 1.0])
+    y = np.array([1.0, 1.0, 0.5, 3.0])
+    assert list(_skyline_2d(x, y)) == [True, True, True, False]
+
+
+def test_skyline_2d_distributed_equals_global(ray_session):
+    from web_crawler_ray.stages.relational import _skyline_2d, skyline_2d
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 40, 500).astype(np.float64)
+    y = rng.integers(0, 40, 500).astype(np.float64)
+    t = pa.table({"id": pa.array(np.arange(500)), "x": x, "y": y})
+    want = sorted(np.arange(500)[_skyline_2d(x, y)].tolist())
+    for parts in (1, 3, 16):
+        out = skyline_2d(rd.from_arrow(t).repartition(parts), "x", "y")
+        assert sorted(out.column("id").to_pylist()) == want

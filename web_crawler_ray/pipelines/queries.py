@@ -1723,6 +1723,178 @@ _PRANK_SQL = (
     "FROM events ORDER BY event_id")
 
 
+def q_skyline_parts(sf_dir: str):
+    """Pareto-optimal skyline of the part table: parts no other part
+    beats on BOTH retail price and size (minimizing) — the
+    multi-criteria shortlist operator (stages/relational.py
+    skyline_2d: the skyline is an algebraic combiner, so one
+    map_batches local-skyline pass + one final pass over the tiny
+    survivor union; no shuffle, comparisons only — doubles exact).
+    Oracle: the canonical NOT EXISTS dominance query."""
+    from ..stages.relational import skyline_2d
+    ds = _rp(sf_dir, "part",
+             columns=["p_partkey", "p_retailprice", "p_size"])
+    return skyline_2d(ds, "p_retailprice", "p_size")
+
+
+_SKYLINE_SQL = (
+    "SELECT p_partkey, p_retailprice, p_size FROM part p "
+    "WHERE NOT EXISTS (SELECT 1 FROM part q "
+    "WHERE q.p_retailprice <= p.p_retailprice "
+    "AND q.p_size <= p.p_size "
+    "AND (q.p_retailprice < p.p_retailprice "
+    "OR q.p_size < p.p_size)) "
+    "ORDER BY p_partkey")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped star join: two-year revenue by EUROPE nation
+    where the supplier and the ordering customer share the nation —
+    the composed multi-table plan (6 tables) demonstrating join
+    PLANNING rather than a single join op: region⋈nation and supplier
+    collapse to broadcast lookups applied inside the lineitem scan
+    (dimension tables — never shuffled), customer is broadcast into
+    the orders scan (a dimension at gate scale; at 100 TB this leg
+    becomes one more custkey-keyed exchange, same kernel shape), and
+    the single all-to-all is ONE orderkey-keyed raw-task exchange
+    whose lineitem side was pre-aggregated per (orderkey, s_nation)
+    in-batch — shuffle volume is O(distinct orderkeys), never line
+    items. Revenue is summed in integer fixed-point
+    (price-cents x (100 - discount-pct)) — no float-sum ordering;
+    the driver folds O(partitions x nations) partials."""
+    from ..stages.shuffles import int_part_map
+
+    nat = _rp(sf_dir, "nation",
+              columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _rp(sf_dir, "region",
+              columns=["r_regionkey", "r_name"]).to_pandas()
+    euro = set(reg.loc[reg["r_name"] == "EUROPE", "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(euro)]
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    sup = _rp(sf_dir, "supplier",
+              columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(sup["s_suppkey"].to_numpy(np.int64))
+    so = np.argsort(sup["s_suppkey"].to_numpy(np.int64), kind="stable")
+    sn = sup["s_nationkey"].to_numpy(np.int64)[so]
+    sup_ref = ray.put((sk, sn, np.array(sorted(names), np.int64)))
+
+    cus = _rp(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cus["c_custkey"].to_numpy(np.int64))
+    co = np.argsort(cus["c_custkey"].to_numpy(np.int64), kind="stable")
+    cn = cus["c_nationkey"].to_numpy(np.int64)[co]
+    cus_ref = ray.put((ck, cn))
+
+    import datetime as _dt
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1998, 1, 1)
+
+    def line_partials(t: pa.Table) -> pa.Table:
+        skv, snv, eu = ray.get(sup_ref)
+        okey = t.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        supk = t.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        s_nat = snv[np.searchsorted(skv, supk)]
+        keep = np.isin(s_nat, eu)
+        okey, s_nat = okey[keep], s_nat[keep]
+        rev = (np.round(price[keep] * 100).astype(np.int64)
+               * (100 - np.round(disc[keep] * 100).astype(np.int64)))
+        # in-batch partial: one row per (orderkey, s_nation)
+        o = np.lexsort((s_nat, okey))
+        okey, s_nat, rev = okey[o], s_nat[o], rev[o]
+        new = np.ones(len(okey), bool)
+        new[1:] = (okey[1:] != okey[:-1]) | (s_nat[1:] != s_nat[:-1])
+        st = np.nonzero(new)[0]
+        revp = np.add.reduceat(rev, st) if len(st) else rev
+        return pa.table({"gkey": pa.array(okey[st]),
+                         "nat": pa.array(s_nat[st]),
+                         "rev": pa.array(revp),
+                         "tag": pa.array(np.zeros(len(st), np.int8))})
+
+    def order_nat(t: pa.Table) -> pa.Table:
+        ckv, cnv = ray.get(cus_ref)
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (od >= np.datetime64(lo)) & (od < np.datetime64(hi))
+        okey = t.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        cust = t.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        c_nat = cnv[np.searchsorted(ckv, cust)]
+        return pa.table({"gkey": pa.array(okey),
+                         "nat": pa.array(c_nat),
+                         "rev": pa.array(np.zeros(len(okey), np.int64)),
+                         "tag": pa.array(np.ones(len(okey), np.int8))})
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"]) \
+        .map_batches(line_partials, batch_format="pyarrow")
+    od = _rp(sf_dir, "orders",
+             columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_nat, batch_format="pyarrow")
+
+    def match_sum(df: pd.DataFrame) -> pd.DataFrame:
+        tag = df["tag"].to_numpy()
+        own, fol = df[tag == 1], df[tag == 0]
+        z = np.array([], np.int64)
+        if not len(fol) or not len(own):
+            return pd.DataFrame({"nat": z, "rev": z})
+        ok = own["gkey"].to_numpy(np.int64)
+        onat = own["nat"].to_numpy(np.int64)
+        o = np.argsort(ok, kind="stable")
+        ok, onat = ok[o], onat[o]
+        g = fol["gkey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, g)
+        fnd = np.zeros(len(g), bool)
+        inb = idx < len(ok)
+        fnd[inb] = ok[idx[inb]] == g[inb]
+        # join condition: the supplier nation == the customer nation
+        fnd[fnd] &= (fol["nat"].to_numpy(np.int64)[fnd]
+                     == onat[idx[fnd]])
+        nat = fol["nat"].to_numpy(np.int64)[fnd]
+        rev = fol["rev"].to_numpy(np.int64)[fnd]
+        o2 = np.argsort(nat, kind="stable")
+        nat, rev = nat[o2], rev[o2]
+        new = np.ones(len(nat), bool)
+        new[1:] = nat[1:] != nat[:-1]
+        st = np.nonzero(new)[0]
+        return pd.DataFrame({"nat": nat[st],
+                             "rev": np.add.reduceat(rev, st)
+                             if len(st) else rev})
+
+    acc: dict[int, int] = {}
+    out = int_part_map(li.union(od), "gkey", match_sum,
+                       num_partitions=32)
+    for b in out.iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for n, r in zip(tb.column("nat").to_pylist(),
+                        tb.column("rev").to_pylist()):
+            acc[n] = acc.get(n, 0) + r
+    ks = sorted(acc, key=lambda n: (-acc[n], names[n]))
+    return pa.table({"n_name": pa.array([names[k] for k in ks]),
+                     "revenue_fp": pa.array([acc[k] for k in ks],
+                                            pa.int64())})
+
+
+_REVENUE_SQL = (
+    "SELECT n_name, "
+    "SUM(CAST(round(l_extendedprice*100) AS BIGINT) "
+    "* (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT "
+    "AS revenue_fp "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'EUROPE' "
+    "AND o_orderdate >= DATE '1996-01-01' "
+    "AND o_orderdate < DATE '1998-01-01' "
+    "GROUP BY n_name ORDER BY revenue_fp DESC, n_name")
+
+
 def q_resample_ffill(sf_dir: str):
     """Per-user hourly forward-fill resampling of the event stream
     (irregular events -> regular grid, values carried from the
@@ -2332,6 +2504,47 @@ def _bfs_hops_oracle_sql() -> str:
         "GROUP BY node ORDER BY node")
 
 
+def q_sssp_weighted(sf_dir: str):
+    """Weighted single-source shortest paths from the minimum node over
+    the undirected mixed-key lineitem graph, edge cost
+    (src + dst) % 7 + 1 (symmetric, derived from the endpoints so both
+    engines compute identical weights) — the link-cost generalization
+    of bfs_hops (the reference's 3-tier URL prioritizer,
+    utils/validator.js, is this with uniform costs; stages/graph.py
+    sssp_weighted: driver CSR Bellman-Ford frontier below 500k edges,
+    min-plus weighted label relaxation exchanges above, parity pinned
+    in pytest). Oracle: bounded recursive CTE + MIN per node (bound
+    96 >> max shortest distance — max observed is ~40 = ecc x max
+    weight; all-integer, exact)."""
+    from ..stages.graph import sssp_weighted
+
+    def both_w(t: pa.Table) -> pa.Table:
+        a = t.column("src").combine_chunks()
+        b = t.column("dst").combine_chunks()
+        s = pa.concat_arrays([a, b])
+        d = pa.concat_arrays([b, a])
+        sv = s.to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = d.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": s, "dst": d,
+                         "w": pa.array((sv + dv) % 7 + 1)})
+
+    return sssp_weighted(_tri_edges(sf_dir).map_batches(
+        both_w, batch_format="pyarrow"))
+
+
+def _sssp_oracle_sql() -> str:
+    return (
+        f"WITH RECURSIVE e0 AS ({_TRI_E0}), "
+        "e AS (SELECT DISTINCT src, dst, (src + dst) % 7 + 1 AS w FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)), "
+        "r AS (SELECT (SELECT MIN(least(src, dst)) FROM e) AS node, "
+        "0 AS d "
+        "UNION SELECT e.dst, r.d + e.w FROM r "
+        "JOIN e ON e.src = r.node WHERE r.d + e.w < 96) "
+        "SELECT node, MIN(d)::BIGINT AS dist FROM r "
+        "GROUP BY node ORDER BY node")
+
+
 def q_approx_quantiles(sf_dir: str):
     """Per-group quantiles via the MERGEABLE uniform summary
     (stages/sketches.py approx_quantiles — the order-statistics member
@@ -2397,6 +2610,9 @@ def registry() -> dict:
         "winsorize_events": q_winsorize_events,
         "mad_outliers": q_mad_outliers,
         "percent_rank_events": q_percent_rank_events,
+        "sssp_weighted": q_sssp_weighted,
+        "skyline_parts": q_skyline_parts,
+        "revenue_by_nation": q_revenue_by_nation,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3319,6 +3535,9 @@ ORACLES: dict[str, str] = {
     "winsorize_events": _WINSORIZE_SQL,
     "mad_outliers": _MAD_SQL,
     "percent_rank_events": _PRANK_SQL,
+    "sssp_weighted": _sssp_oracle_sql(),
+    "skyline_parts": _SKYLINE_SQL,
+    "revenue_by_nation": _REVENUE_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

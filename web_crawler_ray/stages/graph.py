@@ -1166,3 +1166,158 @@ def bfs_hops(edges_ds, source: int | None = None,
     cat = pa.concat_tables(
         [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")])
     return cat.rename_columns(["node", "hops"]).sort_by("node")
+
+
+def sssp_weighted(edges_ds, source: int | None = None,
+                  src: str = "src", dst: str = "dst", w: str = "w",
+                  driver_limit: int = DRIVER_CC_MAX,
+                  max_iters: int = 128, num_partitions: int = 8):
+    """Single-source shortest paths over a DIRECTED edge Dataset with a
+    POSITIVE integer weight column ``w`` (callers append reversed edges
+    for undirected reach) — the weighted sibling of :func:`bfs_hops`,
+    i.e. the link-cost frontier tiering the reference approximates with
+    its 3-tier priority buckets (utils/validator.js prioritizeUrls)
+    when edge costs are uniform. Returns a ``pyarrow.Table``
+    (node, dist) for REACHED nodes only, sorted by node. ``source=None``
+    uses the minimum node id (deterministic, scale-independent).
+    Multi-edges are fine: min-plus relaxation takes the cheapest.
+
+    Below ``driver_limit`` edges: numpy CSR Bellman-Ford frontier
+    relaxation on the driver (only nodes improved last round relax
+    their out-edges; non-negative weights guarantee convergence in at
+    most |V| rounds, in practice the hop length of the longest optimal
+    path). Above: the same min-plus relaxation as bfs_hops, messages
+    carrying dist(u)+w(u,v) instead of dist(u)+1; per round ONE
+    tagged-union owner-lookup exchange + ONE grouped min, driver sees
+    an O(1) (count, sum) convergence scalar. Labels only grow in count
+    and shrink in value, so the (count, sum) fixed point is exact."""
+    import ray
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b)
+             for b in edges_ds.select_columns([src, dst, w])
+                              .iter_batches(batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        wt = cat.column(w).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(wt) and wt.min() <= 0:
+            raise ValueError("sssp_weighted: weights must be positive")
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u):]
+        n = len(nodes)
+        s = int(nodes[0]) if source is None else int(source)
+        si = np.searchsorted(nodes, s)
+        if si >= n or nodes[si] != s:
+            raise ValueError(f"sssp_weighted: source {s} is not a node")
+        order = np.argsort(ui, kind="stable")
+        us, vs, ws = ui[order], vi[order], wt[order]
+        starts = np.searchsorted(us, np.arange(n + 1))
+        INF = np.iinfo(np.int64).max
+        dist = np.full(n, INF, np.int64)
+        dist[si] = 0
+        frontier = np.array([si], np.int64)
+        while len(frontier):
+            cnts = starts[frontier + 1] - starts[frontier]
+            tot = int(cnts.sum())
+            if not tot:
+                break
+            idx = (np.repeat(starts[frontier], cnts)
+                   + np.arange(tot)
+                   - np.repeat(np.cumsum(cnts) - cnts, cnts))
+            cand_d = np.repeat(dist[frontier], cnts) + ws[idx]
+            nd = dist.copy()
+            np.minimum.at(nd, vs[idx], cand_d)
+            frontier = np.nonzero(nd < dist)[0]
+            dist = nd
+        reached = dist < INF
+        return pa.table({"node": nodes[reached], "dist": dist[reached]})
+
+    # ---- distributed path ------------------------------------------------
+    import ray.data as rd
+    from .shuffles import int_part_map as _ipm
+
+    def to_e(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column(src).cast(pa.int64()),
+                         "dst": t.column(dst).cast(pa.int64()),
+                         "w": t.column(w).cast(pa.int64())})
+
+    e = edges_ds.map_batches(to_e, batch_format="pyarrow").materialize()
+    if source is None:
+        import pyarrow.compute as pc
+
+        @ray.remote
+        def _min2(t: pa.Table) -> int:
+            return min(int(pc.min(t.column("src")).as_py()),
+                       int(pc.min(t.column("dst")).as_py()))
+
+        source = min(ray.get([_min2.remote(r) for r in e.to_arrow_refs()]))
+    labels = rd.from_arrow(pa.table(
+        {"node": pa.array([int(source)], pa.int64()),
+         "label": pa.array([0], pa.int64())})).materialize()
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({"gkey": t.column("src"), "dst": t.column("dst"),
+                         "w": t.column("w"), "lab": pa.array(z),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({"gkey": t.column("node"), "dst": pa.array(z),
+                         "w": pa.array(z), "lab": t.column("label"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def _relax_w(df: pd.DataFrame) -> pd.DataFrame:
+        tag = df["tag"].to_numpy()
+        own, fol = df[tag == 1], df[tag == 0]
+        z = np.array([], np.int64)
+        if not len(fol) or not len(own):
+            return pd.DataFrame({"node": z, "label": z})
+        ok = own["gkey"].to_numpy(np.int64)
+        ol = own["lab"].to_numpy(np.int64)
+        o = np.argsort(ok, kind="stable")
+        ok, ol = ok[o], ol[o]
+        g = fol["gkey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, g)
+        fnd = np.zeros(len(g), bool)
+        inb = idx < len(ok)
+        fnd[inb] = ok[idx[inb]] == g[inb]
+        return pd.DataFrame(
+            {"node": fol["dst"].to_numpy(np.int64)[fnd],
+             "label": ol[idx[fnd]] + fol["w"].to_numpy(np.int64)[fnd]})
+
+    @ray.remote
+    def _cnt_sum(t: pa.Table):
+        import pyarrow.compute as pc
+        return (t.num_rows, int(pc.sum(t.column("label")).as_py() or 0))
+
+    prev = None
+    for _ in range(max_iters):
+        tagged = e.map_batches(tag_edge, batch_format="pyarrow") \
+                  .union(labels.map_batches(tag_lab,
+                                            batch_format="pyarrow"))
+        msgs = _ipm(tagged, "gkey", _relax_w,
+                    num_partitions=num_partitions)
+        labels = _ipm(msgs.union(labels), "node", _min_per_node,
+                      num_partitions=num_partitions).materialize()
+        cs = ray.get([_cnt_sum.remote(r) for r in labels.to_arrow_refs()])
+        s = (sum(c for c, _ in cs), sum(v for _, v in cs))
+        if prev is not None and s == prev:
+            break
+        prev = s
+    else:
+        import warnings
+        warnings.warn(
+            f"sssp_weighted: relaxation did not stabilize within "
+            f"max_iters={max_iters}; distances may be incomplete "
+            f"(raise max_iters)", RuntimeWarning)
+    cat = pa.concat_tables(
+        [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")])
+    return cat.rename_columns(["node", "dist"]).sort_by("node")

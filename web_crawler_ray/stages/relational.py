@@ -509,3 +509,67 @@ def merge_upsert(base_ds, updates_ds, key_col: str,
 
     return int_part_map(u, key_col, per_partition,
                         num_partitions=num_partitions)
+
+
+def _skyline_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D minimizing skyline: row i survives
+    iff no row has (x<=xi AND y<=yi) with at least one strict. Exact
+    duplicates all survive (neither strictly dominates the other).
+    Vectorized: sort by (x, y); within an equal-x run only the min-y
+    rows can survive; across runs a row is dominated iff some
+    strictly-smaller-x prefix reached a y <= its y (prefix-min scan).
+    Comparisons only — no float arithmetic, so doubles stay exact."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    newx = np.ones(n, bool)
+    newx[1:] = xs[1:] != xs[:-1]
+    run_id = np.cumsum(newx) - 1
+    # min y within each equal-x run, broadcast back to rows
+    run_min = np.minimum.reduceat(ys, np.nonzero(newx)[0])
+    ymin_in_run = run_min[run_id]
+    # prefix min of run minima over STRICTLY smaller x (previous runs)
+    prev = np.concatenate(([np.inf], np.minimum.accumulate(run_min)[:-1]))
+    keep_sorted = (ys == ymin_in_run) & (ys < prev[run_id])
+    keep = np.zeros(n, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_2d(ds, x_col: str, y_col: str):
+    """Pareto-optimal (minimizing) skyline over two numeric columns —
+    the multi-criteria shortlist operator (cheapest-AND-smallest part,
+    best-quality-AND-shortest doc; the reference's single-criterion
+    analogue is the 3-tier URL prioritizer, utils/validator.js).
+    SQL twin: ``WHERE NOT EXISTS (dominating row)``.
+
+    Scale shape: the skyline is an algebraic combiner — a globally
+    non-dominated row is non-dominated within its own batch, so one
+    ``map_batches`` pass reduces each batch to its local skyline
+    (expected O(log^2 n) rows on independent dimensions), and one
+    final pass over the concatenated survivors yields the exact global
+    skyline. Driver traffic is the survivor union, never the table;
+    no shuffle. Returns a pyarrow Table with ds's columns, sorted by
+    (x_col, y_col) then remaining columns."""
+    def local(t: pa.Table) -> pa.Table:
+        xv = t.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        yv = t.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return t.filter(pa.array(_skyline_2d(xv, yv)))
+
+    parts = [pa.table(b) for b in ds.map_batches(
+        local, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    if not parts:
+        sch = ds.schema()
+        cat = pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    else:
+        cat = pa.concat_tables(parts)
+    xv = cat.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    yv = cat.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    out = cat.filter(pa.array(_skyline_2d(xv, yv)))
+    others = [c for c in out.column_names if c not in (x_col, y_col)]
+    return out.sort_by([(x_col, "ascending"), (y_col, "ascending")]
+                       + [(c, "ascending") for c in others])
