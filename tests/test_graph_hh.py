@@ -749,3 +749,55 @@ def test_sssp_weighted_picks_cheap_detour(ray_session):
                     "w": pa.array([0], pa.int64())})
     with _pt.raises(ValueError):
         sssp_weighted(rd.from_arrow(bad), source=0)
+
+
+def _brute_kcore(u, v, k):
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in zip(u.tolist(), v.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < k}
+        if not drop:
+            return sorted(alive)
+        alive -= drop
+
+
+def test_k_core_brute_force_and_parity(ray_session):
+    from web_crawler_ray.stages.graph import k_core
+    rng = np.random.default_rng(29)
+    u = rng.integers(0, 120, 400).astype(np.int64)
+    v = rng.integers(0, 120, 400).astype(np.int64)
+    tbl = pa.table({"src": u, "dst": v})
+    for k in (2, 3, 5):
+        t = k_core(rd.from_arrow(tbl).repartition(4), k=k)
+        assert t.column("node").to_pylist() == _brute_kcore(u, v, k)
+        d = k_core(rd.from_arrow(tbl), k=k, driver_limit=0,
+                   num_partitions=5)
+        assert d.equals(t)
+
+
+def test_k_core_shapes(ray_session):
+    from web_crawler_ray.stages.graph import k_core
+    # 4-clique + pendant chain: 3-core is exactly the clique
+    e = pa.table({"src": pa.array([0, 0, 0, 1, 1, 2, 3, 4],
+                                  pa.int64()),
+                  "dst": pa.array([1, 2, 3, 2, 3, 3, 4, 5],
+                                  pa.int64())})
+    t = k_core(rd.from_arrow(e), k=3)
+    assert t.column("node").to_pylist() == [0, 1, 2, 3]
+    d = k_core(rd.from_arrow(e), k=3, driver_limit=0,
+               num_partitions=3)
+    assert d.equals(t)
+    # k above max degree -> empty core, both paths
+    assert k_core(rd.from_arrow(e), k=9).num_rows == 0
+    assert k_core(rd.from_arrow(e), k=9, driver_limit=0,
+                  num_partitions=3).num_rows == 0
+    # self-loops only -> no edges -> empty
+    loops = pa.table({"src": pa.array([5], pa.int64()),
+                      "dst": pa.array([5], pa.int64())})
+    assert k_core(rd.from_arrow(loops), k=1).num_rows == 0

@@ -2545,6 +2545,37 @@ def _sssp_oracle_sql() -> str:
         "GROUP BY node ORDER BY node")
 
 
+def q_kcore_nodes(sf_dir: str):
+    """3-core of the undirected mixed-key lineitem graph — the
+    degeneracy-based density gate stripping tendrils before community
+    analysis (stages/graph.py k_core: parallel peeling, numpy bincount
+    peel on the driver below 500k edges, three keyed exchanges per
+    round above — the peel fixpoint is order-independent so both paths
+    agree exactly; parity pinned in pytest). Oracle: the peel unrolled
+    as a recursive CTE carrying the alive set per iteration (bound 32
+    >> max observed 11 peel rounds; the set re-derives itself
+    verbatim after the fixpoint, so iteration 32 IS the k-core)."""
+    from ..stages.graph import k_core
+    return k_core(_tri_edges(sf_dir), k=3)
+
+
+def _kcore_oracle_sql() -> str:
+    return (
+        f"WITH RECURSIVE e0 AS ({_TRI_E0}), "
+        "e AS (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) "
+        "WHERE src <> dst), "
+        "r AS (SELECT 0 AS it, node FROM "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e) "
+        "UNION "
+        "SELECT a1.it + 1, g.src AS node "
+        "FROM e g JOIN r a1 ON a1.node = g.src "
+        "JOIN r a2 ON a2.node = g.dst "
+        "WHERE a1.it < 32 "
+        "GROUP BY a1.it, g.src HAVING count(*) >= 3) "
+        "SELECT node FROM r WHERE it = 32 ORDER BY node")
+
+
 def q_approx_quantiles(sf_dir: str):
     """Per-group quantiles via the MERGEABLE uniform summary
     (stages/sketches.py approx_quantiles — the order-statistics member
@@ -2613,6 +2644,7 @@ def registry() -> dict:
         "sssp_weighted": q_sssp_weighted,
         "skyline_parts": q_skyline_parts,
         "revenue_by_nation": q_revenue_by_nation,
+        "kcore_nodes": q_kcore_nodes,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3538,6 +3570,7 @@ ORACLES: dict[str, str] = {
     "sssp_weighted": _sssp_oracle_sql(),
     "skyline_parts": _SKYLINE_SQL,
     "revenue_by_nation": _REVENUE_SQL,
+    "kcore_nodes": _kcore_oracle_sql(),
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

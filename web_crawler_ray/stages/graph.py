@@ -1321,3 +1321,177 @@ def sssp_weighted(edges_ds, source: int | None = None,
     cat = pa.concat_tables(
         [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")])
     return cat.rename_columns(["node", "dist"]).sort_by("node")
+
+
+def k_core(edges_ds, k: int = 3, src: str = "src", dst: str = "dst",
+           driver_limit: int = DRIVER_CC_MAX,
+           max_iters: int = 128, num_partitions: int = 8):
+    """Nodes of the k-core of an UNDIRECTED graph (pass each edge once
+    in either direction; both directions, self-loops and multi-edges
+    are normalized away): the maximal subgraph where every node keeps
+    degree >= k — the density filter that strips crawl-graph tendrils
+    before community/spam analysis (the reference has no graph ops;
+    its nearest analogue is the info-score page gate). Returns a
+    ``pyarrow.Table`` (node,) sorted — the k-core members.
+
+    Parallel peeling: each round drop ALL nodes whose degree among
+    surviving nodes is < k; the fixpoint is the k-core regardless of
+    peel order, so the driver and distributed paths agree exactly.
+    Below ``driver_limit`` edges: numpy bincount peel on the driver.
+    Above: per round THREE keyed raw-task exchanges — (1) owner-lookup
+    keyed by src keeps edges whose src survives, (2) keyed by dst
+    keeps edges whose dst survives and emits per-partition partial
+    degree counts per src (a combiner — shuffle volume is per-part
+    distinct nodes, not edges), (3) keyed by node folds partials and
+    keeps survivors with degree >= k. The driver sees one O(1) count
+    scalar per round; alive only shrinks, so count fixpoint == k-core.
+    """
+    import ray
+    import ray.data as rd
+    from .shuffles import int_part_map as _ipm
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"src": pa.array(np.concatenate([u, v])),
+                         "dst": pa.array(np.concatenate([v, u]))})
+
+    e = _ipm(edges_ds.map_batches(prep, batch_format="pyarrow"),
+             "src", _distinct_edges,
+             num_partitions=num_partitions).materialize()
+    n_edges = e.count()
+    empty = pa.table({"node": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in e.iter_batches(batch_format="pyarrow")])
+        u = cat.column("src").to_numpy(zero_copy_only=False)
+        v = cat.column("dst").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u):]
+        alive = np.ones(len(nodes), bool)
+        while True:
+            m = alive[ui] & alive[vi]
+            deg = np.bincount(ui[m], minlength=len(nodes))
+            drop = alive & (deg < k)
+            if not drop.any():
+                break
+            alive[drop] = False
+        return pa.table({"node": nodes[alive]})
+
+    # ---- distributed path ------------------------------------------------
+    alive = _ipm(e.map_batches(
+        lambda t: pa.table({"node": t.column("src")}),
+        batch_format="pyarrow"), "node", _distinct_nodes,
+        num_partitions=num_partitions).materialize()
+    n_alive = alive.count()
+
+    def tag_e(key: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"gkey": t.column(key),
+                             "src": t.column("src"),
+                             "dst": t.column("dst"),
+                             "tag": pa.array(
+                                 np.zeros(t.num_rows, np.int8))})
+        return f
+
+    def tag_n(t: pa.Table) -> pa.Table:
+        nd = t.column("node")
+        return pa.table({"gkey": nd, "src": nd, "dst": nd,
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def _keep_alive_key(df: pd.DataFrame) -> pd.DataFrame:
+        """Edges whose gkey endpoint is an alive node pass through."""
+        tag = df["tag"].to_numpy()
+        own, fol = df[tag == 1], df[tag == 0]
+        z = np.array([], np.int64)
+        if not len(fol) or not len(own):
+            return pd.DataFrame({"src": z, "dst": z})
+        ok = np.sort(own["gkey"].to_numpy(np.int64))
+        g = fol["gkey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, g)
+        fnd = np.zeros(len(g), bool)
+        inb = idx < len(ok)
+        fnd[inb] = ok[idx[inb]] == g[inb]
+        return pd.DataFrame({"src": fol["src"].to_numpy(np.int64)[fnd],
+                             "dst": fol["dst"].to_numpy(np.int64)[fnd]})
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        s = np.sort(t.column("src").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        if not len(s):
+            return pa.table({"node": pa.array(s),
+                             "cnt": pa.array(s)})
+        new = np.ones(len(s), bool)
+        new[1:] = s[1:] != s[:-1]
+        st = np.nonzero(new)[0]
+        cnt = np.diff(np.append(st, len(s)))
+        return pa.table({"node": pa.array(s[st]),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    def _fold_alive(df: pd.DataFrame) -> pd.DataFrame:
+        tag = df["tag"].to_numpy()
+        own, fol = df[tag == 1], df[tag == 0]
+        z = np.array([], np.int64)
+        if not len(own):
+            return pd.DataFrame({"node": z})
+        if not len(fol):
+            return pd.DataFrame({"node": z})
+        n = fol["node"].to_numpy(np.int64)
+        c = fol["cnt"].to_numpy(np.int64)
+        o = np.argsort(n, kind="stable")
+        n, c = n[o], c[o]
+        new = np.ones(len(n), bool)
+        new[1:] = n[1:] != n[:-1]
+        st = np.nonzero(new)[0]
+        tot = np.add.reduceat(c, st)
+        cand = n[st][tot >= k]
+        ok = np.sort(own["node"].to_numpy(np.int64))
+        idx = np.searchsorted(ok, cand)
+        fnd = np.zeros(len(cand), bool)
+        inb = idx < len(ok)
+        fnd[inb] = ok[idx[inb]] == cand[inb]
+        return pd.DataFrame({"node": cand[fnd]})
+
+    for _ in range(max_iters):
+        s_ok = _ipm(e.map_batches(tag_e("src"), batch_format="pyarrow")
+                    .union(alive.map_batches(tag_n,
+                                             batch_format="pyarrow")),
+                    "gkey", _keep_alive_key,
+                    num_partitions=num_partitions)
+        d_ok = _ipm(s_ok.map_batches(tag_e("dst"), batch_format="pyarrow")
+                    .union(alive.map_batches(tag_n,
+                                             batch_format="pyarrow")),
+                    "gkey", _keep_alive_key,
+                    num_partitions=num_partitions)
+        partials = d_ok.map_batches(_deg_partial, batch_format="pyarrow") \
+            .map_batches(lambda t: t.append_column(
+                "tag", pa.array(np.zeros(t.num_rows, np.int8))),
+                batch_format="pyarrow")
+        al_tag = alive.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "cnt": pa.array(
+                                    np.zeros(t.num_rows, np.int64)),
+                                "tag": pa.array(
+                                    np.ones(t.num_rows, np.int8))}),
+            batch_format="pyarrow")
+        alive = _ipm(partials.union(al_tag), "node", _fold_alive,
+                     num_partitions=num_partitions).materialize()
+        na = alive.count()
+        if na == n_alive:
+            break
+        n_alive = na
+        if na == 0:
+            return empty
+    else:
+        import warnings
+        warnings.warn(
+            f"k_core: peeling did not stabilize within "
+            f"max_iters={max_iters}", RuntimeWarning)
+    cat = pa.concat_tables(
+        [pa.table(b) for b in alive.iter_batches(batch_format="pyarrow")])
+    return (cat if cat.num_rows else empty).sort_by("node")
