@@ -345,3 +345,45 @@ def test_grid_distance_pairs_brute_force(ray_session):
                                "id", "la", "lo", radius_deg=r,
                                cos_ref=cref)
     assert got2.equals(got)
+
+
+def test_welch_ttest_matches_reference(ray_session):
+    import math
+    from web_crawler_ray.stages.aggregates import welch_ttest
+    rng = np.random.default_rng(31)
+    k = rng.choice(list("abc"), 600)
+    x = rng.integers(0, 50, 600).astype(np.float64)
+    t = pa.table({"k": pa.array(k.tolist()), "x": x})
+    out = welch_ttest(rd.from_arrow(t).repartition(5), "k", "x") \
+        .to_pandas().set_index(["g1", "g2"])
+    assert list(out.index) == [("a", "b"), ("a", "c"), ("b", "c")]
+    for (g1, g2), row in out.iterrows():
+        x1, x2 = x[k == g1], x[k == g2]
+        n1, n2 = len(x1), len(x2)
+        v1 = x1.var(ddof=1)
+        v2 = x2.var(ddof=1)
+        a, b = v1 / n1, v2 / n2
+        t_ref = (x1.mean() - x2.mean()) / math.sqrt(a + b)
+        dof_ref = (a + b) ** 2 / (a * a / (n1 - 1) + b * b / (n2 - 1))
+        assert abs(row["t_stat"] - t_ref) < 1e-9
+        assert abs(row["dof"] - dof_ref) < 1e-6
+        assert row["n1"] == n1 and row["n2"] == n2
+    try:
+        from scipy import stats  # not guaranteed in this sandbox
+    except ImportError:
+        return
+    for (g1, g2), row in out.iterrows():
+        r = stats.ttest_ind(x[k == g1], x[k == g2], equal_var=False)
+        assert abs(row["t_stat"] - r.statistic) < 1e-9
+
+
+def test_welch_ttest_degenerate_groups(ray_session):
+    from web_crawler_ray.stages.aggregates import welch_ttest
+    # one-member group -> null t/dof; identical constants -> null
+    t = pa.table({"k": pa.array(["a", "a", "b", "c", "c"]),
+                  "x": pa.array([5.0, 5.0, 7.0, 5.0, 5.0])})
+    out = welch_ttest(rd.from_arrow(t), "k", "x").to_pandas()
+    ab = out[(out.g1 == "a") & (out.g2 == "b")].iloc[0]
+    assert np.isnan(ab["t_stat"])  # n2 < 2
+    ac = out[(out.g1 == "a") & (out.g2 == "c")].iloc[0]
+    assert np.isnan(ac["t_stat"])  # zero pooled variance

@@ -1880,6 +1880,72 @@ def q_revenue_by_nation(sf_dir: str):
                                             pa.int64())})
 
 
+def q_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t-test of l_quantity between every
+    pair of returnflag groups — the A/B experiment readout next to
+    ols_by_flag (stages/aggregates.py welch_ttest: exact integer
+    (n, Sx, Sxx) sufficient-statistic combiner, driver merges
+    O(batches x keys) rows with Python bigints; floats appear only in
+    correctly-rounded int->double conversions, divisions, one sqrt
+    and fixed-order add/multiply chains mirrored HUGEINT-for-HUGEINT
+    by the oracle — bit-exact, no float-sum order anywhere)."""
+    from ..stages.aggregates import welch_ttest
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_quantity"])
+    return welch_ttest(ds, "l_returnflag", "l_quantity", x_scale=1)
+
+
+_WELCH_SQL = (
+    "WITH b AS (SELECT l_returnflag AS g, "
+    "CAST(l_quantity AS HUGEINT) AS x FROM lineitem), "
+    "s AS (SELECT g, count(*)::HUGEINT AS n, sum(x) AS sx, "
+    "sum(x*x) AS sxx FROM b GROUP BY g), "
+    "p AS (SELECT s1.g AS g1, s2.g AS g2, "
+    "s1.n::BIGINT AS n1, s2.n::BIGINT AS n2, "
+    "s1.sx::DOUBLE / s1.n::DOUBLE AS m1, "
+    "s2.sx::DOUBLE / s2.n::DOUBLE AS m2, "
+    "((s1.n*s1.sxx - s1.sx*s1.sx)::DOUBLE "
+    "/ (s1.n*(s1.n-1))::DOUBLE) / s1.n::DOUBLE AS a, "
+    "((s2.n*s2.sxx - s2.sx*s2.sx)::DOUBLE "
+    "/ (s2.n*(s2.n-1))::DOUBLE) / s2.n::DOUBLE AS b "
+    "FROM s s1 JOIN s s2 ON s1.g < s2.g) "
+    "SELECT g1, g2, n1, n2, "
+    "(m1 - m2) / sqrt(a + b) AS t_stat, "
+    "((a + b) * (a + b)) / (a*a/(n1-1)::DOUBLE "
+    "+ b*b/(n2-1)::DOUBLE) AS dof "
+    "FROM p ORDER BY g1, g2")
+
+
+def q_attr_last_touch(sf_dir: str):
+    """Last-touch attribution: each purchase event attributed to the
+    same user's most recent prior non-purchase event in the (ts,
+    event_id) total order — the marketing-attribution primitive next
+    to funnel_events/transition_counts (stages/windows.py
+    attr_last_touch: ONE user-keyed raw-task exchange, per-partition
+    lexsort + segmented max-prefix scan, O(purchases) rows emitted
+    from the partitions). Targets with no prior touch drop, matching
+    the oracle's NOT NULL filter; ids/types are copied, never
+    combined — exact."""
+    from ..stages.windows import attr_last_touch
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type"])
+    return attr_last_touch(ds)
+
+
+_ATTR_SQL = (
+    "SELECT event_id, touch_id, touch_type FROM ("
+    "SELECT event_id, event_type, "
+    "last_value(CASE WHEN event_type <> 'purchase' THEN event_id END "
+    "IGNORE NULLS) OVER w AS touch_id, "
+    "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END "
+    "IGNORE NULLS) OVER w AS touch_type "
+    "FROM events WINDOW w AS (PARTITION BY user_id "
+    "ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+    "WHERE event_type = 'purchase' AND touch_id IS NOT NULL "
+    "ORDER BY event_id")
+
+
 _REVENUE_SQL = (
     "SELECT n_name, "
     "SUM(CAST(round(l_extendedprice*100) AS BIGINT) "
@@ -2645,6 +2711,8 @@ def registry() -> dict:
         "skyline_parts": q_skyline_parts,
         "revenue_by_nation": q_revenue_by_nation,
         "kcore_nodes": q_kcore_nodes,
+        "welch_ttest": q_welch_ttest,
+        "attr_last_touch": q_attr_last_touch,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3571,6 +3639,8 @@ ORACLES: dict[str, str] = {
     "skyline_parts": _SKYLINE_SQL,
     "revenue_by_nation": _REVENUE_SQL,
     "kcore_nodes": _kcore_oracle_sql(),
+    "welch_ttest": _WELCH_SQL,
+    "attr_last_touch": _ATTR_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

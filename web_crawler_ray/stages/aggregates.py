@@ -1322,6 +1322,92 @@ def group_ols(ds, key_col: str, x_col: str, y_col: str,
                      "intercept": pa.array(out_i, pa.float64())})
 
 
+def welch_ttest(ds, key_col: str, x_col: str, x_scale: int = 1):
+    """Welch's unequal-variance t-test between every pair of groups —
+    the A/B experiment readout next to group_ols, with a BIT-EXACT SQL
+    twin by the same trick: x is integral after scaling, so the
+    sufficient statistics (n, Sx, Sxx) are EXACT integers accumulated
+    in any order, and the closed form touches floats only in
+    correctly-rounded int->double conversions, divisions, one sqrt
+    (IEEE correctly rounded in both numpy/libm and DuckDB) and fixed-
+    order add/multiply chains mirrored verbatim by the oracle:
+
+        m  = Sx::D / n::D            v = (n*Sxx - Sx*Sx)::D / (n*(n-1))::D
+        a  = v1 / n1::D              b = v2 / n2::D
+        t  = (m1 - m2) / sqrt(a + b)
+        dof = ((a+b)*(a+b)) / (a*a/(n1-1)::D + b*b/(n2-1)::D)
+
+    Scale shape: the same pure combiner as group_ols — each batch
+    reduces to one (key, n, sx, sxx) int64 row per key seen, the
+    driver merges O(batches x keys) partials with exact Python ints
+    and emits one row per unordered key pair (g1 < g2). Pairs where
+    either side has n < 2 or zero pooled variance report nulls.
+    Returns a pyarrow Table sorted by (g1, g2)."""
+    import math
+
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks().dictionary_encode()
+        codes = k.indices.to_numpy(zero_copy_only=False)
+        keys = k.dictionary.to_pylist()
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * x_scale).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c, xs = codes[order], x[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
+        return pa.table({
+            key_col: pa.array([keys[i] for i in c[starts]]),
+            "n": pa.array(np.diff(np.concatenate((starts, [len(c)])))
+                          .astype(np.int64)),
+            "sx": pa.array(np.add.reduceat(xs, starts)),
+            "sxx": pa.array(np.add.reduceat(xs * xs, starts))})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            kk = tb.column(key_col)[i].as_py()
+            row = acc.setdefault(kk, [0, 0, 0])
+            for j, cname in enumerate(("n", "sx", "sxx")):
+                row[j] += int(tb.column(cname)[i].as_py())
+    ks = sorted(acc)
+    g1s, g2s, n1s, n2s, ts, dofs = [], [], [], [], [], []
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            n1, sx1, sxx1 = acc[ks[i]]
+            n2, sx2, sxx2 = acc[ks[j]]
+            g1s.append(ks[i])
+            g2s.append(ks[j])
+            n1s.append(n1)
+            n2s.append(n2)
+            if n1 < 2 or n2 < 2:
+                ts.append(None)
+                dofs.append(None)
+                continue
+            m1 = float(sx1) / float(n1)
+            m2 = float(sx2) / float(n2)
+            a = (float(n1 * sxx1 - sx1 * sx1)
+                 / float(n1 * (n1 - 1))) / float(n1)
+            bb = (float(n2 * sxx2 - sx2 * sx2)
+                  / float(n2 * (n2 - 1))) / float(n2)
+            if a + bb == 0.0:
+                ts.append(None)
+                dofs.append(None)
+                continue
+            ts.append((m1 - m2) / math.sqrt(a + bb))
+            dofs.append(((a + bb) * (a + bb))
+                        / (a * a / float(n1 - 1)
+                           + bb * bb / float(n2 - 1)))
+    return pa.table({"g1": pa.array(g1s), "g2": pa.array(g2s),
+                     "n1": pa.array(n1s, pa.int64()),
+                     "n2": pa.array(n2s, pa.int64()),
+                     "t_stat": pa.array(ts, pa.float64()),
+                     "dof": pa.array(dofs, pa.float64())})
+
+
 def bigram_lm(ds, text_col: str = "text", min_count: int = 2):
     """Bigram conditional-probability table: (w1, w2, n, p) where n is
     the corpus count of adjacent pair (w1, w2) and p = n / count(w1

@@ -350,3 +350,73 @@ def percent_rank_per_group(ds, key_col: str, value_col: str,
                              "pr": pr})
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def attr_last_touch(ds, user_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    id_col: str = "event_id",
+                    target: str = "purchase"):
+    """Last-touch attribution: for every ``target`` event, the most
+    recent PRIOR non-target event of the same user in the (ts, id)
+    total order — the marketing-attribution primitive next to
+    funnel/transition (== SQL ``last_value(... IGNORE NULLS) OVER
+    (PARTITION BY user ORDER BY ts, id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``). Targets with no prior touch are
+    dropped (the SQL twin's NOT NULL filter). Returns a Dataset
+    (event_id, touch_id, touch_type).
+
+    Scale shape: ONE raw-task exchange keyed by user (a user's whole
+    history co-locates); the partition kernel lexsorts once and
+    resolves every target's latest prior touch with a single
+    segmented max-prefix scan (np.maximum.accumulate over
+    group-offset-encoded indices — no per-user loop); output is
+    O(target rows), emitted from the partitions, never via the
+    driver."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"u": pa.array(u), "ts": pa.array(ts),
+                         "oc": pa.array(oc),
+                         "st": t.column(type_col)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": np.array([], np.int64),
+             "touch_id": np.array([], np.int64),
+             "touch_type": pd.array([], dtype=object)})
+        if not len(df):
+            return empty
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        st = df["st"].to_numpy(object)
+        order = np.lexsort((oc, ts, u))
+        u, ts, oc, st = u[order], ts[order], oc[order], st[order]
+        n = len(u)
+        is_t = st == target
+        grp = np.concatenate(([0], np.cumsum(u[1:] != u[:-1])))
+        K = n + 2  # group offset > any index, so prefix-max never
+        # leaks a touch across a user boundary
+        idxv = np.where(~is_t, np.arange(n), -1)
+        acc = np.maximum.accumulate(idxv + K * grp)
+        prev = np.empty(n, np.int64)
+        prev[0] = -1
+        prev[1:] = acc[:-1] - K * grp[1:]
+        sel = is_t & (prev >= 0)
+        pi = prev[sel]
+        if not sel.any():
+            return empty
+        return pd.DataFrame({"event_id": oc[sel],
+                             "touch_id": oc[pi],
+                             "touch_type": st[pi]})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
