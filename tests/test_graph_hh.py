@@ -801,3 +801,58 @@ def test_k_core_shapes(ray_session):
     loops = pa.table({"src": pa.array([5], pa.int64()),
                       "dst": pa.array([5], pa.int64())})
     assert k_core(rd.from_arrow(loops), k=1).num_rows == 0
+
+
+def _brute_walks(u, v, length):
+    from web_crawler_ray.stages.aggregates import md5_low64
+    adj = {}
+    for a, b in zip(u.tolist(), v.tolist()):
+        adj.setdefault(a, set()).add(b)
+    adj = {a: sorted(bs) for a, bs in adj.items()}
+    rows = []
+    for s in sorted(adj):
+        cur = s
+        rows.append((s, 0, s))
+        for t in range(length):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = nbrs[md5_low64(f"{cur}:{t}") % len(nbrs)]
+            rows.append((s, t + 1, cur))
+    return sorted(rows)
+
+
+def test_hash_walks_brute_force_and_parity(ray_session):
+    from web_crawler_ray.stages.graph import hash_walks
+    rng = np.random.default_rng(37)
+    u = rng.integers(0, 80, 250).astype(np.int64)
+    v = rng.integers(0, 80, 250).astype(np.int64)
+    tbl = pa.table({"src": u, "dst": v})
+    t = hash_walks(rd.from_arrow(tbl).repartition(4), length=3)
+    got = sorted(zip(t.column("start").to_pylist(),
+                     t.column("step").to_pylist(),
+                     t.column("node").to_pylist()))
+    assert got == _brute_walks(u, v, 3)
+    d = hash_walks(rd.from_arrow(tbl), length=3, driver_limit=0,
+                   num_partitions=5)
+    assert sorted(zip(d.column("start").to_pylist(),
+                      d.column("step").to_pylist(),
+                      d.column("node").to_pylist())) == got
+
+
+def test_hash_walks_dead_end_stops(ray_session):
+    from web_crawler_ray.stages.graph import hash_walks
+    # 0 -> 1 -> 2 (dead end): the walk from 0 is 0,1,2 then stops
+    e = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64())})
+    t = hash_walks(rd.from_arrow(e), length=5)
+    rows = sorted(zip(t.column("start").to_pylist(),
+                      t.column("step").to_pylist(),
+                      t.column("node").to_pylist()))
+    assert rows == [(0, 0, 0), (0, 1, 1), (0, 2, 2),
+                    (1, 0, 1), (1, 1, 2)]
+    d = hash_walks(rd.from_arrow(e), length=5, driver_limit=0,
+                   num_partitions=3)
+    assert sorted(zip(d.column("start").to_pylist(),
+                      d.column("step").to_pylist(),
+                      d.column("node").to_pylist())) == rows

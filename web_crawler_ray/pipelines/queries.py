@@ -2642,6 +2642,41 @@ def _kcore_oracle_sql() -> str:
         "SELECT node FROM r WHERE it = 32 ORDER BY node")
 
 
+def q_hash_walks(sf_dir: str):
+    """Deterministic hash-seeded walks (4 steps from every source
+    node) over the DIRECTED mixed-key lineitem graph — the
+    DeepWalk/node2vec corpus generator with randomness replaced by
+    md5 so the SQL twin derives identical walks (stages/graph.py
+    hash_walks: driver CSR below 500k edges, one owner-lookup
+    exchange per step above, one md5 per DISTINCT frontier node per
+    step; parity pinned in pytest). Oracle: the steps unrolled as
+    CTEs over a row_number'd adjacency, hop index =
+    md5_number_lower(cur || ':' || step) % outdeg."""
+    from ..stages.graph import hash_walks
+    return hash_walks(_tri_edges(sf_dir), length=4)
+
+
+def _hash_walks_oracle_sql(length: int = 4) -> str:
+    parts = [
+        f"WITH e0 AS ({_TRI_E0}), "
+        "e AS (SELECT DISTINCT src, dst FROM e0), "
+        "adj AS (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r, "
+        "count(*) OVER (PARTITION BY src) AS c FROM e), "
+        "w0 AS (SELECT DISTINCT src AS start, src AS cur FROM e)"]
+    for t in range(length):
+        parts.append(
+            f", w{t + 1} AS (SELECT w.start, a.dst AS cur "
+            f"FROM w{t} w JOIN adj a ON a.src = w.cur AND a.r = "
+            f"(md5_number_lower(w.cur::VARCHAR || ':{t}') "
+            f"% a.c::UBIGINT)::BIGINT)")
+    sel = " UNION ALL ".join(
+        f"SELECT start, {t}::BIGINT AS step, cur AS node FROM w{t}"
+        for t in range(length + 1))
+    parts.append(f" {sel} ORDER BY start, step")
+    return "".join(parts)
+
+
 def q_approx_quantiles(sf_dir: str):
     """Per-group quantiles via the MERGEABLE uniform summary
     (stages/sketches.py approx_quantiles — the order-statistics member
@@ -2713,6 +2748,7 @@ def registry() -> dict:
         "kcore_nodes": q_kcore_nodes,
         "welch_ttest": q_welch_ttest,
         "attr_last_touch": q_attr_last_touch,
+        "hash_walks": q_hash_walks,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3641,6 +3677,7 @@ ORACLES: dict[str, str] = {
     "kcore_nodes": _kcore_oracle_sql(),
     "welch_ttest": _WELCH_SQL,
     "attr_last_touch": _ATTR_SQL,
+    "hash_walks": _hash_walks_oracle_sql(),
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

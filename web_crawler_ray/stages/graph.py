@@ -1323,6 +1323,161 @@ def sssp_weighted(edges_ds, source: int | None = None,
     return cat.rename_columns(["node", "dist"]).sort_by("node")
 
 
+def hash_walks(edges_ds, length: int = 4, src: str = "src",
+               dst: str = "dst", driver_limit: int = DRIVER_CC_MAX,
+               num_partitions: int = 8):
+    """Deterministic 'random' walks over a DIRECTED edge Dataset — the
+    DeepWalk/node2vec corpus generator with the randomness replaced by
+    a seeded hash so every engine (and the SQL oracle) derives the
+    SAME walks: from every source node, ``length`` steps where the
+    step-t hop from node u is its ``md5_low64(f"{u}:{t}") % outdeg(u)``-th
+    out-neighbor in dst order (DuckDB: ``md5_number_lower`` — the
+    fingerprint/simhash twin convention, stages/dedup.py). A walk
+    stops early at a node with no out-edges. Multi-edges collapse
+    (DISTINCT) first. Returns a ``pyarrow.Table``
+    (start, step, node) sorted — O(nodes x length) rows.
+
+    Scale shape: below ``driver_limit`` edges the walk table builds on
+    the driver from a CSR (one md5 per DISTINCT frontier node per
+    step, not per walker). Above: ONE owner-lookup exchange per step —
+    adjacency and walkers partition by the current node, the kernel
+    resolves every co-located walker's hop vectorized (md5 memoized
+    per distinct node), walkers ship as (start, cur) pairs — O(nodes)
+    rows per step, never edges; the emitted per-step hops union into
+    the result."""
+    import ray
+    import ray.data as rd
+    from .shuffles import int_part_map as _ipm
+    from ..stages.aggregates import md5_low64
+
+    e = _ipm(edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column(src).cast(pa.int64()),
+                            "dst": t.column(dst).cast(pa.int64())}),
+        batch_format="pyarrow"), "src", _distinct_edges,
+        num_partitions=num_partitions).materialize()
+    n_edges = e.count()
+    empty = pa.table({"start": pa.array([], pa.int64()),
+                      "step": pa.array([], pa.int64()),
+                      "node": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in e.iter_batches(batch_format="pyarrow")])
+        u = cat.column("src").to_numpy(zero_copy_only=False)
+        v = cat.column("dst").to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        srcs = np.unique(u)
+        starts = np.searchsorted(u, srcs)
+        ends = np.searchsorted(u, srcs, side="right")
+        walk_start = srcs.copy()
+        cur = srcs.copy()
+        rows_s = [walk_start]
+        rows_t = [np.zeros(len(cur), np.int64)]
+        rows_n = [cur]
+        for t in range(length):
+            pos = np.searchsorted(srcs, cur)
+            ok = (pos < len(srcs))
+            ok[ok] = srcs[pos[ok]] == cur[ok]
+            walk_start, cur, pos = walk_start[ok], cur[ok], pos[ok]
+            if not len(cur):
+                break
+            uniq, inv = np.unique(cur, return_inverse=True)
+            up = np.searchsorted(srcs, uniq)
+            deg = ends[up] - starts[up]
+            pick = np.array(
+                [md5_low64(f"{int(c)}:{t}") % int(d)
+                 for c, d in zip(uniq, deg)], np.int64)
+            cur = v[starts[pos] + pick[inv]]
+            rows_s.append(walk_start)
+            rows_t.append(np.full(len(cur), t + 1, np.int64))
+            rows_n.append(cur)
+        return pa.table({
+            "start": pa.array(np.concatenate(rows_s)),
+            "step": pa.array(np.concatenate(rows_t)),
+            "node": pa.array(np.concatenate(rows_n))}).sort_by(
+                [("start", "ascending"), ("step", "ascending")])
+
+    # ---- distributed path ------------------------------------------------
+    def _srcs_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(df["src"].to_numpy(np.int64))
+        return pd.DataFrame({"start": n, "cur": n})
+
+    walkers = _ipm(e, "src", _srcs_kernel,
+                   num_partitions=num_partitions).materialize()
+    out_parts = [walkers.map_batches(
+        lambda t: pa.table({"start": t.column("start"),
+                            "step": pa.array(
+                                np.zeros(t.num_rows, np.int64)),
+                            "node": t.column("cur")}),
+        batch_format="pyarrow")]
+
+    def tag_adj(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("src"),
+                         "other": t.column("dst"),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_walk(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("cur"),
+                         "other": t.column("start"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def _hop_kernel(step: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            tag = df["tag"].to_numpy()
+            adj, wk = df[tag == 0], df[tag == 1]
+            z = np.array([], np.int64)
+            if not len(adj) or not len(wk):
+                return pd.DataFrame({"start": z, "cur": z})
+            au = adj["gkey"].to_numpy(np.int64)
+            av = adj["other"].to_numpy(np.int64)
+            o = np.lexsort((av, au))
+            au, av = au[o], av[o]
+            srcs = np.unique(au)
+            st = np.searchsorted(au, srcs)
+            en = np.searchsorted(au, srcs, side="right")
+            cur = wk["gkey"].to_numpy(np.int64)
+            stt = wk["other"].to_numpy(np.int64)
+            pos = np.searchsorted(srcs, cur)
+            ok = pos < len(srcs)
+            ok[ok] = srcs[pos[ok]] == cur[ok]
+            cur, stt, pos = cur[ok], stt[ok], pos[ok]
+            if not len(cur):
+                return pd.DataFrame({"start": z, "cur": z})
+            uniq, inv = np.unique(cur, return_inverse=True)
+            up = np.searchsorted(srcs, uniq)
+            deg = en[up] - st[up]
+            pick = np.array(
+                [md5_low64(f"{int(c)}:{step}") % int(d)
+                 for c, d in zip(uniq, deg)], np.int64)
+            return pd.DataFrame({"start": stt,
+                                 "cur": av[st[pos] + pick[inv]]})
+        return f
+
+    for t in range(length):
+        tagged = e.map_batches(tag_adj, batch_format="pyarrow") \
+            .union(walkers.map_batches(tag_walk, batch_format="pyarrow"))
+        walkers = _ipm(tagged, "gkey", _hop_kernel(t),
+                       num_partitions=num_partitions).materialize()
+        if walkers.count() == 0:
+            break
+        out_parts.append(walkers.map_batches(
+            lambda tb, _s=t + 1: pa.table(
+                {"start": tb.column("start"),
+                 "step": pa.array(np.full(tb.num_rows, _s, np.int64)),
+                 "node": tb.column("cur")}),
+            batch_format="pyarrow"))
+    res = out_parts[0]
+    for p in out_parts[1:]:
+        res = res.union(p)
+    cat = pa.concat_tables(
+        [pa.table(b) for b in res.iter_batches(batch_format="pyarrow")])
+    return (cat if cat.num_rows else empty).sort_by(
+        [("start", "ascending"), ("step", "ascending")])
+
+
 def k_core(edges_ds, k: int = 3, src: str = "src", dst: str = "dst",
            driver_limit: int = DRIVER_CC_MAX,
            max_iters: int = 128, num_partitions: int = 8):
