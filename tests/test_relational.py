@@ -322,3 +322,25 @@ def test_skyline_2d_distributed_equals_global(ray_session):
     for parts in (1, 3, 16):
         out = skyline_2d(rd.from_arrow(t).repartition(parts), "x", "y")
         assert sorted(out.column("id").to_pylist()) == want
+
+
+def test_table_checksum_order_free_and_sensitive(ray_session):
+    from web_crawler_ray.stages.relational import table_checksum
+    t = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "s": pa.array(["a", "b", "c", "d"])})
+    c1 = table_checksum(rd.from_arrow(t), ["id", "s"])
+    assert c1.column("n_rows").to_pylist() == [4]
+    # partitioning / row order never changes the checksum
+    perm = t.take(pa.array([3, 1, 0, 2]))
+    c2 = table_checksum(rd.from_arrow(perm).repartition(3),
+                        ["id", "s"])
+    assert c2.column("checksum").to_pylist() \
+        == c1.column("checksum").to_pylist()
+    # a single changed cell changes it
+    t3 = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                   "s": pa.array(["a", "b", "c", "e"])})
+    c3 = table_checksum(rd.from_arrow(t3), ["id", "s"])
+    assert c3.column("checksum").to_pylist() \
+        != c1.column("checksum").to_pylist()
+    # and the value is within 63 bits (SQL BIGINT-safe)
+    assert 0 <= c1.column("checksum")[0].as_py() < 2 ** 63

@@ -465,3 +465,24 @@ def test_quantize_embeddings_roundtrip_and_edges(ray_session):
     amax = np.abs(vecs[keep]).argmax(axis=1)
     rowmax = q[keep][np.arange(29), amax]
     assert (np.abs(rowmax) == 127).all()
+
+
+def test_l2_normalize_unit_norm_and_zero_guard(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.similarity import l2_normalize
+    vecs = [[3.0, 4.0], [0.0, 0.0], [1.0, 1.0]]
+    t = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                  "embedding": pa.array(vecs,
+                                        pa.list_(pa.float32()))})
+    out = l2_normalize(rd.from_arrow(t)).to_pandas() \
+        .sort_values(["vec_id", "dim_idx"]).reset_index(drop=True)
+    assert list(out["nval"][:2]) == [0.6, 0.8]
+    assert list(out["nval"][2:4]) == [0.0, 0.0]  # zero vector
+    v3 = out["nval"][4:6].to_numpy()
+    assert abs((v3 * v3).sum() - 1.0) < 1e-12
+    # batching invariance: 1 block vs 3 blocks, identical doubles
+    out3 = l2_normalize(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .sort_values(["vec_id", "dim_idx"]).reset_index(drop=True)
+    assert (out["nval"].to_numpy() == out3["nval"].to_numpy()).all()

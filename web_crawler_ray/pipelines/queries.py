@@ -1563,6 +1563,49 @@ _QUANT_SQL = (
     "ORDER BY vec_id, dim_idx")
 
 
+def q_l2_normalize(sf_dir: str):
+    """Unit-L2 normalization of the embeddings table (the cosine-prep
+    ingest step; stages/similarity.py l2_normalize — stateless
+    flattened map, no shuffle). Bit-exact: the squared-norm
+    accumulates SEQUENTIALLY across dimensions, which is exactly
+    DuckDB's left-to-right list_sum fold (numpy's pairwise .sum
+    differs in the last ulp and would fail the gate); sqrt + divide
+    are correctly-rounded IEEE."""
+    from ..stages.similarity import l2_normalize
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return l2_normalize(ds)
+
+
+_L2NORM_SQL = (
+    "WITH m AS (SELECT vec_id, embedding, "
+    "list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) "
+    "AS n2 FROM embeddings) "
+    "SELECT vec_id, i - 1 AS dim_idx, "
+    "CASE WHEN n2 = 0 THEN 0.0 ELSE "
+    "embedding[i]::DOUBLE / sqrt(n2) END AS nval "
+    "FROM m, UNNEST(generate_series(1, len(embedding))) AS t(i) "
+    "ORDER BY vec_id, dim_idx")
+
+
+def q_checksum_events(sf_dir: str):
+    """Order-independent 63-bit content checksum of
+    (event_id, event_type) — the replication/migration integrity
+    primitive next to profile_events (stages/relational.py
+    table_checksum: XOR of masked md5_low64 row hashes — commutative,
+    so a pure per-batch combiner, driver XORs O(batches) partials;
+    no shuffle). One row (checksum, n_rows); the md5 convention is
+    the fingerprint/simhash twin's."""
+    from ..stages.relational import table_checksum
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type"])
+    return table_checksum(ds, ["event_id", "event_type"])
+
+
+_CHECKSUM_SQL = (
+    "SELECT bit_xor((md5_number_lower(event_id::VARCHAR || ':' || "
+    "event_type) & 9223372036854775807::UBIGINT)::BIGINT) "
+    "AS checksum, count(*)::BIGINT AS n_rows FROM events")
+
+
 def q_transition_counts(sf_dir: str):
     """First-order Markov transition counts over per-user event
     sequences — the behavior-flow primitive next to funnel/session
@@ -2749,6 +2792,8 @@ def registry() -> dict:
         "welch_ttest": q_welch_ttest,
         "attr_last_touch": q_attr_last_touch,
         "hash_walks": q_hash_walks,
+        "l2_normalize": q_l2_normalize,
+        "checksum_events": q_checksum_events,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3678,6 +3723,8 @@ ORACLES: dict[str, str] = {
     "welch_ttest": _WELCH_SQL,
     "attr_last_touch": _ATTR_SQL,
     "hash_walks": _hash_walks_oracle_sql(),
+    "l2_normalize": _L2NORM_SQL,
+    "checksum_events": _CHECKSUM_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -573,3 +573,41 @@ def skyline_2d(ds, x_col: str, y_col: str):
     others = [c for c in out.column_names if c not in (x_col, y_col)]
     return out.sort_by([(x_col, "ascending"), (y_col, "ascending")]
                        + [(c, "ascending") for c in others])
+
+
+def table_checksum(ds, cols: list[str]):
+    """Order-independent 63-bit content checksum of selected columns —
+    the replication/migration integrity primitive next to
+    profile_columns (compare a source and a sink without moving
+    either): XOR of ``md5_low64(col1 || ':' || col2 ...) & (2^63-1)``
+    over all rows. XOR is commutative/associative, so the fold is
+    partition-order-free and shuffle-free. SQL twin:
+    ``SELECT bit_xor((md5_number_lower(...) & max63)::BIGINT)``.
+
+    Scale shape: a pure combiner — each batch reduces to ONE int64
+    row, the driver XORs O(batches) partials; no shuffle, no driver
+    data traffic. NULLs stringify as 'None' on both sides via
+    explicit COALESCE in the twin. Returns a 1-row pyarrow Table
+    (checksum, n_rows)."""
+    from ..stages.aggregates import md5_low64
+
+    M63 = (1 << 63) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = [t.column(c).to_pylist() for c in cols]
+        x = 0
+        for vals in zip(*arrs):
+            s = ":".join(str(v) for v in vals)
+            x ^= md5_low64(s) & M63
+        return pa.table({"checksum": pa.array([x], pa.int64()),
+                         "n_rows": pa.array([t.num_rows], pa.int64())})
+
+    x, n = 0, 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            x ^= int(tb.column("checksum")[i].as_py())
+            n += int(tb.column("n_rows")[i].as_py())
+    return pa.table({"checksum": pa.array([x], pa.int64()),
+                     "n_rows": pa.array([n], pa.int64())})

@@ -720,3 +720,40 @@ def quantize_embeddings(ds, id_col: str = "vec_id",
             "maxabs": pa.array(np.repeat(maxabs, d))})
 
     return ds.map_batches(qbatch, batch_format="pyarrow")
+
+
+def l2_normalize(ds, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """Unit-L2 normalization of an embedding column — the cosine-prep
+    step every vector store runs at ingest (after it, dot product IS
+    cosine), emitted FLATTENED as (id, dim_idx, nval) like
+    quantize_embeddings so the doubles compare exactly against a SQL
+    twin.
+
+    Determinism (bit-exact vs DuckDB): float32 -> float64 widening is
+    exact; the squared-norm accumulates SEQUENTIALLY across dimensions
+    (vectorized across rows, ``acc += x_d * x_d`` in dim order) which
+    is exactly DuckDB's left-to-right ``list_sum`` fold — numpy's own
+    pairwise ``.sum(axis=1)`` is NOT the same fold and differs in the
+    last ulp; sqrt and the divide are correctly-rounded IEEE. An
+    all-zero vector emits zeros (norm-0 guard mirrored by the twin's
+    CASE). Stateless per-batch map — no shuffle."""
+
+    def nbatch(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col)).astype(np.float64)
+        n, d = m.shape
+        acc = np.zeros(n, np.float64)
+        for j in range(d):  # sequential fold == SQL list_sum order
+            acc = acc + m[:, j] * m[:, j]
+        norm = np.sqrt(acc)
+        safe = np.where(norm == 0.0, 1.0, norm)
+        out = m / safe[:, None]
+        out[norm == 0.0, :] = 0.0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        n)),
+            "nval": pa.array(out.ravel())})
+
+    return ds.map_batches(nbatch, batch_format="pyarrow")
