@@ -191,7 +191,8 @@ def run_queries(num_cpus: int) -> dict:
              "winsorize_events", "mad_outliers", "percent_rank_events",
              "sssp_weighted", "skyline_parts", "revenue_by_nation",
              "kcore_nodes", "welch_ttest", "attr_last_touch",
-             "hash_walks", "l2_normalize", "checksum_events"]
+             "hash_walks", "l2_normalize", "checksum_events",
+             "session_stats", "unpivot_lineitem"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

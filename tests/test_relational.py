@@ -344,3 +344,16 @@ def test_table_checksum_order_free_and_sensitive(ray_session):
         != c1.column("checksum").to_pylist()
     # and the value is within 63 bits (SQL BIGINT-safe)
     assert 0 <= c1.column("checksum")[0].as_py() < 2 ** 63
+
+
+def test_unpivot_shape_and_values(ray_session):
+    from web_crawler_ray.stages.relational import unpivot
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "a": pa.array([1.5, 2.5]),
+                  "b": pa.array([10, 20], pa.int64())})
+    out = unpivot(rd.from_arrow(t).repartition(2), ["id"], ["a", "b"]) \
+        .to_pandas().sort_values(["id", "measure"]) \
+        .reset_index(drop=True)
+    assert len(out) == 4
+    assert list(out["measure"]) == ["a", "b", "a", "b"]
+    assert list(out["val"]) == [1.5, 10.0, 2.5, 20.0]

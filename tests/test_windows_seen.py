@@ -295,3 +295,44 @@ def test_attr_last_touch_no_targets_keeps_schema(ray_session):
     assert all(list(tb.column_names)
                == ["event_id", "touch_id", "touch_type"]
                for tb in tabs)
+
+
+def test_session_stats_hand_sessions(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import session_stats
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    # user 1: events at 0,10,20 min (one session), then 120,125 min
+    # (second session); user 2: a single event
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([t0, t0 + 10 * m, t0 + 20 * m,
+                        t0 + 120 * m, t0 + 125 * m, t0], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64())})
+    out = session_stats(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().sort_values(["user_id", "session_id"]) \
+        .reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 1, 2]
+    assert list(out["session_id"]) == [1, 2, 1]
+    assert list(out["n_events"]) == [3, 2, 1]
+    assert list(out["duration_us"]) == [20 * 60 * 10 ** 6,
+                                        5 * 60 * 10 ** 6, 0]
+
+
+def test_session_stats_gap_boundary(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import session_stats
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    gap = np.timedelta64(30 * 60, "s")
+    one = np.timedelta64(1, "us")
+    # exactly 30 min -> same session; 30 min + 1 us -> new session
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([t0, t0 + gap, t0 + gap + gap + one],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], pa.int64())})
+    out = session_stats(rd.from_arrow(t)).to_pandas() \
+        .sort_values("session_id").reset_index(drop=True)
+    assert list(out["n_events"]) == [2, 1]

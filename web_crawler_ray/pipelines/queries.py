@@ -1606,6 +1606,60 @@ _CHECKSUM_SQL = (
     "AS checksum, count(*)::BIGINT AS n_rows FROM events")
 
 
+def q_session_stats(sf_dir: str):
+    """Per-SESSION statistics under 30-min gap sessionization —
+    the detail view session_counts collapses (stages/windows.py
+    session_stats: ONE user-keyed exchange, segmented-cumsum session
+    ids, O(sessions) rows from the partitions). duration_us is the
+    exact integer microsecond span — no floats anywhere."""
+    from ..stages.windows import session_stats
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id"])
+    return session_stats(ds)
+
+
+_SESSION_STATS_SQL = (
+    "WITH o AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) <= 1800000000 "
+    "THEN 0 ELSE 1 END AS brk FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, "
+    "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+    "SELECT user_id, sid::BIGINT AS session_id, "
+    "count(*)::BIGINT AS n_events, "
+    "(epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us "
+    "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """Wide-to-long UNPIVOT of four lineitem measures — the
+    feature-table reshape inverse to pivot_lineitem
+    (stages/relational.py unpivot: stateless vectorized repeat/tile
+    map, no shuffle; values copied, never combined — doubles exact).
+    Oracle: stacked UNION ALL (the portable UNPIVOT form)."""
+    from ..stages.relational import unpivot
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax"])
+
+
+_UNPIVOT_SQL = (
+    "SELECT l_orderkey, l_linenumber, measure, val FROM ("
+    "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
+    "l_quantity::DOUBLE AS val FROM lineitem "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+    "l_extendedprice::DOUBLE FROM lineitem "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+    "l_discount::DOUBLE FROM lineitem "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+    "l_tax::DOUBLE FROM lineitem) "
+    "ORDER BY l_orderkey, l_linenumber, measure")
+
+
 def q_transition_counts(sf_dir: str):
     """First-order Markov transition counts over per-user event
     sequences — the behavior-flow primitive next to funnel/session
@@ -2794,6 +2848,8 @@ def registry() -> dict:
         "hash_walks": q_hash_walks,
         "l2_normalize": q_l2_normalize,
         "checksum_events": q_checksum_events,
+        "session_stats": q_session_stats,
+        "unpivot_lineitem": q_unpivot_lineitem,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3725,6 +3781,8 @@ ORACLES: dict[str, str] = {
     "hash_walks": _hash_walks_oracle_sql(),
     "l2_normalize": _L2NORM_SQL,
     "checksum_events": _CHECKSUM_SQL,
+    "session_stats": _SESSION_STATS_SQL,
+    "unpivot_lineitem": _UNPIVOT_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

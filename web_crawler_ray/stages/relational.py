@@ -611,3 +611,34 @@ def table_checksum(ds, cols: list[str]):
             n += int(tb.column("n_rows")[i].as_py())
     return pa.table({"checksum": pa.array([x], pa.int64()),
                      "n_rows": pa.array([n], pa.int64())})
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            name_col: str = "measure", value_col: str = "val"):
+    """Wide-to-long UNPIVOT (melt): each input row explodes into one
+    row per entry of ``value_cols``, carrying ``id_cols`` plus
+    (measure-name, value) — the feature-table reshaping primitive
+    inverse to pivot_sum (SQL: ``UNPIVOT`` / stacked ``UNION ALL``).
+    Values are COPIED, never combined, so any numeric type compares
+    exactly; all value columns are cast to float64 (the melt's common
+    type, as SQL's UNPIVOT unifies them too).
+
+    Scale shape: a stateless per-batch map — vectorized repeat/tile,
+    no shuffle, output exactly ``len(value_cols) x`` input rows."""
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = len(value_cols)
+        cols = {}
+        for c in id_cols:
+            v = t.column(c).combine_chunks()
+            cols[c] = pa.concat_arrays([v] * k) if n else v
+        names = np.repeat(np.array(value_cols, object), n) if n else \
+            np.array([], object)
+        vals = [t.column(c).to_numpy(zero_copy_only=False)
+                .astype(np.float64) for c in value_cols]
+        cols[name_col] = pa.array(names, pa.string())
+        cols[value_col] = pa.array(
+            np.concatenate(vals) if n else np.array([], np.float64))
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -420,3 +420,70 @@ def attr_last_touch(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def session_stats(ds, user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id",
+                  gap_minutes: float = 30.0):
+    """Per-SESSION statistics under gap-based sessionization: split
+    each user's (ts, id)-ordered stream at gaps > ``gap_minutes`` and
+    emit one row per session (user_id, session_id, n_events,
+    duration_us) — the detail view session_count collapses (SQL: a
+    lag-gap flag, a running SUM giving session ids, then GROUP BY).
+    session_id is 1-based per user in time order; duration is the
+    exact integer microsecond span (epoch_us(max) - epoch_us(min)),
+    so floats never appear.
+
+    Scale shape: ONE raw-task exchange keyed by user; the partition
+    kernel lexsorts once, derives session ids with a segmented cumsum
+    (break flags are 1 at every user start, so the global cumsum
+    re-based at group starts IS the per-user id — no per-user loop),
+    and reduces to its local per-session rows; output is O(sessions),
+    emitted from the partitions."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    gap_us = int(round(gap_minutes * 60.0 * 1e6))
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"u": pa.array(u), "ts": pa.array(ts),
+                         "oc": pa.array(oc)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "session_id": z,
+                                 "n_events": z, "duration_us": z})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        order = np.lexsort((oc, ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        brk = np.ones(n, np.int64)
+        same = u[1:] == u[:-1]
+        brk[1:] = np.where(same & (ts[1:] - ts[:-1] <= gap_us), 0, 1)
+        gsum = np.cumsum(brk)
+        ustart = np.concatenate(([0], np.nonzero(u[1:] != u[:-1])[0] + 1))
+        # re-base the global cumsum at each user start (brk there is 1)
+        base = np.repeat(gsum[ustart] - 1,
+                         np.diff(np.append(ustart, n)))
+        sid = gsum - base
+        key = np.flatnonzero(np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (sid[1:] != sid[:-1]))))
+        cnt = np.diff(np.append(key, n))
+        last = np.append(key[1:], n) - 1
+        return pd.DataFrame({"user_id": u[key],
+                             "session_id": sid[key],
+                             "n_events": cnt.astype(np.int64),
+                             "duration_us": ts[last] - ts[key]})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
