@@ -336,3 +336,43 @@ def test_session_stats_gap_boundary(ray_session):
     out = session_stats(rd.from_arrow(t)).to_pandas() \
         .sort_values("session_id").reset_index(drop=True)
     assert list(out["n_events"]) == [2, 1]
+
+
+def test_interval_union_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import interval_union
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    # fixed 5-min intervals via minutes_expr; user 1: [0,5),[3,8)
+    # merge (covered 8), [20,25) separate; user 2: [0,5) alone
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([t0, t0 + 3 * m, t0 + 20 * m, t0],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64())})
+    out = interval_union(rd.from_arrow(t).repartition(2),
+                         minutes_expr=lambda oc: np.full_like(oc, 5)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 2]
+    assert list(out["n_islands"]) == [2, 1]
+    assert list(out["covered_us"]) == [(8 + 5) * 60 * 10 ** 6,
+                                       5 * 60 * 10 ** 6]
+
+
+def test_interval_union_touching_is_merged(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import interval_union
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    # [0,5) and [5,10): s == prev end -> NOT s > prev -> merged
+    t = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([t0, t0 + 5 * m], pa.timestamp("us")),
+        "user_id": pa.array([9, 9], pa.int64())})
+    out = interval_union(rd.from_arrow(t),
+                         minutes_expr=lambda oc: np.full_like(oc, 5)) \
+        .to_pandas()
+    assert list(out["n_islands"]) == [1]
+    assert list(out["covered_us"]) == [10 * 60 * 10 ** 6]

@@ -1632,6 +1632,38 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_interval_union(sf_dir: str):
+    """Per-user union length of overlapping intervals (each event
+    opens [ts, ts + (1 + event_id % 20) min)) — the time-on-site /
+    coverage sweep where overlaps must not double count
+    (stages/windows.py interval_union: ONE user-keyed exchange,
+    vectorized sweep via pandas' C-level grouped cummax; all integer
+    microseconds). Oracle: the same sweep as windowed SQL — running
+    MAX(e) OVER 1-PRECEDING breaks islands, running SUM numbers
+    them, two GROUP BYs finish."""
+    from ..stages.windows import interval_union
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id"])
+    return interval_union(ds)
+
+
+_INTERVAL_UNION_SQL = (
+    "WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s, "
+    "epoch_us(ts) + (1 + event_id % 20) * 60000000 AS e FROM events), "
+    "o AS (SELECT user_id, s, e, CASE WHEN s > max(e) OVER ("
+    "PARTITION BY user_id ORDER BY s, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "THEN 1 ELSE 0 END AS brk, event_id FROM iv), "
+    "s2 AS (SELECT user_id, s, e, sum(brk) OVER ("
+    "PARTITION BY user_id ORDER BY s, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS iid FROM o), "
+    "g AS (SELECT user_id, iid, max(e) - min(s) AS len FROM s2 "
+    "GROUP BY user_id, iid) "
+    "SELECT user_id, count(*)::BIGINT AS n_islands, "
+    "sum(len)::BIGINT AS covered_us FROM g "
+    "GROUP BY user_id ORDER BY user_id")
+
+
 def q_unpivot_lineitem(sf_dir: str):
     """Wide-to-long UNPIVOT of four lineitem measures — the
     feature-table reshape inverse to pivot_lineitem
@@ -2850,6 +2882,7 @@ def registry() -> dict:
         "checksum_events": q_checksum_events,
         "session_stats": q_session_stats,
         "unpivot_lineitem": q_unpivot_lineitem,
+        "interval_union": q_interval_union,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3783,6 +3816,7 @@ ORACLES: dict[str, str] = {
     "checksum_events": _CHECKSUM_SQL,
     "session_stats": _SESSION_STATS_SQL,
     "unpivot_lineitem": _UNPIVOT_SQL,
+    "interval_union": _INTERVAL_UNION_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -487,3 +487,66 @@ def session_stats(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def interval_union(ds, user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   minutes_expr=lambda oc: 1 + oc % 20):
+    """Union length of OVERLAPPING per-user intervals — the
+    time-on-site / coverage sweep (each event opens a variable-length
+    interval [ts, ts + (1 + id % 20) min); overlaps must not double
+    count, so sessionization's fixed-gap shortcut does not apply).
+    Returns (user_id, n_islands, covered_us): merged-island count and
+    exact integer microseconds covered.
+
+    Scale shape: ONE raw-task exchange keyed by user; the partition
+    kernel sorts by (user, start, id) and runs the classic sweep
+    vectorized — the reset-at-user-boundary running max of interval
+    ends is pandas' C-level grouped ``cummax`` + grouped ``shift``
+    (a plain np.maximum.accumulate with group offsets would overflow
+    int64 on epoch-microsecond values), islands aggregate with one
+    groupby; O(users) rows leave the partitions. All arithmetic is
+    integer microseconds — no floats."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e = s + minutes_expr(oc) * 60_000_000
+        return pa.table({"u": pa.array(u), "s": pa.array(s),
+                         "e": pa.array(e), "oc": pa.array(oc)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "n_islands": z,
+                                 "covered_us": z})
+        df = df.sort_values(["u", "s", "oc"], kind="mergesort")
+        ce = df.groupby("u", sort=False)["e"].cummax()
+        prev = ce.groupby(df["u"], sort=False).shift(1)
+        brk = prev.isna() | (df["s"] > prev)
+        iid = brk.cumsum()  # globally unique island ids (u-sorted)
+        g = pd.DataFrame({"u": df["u"].to_numpy(np.int64),
+                          "iid": iid.to_numpy(np.int64),
+                          "s": df["s"].to_numpy(np.int64),
+                          "e": df["e"].to_numpy(np.int64)}) \
+            .groupby(["u", "iid"], sort=False) \
+            .agg(s=("s", "min"), e=("e", "max")).reset_index()
+        out = pd.DataFrame({"u": g["u"],
+                            "len": g["e"] - g["s"]}) \
+            .groupby("u", sort=False) \
+            .agg(n_islands=("len", "size"),
+                 covered_us=("len", "sum")).reset_index()
+        return pd.DataFrame({
+            "user_id": out["u"].to_numpy(np.int64),
+            "n_islands": out["n_islands"].to_numpy(np.int64),
+            "covered_us": out["covered_us"].to_numpy(np.int64)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
