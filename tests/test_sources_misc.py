@@ -266,3 +266,47 @@ def test_y4m_codec_and_frame_sampling(ray_session):
         y = fr[i, :, :, 0].astype(np.int64)
         assert out.column("mean_y")[row].as_py() == \
             float(int(y.sum())) / float(y.size)
+
+
+def test_write_partitioned_resumable_skip_and_stale(ray_session, tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from web_crawler_ray.sources.storage import write_partitioned_resumable
+    out = str(tmp_path / "sink")
+    t = pa.table({"k": pa.array(["a", "b", "a", "c"]),
+                  "v": pa.array([1, 2, 3, 4], pa.int64())})
+    r1 = write_partitioned_resumable(rd.from_arrow(t).repartition(2),
+                                     out, "k")
+    assert r1 == {"written": ["a", "b", "c"], "skipped": []}
+    for k in "abc":
+        assert os.path.exists(os.path.join(out, f"k={k}", "_COMPLETE"))
+    back = pq.read_table(out).to_pandas().sort_values("v")
+    assert list(back["v"]) == [1, 2, 3, 4]
+    # re-run: everything skipped, bytes untouched
+    def sig():
+        s = {}
+        for root, _, files in os.walk(out):
+            for f in files:
+                p = os.path.join(root, f)
+                s[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return s
+    before = sig()
+    r2 = write_partitioned_resumable(rd.from_arrow(t), out, "k")
+    assert r2 == {"written": [], "skipped": ["a", "b", "c"]}
+    assert sig() == before
+    # crashed partition: drop b's marker + corrupt its dir -> only b
+    # rewritten; a and c untouched
+    os.remove(os.path.join(out, "k=b", "_COMPLETE"))
+    with open(os.path.join(out, "k=b", "stale.parquet"), "w") as f:
+        f.write("garbage")
+    r3 = write_partitioned_resumable(rd.from_arrow(t), out, "k")
+    assert r3 == {"written": ["b"], "skipped": ["a", "c"]}
+    assert not os.path.exists(os.path.join(out, "k=b", "stale.parquet"))
+    after = sig()
+    for p, v in before.items():
+        if "k=b" not in p:
+            assert after[p] == v
+    back2 = pq.read_table(out).to_pandas().sort_values("v")
+    assert list(back2["v"]) == [1, 2, 3, 4]  # no duplicates

@@ -1632,6 +1632,37 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_partitioned_sink(sf_dir: str):
+    """Resumable hive-partitioned sink round-trip: documents written
+    under lang=<v>/ partitions with per-partition _COMPLETE markers
+    (sources/storage.py write_partitioned_resumable — a re-run skips
+    marked partitions and deletes crashed partials, so the sink is
+    exactly-once per partition; the gate's own second run at the same
+    sf exercises the skip path), then read back through the hive
+    scan. Oracle: the identity projection — the round-trip must lose
+    and invent nothing."""
+    import hashlib
+    import os
+
+    from ..sources.storage import write_partitioned_resumable
+    out = os.path.join(
+        "/tmp", "wcr_sink_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+    write_partitioned_resumable(ds, out, "lang")
+    back = rd.read_parquet(out)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "lang": t.column("lang").cast(pa.string())})
+
+    return back.map_batches(proj, batch_format="pyarrow")
+
+
+_PARTITIONED_SINK_SQL = (
+    "SELECT doc_id, lang FROM documents ORDER BY doc_id")
+
+
 def q_interval_union(sf_dir: str):
     """Per-user union length of overlapping intervals (each event
     opens [ts, ts + (1 + event_id % 20) min)) — the time-on-site /
@@ -2883,6 +2914,7 @@ def registry() -> dict:
         "session_stats": q_session_stats,
         "unpivot_lineitem": q_unpivot_lineitem,
         "interval_union": q_interval_union,
+        "partitioned_sink": q_partitioned_sink,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3817,6 +3849,7 @@ ORACLES: dict[str, str] = {
     "session_stats": _SESSION_STATS_SQL,
     "unpivot_lineitem": _UNPIVOT_SQL,
     "interval_union": _INTERVAL_UNION_SQL,
+    "partitioned_sink": _PARTITIONED_SINK_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -101,3 +101,59 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
 
 def is_complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_COMPLETE"))
+
+
+def write_partitioned_resumable(ds, out_dir: str, key: str,
+                                clean_stale: bool = True) -> dict:
+    """Resumable hive-partitioned parquet sink (the brief's 'failed
+    run skips finished partitions' contract, generalized from the
+    crawl checkpoints' per-round ``_COMPLETE`` convention): rows land
+    under ``out_dir/<key>=<value>/`` and each partition directory
+    gets a ``_COMPLETE`` marker only after its files are durable. A
+    re-run (same out_dir): (1) partitions WITH a marker are skipped —
+    their rows never leave the scan (filtered by a broadcast key set
+    inside map_batches); (2) partition dirs WITHOUT a marker are
+    stale partials from a crashed writer — deleted before rewriting,
+    so the sink is effectively exactly-once per partition.
+
+    Scale shape: distinct keys come from the per-batch-unique
+    combiner (driver sees O(distinct keys), never rows); the write is
+    Ray's native partitioned ``write_parquet`` (streaming, one file
+    per block per partition); markers are O(pending partitions)
+    driver-side touches. Returns {"written": [...], "skipped": [...]}
+    with the partition values, both sorted."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.relational import distinct_keys
+
+    os.makedirs(out_dir, exist_ok=True)
+    keys = sorted(str(k) for k in distinct_keys(ds, key))
+    done, pending = [], []
+    for k in keys:
+        pdir = os.path.join(out_dir, f"{key}={k}")
+        if os.path.exists(os.path.join(pdir, "_COMPLETE")):
+            done.append(k)
+        else:
+            pending.append(k)
+            if clean_stale and os.path.isdir(pdir):  # crashed writer
+                import shutil
+                shutil.rmtree(pdir)
+    if pending:
+        pend_ref = ray.put(set(pending))
+
+        def only_pending(t: pa.Table) -> pa.Table:
+            want = ray.get(pend_ref)
+            kv = t.column(key).to_pylist()
+            import numpy as np
+            return t.filter(pa.array(
+                np.array([str(v) in want for v in kv], bool)))
+
+        ds.map_batches(only_pending, batch_format="pyarrow") \
+          .write_parquet(out_dir, partition_cols=[key])
+        for k in pending:
+            pdir = os.path.join(out_dir, f"{key}={k}")
+            os.makedirs(pdir, exist_ok=True)  # empty partitions too
+            with open(os.path.join(pdir, "_COMPLETE"), "w") as f:
+                f.write("ok")
+    return {"written": pending, "skipped": done}
