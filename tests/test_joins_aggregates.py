@@ -387,3 +387,26 @@ def test_welch_ttest_degenerate_groups(ray_session):
     assert np.isnan(ab["t_stat"])  # n2 < 2
     ac = out[(out.g1 == "a") & (out.g2 == "c")].iloc[0]
     assert np.isnan(ac["t_stat"])  # zero pooled variance
+
+
+def test_histogram_by_group_matches_numpy(ray_session):
+    from web_crawler_ray.stages.aggregates import histogram_by_group
+    rng = np.random.default_rng(41)
+    k = rng.choice(list("xy"), 500)
+    v = rng.normal(0, 1, 500)
+    t = pa.table({"k": pa.array(k.tolist()), "v": v})
+    out = histogram_by_group(rd.from_arrow(t).repartition(4),
+                             "k", "v", bins=10).to_pandas()
+    lo, hi = v.min(), v.max()
+    bins = np.minimum(np.floor(((v - lo) * 10.0) / (hi - lo)),
+                      9.0).astype(np.int64)
+    for kk in "xy":
+        for b in range(10):
+            want = int(((k == kk) & (bins == b)).sum())
+            row = out[(out.k == kk) & (out.bin == b)]
+            got = int(row["n"].iloc[0]) if len(row) else 0
+            assert got == want
+    assert int(out["n"].sum()) == 500
+    # constant values -> degenerate range -> empty result, not a crash
+    c = pa.table({"k": pa.array(["x", "y"]), "v": pa.array([5.0, 5.0])})
+    assert histogram_by_group(rd.from_arrow(c), "k", "v").num_rows == 0

@@ -376,3 +376,26 @@ def test_interval_union_touching_is_merged(ray_session):
         .to_pandas()
     assert list(out["n_islands"]) == [1]
     assert list(out["covered_us"]) == [10 * 60 * 10 ** 6]
+
+
+def test_scd2_history_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import scd2_history
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([t0, t0 + m, t0 + 2 * m, t0], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0])})
+    out = scd2_history(rd.from_arrow(t).repartition(2)) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    base = int(np.int64(t0.astype("datetime64[us]").astype(np.int64)))
+    assert list(out["valid_from"]) == [base, base + 60_000_000,
+                                       base + 120_000_000, base]
+    vt = out["valid_to"].tolist()
+    assert vt[0] == base + 60_000_000 and vt[1] == base + 120_000_000
+    assert vt[2] is None or (isinstance(vt[2], float) and np.isnan(vt[2]))
+    assert vt[3] is None or (isinstance(vt[3], float) and np.isnan(vt[3]))
+    assert list(out["value"]) == [1.0, 2.0, 3.0, 4.0]

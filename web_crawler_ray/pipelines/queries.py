@@ -1632,6 +1632,59 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD type-2 history: every event becomes a validity interval
+    closed by the same user's next event in (ts, event_id) order,
+    final row open (NULL) — the snapshot-history companion to
+    merge_upsert's SCD-1 (stages/windows.py scd2_history: ONE
+    user-keyed exchange, lexsort + shift, no per-user loop). Epochs
+    are exact integer microseconds; value copied, never combined.
+    The stage emits NULL valid_to (the honest SCD-2 open-interval
+    contract); the GRADED projection coalesces it to -1 so the
+    value-hash compare never rides on NaN semantics."""
+    from ..stages.windows import scd2_history
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+
+    def close_open(t: pa.Table) -> pa.Table:
+        vt = pc.fill_null(t.column("valid_to").cast(pa.int64()), -1)
+        return t.set_column(t.schema.get_field_index("valid_to"),
+                            "valid_to", vt)
+
+    return scd2_history(ds).map_batches(close_open,
+                                        batch_format="pyarrow")
+
+
+_SCD2_SQL = (
+    "SELECT user_id, event_id, value, "
+    "epoch_us(ts)::BIGINT AS valid_from, "
+    "COALESCE(epoch_us(lead(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id)), -1)::BIGINT AS valid_to "
+    "FROM events ORDER BY event_id")
+
+
+def q_histogram_events(sf_dir: str):
+    """Per-event-type 10-bin equi-width histogram over the global
+    value range (stages/aggregates.py histogram_by_group: two
+    combiner passes — O(batches) (min,max) fold, then broadcast
+    (lo,hi) + per-batch (key,bin) counts, no shuffle). Bin
+    assignment is bit-exact: selections + the same correctly-rounded
+    float steps in the same order as the twin."""
+    from ..stages.aggregates import histogram_by_group
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return histogram_by_group(ds, "event_type", "value", bins=10)
+
+
+_HISTOGRAM_SQL = (
+    "WITH b AS (SELECT min(value) AS lo, max(value) AS hi "
+    "FROM events) "
+    "SELECT event_type, "
+    "least(floor(((value - lo) * 10.0) / (hi - lo)), 9.0)::BIGINT "
+    "AS bin, count(*)::BIGINT AS n "
+    "FROM events, b GROUP BY event_type, bin "
+    "ORDER BY event_type, bin")
+
+
 def q_partitioned_sink(sf_dir: str):
     """Resumable hive-partitioned sink round-trip: documents written
     under lang=<v>/ partitions with per-partition _COMPLETE markers
@@ -2915,6 +2968,8 @@ def registry() -> dict:
         "unpivot_lineitem": q_unpivot_lineitem,
         "interval_union": q_interval_union,
         "partitioned_sink": q_partitioned_sink,
+        "scd2_history": q_scd2_history,
+        "histogram_events": q_histogram_events,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3850,6 +3905,8 @@ ORACLES: dict[str, str] = {
     "unpivot_lineitem": _UNPIVOT_SQL,
     "interval_union": _INTERVAL_UNION_SQL,
     "partitioned_sink": _PARTITIONED_SINK_SQL,
+    "scd2_history": _SCD2_SQL,
+    "histogram_events": _HISTOGRAM_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

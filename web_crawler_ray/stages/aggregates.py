@@ -1546,3 +1546,70 @@ def mad_outliers(ds, key: str, value: str, id_col: str, k: float = 3.0):
             "mad": mad})
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def histogram_by_group(ds, key_col: str, val_col: str, bins: int = 10):
+    """Equi-width histogram per group over the GLOBAL [min, max] value
+    range — the distribution profile next to doc_length_buckets'
+    2-bucket split (bin = min(floor(((v - lo) * bins) / (hi - lo)),
+    bins-1); lo/hi are selections and every float op is a
+    correctly-rounded IEEE step mirrored in the same order by the SQL
+    twin — bit-exact bin assignment). Returns a pyarrow Table
+    (key, bin, n) sorted, empty bins omitted (GROUP BY semantics).
+
+    Scale shape: two passes, both combiners — pass 1 reduces each
+    batch to one (min, max) row (driver folds O(batches)); pass 2
+    broadcasts (lo, hi) and reduces each batch to its local
+    (key, bin) counts; the driver merges O(batches x keys x bins)
+    partials. No shuffle."""
+    import pyarrow as pa
+
+    def mm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = t.column(val_col)
+        return pa.table({"lo": pa.array([pc.min(v).as_py()],
+                                        pa.float64()),
+                         "hi": pa.array([pc.max(v).as_py()],
+                                        pa.float64())})
+
+    lo = hi = None
+    for b in ds.map_batches(mm, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            l, h = tb.column("lo")[i].as_py(), tb.column("hi")[i].as_py()
+            if l is not None:
+                lo = l if lo is None else min(lo, l)
+                hi = h if hi is None else max(hi, h)
+    if lo is None or hi == lo:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "bin": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks().dictionary_encode()
+        codes = k.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = k.dictionary.to_pylist()
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b = np.minimum(np.floor(((v - lo) * float(bins)) / (hi - lo)),
+                       float(bins - 1)).astype(np.int64)
+        cell = codes * bins + b
+        cells, n = np.unique(cell, return_counts=True)
+        return pa.table({
+            key_col: pa.array([keys[c // bins] for c in cells]),
+            "bin": pa.array(cells % bins),
+            "n": pa.array(n.astype(np.int64))})
+
+    acc: dict = {}
+    for blk in ds.map_batches(partial, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(blk)
+        for i in range(tb.num_rows):
+            kk = (tb.column(key_col)[i].as_py(),
+                  tb.column("bin")[i].as_py())
+            acc[kk] = acc.get(kk, 0) + int(tb.column("n")[i].as_py())
+    ks = sorted(acc)
+    return pa.table({key_col: pa.array([k for k, _ in ks]),
+                     "bin": pa.array([b for _, b in ks], pa.int64()),
+                     "n": pa.array([acc[k] for k in ks], pa.int64())})

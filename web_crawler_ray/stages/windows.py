@@ -550,3 +550,62 @@ def interval_union(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def scd2_history(ds, user_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id", val_col: str = "value"):
+    """SCD type-2 history build: each row becomes a validity interval
+    [valid_from, valid_to) closed by the same key's NEXT row in the
+    (ts, id) total order, the final row left open (NULL) — the
+    snapshot-history companion to merge_upsert's SCD-1 (== SQL
+    ``lead(ts) OVER (PARTITION BY key ORDER BY ts, id)``). Epochs are
+    exact integer microseconds; the value is copied, never combined.
+    Returns a Dataset (user_id, event_id, value, valid_from,
+    valid_to) — O(input rows), emitted from the partitions.
+
+    Scale shape: ONE raw-task exchange keyed by user; the partition
+    kernel lexsorts once and takes the shifted timestamp per user
+    boundary — no per-user loop."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"u": pa.array(u), "ts": pa.array(ts),
+                         "oc": pa.array(oc), "v": pa.array(v)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": z, "event_id": z,
+                "value": np.array([], np.float64),
+                "valid_from": z,
+                "valid_to": pd.array([], dtype="Int64")})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((oc, ts, u))
+        u, ts, oc, v = u[order], ts[order], oc[order], v[order]
+        nxt = np.empty(len(u), np.int64)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = 0
+        open_row = np.ones(len(u), bool)
+        open_row[:-1] = u[1:] != u[:-1]
+        valid_to = pd.array(nxt, dtype="Int64")
+        valid_to[open_row] = pd.NA
+        return pd.DataFrame({"user_id": u, "event_id": oc,
+                             "value": v, "valid_from": ts,
+                             "valid_to": valid_to})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
