@@ -25,9 +25,13 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-DRIVER_CC_MAX = 500_000  # edge count below which union-find runs driver-
-# side: O(E alpha(N)) on one core beats 2 keyed shuffles per round, and
+DRIVER_CC_MAX = 1_000_000  # edge count below which the graph ops run
+# their driver-side numpy kernel: O(E) (or O(E alpha(N))) on one core
+# beats 2-3 keyed shuffles per ROUND (measured at 514k edges: driver
+# CSR BFS 3.2 s vs 12.4 s for 6 relaxation exchanges on one node), and
 # the input is the SAME O(E) row stream a single reduce task would see.
+# Above it the per-round exchanges win because the rows no longer fit
+# one worker comfortably; both paths are output-identical (pinned).
 
 
 def _owner_lookup(df: pd.DataFrame) -> pd.DataFrame:
