@@ -410,3 +410,43 @@ def test_histogram_by_group_matches_numpy(ray_session):
     # constant values -> degenerate range -> empty result, not a crash
     c = pa.table({"k": pa.array(["x", "y"]), "v": pa.array([5.0, 5.0])})
     assert histogram_by_group(rd.from_arrow(c), "k", "v").num_rows == 0
+
+
+def test_mode_by_group_tie_break(ray_session):
+    from web_crawler_ray.stages.aggregates import mode_by_group
+    t = pa.table({"k": pa.array(["g1"] * 4 + ["g2"] * 3),
+                  "v": pa.array(["b", "a", "a", "b",  # tie 2-2 -> 'a'
+                                 "z", "z", "y"])})
+    out = mode_by_group(rd.from_arrow(t).repartition(3), "k", "v")
+    assert out.column("k").to_pylist() == ["g1", "g2"]
+    assert out.column("mode_val").to_pylist() == ["a", "z"]
+    assert out.column("n").to_pylist() == [2, 2]
+
+
+def test_weighted_median_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import weighted_median_by_group
+    rng = np.random.default_rng(43)
+    k = rng.choice(list("pq"), 300)
+    v = rng.integers(0, 40, 300).astype(np.float64)
+    w = rng.integers(1, 6, 300).astype(np.int64)
+    t = pa.table({"k": pa.array(k.tolist()), "v": v,
+                  "w": pa.array(w)})
+    out = weighted_median_by_group(
+        rd.from_arrow(t).repartition(4), "k", "v",
+        lambda tb: tb.column("w").to_numpy(zero_copy_only=False)) \
+        .to_pandas().set_index("k")["wmedian"]
+    for kk in "pq":
+        vv, ww = v[k == kk], w[k == kk]
+        o = np.argsort(vv, kind="mergesort")
+        vv, ww = vv[o], ww[o]
+        cw = np.cumsum(ww)
+        want = vv[np.searchsorted(2 * cw, cw[-1], side="left")]
+        assert out[kk] == want
+    # all-equal-weight degenerates to the lower median
+    e = pa.table({"k": pa.array(["x"] * 4),
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+                  "w": pa.array([1, 1, 1, 1], pa.int64())})
+    out2 = weighted_median_by_group(
+        rd.from_arrow(e), "k", "v",
+        lambda tb: tb.column("w").to_numpy(zero_copy_only=False))
+    assert out2.column("wmedian").to_pylist() == [2.0]

@@ -1632,6 +1632,56 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_mode_users(sf_dir: str):
+    """Modal event_type per user with a DETERMINISTIC tie-break
+    (highest count, then smallest value) — SQL's mode() leaves ties
+    unspecified, so the oracle is the explicit row_number form
+    (stages/aggregates.py mode_by_group: per-batch (key,val)-count
+    combiner, driver merges O(batches x pairs), no shuffle)."""
+    from ..stages.aggregates import mode_by_group
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    return mode_by_group(ds, "user_id", "event_type")
+
+
+_MODE_SQL = (
+    "SELECT user_id, event_type AS mode_val, n FROM ("
+    "SELECT user_id, event_type, count(*)::BIGINT AS n, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY count(*) DESC, event_type ASC) AS rn "
+    "FROM events GROUP BY user_id, event_type) "
+    "WHERE rn = 1 ORDER BY user_id")
+
+
+def q_weighted_median(sf_dir: str):
+    """Lower weighted median of event value per type, weight
+    1 + event_id % 5 — the robust center for reweighted corpora
+    (stages/aggregates.py weighted_median_by_group: ONE groupby
+    shuffle, per-group sort + reduceat + one searchsorted; integer
+    cumulative-weight comparison, value copied — exact)."""
+    from ..stages.aggregates import weighted_median_by_group
+    ds = _rp(sf_dir, "events",
+             columns=["event_type", "value", "event_id"])
+
+    def wfn(t: pa.Table) -> np.ndarray:
+        e = t.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return 1 + e % 5
+
+    return weighted_median_by_group(ds, "event_type", "value", wfn)
+
+
+_WMEDIAN_SQL = (
+    "WITH w AS (SELECT event_type, value, "
+    "sum(1 + event_id % 5)::BIGINT AS wt FROM events "
+    "GROUP BY event_type, value), "
+    "c AS (SELECT event_type, value, "
+    "sum(wt) OVER (PARTITION BY event_type ORDER BY value "
+    "ROWS UNBOUNDED PRECEDING) AS cw, "
+    "sum(wt) OVER (PARTITION BY event_type) AS tot FROM w) "
+    "SELECT event_type, min(value) AS wmedian FROM c "
+    "WHERE 2 * cw >= tot GROUP BY event_type ORDER BY event_type")
+
+
 def q_scd2_history(sf_dir: str):
     """SCD type-2 history: every event becomes a validity interval
     closed by the same user's next event in (ts, event_id) order,
@@ -2970,6 +3020,8 @@ def registry() -> dict:
         "partitioned_sink": q_partitioned_sink,
         "scd2_history": q_scd2_history,
         "histogram_events": q_histogram_events,
+        "mode_users": q_mode_users,
+        "weighted_median": q_weighted_median,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3907,6 +3959,8 @@ ORACLES: dict[str, str] = {
     "partitioned_sink": _PARTITIONED_SINK_SQL,
     "scd2_history": _SCD2_SQL,
     "histogram_events": _HISTOGRAM_SQL,
+    "mode_users": _MODE_SQL,
+    "weighted_median": _WMEDIAN_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -1613,3 +1613,97 @@ def histogram_by_group(ds, key_col: str, val_col: str, bins: int = 10):
     return pa.table({key_col: pa.array([k for k, _ in ks]),
                      "bin": pa.array([b for _, b in ks], pa.int64()),
                      "n": pa.array([acc[k] for k in ks], pa.int64())})
+
+
+def mode_by_group(ds, key_col: str, val_col: str):
+    """Most frequent value per group with a DETERMINISTIC tie-break
+    (highest count, then smallest value) — SQL's mode() leaves ties
+    unspecified, so the twin is the explicit row_number form. Returns
+    a pyarrow Table (key, mode_val, n) sorted by key.
+
+    Scale shape: a pure combiner — each batch reduces to its local
+    (key, val) counts (vectorized over dictionary codes), the driver
+    merges O(batches x distinct pairs) partial rows and picks per
+    key; no shuffle. The contract is the same as vocab_topk's:
+    distinct (key, val) pairs fit the driver."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks().dictionary_encode()
+        v = t.column(val_col).combine_chunks().dictionary_encode()
+        kc = k.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = v.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = k.dictionary.to_pylist()
+        vals = v.dictionary.to_pylist()
+        m = np.int64(len(vals))
+        cells, n = np.unique(kc * m + vc, return_counts=True)
+        return pa.table({
+            key_col: pa.array([keys[c // m] for c in cells]),
+            "v": pa.array([vals[c % m] for c in cells]),
+            "n": pa.array(n.astype(np.int64))})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            kk = (tb.column(key_col)[i].as_py(),
+                  tb.column("v")[i].as_py())
+            acc[kk] = acc.get(kk, 0) + int(tb.column("n")[i].as_py())
+    best: dict = {}
+    for (k, v), n in acc.items():
+        cur = best.get(k)
+        if cur is None or (-n, v) < (-cur[1], cur[0]):
+            best[k] = (v, n)
+    ks = sorted(best)
+    return pa.table({key_col: pa.array(ks),
+                     "mode_val": pa.array([best[k][0] for k in ks]),
+                     "n": pa.array([best[k][1] for k in ks],
+                                   pa.int64())})
+
+
+def weighted_median_by_group(ds, key_col: str, val_col: str,
+                             weight_fn):
+    """Lower weighted median per group: the smallest value whose
+    cumulative weight (over value-ascending order, weights summed per
+    distinct value) reaches half the group total — robust center for
+    reweighted/importance-sampled corpora where the plain median
+    ignores the weights. ``weight_fn(table) -> int64 ndarray``
+    derives the weight from the row (kept integral so the cumulative
+    comparison ``2*cw >= W`` is exact integer arithmetic; values are
+    copied, never combined). Returns (key, wmedian) sorted.
+
+    Scale shape: ONE ``groupby(key)`` shuffle; the per-group kernel is
+    a numpy sort + reduceat + searchsorted — same group-fits-a-worker
+    contract as group_quantiles/percent_rank."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t.column(key_col),
+                         "v": t.column(val_col).cast(pa.float64()),
+                         "w": pa.array(weight_fn(t).astype(np.int64))})
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy(np.float64)
+        w = g["w"].to_numpy(np.int64)
+        o = np.argsort(v, kind="mergesort")
+        v, w = v[o], w[o]
+        new = np.ones(len(v), bool)
+        new[1:] = v[1:] != v[:-1]
+        st = np.nonzero(new)[0]
+        dv = v[st]
+        dw = np.add.reduceat(w, st)
+        cw = np.cumsum(dw)
+        i = int(np.searchsorted(2 * cw, cw[-1], side="left"))
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "wmedian": [dv[i]]})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(key_col).map_groups(per_key, batch_format="pandas")
+    cat = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    if cat.num_rows == 0:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "wmedian": pa.array([], pa.float64())})
+    return cat.sort_by(key_col)
