@@ -399,3 +399,52 @@ def test_scd2_history_hand_case(ray_session):
     assert vt[2] is None or (isinstance(vt[2], float) and np.isnan(vt[2]))
     assert vt[3] is None or (isinstance(vt[3], float) and np.isnan(vt[3]))
     assert list(out["value"]) == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_conversion_within_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import conversion_within
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    # user 1: click@0 -> purchase@30min (converted), purchase@2h
+    #   (window expired), purchase@2h (same-instant click counts)
+    # user 2: purchase with no clicks anywhere
+    rows = [
+        (1, 1, "click", 0), (2, 1, "purchase", 30),
+        (3, 1, "purchase", 120), (4, 1, "click", 120),
+        (5, 1, "purchase", 121),
+        (6, 2, "purchase", 5)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "ts": pa.array([t0 + r[3] * m for r in rows],
+                       pa.timestamp("us"))})
+    out = conversion_within(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 2]
+    assert list(out["n_targets"]) == [3, 1]
+    # purchase@30min converted (click@0); purchase@120 converted by
+    # the same-instant click@120; purchase@121 converted (click@120)
+    assert list(out["n_converted"]) == [3, 0]
+
+
+def test_conversion_within_window_edge(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import conversion_within
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    one = np.timedelta64(1, "us")
+    h = np.timedelta64(3600, "s")
+    # click exactly 1h before -> (t-1h, t] EXCLUDES it; 1h-1us -> in
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["click", "purchase",
+                                "click", "purchase"]),
+        "ts": pa.array([t0, t0 + h, t0 + one, t0 + h],
+                       pa.timestamp("us"))})
+    out = conversion_within(rd.from_arrow(t)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert list(out["n_converted"]) == [0, 1]

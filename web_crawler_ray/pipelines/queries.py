@@ -1632,6 +1632,30 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_conversion_within(sf_dir: str):
+    """Time-bounded conversion: per user, purchases preceded by a
+    click of the same user within 1 hour (window (t-1h, t]) — the
+    funnel family's time-constrained member (stages/windows.py
+    conversion_within: ONE user-keyed exchange, two global
+    searchsorted probes on a dense-coded (user, ts-rank) key — no
+    per-user loop). Oracle: the correlated EXISTS form."""
+    from ..stages.windows import conversion_within
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type", "event_id"])
+    return conversion_within(ds)
+
+
+_CONVERSION_SQL = (
+    "SELECT p.user_id, count(*)::BIGINT AS n_targets, "
+    "sum(CASE WHEN EXISTS (SELECT 1 FROM events c "
+    "WHERE c.user_id = p.user_id AND c.event_type = 'click' "
+    "AND c.ts <= p.ts "
+    "AND c.ts > p.ts - INTERVAL 1 HOUR) THEN 1 ELSE 0 END)::BIGINT "
+    "AS n_converted "
+    "FROM events p WHERE p.event_type = 'purchase' "
+    "GROUP BY p.user_id ORDER BY p.user_id")
+
+
 def q_mode_users(sf_dir: str):
     """Modal event_type per user with a DETERMINISTIC tie-break
     (highest count, then smallest value) — SQL's mode() leaves ties
@@ -3022,6 +3046,7 @@ def registry() -> dict:
         "histogram_events": q_histogram_events,
         "mode_users": q_mode_users,
         "weighted_median": q_weighted_median,
+        "conversion_within": q_conversion_within,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3961,6 +3986,7 @@ ORACLES: dict[str, str] = {
     "histogram_events": _HISTOGRAM_SQL,
     "mode_users": _MODE_SQL,
     "weighted_median": _WMEDIAN_SQL,
+    "conversion_within": _CONVERSION_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -609,3 +609,85 @@ def scd2_history(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def conversion_within(ds, trigger: str = "click",
+                      target: str = "purchase",
+                      window_minutes: float = 60.0,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id"):
+    """Time-bounded conversion counting: per user, how many ``target``
+    events were preceded by a ``trigger`` of the SAME user within
+    ``window_minutes`` (window (t - W, t], trigger at the same
+    instant counts) — the funnel family's time-constrained member
+    (funnel_counts checks order only). Returns a Dataset
+    (user_id, n_targets, n_converted).
+
+    Scale shape: ONE raw-task exchange keyed by user; the kernel
+    resolves every target's window membership with TWO global
+    searchsorted probes on a (user, ts-rank) composed integer key
+    (ranks keep the compose inside int64 where raw epoch-us would
+    overflow) — no per-user loop, no per-target scan. Counts are
+    exact integers."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    win_us = int(round(window_minutes * 60.0 * 1e6))
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        st = np.asarray(t.column(type_col).to_pylist(), dtype=object)
+        keep = (st == trigger) | (st == target)
+        tag = (st[keep] == target).astype(np.int8)
+        return pa.table({"u": pa.array(u[keep]),
+                         "ts": pa.array(ts[keep]),
+                         "tag": pa.array(tag)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "n_targets": z,
+                                 "n_converted": z})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        tag = df["tag"].to_numpy(np.int8)
+        cu, cts = u[tag == 0], ts[tag == 0]
+        pu, pts = u[tag == 1], ts[tag == 1]
+        if not len(pu):
+            return pd.DataFrame({"user_id": z, "n_targets": z,
+                                 "n_converted": z})
+        lo_ts = pts - win_us
+        # rank-compose (user, ts) into one sortable int64 key; BOTH
+        # axes dense-coded so the product never overflows regardless
+        # of raw user-id / epoch magnitudes
+        all_ts = np.unique(np.concatenate([cts, pts, lo_ts]))
+        all_u = np.unique(np.concatenate([cu, pu]))
+        R = np.int64(len(all_ts) + 1)
+        cuc = np.searchsorted(all_u, cu)
+        puc = np.searchsorted(all_u, pu)
+        ckey = np.sort(cuc * R + np.searchsorted(all_ts, cts))
+        hi = np.searchsorted(ckey,
+                             puc * R + np.searchsorted(all_ts, pts),
+                             side="right")
+        lo = np.searchsorted(ckey,
+                             puc * R + np.searchsorted(all_ts, lo_ts),
+                             side="right")
+        conv = (hi > lo).astype(np.int64)
+        o = np.argsort(pu, kind="stable")
+        us, cs = pu[o], conv[o]
+        new = np.ones(len(us), bool)
+        new[1:] = us[1:] != us[:-1]
+        st_ = np.nonzero(new)[0]
+        return pd.DataFrame({
+            "user_id": us[st_],
+            "n_targets": np.diff(np.append(st_, len(us)))
+            .astype(np.int64),
+            "n_converted": np.add.reduceat(cs, st_)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
