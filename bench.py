@@ -194,7 +194,8 @@ def run_queries(num_cpus: int) -> dict:
              "hash_walks", "l2_normalize", "checksum_events",
              "session_stats", "unpivot_lineitem", "interval_union",
              "partitioned_sink", "scd2_history", "histogram_events",
-             "mode_users", "weighted_median", "conversion_within"]
+             "mode_users", "weighted_median", "conversion_within",
+             "login_streaks", "impute_median"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

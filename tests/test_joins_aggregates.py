@@ -450,3 +450,18 @@ def test_weighted_median_matches_brute(ray_session):
         rd.from_arrow(e), "k", "v",
         lambda tb: tb.column("w").to_numpy(zero_copy_only=False))
     assert out2.column("wmedian").to_pylist() == [2.0]
+
+
+def test_impute_median_by_group(ray_session):
+    from web_crawler_ray.stages.aggregates import impute_median_by_group
+    t = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "k": pa.array(["a", "a", "a", "a", "b"]),
+                  "v": pa.array([1.0, None, 3.0, 10.0, None],
+                                pa.float64())})
+    out = impute_median_by_group(rd.from_arrow(t).repartition(2),
+                                 "k", "v", "id") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    # group a non-null = [1, 3, 10]; quantile_disc(0.5) -> 3
+    assert list(out["v_filled"][:4]) == [1.0, 3.0, 3.0, 10.0]
+    # all-null group stays NaN (nothing to learn from)
+    assert np.isnan(out["v_filled"].iloc[4])

@@ -448,3 +448,21 @@ def test_conversion_within_window_edge(ray_session):
     out = conversion_within(rd.from_arrow(t)).to_pandas() \
         .sort_values("user_id").reset_index(drop=True)
     assert list(out["n_converted"]) == [0, 1]
+
+
+def test_login_streaks_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import login_streaks
+    def day(d):
+        return np.datetime64(f"2024-01-{d:02d}T10:00:00", "us")
+    # user 1: days 1,2,3 then 5,6 -> longest 3 (duplicates same day)
+    # user 2: single day -> 1
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([day(1), day(2), day(2), day(3), day(5),
+                        day(6), day(9)], pa.timestamp("us"))})
+    out = login_streaks(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 2]
+    assert list(out["longest_streak"]) == [3, 1]

@@ -1632,6 +1632,67 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_login_streaks(sf_dir: str):
+    """Longest run of consecutive active days per user — the
+    engagement-streak classic (stages/windows.py login_streaks: ONE
+    user-keyed exchange over per-batch-distinct (user, day) pairs,
+    run-break + two reduceat folds, no per-user loop; exact integer
+    epoch-day arithmetic). Oracle: the day-minus-row_number
+    gaps-and-islands trick."""
+    from ..stages.windows import login_streaks
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    return login_streaks(ds)
+
+
+_STREAKS_SQL = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "date_diff('day', TIMESTAMP '1970-01-01', "
+    "date_trunc('day', ts))::BIGINT AS day FROM events), "
+    "r AS (SELECT user_id, day, day - row_number() OVER ("
+    "PARTITION BY user_id ORDER BY day) AS grp FROM d) "
+    "SELECT user_id, max(cnt)::BIGINT AS longest_streak FROM ("
+    "SELECT user_id, grp, count(*) AS cnt FROM r "
+    "GROUP BY user_id, grp) GROUP BY user_id ORDER BY user_id")
+
+
+def q_impute_median(sf_dir: str):
+    """Median imputation of a synthetically-nulled value column
+    (every 7th event_id nulled identically on both sides): NULLs
+    fill with their event_type's quantile_disc(0.5) of the non-null
+    values (stages/aggregates.py impute_median_by_group: ONE groupby
+    shuffle, order-statistic fill — bit-exact where a mean fill
+    would ride on float-sum order). The data-cleaning member of the
+    curation family."""
+    from ..stages.aggregates import impute_median_by_group
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+
+    def nullify(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64).copy()
+        v[e % 7 == 0] = np.nan
+        return pa.table({"event_id": pa.array(e),
+                         "event_type": t.column("event_type"),
+                         "value": pa.array(v)})
+
+    return impute_median_by_group(
+        ds.map_batches(nullify, batch_format="pyarrow"),
+        "event_type", "value", "event_id")
+
+
+_IMPUTE_SQL = (
+    "WITH b AS (SELECT event_id, event_type, "
+    "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v "
+    "FROM events), "
+    "m AS (SELECT event_type, quantile_disc(v, 0.5) AS med "
+    "FROM b WHERE v IS NOT NULL GROUP BY event_type) "
+    "SELECT b.event_id, b.event_type, "
+    "COALESCE(b.v, m.med) AS v_filled "
+    "FROM b JOIN m USING (event_type) ORDER BY event_id")
+
+
 def q_conversion_within(sf_dir: str):
     """Time-bounded conversion: per user, purchases preceded by a
     click of the same user within 1 hour (window (t-1h, t]) — the
@@ -3047,6 +3108,8 @@ def registry() -> dict:
         "mode_users": q_mode_users,
         "weighted_median": q_weighted_median,
         "conversion_within": q_conversion_within,
+        "login_streaks": q_login_streaks,
+        "impute_median": q_impute_median,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -3987,6 +4050,8 @@ ORACLES: dict[str, str] = {
     "mode_users": _MODE_SQL,
     "weighted_median": _WMEDIAN_SQL,
     "conversion_within": _CONVERSION_SQL,
+    "login_streaks": _STREAKS_SQL,
+    "impute_median": _IMPUTE_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

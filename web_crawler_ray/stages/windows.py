@@ -691,3 +691,54 @@ def conversion_within(ds, trigger: str = "click",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def login_streaks(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Longest run of CONSECUTIVE active days per user — the
+    engagement-streak classic (SQL: the day-minus-row_number
+    gaps-and-islands trick). Days are exact integer epoch-day floors;
+    no floats. Returns a Dataset (user_id, longest_streak).
+
+    Scale shape: ONE raw-task exchange keyed by user; the kernel
+    reduces to distinct (user, day) pairs, breaks runs where the day
+    step != 1, and folds run lengths to a per-user max with two
+    reduceat passes — no per-user loop; O(users) rows leave the
+    partitions."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = ts // 86_400_000_000
+        # per-batch distinct (user, day) combiner
+        pairs = np.unique(np.stack([u, day], axis=1), axis=0)
+        return pa.table({"u": pa.array(pairs[:, 0]),
+                         "day": pa.array(pairs[:, 1])})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "longest_streak": z})
+        pairs = np.unique(np.stack(
+            [df["u"].to_numpy(np.int64),
+             df["day"].to_numpy(np.int64)], axis=1), axis=0)
+        u, day = pairs[:, 0], pairs[:, 1]
+        n = len(u)
+        run_start = np.ones(n, bool)
+        run_start[1:] = (u[1:] != u[:-1]) | (day[1:] - day[:-1] != 1)
+        rs = np.nonzero(run_start)[0]
+        run_len = np.diff(np.append(rs, n)).astype(np.int64)
+        run_u = u[rs]
+        user_start = np.ones(len(run_u), bool)
+        user_start[1:] = run_u[1:] != run_u[:-1]
+        us = np.nonzero(user_start)[0]
+        return pd.DataFrame({
+            "user_id": run_u[us],
+            "longest_streak": np.maximum.reduceat(run_len, us)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
