@@ -195,7 +195,8 @@ def run_queries(num_cpus: int) -> dict:
              "session_stats", "unpivot_lineitem", "interval_union",
              "partitioned_sink", "scd2_history", "histogram_events",
              "mode_users", "weighted_median", "conversion_within",
-             "login_streaks", "impute_median"]
+             "login_streaks", "impute_median", "spearman_by_flag",
+             "sliding_distinct_users"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

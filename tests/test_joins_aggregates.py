@@ -465,3 +465,46 @@ def test_impute_median_by_group(ray_session):
     assert list(out["v_filled"][:4]) == [1.0, 3.0, 3.0, 10.0]
     # all-null group stays NaN (nothing to learn from)
     assert np.isnan(out["v_filled"].iloc[4])
+
+
+def test_spearman_by_group_matches_scipy_or_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import spearman_by_group
+    rng = np.random.default_rng(47)
+    k = rng.choice(list("uv"), 400)
+    x = rng.integers(0, 20, 400).astype(np.float64)  # heavy ties
+    y = (x * 3 + rng.integers(0, 30, 400)).astype(np.float64)
+    t = pa.table({"k": pa.array(k.tolist()), "x": x, "y": y})
+    out = spearman_by_group(rd.from_arrow(t).repartition(4),
+                            "k", "x", "y", x_scale=1, y_scale=1) \
+        .to_pandas().set_index("k")["rho"]
+
+    def brute(xx, yy):
+        def avg_ranks(v):
+            sv = np.sort(v)
+            return (np.searchsorted(sv, v, "left")
+                    + np.searchsorted(sv, v, "right") + 1) / 2.0
+        rx, ry = avg_ranks(xx), avg_ranks(yy)
+        rx -= rx.mean()
+        ry -= ry.mean()
+        return (rx * ry).sum() / np.sqrt((rx * rx).sum()
+                                         * (ry * ry).sum())
+
+    for kk in "uv":
+        assert abs(out[kk] - brute(x[k == kk], y[k == kk])) < 1e-12
+    try:
+        from scipy import stats
+    except ImportError:
+        return
+    for kk in "uv":
+        r = stats.spearmanr(x[k == kk], y[k == kk]).statistic
+        assert abs(out[kk] - r) < 1e-12
+
+
+def test_spearman_zero_variance_null(ray_session):
+    from web_crawler_ray.stages.aggregates import spearman_by_group
+    t = pa.table({"k": pa.array(["a"] * 3),
+                  "x": pa.array([5.0, 5.0, 5.0]),
+                  "y": pa.array([1.0, 2.0, 3.0])})
+    out = spearman_by_group(rd.from_arrow(t), "k", "x", "y",
+                            x_scale=1, y_scale=1)
+    assert out.column("rho").to_pylist() == [None]

@@ -466,3 +466,22 @@ def test_login_streaks_hand_case(ray_session):
         .to_pandas().sort_values("user_id").reset_index(drop=True)
     assert list(out["user_id"]) == [1, 2]
     assert list(out["longest_streak"]) == [3, 1]
+
+
+def test_sliding_distinct_users_dedups_within_window(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import sliding_distinct_users
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    # user 1 appears twice inside the same hour -> counted once per
+    # covering window; user 2 once
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([t0 + 5 * m, t0 + 10 * m, t0 + 40 * m],
+                       pa.timestamp("us"))})
+    out = sliding_distinct_users(rd.from_arrow(t).repartition(2)) \
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    # hop 30 min, size 60: windows [-30,30) gets events at 5,10 ->
+    # 1 user; [0,60) all -> 2; [30,90) only user 2 -> 1
+    assert list(out["n_users"]) == [1, 2, 1]

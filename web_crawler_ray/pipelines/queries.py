@@ -1632,6 +1632,62 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_spearman_by_flag(sf_dir: str):
+    """Spearman rank correlation of (quantity, extendedprice) per
+    returnflag — the order-statistics sibling of corr_lineitem
+    (stages/aggregates.py spearman_by_group: doubled average ranks
+    are INTEGERS even under ties (2r = 2*rank_min + ties - 1), so the
+    sufficient statistics are exact int sums and the closed form is
+    two sqrts + one division mirrored HUGEINT-for-HUGEINT —
+    bit-exact)."""
+    from ..stages.aggregates import spearman_by_group
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return spearman_by_group(ds, "l_returnflag", "l_quantity",
+                             "l_extendedprice", x_scale=1, y_scale=100)
+
+
+_SPEARMAN_SQL = (
+    "WITH b AS (SELECT l_returnflag AS k, "
+    "CAST(l_quantity AS BIGINT) AS x, "
+    "CAST(round(l_extendedprice*100) AS BIGINT) AS y FROM lineitem), "
+    "r AS (SELECT k, "
+    "(2*rank() OVER (PARTITION BY k ORDER BY x) "
+    "+ count(*) OVER (PARTITION BY k, x) - 1)::HUGEINT AS rx, "
+    "(2*rank() OVER (PARTITION BY k ORDER BY y) "
+    "+ count(*) OVER (PARTITION BY k, y) - 1)::HUGEINT AS ry "
+    "FROM b), "
+    "s AS (SELECT k, count(*)::HUGEINT AS n, sum(rx) AS sx, "
+    "sum(ry) AS sy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy, "
+    "sum(rx*ry) AS sxy FROM r GROUP BY k) "
+    "SELECT k AS l_returnflag, "
+    "(n*sxy - sx*sy)::DOUBLE / (sqrt((n*sxx - sx*sx)::DOUBLE) "
+    "* sqrt((n*syy - sy*sy)::DOUBLE)) AS rho "
+    "FROM s ORDER BY l_returnflag")
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """Distinct users per 60-min/30-min-hop sliding window — the
+    cardinality sibling of sliding_events (stages/windows.py
+    sliding_distinct_users: in-batch window explode + per-batch
+    distinct (window, user) combiner, ONE grouped count — shuffle
+    ships window-user pairs, never events; exact, HLL is the
+    documented approximate path at larger window-user volumes)."""
+    from ..stages.windows import sliding_distinct_users
+    ds = _rp(sf_dir, "events", columns=["ts", "user_id"])
+    return sliding_distinct_users(ds)
+
+
+_SLIDING_DISTINCT_SQL = (
+    "WITH h AS (SELECT user_id, "
+    "epoch_us(ts) // 1800000000 AS hop FROM events), "
+    "w AS (SELECT user_id, "
+    "make_timestamp((hop - j) * 1800000000) AS window_start "
+    "FROM h, UNNEST([0, 1]) AS t(j)) "
+    "SELECT window_start, count(DISTINCT user_id)::BIGINT AS n_users "
+    "FROM w GROUP BY window_start ORDER BY window_start")
+
+
 def q_login_streaks(sf_dir: str):
     """Longest run of consecutive active days per user — the
     engagement-streak classic (stages/windows.py login_streaks: ONE
@@ -3110,6 +3166,8 @@ def registry() -> dict:
         "conversion_within": q_conversion_within,
         "login_streaks": q_login_streaks,
         "impute_median": q_impute_median,
+        "spearman_by_flag": q_spearman_by_flag,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4052,6 +4110,8 @@ ORACLES: dict[str, str] = {
     "conversion_within": _CONVERSION_SQL,
     "login_streaks": _STREAKS_SQL,
     "impute_median": _IMPUTE_SQL,
+    "spearman_by_flag": _SPEARMAN_SQL,
+    "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

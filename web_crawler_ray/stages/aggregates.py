@@ -1736,3 +1736,72 @@ def impute_median_by_group(ds, key_col: str, val_col: str,
 
     return ds.groupby(key_col).map_groups(per_key,
                                           batch_format="pandas")
+
+
+def spearman_by_group(ds, key_col: str, x_col: str, y_col: str,
+                      x_scale: int = 1, y_scale: int = 100):
+    """Spearman rank correlation per group with a BIT-EXACT SQL twin:
+    rho = Pearson on average ranks, and DOUBLED average ranks are
+    integers even under ties (2*avgrank = 2*rank_min + ties - 1), so
+    the sufficient statistics (n, S2x, S2y, S2x2, S2y2, S2x2y) over
+    2r are EXACT integers and the closed form
+
+        rho = (n*Sxy - Sx*Sy)::D
+              / (sqrt((n*Sxx - Sx*Sx)::D) * sqrt((n*Syy - Sy*Sy)::D))
+
+    touches floats only in correctly-rounded conversions, two sqrts
+    and one division — mirrored HUGEINT-for-HUGEINT by the oracle
+    (the group_ols/welch_ttest precedent, extended to order
+    statistics).
+
+    Scale shape: ONE ``groupby(key)`` shuffle; the per-group kernel
+    ranks both columns with sort + searchsorted (vectorized) and
+    reduces the group to one integer-sum row; the closed form runs on
+    the driver over O(groups) rows. Same group-fits-a-worker contract
+    as group_quantiles. Zero-variance groups report null."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def ranks2(v: np.ndarray) -> np.ndarray:
+        sv = np.sort(v, kind="mergesort")
+        lo = np.searchsorted(sv, v, side="left")
+        hi = np.searchsorted(sv, v, side="right")
+        return lo + hi + 1  # == 2 * average rank (1-based)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(g[x_col].to_numpy(np.float64) * x_scale) \
+            .astype(np.int64)
+        y = np.rint(g[y_col].to_numpy(np.float64) * y_scale) \
+            .astype(np.int64)
+        # int64-safe: 2r <= 2n, so sum((2r)^2) <= 4n^3 — inside int64
+        # for n up to ~1.3e6 rows/group; guard the bound explicitly
+        if len(x) > 1_300_000:
+            raise ValueError(
+                "spearman_by_group: group too large for int64 rank "
+                "sums; split the group or extend to object ints")
+        rx = ranks2(x).astype(np.int64)
+        ry = ranks2(y).astype(np.int64)
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n": [len(x)],
+            "sx": [int(rx.sum())], "sy": [int(ry.sum())],
+            "sxx": [int((rx * rx).sum())],
+            "syy": [int((ry * ry).sum())],
+            "sxy": [int((rx * ry).sum())]})
+
+    import math
+    rows = ds.groupby(key_col).map_groups(
+        per_key, batch_format="pandas").to_pandas()
+    ks, rhos = [], []
+    for _, r in rows.sort_values(key_col).iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        ks.append(r[key_col])
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx == 0 or dy == 0:
+            rhos.append(None)
+        else:
+            rhos.append(float(n * sxy - sx * sy)
+                        / (math.sqrt(float(dx)) * math.sqrt(float(dy))))
+    return pa.table({key_col: pa.array(ks),
+                     "rho": pa.array(rhos, pa.float64())})

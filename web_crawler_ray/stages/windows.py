@@ -742,3 +742,46 @@ def login_streaks(ds, user_col: str = "user_id", ts_col: str = "ts"):
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def sliding_distinct_users(ds, ts_col: str = "ts",
+                           user_col: str = "user_id",
+                           size_minutes: int = 60,
+                           hop_minutes: int = 30):
+    """Distinct users per sliding (hopping) event-time window — the
+    cardinality sibling of sliding_window_counts (counting EVENTS is
+    a sum; counting USERS needs distinctness across the window, so
+    the combiner ships per-batch-distinct (window, user) pairs and
+    ONE groupby counts them). Returns (window_start, n_users).
+
+    Scale shape: each event explodes into its size/hop windows inside
+    map_batches, the batch reduces to distinct (window, user) pairs
+    (the combiner — shuffle volume is window-users, not events), then
+    one grouped count. Exact, no sketch (HLL is the documented
+    approximate path when window-user pairs stop fitting)."""
+    from ray.data.aggregate import Count
+
+    assert size_minutes % hop_minutes == 0
+    k = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hops = ts // hop_us
+        win = np.concatenate([(hops - j) * hop_us for j in range(k)])
+        uu = np.concatenate([u] * k)
+        pairs = np.unique(np.stack([win, uu], axis=1), axis=0)
+        return pa.table({
+            "window_start": pa.array(pairs[:, 0])
+            .cast(pa.timestamp("us")),
+            "u": pa.array(pairs[:, 1])})
+
+    return ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["window_start", "u"]).aggregate(
+            Count(alias_name="dup")) \
+        .groupby("window_start").aggregate(
+            Count(alias_name="n_users")) \
+        .select_columns(["window_start", "n_users"])
