@@ -508,3 +508,31 @@ def test_spearman_zero_variance_null(ray_session):
     out = spearman_by_group(rd.from_arrow(t), "k", "x", "y",
                             x_scale=1, y_scale=1)
     assert out.column("rho").to_pylist() == [None]
+
+
+def test_gini_by_group_known_values(ray_session):
+    from web_crawler_ray.stages.aggregates import gini_by_group
+    # perfectly equal -> 0; one-owner-takes-all of 4 -> (n-1)/n = .75
+    t = pa.table({"k": pa.array(["eq"] * 4 + ["uneq"] * 4),
+                  "v": pa.array([5.0, 5.0, 5.0, 5.0,
+                                 0.0, 0.0, 0.0, 8.0])})
+    out = gini_by_group(rd.from_arrow(t).repartition(3), "k", "v",
+                        scale=1).to_pandas().set_index("k")["gini"]
+    assert out["eq"] == 0.0
+    assert out["uneq"] == 0.75
+    # all-zero group -> null
+    z = pa.table({"k": pa.array(["z", "z"]),
+                  "v": pa.array([0.0, 0.0])})
+    oz = gini_by_group(rd.from_arrow(z), "k", "v", scale=1)
+    assert oz.column("gini").to_pylist() == [None]
+
+
+def test_hhi_by_group_known_values(ray_session):
+    from web_crawler_ray.stages.aggregates import hhi_by_group
+    # monopoly -> 1.0; two equal members -> 0.5
+    t = pa.table({"g": pa.array(["mono"] * 3 + ["duo"] * 4),
+                  "m": pa.array([1, 1, 1, 7, 7, 8, 8], pa.int64())})
+    out = hhi_by_group(rd.from_arrow(t).repartition(2), "g", "m") \
+        .to_pandas().set_index("g")["hhi"]
+    assert out["mono"] == 1.0
+    assert out["duo"] == 0.5

@@ -1632,6 +1632,51 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_gini_by_flag(sf_dir: str):
+    """Gini inequality of extendedprice per returnflag — the corpus-
+    concentration read (stages/aggregates.py gini_by_group: ONE
+    groupby shuffle, per-group sort + exact python-int rank dot, one
+    float division — bit-exact; tie blocks factor out of the rank
+    sum, so row_number tie order is immaterial)."""
+    from ..stages.aggregates import gini_by_group
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_extendedprice"])
+    return gini_by_group(ds, "l_returnflag", "l_extendedprice",
+                         scale=100)
+
+
+_GINI_SQL = (
+    "WITH b AS (SELECT l_returnflag AS k, "
+    "CAST(round(l_extendedprice*100) AS HUGEINT) AS x FROM lineitem), "
+    "r AS (SELECT k, x, row_number() OVER ("
+    "PARTITION BY k ORDER BY x)::HUGEINT AS i FROM b), "
+    "s AS (SELECT k, count(*)::HUGEINT AS n, sum(x) AS sx, "
+    "sum(i*x) AS six FROM r GROUP BY k) "
+    "SELECT k AS l_returnflag, "
+    "(2*six - (n+1)*sx)::DOUBLE / (n*sx)::DOUBLE AS gini "
+    "FROM s ORDER BY k")
+
+
+def q_hhi_events(sf_dir: str):
+    """Herfindahl concentration of user activity per event type —
+    how dominated each stream is by its heaviest users
+    (stages/aggregates.py hhi_by_group: per-batch (group, member)
+    count combiner, exact integer sums, one float division —
+    bit-exact; no shuffle)."""
+    from ..stages.aggregates import hhi_by_group
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    return hhi_by_group(ds, "event_type", "user_id")
+
+
+_HHI_SQL = (
+    "WITH c AS (SELECT event_type, user_id, count(*)::HUGEINT AS n "
+    "FROM events GROUP BY event_type, user_id), "
+    "s AS (SELECT event_type, sum(n) AS t, sum(n*n) AS ssq "
+    "FROM c GROUP BY event_type) "
+    "SELECT event_type, ssq::DOUBLE / (t*t)::DOUBLE AS hhi "
+    "FROM s ORDER BY event_type")
+
+
 def q_spearman_by_flag(sf_dir: str):
     """Spearman rank correlation of (quantity, extendedprice) per
     returnflag — the order-statistics sibling of corr_lineitem
@@ -3168,6 +3213,8 @@ def registry() -> dict:
         "impute_median": q_impute_median,
         "spearman_by_flag": q_spearman_by_flag,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "gini_by_flag": q_gini_by_flag,
+        "hhi_events": q_hhi_events,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4112,6 +4159,8 @@ ORACLES: dict[str, str] = {
     "impute_median": _IMPUTE_SQL,
     "spearman_by_flag": _SPEARMAN_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
+    "gini_by_flag": _GINI_SQL,
+    "hhi_events": _HHI_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

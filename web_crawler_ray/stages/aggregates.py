@@ -1805,3 +1805,93 @@ def spearman_by_group(ds, key_col: str, x_col: str, y_col: str,
                         / (math.sqrt(float(dx)) * math.sqrt(float(dy))))
     return pa.table({key_col: pa.array(ks),
                      "rho": pa.array(rhos, pa.float64())})
+
+
+def gini_by_group(ds, key_col: str, val_col: str, scale: int = 100):
+    """Gini inequality coefficient per group with a BIT-EXACT SQL
+    twin: over value-ascending ranks i = 1..n,
+
+        G = (2 * S(i*x_i) - (n+1) * S(x))::D / (n * S(x))::D
+
+    x integral after scaling, so both sums are EXACT integers (any
+    permutation inside a tie block leaves S(i*x_i) unchanged — equal
+    x factor out of the rank sum), and the only float is one division.
+    The training-data curation read: how concentrated the corpus is
+    on few sources/hosts/documents.
+
+    Scale shape: ONE ``groupby(key)`` shuffle, per-group numpy sort +
+    exact integer dot (python ints — no int64 overflow bound), driver
+    sees O(groups) rows. All-zero-sum groups report null."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(np.rint(g[val_col].to_numpy(np.float64) * scale)
+                    .astype(np.int64), kind="mergesort")
+        n = len(x)
+        sx = int(x.sum(dtype=object)) if n else 0
+        six = int((np.arange(1, n + 1, dtype=object) * x).sum())
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "n": [n], "sx": [sx], "six": [six]})
+
+    rows = ds.groupby(key_col).map_groups(
+        per_key, batch_format="pandas").to_pandas()
+    ks, gs = [], []
+    for _, r in rows.sort_values(key_col).iterrows():
+        n, sx, six = int(r["n"]), int(r["sx"]), int(r["six"])
+        ks.append(r[key_col])
+        gs.append(None if sx == 0 else
+                  float(2 * six - (n + 1) * sx) / float(n * sx))
+    return pa.table({key_col: pa.array(ks),
+                     "gini": pa.array(gs, pa.float64())})
+
+
+def hhi_by_group(ds, group_col: str, member_col: str):
+    """Herfindahl–Hirschman concentration index per group: with
+    integer member counts c_m summing to T,
+
+        HHI = S(c_m^2)::D / (T*T)::D
+
+    — exact integer sufficient statistics, one float division
+    (bit-exact twin). The market-concentration read on a corpus:
+    how dominated each group (nation, source, host) is by its top
+    members.
+
+    Scale shape: a pure combiner — per-batch (group, member) counts
+    (vectorized over dictionary codes), driver merges
+    O(batches x pairs) partials and folds per group; no shuffle
+    (the mode_by_group / vocab_topk contract: distinct pairs fit the
+    driver)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).combine_chunks().dictionary_encode()
+        m = t.column(member_col).combine_chunks().dictionary_encode()
+        gc = g.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        mc = m.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gk = g.dictionary.to_pylist()
+        mk = m.dictionary.to_pylist()
+        M = np.int64(len(mk))
+        cells, n = np.unique(gc * M + mc, return_counts=True)
+        return pa.table({
+            group_col: pa.array([gk[c // M] for c in cells]),
+            "m": pa.array([mk[c % M] for c in cells]),
+            "n": pa.array(n.astype(np.int64))})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            kk = (tb.column(group_col)[i].as_py(),
+                  tb.column("m")[i].as_py())
+            acc[kk] = acc.get(kk, 0) + int(tb.column("n")[i].as_py())
+    per_g: dict = {}
+    for (g, _m), n in acc.items():
+        tot, ssq = per_g.get(g, (0, 0))
+        per_g[g] = (tot + n, ssq + n * n)
+    ks = sorted(per_g)
+    return pa.table({
+        group_col: pa.array(ks),
+        "hhi": pa.array([float(per_g[k][1]) / float(per_g[k][0] ** 2)
+                         for k in ks], pa.float64())})
