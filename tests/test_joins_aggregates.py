@@ -536,3 +536,65 @@ def test_hhi_by_group_known_values(ray_session):
         .to_pandas().set_index("g")["hhi"]
     assert out["mono"] == 1.0
     assert out["duo"] == 0.5
+
+
+def test_ks_two_sample_matches_scipy_or_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import ks_two_sample
+    rng = np.random.default_rng(53)
+    va = rng.normal(0, 1, 300)
+    vb = rng.normal(0.4, 1.2, 200)
+    t = pa.table({"k": pa.array(["a"] * 300 + ["b"] * 200),
+                  "v": np.concatenate([va, vb])})
+    out = ks_two_sample(rd.from_arrow(t).repartition(4),
+                        "k", "v", "a", "b")
+    got = out.column("ks")[0].as_py()
+    # brute ECDF max over union
+    u = np.unique(np.concatenate([va, vb]))
+    i = np.searchsorted(np.sort(va), u, side="right")
+    j = np.searchsorted(np.sort(vb), u, side="right")
+    want = np.abs(i * 200 - j * 300).max() / (300 * 200)
+    assert got == want
+    try:
+        from scipy import stats
+    except ImportError:
+        return
+    assert abs(got - stats.ks_2samp(va, vb).statistic) < 1e-12
+
+
+def test_ks_identical_samples_zero(ray_session):
+    from web_crawler_ray.stages.aggregates import ks_two_sample
+    v = np.array([1.0, 2.0, 3.0])
+    t = pa.table({"k": pa.array(["a"] * 3 + ["b"] * 3),
+                  "v": np.concatenate([v, v])})
+    out = ks_two_sample(rd.from_arrow(t), "k", "v", "a", "b")
+    assert out.column("ks").to_pylist() == [0.0]
+    assert out.column("d_num").to_pylist() == [0]
+
+
+def test_chi2_contingency_matches_scipy_or_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import chi2_contingency
+    rng = np.random.default_rng(59)
+    r = rng.choice(list("abc"), 600)
+    c = rng.choice(["0", "1"], 600)
+    t = pa.table({"r": pa.array(r.tolist()), "c": pa.array(c.tolist())})
+    out = chi2_contingency(rd.from_arrow(t).repartition(4), "r", "c")
+    got = out.column("chi2")[0].as_py()
+    assert out.column("dof").to_pylist() == [2]
+    # brute
+    import itertools
+    n = len(r)
+    chi = 0.0
+    for rr, cc in sorted(itertools.product("abc", "01")):
+        o = int(((r == rr) & (c == cc)).sum())
+        e = float(int((r == rr).sum()) * int((c == cc).sum())) / float(n)
+        d = float(o) - e
+        chi = chi + d * d / e
+    assert got == chi
+    try:
+        from scipy import stats
+    except ImportError:
+        return
+    import pandas as pd
+    tab = pd.crosstab(pd.Series(r), pd.Series(c))
+    ref = stats.chi2_contingency(tab.to_numpy(), correction=False)
+    assert abs(got - ref.statistic) < 1e-9

@@ -1632,6 +1632,74 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_ks_click_view(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distance between click and view
+    event values — the distribution-drift detector
+    (stages/aggregates.py ks_two_sample: D's numerator is the max of
+    EXACT cross-multiplied integers |i*m - j*n|, so no float ECDF
+    arithmetic anywhere; distinct-value combiner + one single-key
+    exchange; one final division — bit-exact)."""
+    from ..stages.aggregates import ks_two_sample
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return ks_two_sample(ds, "event_type", "value", "click", "view")
+
+
+_KS_SQL = (
+    "WITH a AS (SELECT value AS v FROM events "
+    "WHERE event_type = 'click'), "
+    "b AS (SELECT value AS v FROM events WHERE event_type = 'view'), "
+    "u AS (SELECT DISTINCT v FROM "
+    "(SELECT v FROM a UNION SELECT v FROM b)), "
+    "s AS (SELECT u.v, "
+    "(SELECT count(*) FROM a WHERE a.v <= u.v)::HUGEINT AS i, "
+    "(SELECT count(*) FROM b WHERE b.v <= u.v)::HUGEINT AS j FROM u), "
+    "c AS (SELECT (SELECT count(*) FROM a)::HUGEINT AS n, "
+    "(SELECT count(*) FROM b)::HUGEINT AS m) "
+    "SELECT n::BIGINT AS n_a, m::BIGINT AS n_b, "
+    "max(abs(i*m - j*n))::BIGINT AS d_num, "
+    "max(abs(i*m - j*n))::DOUBLE / (n*m)::DOUBLE AS ks "
+    "FROM s, c GROUP BY n, m")
+
+
+def q_chi2_events(sf_dir: str):
+    """Chi-square independence statistic of event_type x user-parity
+    — the corpus-audit independence test (stages/aggregates.py
+    chi2_contingency: integer count/marginal combiner; each cell's
+    term is the same fixed float steps both sides, and the cross-cell
+    sum folds in SORTED cell order — DuckDB list(term ORDER BY) ->
+    list_sum, the sequential fold l2_normalize pinned — bit-exact)."""
+    from ..stages.aggregates import chi2_contingency
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def par(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "par": pa.array([str(x) for x in u % 2])})
+
+    return chi2_contingency(ds.map_batches(par, batch_format="pyarrow"),
+                            "event_type", "par")
+
+
+_CHI2_SQL = (
+    "WITH cells AS (SELECT event_type AS r, "
+    "(user_id % 2)::VARCHAR AS c, count(*)::BIGINT AS o "
+    "FROM events GROUP BY r, c), "
+    "m AS (SELECT r, c, o, sum(o) OVER (PARTITION BY r) AS rt, "
+    "sum(o) OVER (PARTITION BY c) AS ct, sum(o) OVER () AS n "
+    "FROM cells), "
+    "t AS (SELECT r, c, "
+    "((o::DOUBLE - (rt*ct)::DOUBLE / n::DOUBLE) "
+    "* (o::DOUBLE - (rt*ct)::DOUBLE / n::DOUBLE)) "
+    "/ ((rt*ct)::DOUBLE / n::DOUBLE) AS term FROM m) "
+    "SELECT (SELECT count(DISTINCT r) FROM cells)::BIGINT "
+    "AS n_rows_cat, "
+    "(SELECT count(DISTINCT c) FROM cells)::BIGINT AS n_cols_cat, "
+    "(((SELECT count(DISTINCT r) FROM cells) - 1) "
+    "* ((SELECT count(DISTINCT c) FROM cells) - 1))::BIGINT AS dof, "
+    "list_sum(list(term ORDER BY r, c)) AS chi2 FROM t")
+
+
 def q_gini_by_flag(sf_dir: str):
     """Gini inequality of extendedprice per returnflag — the corpus-
     concentration read (stages/aggregates.py gini_by_group: ONE
@@ -3215,6 +3283,8 @@ def registry() -> dict:
         "sliding_distinct_users": q_sliding_distinct_users,
         "gini_by_flag": q_gini_by_flag,
         "hhi_events": q_hhi_events,
+        "ks_click_view": q_ks_click_view,
+        "chi2_events": q_chi2_events,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4161,6 +4231,8 @@ ORACLES: dict[str, str] = {
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "gini_by_flag": _GINI_SQL,
     "hhi_events": _HHI_SQL,
+    "ks_click_view": _KS_SQL,
+    "chi2_events": _CHI2_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -1895,3 +1895,163 @@ def hhi_by_group(ds, group_col: str, member_col: str):
         group_col: pa.array(ks),
         "hhi": pa.array([float(per_g[k][1]) / float(per_g[k][0] ** 2)
                          for k in ks], pa.float64())})
+
+
+def ks_two_sample(ds, key_col: str, val_col: str, a: str, b: str):
+    """Two-sample Kolmogorov–Smirnov distance between groups ``a``
+    and ``b`` of ``key_col`` with a BIT-EXACT SQL twin: with right-
+    continuous ECDFs evaluated on the union of sample points,
+
+        D = max |i*m - j*n| / (n*m)
+
+    where i/j count sample points <= v in each group — the numerator
+    max is over EXACT integers (cross-multiplied, so no float ECDF
+    subtraction anywhere) and the only float is one final division.
+    The distribution-drift detector for corpus monitoring.
+
+    Scale shape: per-batch (group, value, count) distinct combiner
+    (shuffle volume = distinct values), one single-key exchange
+    co-locates both samples (contract: the two samples' DISTINCT
+    values fit one worker — the group-fits-a-worker contract), the
+    kernel is two searchsorted sweeps. Returns a 1-row Table
+    (n_a, n_b, d_num, ks)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        out_g, out_v, out_n = [], [], []
+        for gname, tag in ((a, 0), (b, 1)):
+            sel = np.sort(v[keys == gname], kind="mergesort")
+            if not len(sel):
+                continue
+            new = np.ones(len(sel), bool)
+            new[1:] = sel[1:] != sel[:-1]
+            st = np.nonzero(new)[0]
+            out_g.append(np.full(len(st), tag, np.int64))
+            out_v.append(sel[st])
+            out_n.append(np.diff(np.append(st, len(sel)))
+                         .astype(np.int64))
+        if not out_g:
+            z = np.array([], np.int64)
+            return pa.table({"g": pa.array(z), "v": pa.array(
+                np.array([], np.float64)), "n": pa.array(z),
+                "p": pa.array(z)})
+        g = np.concatenate(out_g)
+        return pa.table({"g": pa.array(g),
+                         "v": pa.array(np.concatenate(out_v)),
+                         "n": pa.array(np.concatenate(out_n)),
+                         "p": pa.array(np.zeros(len(g), np.int64))})
+
+    def reduce_ks(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"n_a": z, "n_b": z, "d_num": z,
+                                 "ks": np.array([], np.float64)})
+        def fold(tag):
+            d = df[df["g"] == tag]
+            vv = d["v"].to_numpy(np.float64)
+            nn = d["n"].to_numpy(np.int64)
+            o = np.argsort(vv, kind="mergesort")
+            vv, nn = vv[o], nn[o]
+            new = np.ones(len(vv), bool)
+            new[1:] = vv[1:] != vv[:-1]
+            st = np.nonzero(new)[0]
+            return vv[st], np.add.reduceat(nn, st) if len(st) else nn
+        va, ca = fold(0)
+        vb, cb = fold(1)
+        if not len(va) or not len(vb):
+            return pd.DataFrame({"n_a": z, "n_b": z, "d_num": z,
+                                 "ks": np.array([], np.float64)})
+        n, m = int(ca.sum()), int(cb.sum())
+        union = np.unique(np.concatenate([va, vb]))
+        i = np.cumsum(ca)[np.clip(
+            np.searchsorted(va, union, side="right") - 1, 0, None)]
+        i[np.searchsorted(va, union, side="right") == 0] = 0
+        j = np.cumsum(cb)[np.clip(
+            np.searchsorted(vb, union, side="right") - 1, 0, None)]
+        j[np.searchsorted(vb, union, side="right") == 0] = 0
+        d_num = int(np.abs(i * m - j * n).max())
+        return pd.DataFrame({"n_a": [n], "n_b": [m],
+                             "d_num": [d_num],
+                             "ks": [float(d_num) / float(n * m)]})
+
+    out = int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       "p", reduce_ks, num_partitions=1)
+    cat = pa.concat_tables(
+        [pa.table(bb) for bb in out.iter_batches(batch_format="pyarrow")])
+    if cat.num_rows == 0:
+        return pa.table({"n_a": pa.array([], pa.int64()),
+                         "n_b": pa.array([], pa.int64()),
+                         "d_num": pa.array([], pa.int64()),
+                         "ks": pa.array([], pa.float64())})
+    return cat
+
+
+def chi2_contingency(ds, row_col: str, col_col: str):
+    """Chi-square statistic of the OBSERVED contingency table between
+    two categorical columns (cells that never occur contribute no
+    term — both engines aggregate the same GROUP BY cells) with a
+    BIT-EXACT SQL twin: counts and marginals are exact integers,
+    each cell's expected value and term are the same fixed float
+    steps ((r*c)::D / n::D; d = o::D - e; d*d/e), and the cross-cell
+    sum folds in SORTED cell order on both sides — DuckDB via
+    ``list(term ORDER BY cells) -> list_sum`` (the sequential
+    left-to-right fold l2_normalize pinned), numpy via the same
+    ordered accumulation. The independence test for corpus audits
+    (is source mix independent of language?).
+
+    Scale shape: per-batch (row, col) count combiner (no shuffle,
+    driver merges O(batches x cells)); the chi2 fold is O(cells) on
+    the driver. Returns a 1-row Table (n_rows_cat, n_cols_cat, dof,
+    chi2)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t.column(row_col).combine_chunks().dictionary_encode()
+        c = t.column(col_col).combine_chunks().dictionary_encode()
+        rc = r.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = c.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = r.dictionary.to_pylist()
+        ck = c.dictionary.to_pylist()
+        M = np.int64(len(ck))
+        cells, n = np.unique(rc * M + cc, return_counts=True)
+        return pa.table({
+            "r": pa.array([str(rk[x // M]) for x in cells]),
+            "c": pa.array([str(ck[x % M]) for x in cells]),
+            "n": pa.array(n.astype(np.int64))})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            kk = (tb.column("r")[i].as_py(), tb.column("c")[i].as_py())
+            acc[kk] = acc.get(kk, 0) + int(tb.column("n")[i].as_py())
+    if not acc:
+        return pa.table({"n_rows_cat": pa.array([], pa.int64()),
+                         "n_cols_cat": pa.array([], pa.int64()),
+                         "dof": pa.array([], pa.int64()),
+                         "chi2": pa.array([], pa.float64())})
+    rt: dict = {}
+    ct: dict = {}
+    n_tot = 0
+    for (r, c), n in acc.items():
+        rt[r] = rt.get(r, 0) + n
+        ct[c] = ct.get(c, 0) + n
+        n_tot += n
+    chi2 = 0.0
+    for (r, c) in sorted(acc):  # fixed fold order == SQL ORDER BY
+        o = acc[(r, c)]
+        e = float(rt[r] * ct[c]) / float(n_tot)
+        d = float(o) - e
+        chi2 = chi2 + (d * d) / e
+    return pa.table({
+        "n_rows_cat": pa.array([len(rt)], pa.int64()),
+        "n_cols_cat": pa.array([len(ct)], pa.int64()),
+        "dof": pa.array([(len(rt) - 1) * (len(ct) - 1)], pa.int64()),
+        "chi2": pa.array([chi2], pa.float64())})
