@@ -598,3 +598,60 @@ def test_chi2_contingency_matches_scipy_or_brute(ray_session):
     tab = pd.crosstab(pd.Series(r), pd.Series(c))
     ref = stats.chi2_contingency(tab.to_numpy(), correction=False)
     assert abs(got - ref.statistic) < 1e-9
+
+
+def test_inversions_matches_brute():
+    from web_crawler_ray.stages.aggregates import _inversions
+    rng = np.random.default_rng(61)
+    for n in (0, 1, 2, 7, 100, 257):
+        a = rng.integers(0, 20, n).astype(np.int64)
+        want = sum(int(a[i] > a[j])
+                   for i in range(n) for j in range(i + 1, n))
+        assert _inversions(a) == want
+
+
+def test_kendall_by_group_matches_scipy_or_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import kendall_by_group
+    rng = np.random.default_rng(67)
+    k = rng.choice(list("mn"), 300)
+    x = rng.integers(0, 12, 300).astype(np.float64)   # heavy ties
+    y = (x * 2 + rng.integers(0, 15, 300)).astype(np.float64)
+    t = pa.table({"k": pa.array(k.tolist()), "x": x, "y": y})
+    out = kendall_by_group(rd.from_arrow(t).repartition(4),
+                           "k", "x", "y", x_scale=1, y_scale=1) \
+        .to_pandas().set_index("k")["tau_b"]
+
+    def brute(xx, yy):
+        n = len(xx)
+        c = d = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if xx[i] == xx[j]:
+                    tx += 1
+                if yy[i] == yy[j]:
+                    ty += 1
+                if (xx[i] - xx[j]) * (yy[i] - yy[j]) > 0:
+                    c += 1
+                elif (xx[i] - xx[j]) * (yy[i] - yy[j]) < 0:
+                    d += 1
+        n0 = n * (n - 1) // 2
+        return (c - d) / (np.sqrt(n0 - tx) * np.sqrt(n0 - ty))
+    for kk in "mn":
+        assert abs(out[kk] - brute(x[k == kk], y[k == kk])) < 1e-12
+    try:
+        from scipy import stats
+    except ImportError:
+        return
+    for kk in "mn":
+        r = stats.kendalltau(x[k == kk], y[k == kk]).statistic
+        assert abs(out[kk] - r) < 1e-12
+
+
+def test_kendall_constant_side_null(ray_session):
+    from web_crawler_ray.stages.aggregates import kendall_by_group
+    t = pa.table({"k": pa.array(["a"] * 3),
+                  "x": pa.array([7.0, 7.0, 7.0]),
+                  "y": pa.array([1.0, 2.0, 3.0])})
+    out = kendall_by_group(rd.from_arrow(t), "k", "x", "y",
+                           x_scale=1, y_scale=1)
+    assert out.column("tau_b").to_pylist() == [None]

@@ -1632,6 +1632,43 @@ _SESSION_STATS_SQL = (
     "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
 
 
+def q_kendall_events(sf_dir: str):
+    """Kendall's tau-b of (user_id, value) per event type — the
+    rank-correlation sibling of spearman_by_flag (stages/
+    aggregates.py kendall_by_group: every sufficient statistic an
+    exact integer, discordant pairs via an O(n log^2 n) VECTORIZED
+    merge inversion count, two sqrts + one division — bit-exact;
+    y unscaled: tau depends only on order/ties, which raw doubles
+    carry exactly). Oracle: the canonical O(n^2) pair join
+    (gate-scale groups only)."""
+    from ..stages.aggregates import kendall_by_group
+    ds = _rp(sf_dir, "events",
+             columns=["event_type", "user_id", "value"])
+    return kendall_by_group(ds, "event_type", "user_id", "value",
+                            x_scale=1, y_scale=None)
+
+
+_KENDALL_SQL = (
+    "WITH b AS (SELECT event_type AS k, event_id, "
+    "CAST(user_id AS HUGEINT) AS x, value AS y FROM events), "
+    "p AS (SELECT b1.k, "
+    "CASE WHEN (b1.x < b2.x AND b1.y < b2.y) "
+    "OR (b1.x > b2.x AND b1.y > b2.y) THEN 1 ELSE 0 END AS con, "
+    "CASE WHEN (b1.x < b2.x AND b1.y > b2.y) "
+    "OR (b1.x > b2.x AND b1.y < b2.y) THEN 1 ELSE 0 END AS dis, "
+    "CASE WHEN b1.x = b2.x THEN 1 ELSE 0 END AS tx, "
+    "CASE WHEN b1.y = b2.y THEN 1 ELSE 0 END AS ty "
+    "FROM b b1 JOIN b b2 ON b1.k = b2.k "
+    "AND b1.event_id < b2.event_id), "
+    "s AS (SELECT k, count(*)::HUGEINT AS n0, "
+    "sum(con)::HUGEINT AS c, sum(dis)::HUGEINT AS d, "
+    "sum(tx)::HUGEINT AS n1, sum(ty)::HUGEINT AS n2 "
+    "FROM p GROUP BY k) "
+    "SELECT k AS event_type, (c - d)::DOUBLE "
+    "/ (sqrt((n0 - n1)::DOUBLE) * sqrt((n0 - n2)::DOUBLE)) AS tau_b "
+    "FROM s ORDER BY k")
+
+
 def q_ks_click_view(sf_dir: str):
     """Two-sample Kolmogorov-Smirnov distance between click and view
     event values — the distribution-drift detector
@@ -3285,6 +3322,7 @@ def registry() -> dict:
         "hhi_events": q_hhi_events,
         "ks_click_view": q_ks_click_view,
         "chi2_events": q_chi2_events,
+        "kendall_events": q_kendall_events,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4233,6 +4271,7 @@ ORACLES: dict[str, str] = {
     "hhi_events": _HHI_SQL,
     "ks_click_view": _KS_SQL,
     "chi2_events": _CHI2_SQL,
+    "kendall_events": _KENDALL_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

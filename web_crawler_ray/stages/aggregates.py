@@ -2055,3 +2055,100 @@ def chi2_contingency(ds, row_col: str, col_col: str):
         "n_cols_cat": pa.array([len(ct)], pa.int64()),
         "dof": pa.array([(len(rt) - 1) * (len(ct) - 1)], pa.int64()),
         "chi2": pa.array([chi2], pa.float64())})
+
+
+def _inversions(a: np.ndarray) -> int:
+    """Number of pairs i<j with a[i] > a[j] — divide-and-conquer with
+    VECTORIZED cross-counts (per merge level, inversions of L-before-R
+    = sum of searchsorted(sorted R, L, 'left')); python recursion is
+    O(log n) deep, all counting is numpy. Exact python-int result."""
+    n = len(a)
+    if n < 2:
+        return 0
+    if n == 2:
+        return int(a[0] > a[1])
+    mid = n // 2
+    left, right = a[:mid], a[mid:]
+    inv = _inversions(left) + _inversions(right)
+    rs = np.sort(right, kind="mergesort")
+    inv += int(np.searchsorted(rs, left, side="left").sum(dtype=object))
+    return inv
+
+
+def kendall_by_group(ds, key_col: str, x_col: str, y_col: str,
+                     x_scale: int = 1, y_scale: int = 100):
+    """Kendall's tau-b per group with a BIT-EXACT SQL twin: every
+    sufficient statistic is an exact integer —
+
+        n0 = n(n-1)/2          n1/n2 = tie pairs in x / y
+        nxy = pairs tied in BOTH
+        D   = strictly-discordant pairs
+            = inversions of y after lexsort by (x, y)
+        C - D = n0 - n1 - n2 + nxy - 2*D
+        tau_b = (C - D)::DOUBLE
+                / (sqrt((n0 - n1)::D) * sqrt((n0 - n2)::D))
+
+    — two sqrts and one division are the only floats (the
+    spearman_by_group precedent). The oracle is the O(n^2) canonical
+    pair join (gate-scale groups only); the kernel is an
+    O(n log^2 n) vectorized merge inversion count.
+
+    Scale shape: ONE ``groupby(key)`` shuffle, per-group numpy
+    kernel; driver sees O(groups) rows. Zero-variance sides report
+    null."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def tie_pairs(v: np.ndarray) -> int:
+        sv = np.sort(v, kind="mergesort")
+        new = np.ones(len(sv), bool)
+        new[1:] = sv[1:] != sv[:-1]
+        st = np.nonzero(new)[0]
+        c = np.diff(np.append(st, len(sv))).astype(object)
+        return int((c * (c - 1) // 2).sum())
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        # scale=None: use raw float64 (tau depends only on order and
+        # ties, which doubles carry exactly — avoids any rint-vs-
+        # round() half-case divergence against the SQL twin)
+        x = g[x_col].to_numpy(np.float64)
+        if x_scale is not None:
+            x = np.rint(x * x_scale).astype(np.int64)
+        y = g[y_col].to_numpy(np.float64)
+        if y_scale is not None:
+            y = np.rint(y * y_scale).astype(np.int64)
+        n = len(x)
+        o = np.lexsort((y, x))
+        ys = y[o]
+        n0 = n * (n - 1) // 2
+        n1 = tie_pairs(x)
+        n2 = tie_pairs(y)
+        # pairs tied in BOTH: run lengths over the lexsorted pairs
+        xs = x[o]
+        new = np.ones(n, bool)
+        new[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+        st = np.nonzero(new)[0]
+        c = np.diff(np.append(st, n)).astype(object)
+        nxy = int((c * (c - 1) // 2).sum()) if n else 0
+        d_strict = _inversions(ys)
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]], "n": [n],
+            "n0": [n0], "n1": [n1], "n2": [n2], "nxy": [nxy],
+            "d": [d_strict]})
+
+    rows = ds.groupby(key_col).map_groups(
+        per_key, batch_format="pandas").to_pandas()
+    ks, taus = [], []
+    for _, r in rows.sort_values(key_col).iterrows():
+        n0, n1, n2 = int(r["n0"]), int(r["n1"]), int(r["n2"])
+        cmd = n0 - n1 - n2 + int(r["nxy"]) - 2 * int(r["d"])
+        ks.append(r[key_col])
+        if n0 == n1 or n0 == n2:
+            taus.append(None)
+        else:
+            taus.append(float(cmd) / (math.sqrt(float(n0 - n1))
+                                      * math.sqrt(float(n0 - n2))))
+    return pa.table({key_col: pa.array(ks),
+                     "tau_b": pa.array(taus, pa.float64())})
