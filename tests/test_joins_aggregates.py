@@ -655,3 +655,105 @@ def test_kendall_constant_side_null(ray_session):
     out = kendall_by_group(rd.from_arrow(t), "k", "x", "y",
                            x_scale=1, y_scale=1)
     assert out.column("tau_b").to_pylist() == [None]
+
+
+def test_auc_two_sample_matches_scipy_and_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import auc_two_sample
+    rng = np.random.default_rng(71)
+    g = rng.choice(["a", "b", "zz"], 400)
+    v = rng.integers(0, 25, 400).astype(np.float64)   # heavy ties
+    t = pa.table({"g": pa.array(g.tolist()), "v": v})
+    out = auc_two_sample(rd.from_arrow(t).repartition(5),
+                         "g", "v", "a", "b").to_pandas().iloc[0]
+    va, vb = v[g == "a"], v[g == "b"]
+    u2 = sum(2 * int(x > y) + int(x == y) for x in va for y in vb)
+    assert int(out["u2"]) == u2
+    assert int(out["n_a"]) == len(va) and int(out["n_b"]) == len(vb)
+    assert out["auc"] == u2 / (2 * len(va) * len(vb))
+    try:
+        from scipy import stats
+    except ImportError:
+        return
+    u = stats.mannwhitneyu(va, vb, alternative="two-sided").statistic
+    assert abs(out["auc"] - u / (len(va) * len(vb))) < 1e-12
+
+
+def test_auc_two_sample_empty_group(ray_session):
+    from web_crawler_ray.stages.aggregates import auc_two_sample
+    t = pa.table({"g": pa.array(["a", "a"]), "v": [1.0, 2.0]})
+    out = auc_two_sample(rd.from_arrow(t), "g", "v", "a", "b")
+    assert out.num_rows == 0
+    assert out.column_names == ["n_a", "n_b", "u2", "auc"]
+
+
+def test_time_weighted_avg_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import time_weighted_avg
+    rng = np.random.default_rng(73)
+    n = 500
+    u = rng.integers(0, 9, n)
+    ts = np.datetime64("2024-01-01", "us") + \
+        rng.integers(0, 10**9, n).astype("timedelta64[us]")
+    v = np.round(rng.uniform(0, 100, n), 2)
+    t = pa.table({"user_id": u.astype(np.int64), "ts": ts,
+                  "event_id": np.arange(n, dtype=np.int64),
+                  "value": v})
+    out = time_weighted_avg(rd.from_arrow(t).repartition(6)) \
+        .to_pandas().set_index("user_id")
+    df = pd.DataFrame({"u": u, "ts": ts.astype(np.int64),
+                       "eid": np.arange(n), "v": v}) \
+        .sort_values(["u", "ts", "eid"])
+    for uu in np.unique(u):
+        d = df[df["u"] == uu]
+        dt = np.diff(d["ts"].to_numpy())
+        cents = np.rint(d["v"].to_numpy()[:-1] * 100).astype(np.int64)
+        num, den = int((cents * dt).sum()), int(dt.sum())
+        assert int(out.loc[uu, "dur_us"]) == den
+        assert out.loc[uu, "twap"] == float(num) / float(den * 100)
+
+
+def test_time_weighted_avg_single_event_users(ray_session):
+    from web_crawler_ray.stages.windows import time_weighted_avg
+    ts = np.array(["2024-01-01T00:00:00", "2024-01-01T01:00:00",
+                   "2024-01-02T00:00:00"], dtype="datetime64[us]")
+    t = pa.table({"user_id": pa.array([1, 2, 2], pa.int64()),
+                  "ts": ts, "event_id": pa.array([1, 2, 3], pa.int64()),
+                  "value": [5.0, 2.0, 9.0]})
+    out = time_weighted_avg(rd.from_arrow(t)).to_pandas()
+    assert out["user_id"].tolist() == [2]   # single-event user emits nothing
+    assert out["dur_us"].tolist() == [23 * 3600 * 10**6]
+    assert out["twap"].tolist() == [2.0]    # value holds until next event
+
+
+def test_target_encode_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import target_encode
+    rng = np.random.default_rng(79)
+    pk = np.arange(40, dtype=np.int64)
+    cat = rng.choice(["x", "y", "z"], 40)
+    dim = pa.table({"pk": pk, "cat": pa.array(cat.tolist())})
+    fk = rng.integers(0, 40, 600).astype(np.int64)
+    y = rng.integers(1, 50, 600).astype(np.float64)
+    fact = pa.table({"fk": fk, "y": y})
+    out = target_encode(rd.from_arrow(fact).repartition(7),
+                        rd.from_arrow(dim), "fk", "pk", "cat", "y",
+                        m=10).to_pandas().set_index("cat")
+    yc = cat[fk]
+    big_t, big_n = int(y.sum()), len(y)
+    for c in "xyz":
+        s, n = int(y[yc == c].sum()), int((yc == c).sum())
+        assert int(out.loc[c, "n"]) == n
+        assert int(out.loc[c, "sum_y"]) == s
+        assert out.loc[c, "enc"] == float(s * big_n + 10 * big_t) \
+            / float(big_n * (n + 10))
+
+
+def test_target_encode_unmatched_fk_dropped(ray_session):
+    from web_crawler_ray.stages.aggregates import target_encode
+    dim = pa.table({"pk": pa.array([1, 2], pa.int64()),
+                    "cat": pa.array(["x", "y"])})
+    fact = pa.table({"fk": pa.array([1, 1, 99], pa.int64()),
+                     "y": [2.0, 3.0, 100.0]})
+    out = target_encode(rd.from_arrow(fact), rd.from_arrow(dim),
+                        "fk", "pk", "cat", "y", m=1) \
+        .to_pandas().set_index("cat")
+    assert int(out.loc["x", "n"]) == 2 and int(out.loc["x", "sum_y"]) == 5
+    assert int(out.loc["y", "n"]) == 0   # category kept with zero rows

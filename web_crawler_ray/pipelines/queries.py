@@ -3245,6 +3245,81 @@ def q_approx_quantiles(sf_dir: str):
                             names=["q25", "q50", "q90"])
 
 
+def q_auc_click_view(sf_dir: str):
+    """Mann–Whitney AUC of click vs view event values — the ROC-area /
+    rank-sum drift test next to ks_click_view (stages/aggregates.py
+    auc_two_sample: the doubled pair score u2 = Σ 2·[a>b] + [a=b] is
+    an exact integer from two searchsorted sweeps over distinct-value
+    grids, AUC = u2/(2nm) is ONE division — bit-exact). Oracle: the
+    canonical O(n·m) pair join (gate scale only)."""
+    from ..stages.aggregates import auc_two_sample
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return auc_two_sample(ds, "event_type", "value", "click", "view")
+
+
+_AUC_SQL = (
+    "WITH s AS (SELECT event_type AS g, value AS v FROM events "
+    "WHERE event_type IN ('click', 'view')), "
+    "p AS (SELECT CASE WHEN x.v > y.v THEN 2 "
+    "WHEN x.v = y.v THEN 1 ELSE 0 END AS w "
+    "FROM s x JOIN s y ON x.g = 'click' AND y.g = 'view'), "
+    "c AS (SELECT (SELECT count(*) FROM s WHERE g = 'click')::BIGINT "
+    "AS n_a, (SELECT count(*) FROM s WHERE g = 'view')::BIGINT AS n_b, "
+    "sum(w)::BIGINT AS u2 FROM p) "
+    "SELECT n_a, n_b, u2, "
+    "u2::DOUBLE / (2 * n_a * n_b)::DOUBLE AS auc FROM c")
+
+
+def q_twap_users(sf_dir: str):
+    """Per-user TIME-weighted average event value (each value holds
+    until the user's next event) — the TWAP/telemetry-gauge aggregate
+    (stages/windows.py time_weighted_avg: cent-quantized values make
+    numerator and denominator exact integers in any fold order; one
+    final division — bit-exact; ONE user-keyed exchange, reduceat
+    kernel). Oracle: a lead() window + integer sums."""
+    from ..stages.windows import time_weighted_avg
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return time_weighted_avg(ds)
+
+
+_TWAP_SQL = (
+    "WITH o AS (SELECT user_id, "
+    "CAST(round(value * 100) AS BIGINT) AS c, epoch_us(ts) AS t, "
+    "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS nt FROM events) "
+    "SELECT user_id, sum(nt - t)::BIGINT AS dur_us, "
+    "sum(c * (nt - t))::BIGINT::DOUBLE "
+    "/ (sum(nt - t)::BIGINT * 100)::DOUBLE AS twap "
+    "FROM o WHERE nt IS NOT NULL GROUP BY user_id ORDER BY user_id")
+
+
+def q_target_encode_brand(sf_dir: str):
+    """Smoothed target encoding of part brand against lineitem
+    quantity — the leakage-controlled categorical encoder for tabular
+    ML features (stages/aggregates.py target_encode: the dimension's
+    pk→brand map is BROADCAST once via ray.put, each batch emits an
+    O(brands) partial, the driver merges O(batches×brands); the
+    composed smoothing (s·N + m·T)/(N·(n + m)) is exact integers up
+    to ONE division — bit-exact vs a HUGEINT oracle)."""
+    from ..stages.aggregates import target_encode
+    fact = _rp(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    dim = _rp(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    return target_encode(fact, dim, "l_partkey", "p_partkey",
+                         "p_brand", "l_quantity", m=20)
+
+
+_TARGET_ENC_SQL = (
+    "WITH j AS (SELECT p_brand, CAST(l_quantity AS HUGEINT) AS q "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+    "tot AS (SELECT sum(q) AS t, count(*)::HUGEINT AS nn FROM j), "
+    "g AS (SELECT p_brand, sum(q) AS s, count(*)::HUGEINT AS n "
+    "FROM j GROUP BY p_brand) "
+    "SELECT p_brand, n::BIGINT AS n, s::BIGINT AS sum_y, "
+    "(s * nn + 20 * t)::DOUBLE / (nn * (n + 20))::DOUBLE AS enc "
+    "FROM g, tot ORDER BY p_brand")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3323,6 +3398,9 @@ def registry() -> dict:
         "ks_click_view": q_ks_click_view,
         "chi2_events": q_chi2_events,
         "kendall_events": q_kendall_events,
+        "auc_click_view": q_auc_click_view,
+        "twap_users": q_twap_users,
+        "target_encode_brand": q_target_encode_brand,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4272,6 +4350,9 @@ ORACLES: dict[str, str] = {
     "ks_click_view": _KS_SQL,
     "chi2_events": _CHI2_SQL,
     "kendall_events": _KENDALL_SQL,
+    "auc_click_view": _AUC_SQL,
+    "twap_users": _TWAP_SQL,
+    "target_encode_brand": _TARGET_ENC_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -2152,3 +2152,184 @@ def kendall_by_group(ds, key_col: str, x_col: str, y_col: str,
                                       * math.sqrt(float(n0 - n2))))
     return pa.table({key_col: pa.array(ks),
                      "tau_b": pa.array(taus, pa.float64())})
+
+
+def auc_two_sample(ds, key_col: str, val_col: str, a: str, b: str):
+    """Mann–Whitney AUC of group ``a``'s values vs group ``b``'s —
+    P(x_a > x_b) + 0.5·P(x_a = x_b), the ROC area / rank-sum test and
+    the standard "did the distribution shift up?" companion to
+    ks_two_sample, with a BIT-EXACT SQL twin: the numerator
+
+        u2 = Σ_pairs (2·[x_a > x_b] + [x_a = x_b])
+
+    is an exact integer (doubled so ties never create a float half)
+    and AUC = u2 / (2·n·m) is ONE final IEEE division — the same
+    cross-multiplied-integers trick the KS/weighted-median oracles
+    pinned. Oracle: the canonical O(n·m) pair join (gate scale only).
+
+    Scale shape: identical to ks_two_sample — per-batch
+    (group, value, count) distinct combiner (shuffle volume = distinct
+    values), one single-key exchange, the kernel is two searchsorted
+    sweeps over the distinct grids. Returns a 1-row Table
+    (n_a, n_b, u2, auc)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        out_g, out_v, out_n = [], [], []
+        for gname, tag in ((a, 0), (b, 1)):
+            sel = np.sort(v[keys == gname], kind="mergesort")
+            if not len(sel):
+                continue
+            new = np.ones(len(sel), bool)
+            new[1:] = sel[1:] != sel[:-1]
+            st = np.nonzero(new)[0]
+            out_g.append(np.full(len(st), tag, np.int64))
+            out_v.append(sel[st])
+            out_n.append(np.diff(np.append(st, len(sel)))
+                         .astype(np.int64))
+        if not out_g:
+            z = np.array([], np.int64)
+            return pa.table({"g": pa.array(z), "v": pa.array(
+                np.array([], np.float64)), "n": pa.array(z),
+                "p": pa.array(z)})
+        g = np.concatenate(out_g)
+        return pa.table({"g": pa.array(g),
+                         "v": pa.array(np.concatenate(out_v)),
+                         "n": pa.array(np.concatenate(out_n)),
+                         "p": pa.array(np.zeros(len(g), np.int64))})
+
+    def reduce_auc(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        empty = pd.DataFrame({"n_a": z, "n_b": z, "u2": z,
+                              "auc": np.array([], np.float64)})
+        if not len(df):
+            return empty
+
+        def fold(tag):
+            d = df[df["g"] == tag]
+            vv = d["v"].to_numpy(np.float64)
+            nn = d["n"].to_numpy(np.int64)
+            o = np.argsort(vv, kind="mergesort")
+            vv, nn = vv[o], nn[o]
+            new = np.ones(len(vv), bool)
+            new[1:] = vv[1:] != vv[:-1]
+            st = np.nonzero(new)[0]
+            return vv[st], (np.add.reduceat(nn, st) if len(st) else nn)
+
+        va, ca = fold(0)
+        vb, cb = fold(1)
+        if not len(va) or not len(vb):
+            return empty
+        n, m = int(ca.sum()), int(cb.sum())
+        cum_b = np.cumsum(cb)
+        pos = np.searchsorted(vb, va, side="left")
+        below = np.where(pos > 0, cum_b[np.clip(pos - 1, 0, None)], 0)
+        eq = np.where((pos < len(vb)) & (vb[np.clip(pos, 0,
+                      len(vb) - 1)] == va), cb[np.clip(pos, 0,
+                      len(vb) - 1)], 0)
+        u2 = int((ca * (2 * below + eq)).sum())
+        return pd.DataFrame({"n_a": [n], "n_b": [m], "u2": [u2],
+                             "auc": [float(u2) / float(2 * n * m)]})
+
+    out = int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       "p", reduce_auc, num_partitions=1)
+    schema_t = pa.table({"n_a": pa.array([], pa.int64()),
+                         "n_b": pa.array([], pa.int64()),
+                         "u2": pa.array([], pa.int64()),
+                         "auc": pa.array([], pa.float64())})
+    # Ray drops fully-empty blocks at iteration: concat a schema carrier
+    tabs = [pa.table(bb)
+            for bb in out.iter_batches(batch_format="pyarrow")]
+    cat = pa.concat_tables(tabs) if tabs else schema_t
+    return schema_t if cat.num_rows == 0 else cat
+
+
+def target_encode(ds, dim_ds, fk_col: str, pk_col: str, cat_col: str,
+                  target_col: str, m: int = 20, scale: int = 1):
+    """Smoothed target (mean) encoding of a dimension category against
+    an integral fact measure — enc(c) = (Σ_c y + m·ȳ) / (n_c + m), the
+    leakage-controlled categorical encoder every tabular-ML feature
+    pipeline ships — with a BIT-EXACT SQL twin: composing ȳ = T/N into
+    the smoothing gives
+
+        enc(c) = (s_c·N + m·T) / (N·(n_c + m))
+
+    whose numerator and denominator are EXACT integers (the measure is
+    integral after ``scale``; Python bigints on the driver, HUGEINT in
+    the oracle), so the only float is ONE final division.
+
+    Scale shape: the dimension's (pk, cat) map is broadcast once via
+    ``ray.put`` (the decontaminate/revenue_by_nation precedent — never
+    a shuffle join for a dimension); each batch maps fk→cat with a
+    searchsorted lookup and emits an O(categories) partial
+    (cat, sum, n); the driver merges O(batches × categories) partials.
+    No shuffle anywhere. Returns (cat, n, sum_y, enc) sorted by cat."""
+    import pyarrow as pa
+
+    dim = pa.concat_tables(
+        [pa.table(bb) for bb in dim_ds.select_columns([pk_col, cat_col])
+                                      .iter_batches(batch_format="pyarrow")])
+    pk = dim.column(pk_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    cat_d = dim.column(cat_col).dictionary_encode().combine_chunks()
+    if isinstance(cat_d, pa.ChunkedArray):
+        cat_d = cat_d.chunk(0) if cat_d.num_chunks else None
+    if cat_d is not None and len(cat_d):
+        cats = [str(x) for x in cat_d.dictionary.to_pylist()]
+        codes = cat_d.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    else:
+        cats, codes = [], np.array([], np.int64)
+    # re-key codes onto the sorted category list so partials merge by name
+    order = np.argsort(np.asarray(cats, dtype=object), kind="mergesort")
+    remap = np.empty(len(order), np.int64)
+    remap[order] = np.arange(len(order))
+    cats_sorted = [cats[i] for i in order]
+    codes = remap[codes] if len(codes) else codes
+    o = np.argsort(pk, kind="mergesort")
+    pk_sorted, code_sorted = pk[o], codes[o]
+    k = len(cats_sorted)
+    handle = ray.put((pk_sorted, code_sorted, k))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pks, cds, kk = ray.get(handle)
+        fk = t.column(fk_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = np.rint(t.column(target_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * scale).astype(np.int64)
+        pos = np.searchsorted(pks, fk)
+        c = cds[np.clip(pos, 0, len(pks) - 1)]
+        ok = (pos < len(pks)) & (pks[np.clip(pos, 0, len(pks) - 1)] == fk)
+        c, y = c[ok], y[ok]
+        return pa.table({
+            "c": pa.array(np.arange(kk, dtype=np.int64)),
+            "s": pa.array(np.bincount(c, weights=y.astype(np.float64),
+                                      minlength=kk).astype(np.int64)),
+            "n": pa.array(np.bincount(c, minlength=kk)
+                          .astype(np.int64))})
+
+    s = np.zeros(k, dtype=object)
+    n = np.zeros(k, dtype=object)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)  # may concatenate several partials: add per row
+        for ci, si, ni in zip(
+                tb.column("c").to_numpy(zero_copy_only=False),
+                tb.column("s").to_numpy(zero_copy_only=False),
+                tb.column("n").to_numpy(zero_copy_only=False)):
+            s[ci] += int(si)
+            n[ci] += int(ni)
+    big_t = int(sum(int(x) for x in s))
+    big_n = int(sum(int(x) for x in n))
+    enc = [float(int(s[i]) * big_n + m * big_t)
+           / float(big_n * (int(n[i]) + m)) if big_n else None
+           for i in range(k)]
+    return pa.table({cat_col: pa.array(cats_sorted, pa.string()),
+                     "n": pa.array([int(x) for x in n], pa.int64()),
+                     "sum_y": pa.array([int(x) for x in s], pa.int64()),
+                     "enc": pa.array(enc, pa.float64())})

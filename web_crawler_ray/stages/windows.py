@@ -785,3 +785,69 @@ def sliding_distinct_users(ds, ts_col: str = "ts",
         .groupby("window_start").aggregate(
             Count(alias_name="n_users")) \
         .select_columns(["window_start", "n_users"])
+
+
+def time_weighted_avg(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id", val_col: str = "value",
+                      scale: int = 100):
+    """Per-user TIME-weighted average of a cent-quantized measure —
+    the TWAP/telemetry-gauge aggregate (each value holds until the
+    next event; the last event has no duration and is excluded) with
+    a BIT-EXACT SQL twin: values quantize to integers via
+    ``rint(value·scale)`` (one shared IEEE multiply + round on both
+    sides), so the numerator Σ v_int·Δt_us and denominator Σ Δt_us
+    are EXACT integers in any fold order and the only float is ONE
+    final division num / (den·scale). Users with a single event emit
+    nothing (no covered time). Returns (user_id, dur_us, twap) sorted
+    within partitions by user.
+
+    Scale shape: ONE raw-task exchange keyed by user (the
+    session_stats shape); the partition kernel lexsorts once, takes
+    within-user forward deltas, and reduces per user with integer
+    ``np.add.reduceat`` over contiguous groups — O(users) rows leave
+    the partitions, no driver loop."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.rint(t.column(val_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * scale).astype(np.int64)
+        return pa.table({"u": pa.array(u), "ts": pa.array(ts),
+                         "oc": pa.array(oc), "v": pa.array(v)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "dur_us": z,
+                                 "twap": np.array([], np.float64)})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort((oc, ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        same = u[1:] == u[:-1]
+        dt = (ts[1:] - ts[:-1])[same]
+        uu = u[:-1][same]
+        vv = v[:-1][same]
+        if not len(uu):
+            return pd.DataFrame({"user_id": z, "dur_us": z,
+                                 "twap": np.array([], np.float64)})
+        st = np.flatnonzero(np.concatenate(
+            ([True], uu[1:] != uu[:-1])))
+        den = np.add.reduceat(dt, st)
+        num = np.add.reduceat(vv * dt, st)
+        return pd.DataFrame({
+            "user_id": uu[st], "dur_us": den,
+            "twap": num.astype(np.float64)
+            / (den * scale).astype(np.float64)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
