@@ -856,3 +856,93 @@ def test_hash_walks_dead_end_stops(ray_session):
     assert sorted(zip(d.column("start").to_pylist(),
                       d.column("step").to_pylist(),
                       d.column("node").to_pylist())) == rows
+
+
+def test_clustering_coefficients_brute_and_parity(ray_session):
+    from web_crawler_ray.stages.graph import clustering_coefficients
+    rng = np.random.default_rng(83)
+    e = pa.table({"src": pa.array(rng.integers(0, 40, 300)),
+                  "dst": pa.array(rng.integers(0, 40, 300))})
+    ds = rd.from_arrow(e).repartition(5)
+    t = clustering_coefficients(ds)
+    # brute force
+    adj = collections.defaultdict(set)
+    for s, d in zip(e.column("src").to_pylist(),
+                    e.column("dst").to_pylist()):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    for node, tri, deg, coeff in zip(t.column("node").to_pylist(),
+                                     t.column("n_triangles").to_pylist(),
+                                     t.column("deg").to_pylist(),
+                                     t.column("coeff").to_pylist()):
+        nb = sorted(adj[node])
+        want = sum(1 for i in range(len(nb)) for j in range(i + 1, len(nb))
+                   if nb[j] in adj[nb[i]])
+        assert deg == len(nb)
+        assert tri == want
+        assert coeff == (2.0 * want / (deg * (deg - 1)) if deg >= 2
+                         else 0.0)
+    d2 = clustering_coefficients(ds, driver_limit=0, num_partitions=3)
+    assert t.equals(d2)
+
+
+def test_clustering_coefficients_empty(ray_session):
+    from web_crawler_ray.stages.graph import clustering_coefficients
+    e = pa.table({"src": pa.array([7], pa.int64()),
+                  "dst": pa.array([7], pa.int64())})   # self-loop only
+    t = clustering_coefficients(rd.from_arrow(e))
+    assert t.num_rows == 0
+    assert t.column_names == ["node", "n_triangles", "deg", "coeff"]
+
+
+def test_link_prediction_brute_and_parity(ray_session):
+    from web_crawler_ray.stages.graph import link_prediction_cn
+    rng = np.random.default_rng(89)
+    e = pa.table({"src": pa.array(rng.integers(0, 30, 200)),
+                  "dst": pa.array(rng.integers(0, 30, 200))})
+    ds = rd.from_arrow(e).repartition(4)
+    t = link_prediction_cn(ds, min_common=2)
+    adj = collections.defaultdict(set)
+    for s, d in zip(e.column("src").to_pylist(),
+                    e.column("dst").to_pylist()):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue
+            cn = len(adj[u] & adj[v])
+            if cn >= 2:
+                want[(u, v)] = (cn, len(adj[u]), len(adj[v]))
+    got = {(u, v): (c, du, dv) for u, v, c, du, dv in zip(
+        t.column("u").to_pylist(), t.column("v").to_pylist(),
+        t.column("n_common").to_pylist(),
+        t.column("deg_u").to_pylist(), t.column("deg_v").to_pylist())}
+    assert got == want
+    for u, v, c, du, dv, j in zip(
+            t.column("u").to_pylist(), t.column("v").to_pylist(),
+            t.column("n_common").to_pylist(),
+            t.column("deg_u").to_pylist(),
+            t.column("deg_v").to_pylist(),
+            t.column("jaccard").to_pylist()):
+        assert j == float(c) / float(du + dv - c)
+    d2 = link_prediction_cn(ds, min_common=2, driver_limit=0,
+                            num_partitions=3)
+    assert t.equals(d2)
+
+
+def test_link_prediction_empty_result_keeps_schema(ray_session):
+    from web_crawler_ray.stages.graph import link_prediction_cn
+    # path graph 0-1-2: only candidate (0,2) has 1 common neighbor
+    e = pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64())})
+    for dl in (10**6, 0):
+        t = link_prediction_cn(rd.from_arrow(e), min_common=2,
+                               driver_limit=dl, num_partitions=2)
+        assert t.num_rows == 0
+        assert t.column_names == ["u", "v", "n_common", "deg_u",
+                                  "deg_v", "jaccard"]

@@ -3320,6 +3320,97 @@ _TARGET_ENC_SQL = (
     "FROM g, tot ORDER BY p_brand")
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient over the mixed-key
+    lineitem graph — the community-density feature on top of
+    q:triangle_counts (stages/graph.py clustering_coefficients:
+    triangle pass + degree pass over one materialized edge input,
+    2·tri/(deg·(deg−1)) is integers up to ONE division — bit-exact;
+    deg<2 nodes emit 0.0, mirrored by the oracle CASE)."""
+    from ..stages.graph import clustering_coefficients
+    return clustering_coefficients(_tri_edges(sf_dir))
+
+
+def _clustering_oracle_sql() -> str:
+    return (
+        f"WITH e0 AS ({_TRI_E0}), "
+        "canon AS (SELECT DISTINCT least(src,dst) AS u, "
+        "greatest(src,dst) AS v FROM e0 WHERE src <> dst), "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM canon e1 "
+        "JOIN canon e2 ON e2.u = e1.u AND e2.v > e1.v "
+        "JOIN canon e3 ON e3.u = e1.v AND e3.v = e2.v), "
+        "tn AS (SELECT node, count(*) AS c FROM "
+        "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+        "UNION ALL SELECT c FROM tri) GROUP BY node), "
+        "dg AS (SELECT node, count(*) AS d FROM "
+        "(SELECT u AS node FROM canon UNION ALL SELECT v FROM canon) "
+        "GROUP BY node) "
+        "SELECT dg.node, COALESCE(tn.c, 0)::BIGINT AS n_triangles, "
+        "dg.d::BIGINT AS deg, "
+        "CASE WHEN dg.d >= 2 THEN (2 * COALESCE(tn.c, 0))::DOUBLE "
+        "/ (dg.d * (dg.d - 1))::DOUBLE ELSE 0.0 END AS coeff "
+        "FROM dg LEFT JOIN tn USING(node) ORDER BY dg.node")
+
+
+_LP_E0 = ("SELECT l_orderkey % 8000 AS src, "
+          "(l_partkey*7 + l_suppkey) % 8000 AS dst FROM lineitem "
+          "WHERE l_linenumber = 1")
+
+
+def _lp_edges(sf_dir: str):
+    """Sparser one-line-per-order variant of the mixed-key lineitem
+    graph for the link-prediction query: wedge volume is Σ deg², so
+    the candidate generator gets the l_linenumber = 1 slice (the same
+    sparsity-cap precedent as _tri_edges)."""
+
+    def mk(t: pa.Table) -> pa.Table:
+        keep = t.column("l_linenumber").to_numpy(
+            zero_copy_only=False).astype(np.int64) == 1
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        return pa.table({"src": pa.array(ok % 8000),
+                         "dst": pa.array((pk * 7 + sk) % 8000)})
+
+    return _rp(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_linenumber"]) \
+        .map_batches(mk, batch_format="pyarrow")
+
+
+def q_link_prediction(sf_dir: str):
+    """Common-neighbors link prediction with Jaccard scores — every
+    NON-adjacent pair sharing ≥2 neighbors in the sparse lineitem
+    graph (stages/graph.py link_prediction_cn: full-adjacency wedge
+    emit + ONE tagged-union pair-count/anti-mark exchange; counts and
+    degrees are integers, the score is ONE division — bit-exact).
+    Oracle: the canonical adjacency self-join + NOT EXISTS."""
+    from ..stages.graph import link_prediction_cn
+    return link_prediction_cn(_lp_edges(sf_dir), min_common=2)
+
+
+def _link_prediction_oracle_sql() -> str:
+    return (
+        f"WITH e0 AS ({_LP_E0}), "
+        "canon AS (SELECT DISTINCT least(src,dst) AS u, "
+        "greatest(src,dst) AS v FROM e0 WHERE src <> dst), "
+        "adj AS (SELECT u AS a, v AS b FROM canon "
+        "UNION ALL SELECT v, u FROM canon), "
+        "w AS (SELECT x.b AS u, y.b AS v, count(*) AS cn FROM adj x "
+        "JOIN adj y ON x.a = y.a AND x.b < y.b GROUP BY x.b, y.b), "
+        "dg AS (SELECT a AS node, count(*) AS d FROM adj GROUP BY a), "
+        "cand AS (SELECT u, v, cn FROM w WHERE cn >= 2 AND NOT EXISTS "
+        "(SELECT 1 FROM canon WHERE canon.u = w.u AND canon.v = w.v)) "
+        "SELECT c.u, c.v, c.cn::BIGINT AS n_common, "
+        "du.d::BIGINT AS deg_u, dv.d::BIGINT AS deg_v, "
+        "c.cn::DOUBLE / (du.d + dv.d - c.cn)::DOUBLE AS jaccard "
+        "FROM cand c JOIN dg du ON du.node = c.u "
+        "JOIN dg dv ON dv.node = c.v ORDER BY c.u, c.v")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3401,6 +3492,8 @@ def registry() -> dict:
         "auc_click_view": q_auc_click_view,
         "twap_users": q_twap_users,
         "target_encode_brand": q_target_encode_brand,
+        "clustering_coeff": q_clustering_coeff,
+        "link_prediction": q_link_prediction,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4353,6 +4446,8 @@ ORACLES: dict[str, str] = {
     "auc_click_view": _AUC_SQL,
     "twap_users": _TWAP_SQL,
     "target_encode_brand": _TARGET_ENC_SQL,
+    "clustering_coeff": _clustering_oracle_sql(),
+    "link_prediction": _link_prediction_oracle_sql(),
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -1654,3 +1654,327 @@ def k_core(edges_ds, k: int = 3, src: str = "src", dst: str = "dst",
     cat = pa.concat_tables(
         [pa.table(b) for b in alive.iter_batches(batch_format="pyarrow")])
     return (cat if cat.num_rows else empty).sort_by("node")
+
+
+def clustering_coefficients(edges_ds, src: str = "src", dst: str = "dst",
+                            driver_limit: int = DRIVER_CC_MAX,
+                            num_partitions: int = 8):
+    """Per-node LOCAL clustering coefficient of the undirected simple
+    graph — coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the
+    community-density signal on top of triangle_counts (Watts–Strogatz
+    local coefficient; the standard spam/cohesion feature next to
+    pagerank). Nodes with deg < 2 close no wedge and emit 0.0 (the
+    oracle mirrors the CASE). BIT-EXACT: numerator and denominator are
+    integers; the only float is ONE division per node.
+
+    Scale shape: one materialize of the edge input shared by two
+    passes — triangle_counts (its own plan: driver numpy below
+    ``driver_limit`` edges, five keyed exchanges above) and a degree
+    count (driver bincount below the limit; canonical-distinct +
+    count-per-node exchanges above). Both outputs are O(nodes) and
+    merge on the driver with one searchsorted — the same O(nodes)
+    driver traffic triangle_counts already pays. Returns a
+    ``pyarrow.Table`` (node, n_triangles, deg, coeff) sorted by node."""
+    edges_m = edges_ds.materialize()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64()),
+                      "coeff": pa.array([], pa.float64())})
+    n_edges = edges_m.count()
+    if n_edges == 0:
+        return empty
+    tri = triangle_counts(edges_m, src, dst, driver_limit,
+                          num_partitions)
+    if tri.num_rows == 0:
+        return empty
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_m.select_columns([src, dst])
+                                         .iter_batches(batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        uv = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        nodes, inv = np.unique(uv.ravel(order="F"), return_inverse=True)
+        deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    else:
+        from .shuffles import int_part_map as _ipm
+
+        def to_canon(t: pa.Table) -> pa.Table:
+            uu = t.column(src).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            vv = t.column(dst).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            lo, hi = np.minimum(uu, vv), np.maximum(uu, vv)
+            keep = lo != hi
+            return pa.table({"src": pa.array(lo[keep]),
+                             "dst": pa.array(hi[keep])})
+
+        canon = _ipm(edges_m.map_batches(to_canon,
+                                         batch_format="pyarrow"),
+                     "src", _distinct_edges,
+                     num_partitions=num_partitions)
+
+        def node_rows(t: pa.Table) -> pa.Table:
+            aa = t.column("src").combine_chunks()
+            bb = t.column("dst").combine_chunks()
+            return pa.table({"node": pa.concat_arrays([aa, bb])})
+
+        dd = pa.concat_tables(
+            [pa.table(b) for b in
+             _ipm(canon.map_batches(node_rows, batch_format="pyarrow"),
+                  "node", _count_per_node,
+                  num_partitions=num_partitions)
+             .iter_batches(batch_format="pyarrow")])
+        o = np.argsort(dd.column("node").to_numpy(zero_copy_only=False),
+                       kind="mergesort")
+        nodes = dd.column("node").to_numpy(zero_copy_only=False)[o]
+        deg = dd.column("deg").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[o]
+
+    tnode = tri.column("node").to_numpy(zero_copy_only=False)
+    tcnt = tri.column("n_triangles").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    pos = np.searchsorted(tnode, nodes)
+    if not np.array_equal(tnode[pos], nodes):
+        raise ValueError("clustering_coefficients: triangle/degree "
+                         "node sets diverged")
+    tcnt = tcnt[pos]
+    den = deg * (deg - 1)
+    coeff = np.where(deg >= 2,
+                     (2 * tcnt).astype(np.float64)
+                     / np.where(den == 0, 1, den).astype(np.float64),
+                     0.0)
+    return pa.table({"node": pa.array(nodes.astype(np.int64)),
+                     "n_triangles": pa.array(tcnt),
+                     "deg": pa.array(deg),
+                     "coeff": pa.array(coeff, pa.float64())})
+
+
+def link_prediction_cn(edges_ds, min_common: int = 2,
+                       src: str = "src", dst: str = "dst",
+                       driver_limit: int = DRIVER_CC_MAX,
+                       num_partitions: int = 8):
+    """Common-neighbors link prediction over the undirected simple
+    graph: every NON-adjacent pair (u < v) sharing at least
+    ``min_common`` neighbors, scored with the Jaccard coefficient
+    cn / (deg(u) + deg(v) − cn) — the classic missing-edge /
+    recommend-a-connection primitive (Liben-Nowell & Kleinberg).
+    BIT-EXACT: counts and degrees are integers, the score is ONE
+    division. Returns a ``pyarrow.Table``
+    (u, v, n_common, deg_u, deg_v, jaccard) sorted by (u, v) —
+    O(result) rows on the driver, kept small by the threshold.
+
+    Scale shape (above ``driver_limit`` edges): canonical-distinct
+    exchange; degree-count exchange; a full-adjacency wedge emit
+    keyed by apex (volume Σ deg² — the same E^1.5-class term
+    triangle_counts pays; cap hub degrees upstream if skewed); ONE
+    tagged-union exchange keyed by the pair's lower node counts
+    wedge pairs AND anti-marks existing edges (an edge (b,c) is
+    canonical with src = b, so it co-partitions with the pairs it
+    must suppress); survivors are O(result) and their endpoint
+    degrees are pulled with a broadcast-mask filter over the degree
+    dataset — never a full-degree broadcast. Below the limit the
+    whole plan is the same algebra in driver numpy."""
+    from .shuffles import int_part_map as _ipm
+
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "deg_u": pa.array([], pa.int64()),
+                      "deg_v": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    edges_m = edges_ds.materialize()
+    n_edges = edges_m.count()
+    if n_edges == 0:
+        return empty
+
+    def _score(su, sv, scn, nodes, deg):
+        du = deg[np.searchsorted(nodes, su)]
+        dv = deg[np.searchsorted(nodes, sv)]
+        jac = scn.astype(np.float64) / (du + dv - scn).astype(np.float64)
+        o = np.lexsort((sv, su))
+        return pa.table({"u": pa.array(su[o]), "v": pa.array(sv[o]),
+                         "n_common": pa.array(scn[o]),
+                         "deg_u": pa.array(du[o]),
+                         "deg_v": pa.array(dv[o]),
+                         "jaccard": pa.array(jac[o], pa.float64())})
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_m.select_columns([src, dst])
+                                         .iter_batches(batch_format="pyarrow")])
+        uu = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(uu, vv), np.maximum(uu, vv)
+        keep = lo != hi
+        uv = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        if not len(uv):
+            return empty
+        a, b = uv[:, 0], uv[:, 1]
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        n = len(nodes)
+        deg = (np.bincount(ai, minlength=n)
+               + np.bincount(bi, minlength=n)).astype(np.int64)
+        # full adjacency, wedge pairs id-ordered within each apex
+        ap = np.concatenate([ai, bi])
+        ot = np.concatenate([bi, ai])
+        o = np.lexsort((ot, ap))
+        ap, ot = ap[o], ot[o]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ap[1:] != ap[:-1]) + 1, [len(ap)]))
+        wb, wc, _ = _pairs_from_sorted_groups(starts, ot)
+        if not len(wb):
+            return empty
+        key = wb * np.int64(n) + wc
+        ukey, cnt = np.unique(key, return_counts=True)
+        ekey = np.sort(ai * np.int64(n) + bi)
+        pos = np.searchsorted(ekey, ukey)
+        is_edge = np.zeros(len(ukey), bool)
+        inb = pos < len(ekey)
+        is_edge[inb] = ekey[pos[inb]] == ukey[inb]
+        sel = (cnt >= min_common) & ~is_edge
+        if not sel.any():
+            return empty
+        su = nodes[(ukey[sel] // n).astype(np.int64)]
+        sv = nodes[(ukey[sel] % n).astype(np.int64)]
+        return _score(su, sv, cnt[sel].astype(np.int64), nodes, deg)
+
+    # ---- distributed path --------------------------------------------
+    def to_canon(t: pa.Table) -> pa.Table:
+        uu = t.column(src).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vv = t.column(dst).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(uu, vv), np.maximum(uu, vv)
+        keep = lo != hi
+        return pa.table({"src": pa.array(lo[keep]),
+                         "dst": pa.array(hi[keep])})
+
+    canon = _ipm(edges_m.map_batches(to_canon, batch_format="pyarrow"),
+                 "src", _distinct_edges,
+                 num_partitions=num_partitions).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        aa = t.column("src").combine_chunks()
+        bb = t.column("dst").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([aa, bb])})
+
+    deg_ds = _ipm(canon.map_batches(node_rows, batch_format="pyarrow"),
+                  "node", _count_per_node,
+                  num_partitions=num_partitions).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        aa = t.column("src").combine_chunks()
+        bb = t.column("dst").combine_chunks()
+        return pa.table({"apex": pa.concat_arrays([aa, bb]),
+                         "other": pa.concat_arrays([bb, aa])})
+
+    def wedge_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"b": z, "c": z, "tag": z})
+        ap = df["apex"].to_numpy(np.int64)
+        ot = df["other"].to_numpy(np.int64)
+        o = np.lexsort((ot, ap))
+        ap, ot = ap[o], ot[o]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ap[1:] != ap[:-1]) + 1, [len(ap)]))
+        wb, wc, _ = _pairs_from_sorted_groups(starts, ot)
+        return pd.DataFrame({"b": wb, "c": wc,
+                             "tag": np.zeros(len(wb), np.int64)})
+
+    wedges = _ipm(canon.map_batches(both_dirs, batch_format="pyarrow"),
+                  "apex", wedge_kernel, num_partitions=num_partitions)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"b": t.column("src"), "c": t.column("dst"),
+                         "tag": pa.array(
+                             np.ones(t.num_rows, np.int64))})
+
+    def count_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        out_empty = pd.DataFrame({"u": z, "v": z, "n_common": z})
+        if not len(df):
+            return out_empty
+        tg = df["tag"].to_numpy(np.int64)
+        wb = df["b"].to_numpy(np.int64)[tg == 0]
+        wc = df["c"].to_numpy(np.int64)[tg == 0]
+        eb = df["b"].to_numpy(np.int64)[tg == 1]
+        ec = df["c"].to_numpy(np.int64)[tg == 1]
+        if not len(wb):
+            return out_empty
+        o = np.lexsort((wc, wb))
+        wb, wc = wb[o], wc[o]
+        new = np.ones(len(wb), bool)
+        new[1:] = (wb[1:] != wb[:-1]) | (wc[1:] != wc[:-1])
+        st = np.flatnonzero(new)
+        cnt = np.diff(np.append(st, len(wb)))
+        pb, pc = wb[st], wc[st]
+        # anti-mark canonical edges (co-partitioned: src == pair's b)
+        is_edge = np.zeros(len(pb), bool)
+        hi_id = max(int(pb.max(initial=0)), int(pc.max(initial=0)),
+                    int(eb.max(initial=0)), int(ec.max(initial=0)))
+        if hi_id < 2 ** 31:      # packed-key searchsorted, no loop
+            ek = np.sort(eb * np.int64(2 ** 31) + ec)
+            pk = pb * np.int64(2 ** 31) + pc
+            pos = np.searchsorted(ek, pk)
+            inb = pos < len(ek)
+            is_edge[inb] = ek[pos[inb]] == pk[inb]
+        else:                    # rare: ids beyond 31 bits, per-b scan
+            eo = np.lexsort((ec, eb))
+            eb, ec = eb[eo], ec[eo]
+            pos = np.searchsorted(eb, pb)
+            for i in np.flatnonzero((pos < len(eb))
+                                    & (eb[np.clip(pos, 0, len(eb) - 1)]
+                                       == pb)):
+                j = pos[i]
+                while j < len(eb) and eb[j] == pb[i]:
+                    if ec[j] == pc[i]:
+                        is_edge[i] = True
+                        break
+                    j += 1
+        sel = (cnt >= min_common) & ~is_edge
+        return pd.DataFrame({"u": pb[sel], "v": pc[sel],
+                             "n_common": cnt[sel].astype(np.int64)})
+
+    surv = pa.concat_tables(
+        [pa.table(b) for b in
+         _ipm(wedges.union(canon.map_batches(tag_edges,
+                                             batch_format="pyarrow")),
+              "b", count_and_filter, num_partitions=num_partitions)
+         .iter_batches(batch_format="pyarrow")] or [pa.table(
+             {"u": pa.array([], pa.int64()),
+              "v": pa.array([], pa.int64()),
+              "n_common": pa.array([], pa.int64())})])
+    if surv.num_rows == 0:
+        return empty
+    su = surv.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    sv = surv.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    scn = surv.column("n_common").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    want = np.unique(np.concatenate([su, sv]))
+    handle = ray.put(want)
+
+    def pick(t: pa.Table) -> pa.Table:
+        w = ray.get(handle)
+        nd = t.column("node").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = np.searchsorted(w, nd)
+        ok = (p < len(w)) & (w[np.clip(p, 0, len(w) - 1)] == nd)
+        return t.filter(pa.array(ok))
+
+    dd = pa.concat_tables(
+        [pa.table(b) for b in deg_ds.map_batches(
+            pick, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")])
+    o = np.argsort(dd.column("node").to_numpy(zero_copy_only=False),
+                   kind="mergesort")
+    nodes = dd.column("node").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[o]
+    deg = dd.column("deg").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[o]
+    return _score(su, sv, scn, nodes, deg)
