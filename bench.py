@@ -199,7 +199,8 @@ def run_queries(num_cpus: int) -> dict:
              "sliding_distinct_users", "gini_by_flag", "hhi_events",
              "ks_click_view", "chi2_events", "kendall_events",
              "auc_click_view", "twap_users", "target_encode_brand",
-             "clustering_coeff", "link_prediction"]
+             "clustering_coeff", "link_prediction",
+             "ewma_users", "percentile_cont_events"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

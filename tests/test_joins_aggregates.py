@@ -757,3 +757,54 @@ def test_target_encode_unmatched_fk_dropped(ray_session):
         .to_pandas().set_index("cat")
     assert int(out.loc["x", "n"]) == 2 and int(out.loc["x", "sum_y"]) == 5
     assert int(out.loc["y", "n"]) == 0   # category kept with zero rows
+
+
+def test_ewma_per_user_matches_brute_and_pandas(ray_session):
+    from web_crawler_ray.stages.windows import ewma_per_user
+    rng = np.random.default_rng(97)
+    n = 400
+    u = rng.integers(0, 7, n).astype(np.int64)
+    ts = np.datetime64("2024-03-01", "us") + \
+        rng.integers(0, 10**8, n).astype("timedelta64[us]")
+    v = np.round(rng.uniform(0, 50, n), 2)
+    t = pa.table({"user_id": u, "ts": ts,
+                  "event_id": np.arange(n, dtype=np.int64), "value": v})
+    out = ewma_per_user(rd.from_arrow(t).repartition(6), alpha=0.125) \
+        .to_pandas().set_index("event_id")["ewma"]
+    df = pd.DataFrame({"u": u, "ts": ts, "eid": np.arange(n), "v": v}) \
+        .sort_values(["u", "ts", "eid"])
+    for uu in np.unique(u):
+        d = df[df["u"] == uu]
+        s = None
+        for eid, x in zip(d["eid"], d["v"]):
+            s = x if s is None else 0.125 * x + 0.875 * s
+            assert out[eid] == s       # bit-exact vs the brute recurrence
+        # pandas ewm(adjust=False) is the same recurrence, close to ulp
+        ref = d["v"].ewm(alpha=0.125, adjust=False).mean().to_numpy()
+        got = out[d["eid"].to_numpy()].to_numpy()
+        assert np.allclose(got, ref, rtol=1e-12)
+
+
+def test_group_percentile_cont_matches_numpy(ray_session):
+    from web_crawler_ray.stages.aggregates import group_percentile_cont
+    rng = np.random.default_rng(101)
+    k = rng.choice(["a", "b", "c"], 500)
+    v = np.round(rng.uniform(0, 100, 500), 2)
+    t = pa.table({"k": pa.array(k.tolist()), "v": v})
+    out = group_percentile_cont(rd.from_arrow(t).repartition(4),
+                                "k", "v", qs=[0.25, 0.5, 0.75]) \
+        .to_pandas().set_index("k")
+    for kk in "abc":
+        vals = v[k == kk]
+        for q, nm in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            assert abs(out.loc[kk, nm]
+                       - np.percentile(vals, q * 100,
+                                       method="linear")) < 1e-9
+
+
+def test_group_percentile_cont_single_value(ray_session):
+    from web_crawler_ray.stages.aggregates import group_percentile_cont
+    t = pa.table({"k": pa.array(["a"]), "v": [42.0]})
+    out = group_percentile_cont(rd.from_arrow(t), "k", "v",
+                                qs=[0.25, 0.5, 0.75]).to_pandas()
+    assert out.iloc[0][["p25", "p50", "p75"]].tolist() == [42.0] * 3

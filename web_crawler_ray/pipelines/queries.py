@@ -3411,6 +3411,66 @@ def _link_prediction_oracle_sql() -> str:
         "JOIN dg dv ON dv.node = c.v ORDER BY c.u, c.v")
 
 
+def q_ewma_users(sf_dir: str):
+    """Per-row EWMA of each user's value stream (α = 1/8) — the
+    smoothing/anomaly-baseline op (stages/windows.py ewma_per_user:
+    ONE user-keyed exchange; the kernel vectorizes ACROSS users per
+    step so the sequential recurrence never becomes a per-row Python
+    loop; three IEEE ops per step in recurrence order — bit-exact).
+    Oracle: a recursive CTE stepping the same recurrence."""
+    from ..stages.windows import ewma_per_user
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return ewma_per_user(ds, alpha=0.125)
+
+
+_EWMA_SQL = (
+    "WITH RECURSIVE o AS (SELECT user_id, event_id, value, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS rn FROM events), "
+    "r AS (SELECT user_id, event_id, rn, value AS s FROM o "
+    "WHERE rn = 1 UNION ALL "
+    "SELECT o.user_id, o.event_id, o.rn, "
+    "0.125::DOUBLE * o.value + 0.875::DOUBLE * r.s FROM r "
+    "JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1) "
+    "SELECT user_id, event_id, s AS ewma FROM r")
+
+
+def q_percentile_cont_events(sf_dir: str):
+    """Interpolated p25/p50/p75 of event value per type — SQL
+    percentile_cont semantics next to the discrete quantiles_by_type
+    (stages/aggregates.py group_percentile_cont: (n−1)·q is exact for
+    dyadic q, interpolation is the same three IEEE ops both sides —
+    bit-exact; the oracle spells the formula out with row_number
+    joins instead of trusting quantile_cont's internals)."""
+    from ..stages.aggregates import group_percentile_cont
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return group_percentile_cont(ds, "event_type", "value",
+                                 qs=[0.25, 0.5, 0.75],
+                                 names=["p25", "p50", "p75"])
+
+
+def _percentile_cont_oracle_sql() -> str:
+    picks = []
+    for q, nm in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        picks.append(
+            f"(SELECT lo.v + ((g.n - 1) * {q} - "
+            f"floor((g.n - 1) * {q})) * (hi.v - lo.v) FROM s lo, s hi "
+            f"WHERE lo.event_type = g.event_type "
+            f"AND hi.event_type = g.event_type "
+            f"AND lo.r = CAST(floor((g.n - 1) * {q}) AS BIGINT) "
+            f"AND hi.r = least(CAST(floor((g.n - 1) * {q}) AS BIGINT) "
+            f"+ 1, g.n - 1)) AS {nm}")
+    return (
+        "WITH s AS (SELECT event_type, value AS v, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY value) "
+        "- 1 AS r, count(*) OVER (PARTITION BY event_type) AS n "
+        "FROM events WHERE value IS NOT NULL), "
+        "g AS (SELECT DISTINCT event_type, n FROM s) "
+        "SELECT g.event_type, " + ", ".join(picks)
+        + " FROM g ORDER BY g.event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3494,6 +3554,8 @@ def registry() -> dict:
         "target_encode_brand": q_target_encode_brand,
         "clustering_coeff": q_clustering_coeff,
         "link_prediction": q_link_prediction,
+        "ewma_users": q_ewma_users,
+        "percentile_cont_events": q_percentile_cont_events,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4448,6 +4510,8 @@ ORACLES: dict[str, str] = {
     "target_encode_brand": _TARGET_ENC_SQL,
     "clustering_coeff": _clustering_oracle_sql(),
     "link_prediction": _link_prediction_oracle_sql(),
+    "ewma_users": _EWMA_SQL,
+    "percentile_cont_events": _percentile_cont_oracle_sql(),
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

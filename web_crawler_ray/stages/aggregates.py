@@ -2333,3 +2333,40 @@ def target_encode(ds, dim_ds, fk_col: str, pk_col: str, cat_col: str,
                      "n": pa.array([int(x) for x in n], pa.int64()),
                      "sum_y": pa.array([int(x) for x in s], pa.int64()),
                      "enc": pa.array(enc, pa.float64())})
+
+
+def group_percentile_cont(ds, key: str, value: str, qs: list[float],
+                          names: list[str] | None = None):
+    """INTERPOLATED per-group percentiles (SQL ``percentile_cont`` /
+    numpy ``linear`` semantics: pos = (n−1)·q, result =
+    lo + frac·(hi − lo)) — the continuous sibling of group_quantiles'
+    discrete inverted-CDF, BIT-EXACT against an explicit SQL twin for
+    dyadic q (0.25/0.5/0.75…): (n−1)·q is exact in a double, so
+    floor/frac are exact, and the interpolation is the same three IEEE
+    ops (sub, mul, add) in the same order on both sides — the oracle
+    spells the formula out with row_number joins rather than trusting
+    quantile_cont's internal expression to match.
+
+    Scale shape: ONE ``groupby(key)`` shuffle, numpy sort per group —
+    the same group-fits-a-worker contract (and sketch fallback note)
+    as group_quantiles."""
+    names = names or [f"p{int(q * 100)}" for q in qs]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        v.sort(kind="stable")
+        n = len(v)
+        row: dict = {key: [g[key].iloc[0]]}
+        for q, nm in zip(qs, names):
+            if n == 0:
+                row[nm] = [float("nan")]
+            else:
+                pos = (n - 1) * q
+                lo = int(math.floor(pos))
+                hi = min(lo + 1, n - 1)
+                frac = pos - math.floor(pos)
+                row[nm] = [v[lo] + frac * (v[hi] - v[lo])]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

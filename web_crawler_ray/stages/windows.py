@@ -851,3 +851,82 @@ def time_weighted_avg(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def ewma_per_user(ds, user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", val_col: str = "value",
+                  alpha: float = 0.125):
+    """Per-row exponentially-weighted moving average of each user's
+    value stream (s₁ = x₁; sₖ = α·xₖ + (1−α)·sₖ₋₁) — the classic
+    smoothing/anomaly-baseline op, BIT-EXACT against a recursive-CTE
+    twin because both sides take the SAME three IEEE ops per step
+    (mul, mul, add — ``alpha`` must be dyadic so (1−α) is exact) in
+    the same recurrence order. Returns (user_id, event_id, ewma), one
+    row per input event.
+
+    Scale shape: ONE raw-task exchange keyed by user; the recurrence
+    is inherently sequential PER USER, so the kernel vectorizes
+    ACROSS users instead — rows sort by (seq-within-user, user) and
+    the step loop updates every user's accumulator at once (step
+    count = the partition's longest stream, each step one fused numpy
+    expression over its users). No per-row Python loop."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    a = float(alpha)
+    b = 1.0 - a
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"u": pa.array(u), "ts": pa.array(ts),
+                         "oc": pa.array(oc), "v": pa.array(v)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "event_id": z,
+                                 "ewma": np.array([], np.float64)})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((oc, ts, u))
+        u, ts, oc, v = u[order], ts[order], oc[order], v[order]
+        n = len(u)
+        # seq index within user (contiguous groups after the sort)
+        brk = np.ones(n, np.int64)
+        brk[1:] = (u[1:] != u[:-1]).astype(np.int64)
+        starts = np.flatnonzero(brk)
+        base = np.repeat(np.arange(len(starts)), np.diff(
+            np.append(starts, n)))
+        seq = np.arange(n) - starts[base]
+        uidx = base                      # dense per-partition user index
+        step_order = np.lexsort((uidx, seq))
+        s_acc = np.empty(len(starts), np.float64)
+        out = np.empty(n, np.float64)
+        k = 0
+        max_seq = int(seq.max()) + 1
+        counts = np.bincount(seq[step_order], minlength=max_seq)
+        pos = 0
+        for k in range(max_seq):
+            sel = step_order[pos:pos + counts[k]]
+            pos += counts[k]
+            ui = uidx[sel]
+            if k == 0:
+                s_acc[ui] = v[sel]
+            else:
+                s_acc[ui] = a * v[sel] + b * s_acc[ui]
+            out[sel] = s_acc[ui]
+        return pd.DataFrame({"user_id": u, "event_id": oc,
+                             "ewma": out})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
