@@ -200,7 +200,8 @@ def run_queries(num_cpus: int) -> dict:
              "ks_click_view", "chi2_events", "kendall_events",
              "auc_click_view", "twap_users", "target_encode_brand",
              "clustering_coeff", "link_prediction",
-             "ewma_users", "percentile_cont_events"]
+             "ewma_users", "percentile_cont_events",
+             "regex_extract_docs", "basket_pairs", "incremental_stats"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -357,3 +357,73 @@ def test_unpivot_shape_and_values(ray_session):
     assert len(out) == 4
     assert list(out["measure"]) == ["a", "b", "a", "b"]
     assert list(out["val"]) == [1.5, 10.0, 2.5, 20.0]
+
+
+def test_cooccurrence_pairs_matches_brute(ray_session):
+    from web_crawler_ray.stages.relational import cooccurrence_pairs
+    rng = np.random.default_rng(103)
+    g = rng.integers(0, 50, 400).astype(np.int64)
+    i = rng.integers(0, 20, 400).astype(np.int64)
+    t = pa.table({"g": g, "i": i})
+    out = cooccurrence_pairs(rd.from_arrow(t).repartition(6),
+                             "g", "i", min_support=2).to_pandas()
+    got = {(a, b): s for a, b, s in
+           zip(out["item_a"], out["item_b"], out["support"])}
+    import collections
+    baskets = collections.defaultdict(set)
+    for gg, ii in zip(g, i):
+        baskets[gg].add(ii)
+    want = collections.Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                want[(s[x], s[y])] += 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    assert got == want
+
+
+def test_cooccurrence_pairs_dedups_within_group(ray_session):
+    from web_crawler_ray.stages.relational import cooccurrence_pairs
+    # item 3 appears twice in group 1: the pair (3,5) counts ONCE
+    t = pa.table({"g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                  "i": pa.array([3, 3, 5, 3, 5], pa.int64())})
+    out = cooccurrence_pairs(rd.from_arrow(t), "g", "i",
+                             min_support=2).to_pandas()
+    assert out.values.tolist() == [[3, 5, 2]]
+
+
+def test_incremental_group_stats_merge_equals_batch(ray_session):
+    from web_crawler_ray.stages.aggregates import (
+        group_stats_state, incremental_group_stats, merge_group_stats)
+    rng = np.random.default_rng(107)
+    k1 = rng.choice(["a", "b", "c"], 300)
+    v1 = np.round(rng.uniform(-10, 90, 300), 2)
+    k2 = rng.choice(["b", "c", "d"], 200)   # overlapping + new keys
+    v2 = np.round(rng.uniform(-50, 10, 200), 2)
+    a = pa.table({"k": pa.array(k1.tolist()), "v": v1})
+    b = pa.table({"k": pa.array(k2.tolist()), "v": v2})
+    inc = incremental_group_stats(
+        rd.from_arrow(a).repartition(4), rd.from_arrow(b).repartition(3),
+        "k", "v").to_pandas().set_index("key")
+    full = pa.table({"k": pa.array(k1.tolist() + k2.tolist()),
+                     "v": np.concatenate([v1, v2])})
+    batch = group_stats_state(rd.from_arrow(full), "k", "v") \
+        .to_pandas().set_index("key")
+    pd.testing.assert_frame_equal(inc.sort_index(), batch.sort_index())
+    # merge is commutative
+    sa = group_stats_state(rd.from_arrow(a), "k", "v")
+    sb = group_stats_state(rd.from_arrow(b), "k", "v")
+    ab = merge_group_stats(sa, sb).to_pandas()
+    ba = merge_group_stats(sb, sa).to_pandas()
+    pd.testing.assert_frame_equal(ab, ba)
+
+
+def test_regex_extract_no_match_and_named_groups(ray_session):
+    from web_crawler_ray.stages.textstats import regex_extract
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["big spark table x", "no hit", ""])})
+    out = regex_extract(rd.from_arrow(t), r"(s[a-z]+) ([a-z]+)",
+                        ["w1", "w2"]).to_pandas()
+    assert out["w1"].tolist() == ["spark", "", ""]
+    assert out["w2"].tolist() == ["table", "", ""]

@@ -3471,6 +3471,72 @@ def _percentile_cont_oracle_sql() -> str:
         + " FROM g ORDER BY g.event_type")
 
 
+def q_regex_extract_docs(sf_dir: str):
+    """First-match regex field extraction over documents.text —
+    leftmost '(s-word, next-word)' capture pair per doc
+    (stages/textstats.py regex_extract: the C++ pc.extract_regex RE2
+    kernel, nulls coalesced to '' per DuckDB regexp_extract's
+    no-match contract; byte-identical strings, hash-exact)."""
+    from ..stages.textstats import regex_extract
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return regex_extract(ds, r"(s[a-z]+) ([a-z]+)", ["w1", "w2"])
+
+
+_REGEX_EXTRACT_SQL = (
+    "SELECT doc_id, "
+    "regexp_extract(text, '(s[a-z]+) ([a-z]+)', 1) AS w1, "
+    "regexp_extract(text, '(s[a-z]+) ([a-z]+)', 2) AS w2 "
+    "FROM documents ORDER BY doc_id")
+
+
+def q_basket_pairs(sf_dir: str):
+    """Pairwise frequent itemsets: part pairs co-ordered in ≥2 orders
+    — the market-basket primitive (stages/relational.py
+    cooccurrence_pairs: basket exchange → id-ordered pair emit →
+    pair-keyed support count; all integers, hash-exact)."""
+    from ..stages.relational import cooccurrence_pairs
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
+                              min_support=2)
+
+
+_BASKET_SQL = (
+    "WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+    "FROM lineitem), "
+    "p AS (SELECT a.pk AS item_a, b.pk AS item_b FROM d a "
+    "JOIN d b ON a.ok = b.ok AND a.pk < b.pk) "
+    "SELECT item_a, item_b, count(*)::BIGINT AS support FROM p "
+    "GROUP BY item_a, item_b HAVING count(*) >= 2 "
+    "ORDER BY item_a, item_b")
+
+
+def q_incremental_stats(sf_dir: str):
+    """Incremental-view maintenance: per-type (n, cent-sum, min, max)
+    summarized over the first half-month of events, then the second
+    half folded in by STATE MERGE ONLY (stages/aggregates.py
+    incremental_group_stats — every field a commutative monoid, so
+    merge(state(A), state(B)) == state(A ∪ B)). The oracle is the
+    full recompute over ALL events: the gate literally checks the
+    incremental path against the batch path."""
+    from ..stages.aggregates import incremental_group_stats
+    cut = pa.scalar(np.datetime64("2024-01-16", "us"))
+    ds = _rp(sf_dir, "events", columns=["event_type", "value", "ts"])
+    base = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("ts"), cut)),
+        batch_format="pyarrow")
+    delta = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("ts"), cut)),
+        batch_format="pyarrow")
+    return incremental_group_stats(base, delta, "event_type", "value")
+
+
+_INCR_STATS_SQL = (
+    "SELECT event_type AS key, count(*)::BIGINT AS n, "
+    "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents, "
+    "min(value) AS min_v, max(value) AS max_v "
+    "FROM events GROUP BY event_type ORDER BY key")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3556,6 +3622,9 @@ def registry() -> dict:
         "link_prediction": q_link_prediction,
         "ewma_users": q_ewma_users,
         "percentile_cont_events": q_percentile_cont_events,
+        "regex_extract_docs": q_regex_extract_docs,
+        "basket_pairs": q_basket_pairs,
+        "incremental_stats": q_incremental_stats,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4512,6 +4581,9 @@ ORACLES: dict[str, str] = {
     "link_prediction": _link_prediction_oracle_sql(),
     "ewma_users": _EWMA_SQL,
     "percentile_cont_events": _percentile_cont_oracle_sql(),
+    "regex_extract_docs": _REGEX_EXTRACT_SQL,
+    "basket_pairs": _BASKET_SQL,
+    "incremental_stats": _INCR_STATS_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

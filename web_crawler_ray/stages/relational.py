@@ -642,3 +642,69 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
         return pa.table(cols)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def cooccurrence_pairs(ds, group_col: str, item_col: str,
+                       min_support: int = 2, num_partitions: int = 32):
+    """Pairwise frequent-itemset mining: every ordered item pair
+    (a < b) co-occurring in at least ``min_support`` groups — the
+    market-basket / related-items primitive (the pairwise level of
+    Apriori; support counts are exact integers, no floats anywhere).
+    Returns a Dataset (item_a, item_b, support).
+
+    Scale shape: ONE exchange keyed by group co-locates each basket;
+    the kernel distinct-ifies (group, item), emits id-ordered pairs
+    vectorized (volume Σ basket², bounded by basket size — lineitem
+    baskets are ≤7 rows), then ONE more exchange keyed by item_a
+    counts pair support and applies the threshold. Shuffle volume is
+    pairs, never baskets × baskets."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": t.column(group_col).cast(pa.int64()),
+            "i": t.column(item_col).cast(pa.int64())})
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"a": z, "b": z})
+        g = df["g"].to_numpy(np.int64)
+        i = df["i"].to_numpy(np.int64)
+        o = np.lexsort((i, g))
+        g, i = g[o], i[o]
+        keep = np.ones(len(g), bool)     # distinct (group, item)
+        keep[1:] = (g[1:] != g[:-1]) | (i[1:] != i[:-1])
+        g, i = g[keep], i[keep]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(g[1:] != g[:-1]) + 1, [len(g)]))
+        from .graph import _pairs_from_sorted_groups
+        a, b, _ = _pairs_from_sorted_groups(starts, i)
+        return pd.DataFrame({"a": a, "b": b})
+
+    pairs = int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                         "g", emit_pairs,
+                         num_partitions=num_partitions)
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"item_a": z, "item_b": z,
+                                 "support": z})
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        new = np.ones(len(a), bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(new)
+        cnt = np.diff(np.append(st, len(a)))
+        sel = cnt >= min_support
+        return pd.DataFrame({"item_a": a[st][sel],
+                             "item_b": b[st][sel],
+                             "support": cnt[sel].astype(np.int64)})
+
+    return int_part_map(pairs, "a", count_pairs,
+                        num_partitions=num_partitions)

@@ -1285,3 +1285,46 @@ def winnow_fingerprints(ds, k: int = 8, w: int = 4,
                          "fp": pa.array(out_fp, pa.uint64())})
 
     return ds.map_batches(fp_batch, batch_format="pyarrow")
+
+
+def regex_extract(ds, pattern: str, names: list[str],
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Vectorized regex field extraction: pull the capture groups of
+    the FIRST (leftmost) match of ``pattern`` out of ``text_col`` into
+    one string column per group — the log/wrapper-text structuring
+    primitive. Non-matching rows emit '' for every group (DuckDB
+    regexp_extract's no-match contract; Arrow's null is coalesced).
+    Both engines run RE2 on the same pattern, so the extracted strings
+    are byte-identical — hash-exact without any float tricks.
+
+    Scale shape: stateless ``map_batches`` over zero-copy Arrow with
+    the C++ ``pc.extract_regex`` kernel — no shuffle, no Python loop."""
+    # build a named-group pattern: pc.extract_regex requires names
+    idx = 0
+    out_pat = []
+    gi = 0
+    while idx < len(pattern):
+        ch = pattern[idx]
+        if ch == "\\":
+            out_pat.append(pattern[idx:idx + 2])
+            idx += 2
+            continue
+        if ch == "(" and not pattern.startswith("(?", idx):
+            out_pat.append(f"(?P<{names[gi]}>")
+            gi += 1
+            idx += 1
+            continue
+        out_pat.append(ch)
+        idx += 1
+    named = "".join(out_pat)
+
+    def ext(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.extract_regex(t.column(text_col), named)
+        cols = {id_col: t.column(id_col)}
+        for nm in names:
+            col = pc.struct_field(s, nm)
+            cols[nm] = pc.fill_null(col, "")
+        return pa.table(cols)
+
+    return ds.map_batches(ext, batch_format="pyarrow")
