@@ -201,7 +201,8 @@ def run_queries(num_cpus: int) -> dict:
              "auc_click_view", "twap_users", "target_encode_brand",
              "clustering_coeff", "link_prediction",
              "ewma_users", "percentile_cont_events",
-             "regex_extract_docs", "basket_pairs", "incremental_stats"]
+             "regex_extract_docs", "basket_pairs", "incremental_stats",
+             "dbscan_customers"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -427,3 +427,65 @@ def test_regex_extract_no_match_and_named_groups(ray_session):
                         ["w1", "w2"]).to_pandas()
     assert out["w1"].tolist() == ["spark", "", ""]
     assert out["w2"].tolist() == ["table", "", ""]
+
+
+def test_dbscan_geo_semantics(ray_session):
+    from web_crawler_ray.stages.clustering import dbscan_geo
+    # blob of 5 (member 2 stretched to la=1.8, still core), a border
+    # point at la=3.6 reaching ONLY member 2, noise far away, and a
+    # far pair (mutually near but non-core)
+    la = [0.0, 0.1, 1.8, 0.0, 0.1,   3.6,   50.0,   -60.0, -60.1]
+    lo = [0.0, 0.1, 0.0, 0.2, 0.2,   0.0,   50.0,    10.0,  10.1]
+    ids = list(range(9))
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "la": pa.array(la), "lo": pa.array(lo)})
+    out = dbscan_geo(rd.from_arrow(t).repartition(3), eps_deg=2.0,
+                     min_pts=4).to_pandas().set_index("id")
+    # blob 0-4 core, labeled by min id 0
+    assert out.loc[0:4, "is_core"].tolist() == [1] * 5
+    assert out.loc[0:4, "label"].tolist() == [0] * 5
+    # 5 is within eps of blob members but itself non-core -> border
+    assert out.loc[5, "is_core"] == 0 and out.loc[5, "label"] == 0
+    # 6 isolated noise; 7/8 a non-core pair -> noise
+    assert out.loc[6, "label"] == -1
+    assert out.loc[7, "label"] == -1 and out.loc[8, "label"] == -1
+
+
+def test_dbscan_geo_matches_brute(ray_session):
+    from web_crawler_ray.stages.clustering import dbscan_geo
+    rng = np.random.default_rng(109)
+    n = 120
+    la = rng.uniform(-20, 20, n)
+    lo = rng.uniform(-20, 20, n)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"id": ids, "la": la, "lo": lo})
+    eps, mp = 3.0, 4
+    out = dbscan_geo(rd.from_arrow(t).repartition(4), eps_deg=eps,
+                     min_pts=mp).to_pandas().set_index("id")
+    # brute force with the same deterministic min-label contract
+    d2 = (la[:, None] - la) ** 2 + ((lo[:, None] - lo) * 0.75) ** 2
+    adj = (d2 <= eps * eps) & ~np.eye(n, dtype=bool)
+    core = adj.sum(1) + 1 >= mp
+    # components over core-core adjacency
+    lbl = np.full(n, -1, np.int64)
+    for s in np.flatnonzero(core):
+        if lbl[s] != -1:
+            continue
+        comp, stack = [], [s]
+        seen = {s}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in np.flatnonzero(adj[x] & core):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        for x in comp:
+            lbl[x] = min(comp)
+    for b in np.flatnonzero(~core):
+        nb = np.flatnonzero(adj[b] & core)
+        if len(nb):
+            lbl[b] = lbl[nb].min()
+    assert out["label"].to_numpy().tolist() == lbl.tolist()
+    assert out["is_core"].to_numpy().astype(bool).tolist() == \
+        core.tolist()

@@ -3537,6 +3537,62 @@ _INCR_STATS_SQL = (
     "FROM events GROUP BY event_type ORDER BY key")
 
 
+def q_dbscan_customers(sf_dir: str):
+    """Deterministic DBSCAN (eps = 2°, min_pts = 4) over the md5
+    customer coordinates — density clustering with noise on top of
+    the geo_near_pairs grid exchange (stages/clustering.py
+    dbscan_geo: min-label border/cluster assignment makes the
+    textbook algorithm order-free; core-core connectivity routes
+    through connected_components; compare-only decisions over exact
+    squared-degree distances — hash-exact)."""
+    from ..stages.aggregates import md5_low64
+    from ..stages.clustering import dbscan_geo
+
+    def coords(t: pa.Table) -> pa.Table:
+        ids = t.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        la = np.array([md5_low64(str(i)) % 1800 for i in ids.tolist()],
+                      np.float64) / 10.0 - 90.0
+        lo = np.array([md5_low64("x" + str(i)) % 3600
+                       for i in ids.tolist()],
+                      np.float64) / 10.0 - 180.0
+        return pa.table({"id": pa.array(ids), "la": pa.array(la),
+                         "lo": pa.array(lo)})
+
+    pts = _rp(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(coords, batch_format="pyarrow")
+    return dbscan_geo(pts, eps_deg=2.0, min_pts=4)
+
+
+_DBSCAN_SQL = (
+    "WITH RECURSIVE pts AS (SELECT c_custkey AS id, "
+    "(md5_number_lower(c_custkey::VARCHAR) % 1800) / 10.0 - 90.0 "
+    "AS la, "
+    "(md5_number_lower('x' || c_custkey::VARCHAR) % 3600) / 10.0 "
+    "- 180.0 AS lo FROM customer), "
+    "p AS (SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b "
+    "ON a.id < b.id WHERE (a.la-b.la)*(a.la-b.la) + "
+    "((a.lo-b.lo)*0.75)*((a.lo-b.lo)*0.75) <= 4.0), "
+    "sym AS (SELECT ia AS u, ib AS v FROM p "
+    "UNION ALL SELECT ib, ia FROM p), "
+    "nb AS (SELECT u AS id, count(*) AS nn FROM sym GROUP BY u), "
+    "core AS (SELECT id FROM nb WHERE nn + 1 >= 4), "
+    "ce AS (SELECT u, v FROM sym WHERE u IN (SELECT id FROM core) "
+    "AND v IN (SELECT id FROM core)), "
+    "reach AS (SELECT id AS node, id AS r FROM core "
+    "UNION SELECT reach.node, ce.v FROM reach "
+    "JOIN ce ON ce.u = reach.r), "
+    "comp AS (SELECT node, min(r) AS lbl FROM reach GROUP BY node), "
+    "border AS (SELECT s.u AS id, min(c.lbl) AS lbl FROM sym s "
+    "JOIN comp c ON c.node = s.v "
+    "WHERE s.u NOT IN (SELECT id FROM core) GROUP BY s.u) "
+    "SELECT pts.id, "
+    "COALESCE(comp.lbl, border.lbl, -1)::BIGINT AS label, "
+    "CASE WHEN comp.node IS NOT NULL THEN 1 ELSE 0 END::BIGINT "
+    "AS is_core FROM pts LEFT JOIN comp ON comp.node = pts.id "
+    "LEFT JOIN border ON border.id = pts.id ORDER BY pts.id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3625,6 +3681,7 @@ def registry() -> dict:
         "regex_extract_docs": q_regex_extract_docs,
         "basket_pairs": q_basket_pairs,
         "incremental_stats": q_incremental_stats,
+        "dbscan_customers": q_dbscan_customers,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4584,6 +4641,7 @@ ORACLES: dict[str, str] = {
     "regex_extract_docs": _REGEX_EXTRACT_SQL,
     "basket_pairs": _BASKET_SQL,
     "incremental_stats": _INCR_STATS_SQL,
+    "dbscan_customers": _DBSCAN_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

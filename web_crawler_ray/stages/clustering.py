@@ -119,3 +119,85 @@ def kmeans_assign(ds, centroids: np.ndarray, col: str = "embedding",
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def dbscan_geo(pts_ds, eps_deg: float, min_pts: int,
+               cos_ref: float = 0.75, id_col: str = "id",
+               lat_col: str = "la", lon_col: str = "lo"):
+    """Deterministic DBSCAN over 2-D coordinates under the
+    equirectangular metric — density clustering with noise, the
+    spatial sibling of k-means (Ester et al.; the first-found border
+    assignment of the textbook algorithm is made order-free here:
+    border points take the MINIMUM cluster label among their core
+    neighbors, and a cluster's label is the MINIMUM core id in its
+    component, so output is independent of visit order). A point is
+    CORE iff its closed eps-neighborhood has ≥ ``min_pts`` points
+    (self included); core points cluster by eps-connectivity; border
+    points attach; everything else is noise (label −1). All decisions
+    are integer/compare-only on top of the exact squared-degree
+    distances grid_distance_pairs emits — bit-exact vs SQL.
+
+    Scale shape: candidate pairs come from grid_distance_pairs' 3×3
+    cell-blocked exchange (O(density) per cell, one shuffle);
+    core-core connectivity routes through connected_components
+    (driver union-find below DRIVER_CC_MAX edges, distributed
+    min-label propagation above); the driver holds O(points + pairs)
+    — the per-point labeling IS the result. Returns a pyarrow Table
+    (id, label, is_core) sorted by id."""
+    import ray.data as rd
+
+    from .graph import connected_components
+    from .joins import grid_distance_pairs
+
+    pts_ds = pts_ds.materialize()
+    ids_parts = [pa.table(b).column(id_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+        for b in pts_ds.select_columns([id_col])
+        .iter_batches(batch_format="pyarrow")]
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64()),
+                      "is_core": pa.array([], pa.int64())})
+    if not ids_parts:
+        return empty
+    ids = np.sort(np.concatenate(ids_parts))
+    n = len(ids)
+    if n == 0:
+        return empty
+
+    pairs = grid_distance_pairs(pts_ds, id_col, lat_col, lon_col,
+                                eps_deg, cos_ref=cos_ref)
+    ia = pairs.column("id_a").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ib = pairs.column("id_b").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    xa = np.searchsorted(ids, ia)
+    xb = np.searchsorted(ids, ib)
+    deg = (np.bincount(xa, minlength=n)
+           + np.bincount(xb, minlength=n)).astype(np.int64)
+    is_core = deg + 1 >= min_pts
+
+    label = np.full(n, -1, np.int64)
+    cc_mask = is_core[xa] & is_core[xb]
+    if cc_mask.any():
+        cc = connected_components(rd.from_arrow(pa.table({
+            "src": pa.array(ia[cc_mask]),
+            "dst": pa.array(ib[cc_mask])})))
+        cn = cc.column("node").to_numpy(zero_copy_only=False)
+        cl = cc.column("component").to_numpy(zero_copy_only=False)
+        label[np.searchsorted(ids, cn)] = cl
+    # isolated core points (no core neighbor) form singleton clusters
+    lone = is_core & (label == -1)
+    label[lone] = ids[lone]
+
+    # border points: min core-neighbor cluster label
+    half = is_core[xa] ^ is_core[xb]
+    bidx = np.where(is_core[xa], xb, xa)[half]
+    blbl = np.where(is_core[xa], label[xa], label[xb])[half]
+    border = np.full(n, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(border, bidx, blbl)
+    take = (~is_core) & (border != np.iinfo(np.int64).max)
+    label[take] = border[take]
+
+    return pa.table({"id": pa.array(ids),
+                     "label": pa.array(label),
+                     "is_core": pa.array(is_core.astype(np.int64))})
