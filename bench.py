@@ -202,7 +202,8 @@ def run_queries(num_cpus: int) -> dict:
              "clustering_coeff", "link_prediction",
              "ewma_users", "percentile_cont_events",
              "regex_extract_docs", "basket_pairs", "incremental_stats",
-             "dbscan_customers"]
+             "dbscan_customers", "resample_linear", "rolling_median_events",
+             "corr_matrix_lineitem"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -808,3 +808,106 @@ def test_group_percentile_cont_single_value(ray_session):
     out = group_percentile_cont(rd.from_arrow(t), "k", "v",
                                 qs=[0.25, 0.5, 0.75]).to_pandas()
     assert out.iloc[0][["p25", "p50", "p75"]].tolist() == [42.0] * 3
+
+
+def test_resample_linear_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import resample_linear
+    US_H = 3_600_000_000
+    rng = np.random.default_rng(113)
+    n = 300
+    u = rng.integers(0, 6, n).astype(np.int64)
+    ts_i = np.datetime64("2024-02-01", "us").astype(np.int64) \
+        + rng.integers(0, 3 * 24 * US_H, n)
+    v = np.round(rng.uniform(0, 100, n), 2)
+    t = pa.table({"user_id": u,
+                  "ts": ts_i.astype("datetime64[us]"),
+                  "event_id": np.arange(n, dtype=np.int64),
+                  "value": v})
+    out = resample_linear(rd.from_arrow(t).repartition(5)).to_pandas()
+    got = {(a, b): c for a, b, c in
+           zip(out["user_id"], out["hour_us"], out["v"])}
+    want = {}
+    for uu in np.unique(u):
+        sel = u == uu
+        tt, vv = ts_i[sel], v[sel]
+        o = np.argsort(tt, kind="stable")
+        tt, vv = tt[o], vv[o]
+        h0 = -(-tt[0] // US_H) * US_H
+        h1 = (tt[-1] // US_H) * US_H
+        for h in range(h0, h1 + US_H, US_H):
+            il = np.searchsorted(tt, h, side="right") - 1
+            ir = np.searchsorted(tt, h, side="left")
+            if tt[il] == tt[ir]:
+                want[(uu, h)] = vv[il]
+            else:
+                frac = float(h - tt[il]) / float(tt[ir] - tt[il])
+                want[(uu, h)] = vv[il] + (vv[ir] - vv[il]) * frac
+    assert got == want
+
+
+def test_resample_linear_exact_hour_event_is_copied(ray_session):
+    from web_crawler_ray.stages.windows import resample_linear
+    US_H = 3_600_000_000
+    base = np.datetime64("2024-02-01T00:00:00", "us")
+    ts = np.array([base, base + np.timedelta64(US_H, "us"),
+                   base + np.timedelta64(2 * US_H, "us")])
+    t = pa.table({"user_id": pa.array([1, 1, 1], pa.int64()),
+                  "ts": ts, "event_id": pa.array([1, 2, 3], pa.int64()),
+                  "value": [1.0, 7.77, 3.0]})
+    out = resample_linear(rd.from_arrow(t)).to_pandas()
+    assert out["v"].tolist() == [1.0, 7.77, 3.0]
+
+
+def test_rolling_median_matches_pandas_and_brute(ray_session):
+    from web_crawler_ray.stages.windows import rolling_median_per_key
+    rng = np.random.default_rng(127)
+    n = 400
+    u = rng.integers(0, 5, n).astype(np.int64)
+    ts = np.datetime64("2024-01-01", "us") + \
+        rng.integers(0, 10**9, n).astype("timedelta64[us]")
+    v = np.round(rng.uniform(0, 10, n), 2)
+    t = pa.table({"user_id": u, "ts": ts,
+                  "event_id": np.arange(n, dtype=np.int64),
+                  "value": v})
+    out = rolling_median_per_key(rd.from_arrow(t).repartition(4),
+                                 window=7) \
+        .to_pandas().set_index("order_id")["med"]
+    df = pd.DataFrame({"u": u, "ts": ts, "eid": np.arange(n),
+                       "v": v}).sort_values(["u", "ts", "eid"])
+    for uu in np.unique(u):
+        d = df[df["u"] == uu]
+        vals = d["v"].to_numpy()
+        for i, eid in enumerate(d["eid"]):
+            win = np.sort(vals[max(0, i - 6):i + 1])
+            nn = len(win)
+            assert out[eid] == win[-(-nn // 2) - 1]   # quantile_disc
+        # pandas median agrees on FULL (odd-size) windows
+        pm = d["v"].rolling(7).median().to_numpy()
+        ours = out[d["eid"].to_numpy()].to_numpy()
+        full = ~np.isnan(pm)
+        assert np.array_equal(ours[full], pm[full])
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    from web_crawler_ray.stages.aggregates import corr_matrix
+    rng = np.random.default_rng(131)
+    a = rng.integers(0, 50, 500).astype(np.float64)
+    b = np.round(rng.uniform(0, 0.1, 500), 2)
+    c = (a * 2 + rng.integers(0, 10, 500)).astype(np.float64)
+    t = pa.table({"x": a, "y": b, "z": c})
+    out = corr_matrix(rd.from_arrow(t).repartition(4),
+                      ["x", "y", "z"], [1, 100, 1]).to_pandas()
+    ref = np.corrcoef(np.stack([a, np.rint(b * 100), c]))
+    want = {("x", "y"): ref[0, 1], ("x", "z"): ref[0, 2],
+            ("y", "z"): ref[1, 2]}
+    got = {(r.col_a, r.col_b): r.r for r in out.itertuples()}
+    assert set(got) == set(want)
+    for kk in want:
+        assert abs(got[kk] - want[kk]) < 1e-12
+
+
+def test_corr_matrix_constant_column_null(ray_session):
+    from web_crawler_ray.stages.aggregates import corr_matrix
+    t = pa.table({"x": [1.0, 2.0, 3.0], "y": [5.0, 5.0, 5.0]})
+    out = corr_matrix(rd.from_arrow(t), ["x", "y"], [1, 1])
+    assert out.column("r").to_pylist() == [None]

@@ -3593,6 +3593,99 @@ _DBSCAN_SQL = (
     "LEFT JOIN border ON border.id = pts.id ORDER BY pts.id")
 
 
+def q_resample_linear(sf_dir: str):
+    """Per-user hourly LINEAR-interpolation resample of event values
+    — the gap-fill sibling of resample_ffill for continuous gauges
+    (stages/windows.py resample_linear: one keyed exchange, grid fill
+    via two searchsorteds; the fraction is ONE integer-µs division and
+    the interpolation the same three IEEE ops as the oracle's two
+    ASOF joins — bit-exact)."""
+    from ..stages.windows import resample_linear
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return resample_linear(ds)
+
+
+_RESAMPLE_LINEAR_SQL = (
+    "WITH ded AS (SELECT user_id AS u, epoch_us(ts) AS t, value AS v "
+    "FROM events QUALIFY row_number() OVER (PARTITION BY user_id, ts "
+    "ORDER BY event_id DESC) = 1), "
+    "b AS (SELECT u, ((min(t) + 3599999999) // 3600000000) "
+    "* 3600000000 AS h0, (max(t) // 3600000000) * 3600000000 AS h1 "
+    "FROM ded GROUP BY u), "
+    "grid AS (SELECT u, unnest(generate_series(h0, h1, 3600000000)) "
+    "AS h FROM b WHERE h0 <= h1), "
+    "g2 AS (SELECT u, h, -h AS hn FROM grid), "
+    "l AS (SELECT g.u, g.h, d.t AS tl, d.v AS vl FROM g2 g "
+    "ASOF JOIN ded d ON g.u = d.u AND g.h >= d.t), "
+    "ded2 AS (SELECT u, -t AS tn, t, v FROM ded), "
+    "rr AS (SELECT g.u, g.h, d.t AS tr, d.v AS vr FROM g2 g "
+    "ASOF JOIN ded2 d ON g.u = d.u AND g.hn >= d.tn) "
+    "SELECT l.u AS user_id, l.h AS hour_us, "
+    "CASE WHEN l.tl = rr.tr THEN l.vl "
+    "ELSE l.vl + (rr.vr - l.vl) * ((l.h - l.tl)::DOUBLE "
+    "/ (rr.tr - l.tl)::DOUBLE) END AS v "
+    "FROM l JOIN rr ON rr.u = l.u AND rr.h = l.h "
+    "ORDER BY user_id, hour_us")
+
+
+def q_rolling_median_events(sf_dir: str):
+    """Per-user rolling 7-row discrete median of event values —
+    the robust running baseline next to rolling_avg_events
+    (stages/windows.py rolling_median_per_key: full windows are one
+    numpy sort over a strided sliding-window view; medians are COPIED
+    values, quantile_disc semantics — float-exact, zero arithmetic)."""
+    from ..stages.windows import rolling_median_per_key
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return rolling_median_per_key(ds, window=7)
+
+
+_ROLLING_MEDIAN_SQL = (
+    "SELECT user_id AS key, event_id AS order_id, "
+    "quantile_disc(value, 0.5) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) "
+    "AS med FROM events")
+
+
+_CORR_COLS = ["l_discount", "l_linenumber", "l_quantity", "l_tax"]
+_CORR_SCALES = [100, 1, 1, 100]
+
+
+def q_corr_matrix_lineitem(sf_dir: str):
+    """Pearson correlation matrix over four integral-after-scaling
+    lineitem measures — the feature-redundancy audit generalizing
+    corr_lineitem's single pair (stages/aggregates.py corr_matrix:
+    per-batch integer-sum combiner row, driver folds bigints, two
+    sqrts + one division per pair — bit-exact vs HUGEINT oracle)."""
+    from ..stages.aggregates import corr_matrix
+    ds = _rp(sf_dir, "lineitem", columns=list(_CORR_COLS))
+    return corr_matrix(ds, _CORR_COLS, _CORR_SCALES)
+
+
+def _corr_matrix_oracle_sql() -> str:
+    k = len(_CORR_COLS)
+    sel = [f"CAST(round({c} * {s}) AS HUGEINT) AS c{i}"
+           for i, (c, s) in enumerate(zip(_CORR_COLS, _CORR_SCALES))]
+    sums = ["count(*)::HUGEINT AS n"]
+    sums += [f"sum(c{i}) AS s{i}" for i in range(k)]
+    sums += [f"sum(c{i} * c{j}) AS s{i}_{j}"
+             for i in range(k) for j in range(i, k)]
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            rows.append(
+                f"SELECT '{_CORR_COLS[i]}' AS col_a, "
+                f"'{_CORR_COLS[j]}' AS col_b, "
+                f"(n * s{i}_{j} - s{i} * s{j})::DOUBLE / "
+                f"(sqrt((n * s{i}_{i} - s{i} * s{i})::DOUBLE) * "
+                f"sqrt((n * s{j}_{j} - s{j} * s{j})::DOUBLE)) AS r "
+                "FROM s")
+    return ("WITH t AS (SELECT " + ", ".join(sel) + " FROM lineitem), "
+            "s AS (SELECT " + ", ".join(sums) + " FROM t) "
+            + " UNION ALL ".join(rows) + " ORDER BY col_a, col_b")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3682,6 +3775,9 @@ def registry() -> dict:
         "basket_pairs": q_basket_pairs,
         "incremental_stats": q_incremental_stats,
         "dbscan_customers": q_dbscan_customers,
+        "resample_linear": q_resample_linear,
+        "rolling_median_events": q_rolling_median_events,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4642,6 +4738,9 @@ ORACLES: dict[str, str] = {
     "basket_pairs": _BASKET_SQL,
     "incremental_stats": _INCR_STATS_SQL,
     "dbscan_customers": _DBSCAN_SQL,
+    "resample_linear": _RESAMPLE_LINEAR_SQL,
+    "rolling_median_events": _ROLLING_MEDIAN_SQL,
+    "corr_matrix_lineitem": _corr_matrix_oracle_sql(),
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -2464,3 +2464,72 @@ def incremental_group_stats(base_ds, delta_ds, key_col: str,
     return merge_group_stats(
         group_stats_state(base_ds, key_col, val_col, scale),
         group_stats_state(delta_ds, key_col, val_col, scale))
+
+
+def corr_matrix(ds, cols: list[str], scales: list[int]):
+    """Full Pearson correlation MATRIX over a set of integral-after-
+    scaling columns — the feature-audit primitive (which measures are
+    redundant?) generalizing group_corr's single pair. For each pair
+    i < j:
+
+        r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))
+
+    where every S is an EXACT integer (Python bigints on the driver,
+    HUGEINT in the oracle), so both sides take the same two
+    correctly-rounded sqrts, one multiply and ONE division —
+    bit-exact. Returns (col_a, col_b, r) for all pairs, name-sorted.
+
+    Scale shape: per-batch combiner emits one row of k + k(k+1)/2
+    integer sums; the driver folds O(batches) rows. No shuffle."""
+    import math
+
+    k = len(cols)
+    pair_idx = [(i, j) for i in range(k) for j in range(i, k)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        mats = []
+        for c, sc in zip(cols, scales):
+            x = np.rint(t.column(c).to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * sc).astype(np.int64)
+            mats.append(x)
+        out = {"n": pa.array([t.num_rows], pa.int64())}
+        for i, c in enumerate(cols):
+            out[f"s{i}"] = pa.array([int(mats[i].sum())], pa.int64())
+        for i, j in pair_idx:
+            out[f"s{i}_{j}"] = pa.array(
+                [int((mats[i] * mats[j]).sum())], pa.int64())
+        return pa.table(out)
+
+    n = 0
+    s = [0] * k
+    sxy = {p: 0 for p in pair_idx}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        n += int(pa.compute.sum(tb.column("n")).as_py())
+        for i in range(k):
+            s[i] += int(pa.compute.sum(tb.column(f"s{i}")).as_py())
+        for i, j in pair_idx:
+            sxy[(i, j)] += int(pa.compute.sum(
+                tb.column(f"s{i}_{j}")).as_py())
+
+    names_a, names_b, rs = [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = n * sxy[(i, j)] - s[i] * s[j]
+            da = n * sxy[(i, i)] - s[i] * s[i]
+            db = n * sxy[(j, j)] - s[j] * s[j]
+            if da == 0 or db == 0:
+                r = None
+            else:
+                r = float(num) / (math.sqrt(float(da))
+                                  * math.sqrt(float(db)))
+            names_a.append(cols[i])
+            names_b.append(cols[j])
+            rs.append(r)
+    order = sorted(range(len(names_a)),
+                   key=lambda x: (names_a[x], names_b[x]))
+    return pa.table({
+        "col_a": pa.array([names_a[x] for x in order], pa.string()),
+        "col_b": pa.array([names_b[x] for x in order], pa.string()),
+        "r": pa.array([rs[x] for x in order], pa.float64())})

@@ -930,3 +930,150 @@ def ewma_per_user(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def resample_linear(ds, user_col: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value",
+                    order_col: str = "event_id"):
+    """Per-user hourly LINEAR-interpolation resampling: one row per
+    exact hour boundary inside [first event, last event], with the
+    value interpolated between the surrounding events — the
+    gap-fill sibling of resample_ffill for continuous gauges.
+    Same-timestamp duplicates reduce to the largest ``order_col``
+    first (a total order), so neighbors are unique. BIT-EXACT: the
+    fraction (h−t₀)/(t₁−t₀) is ONE division of exact integer
+    microseconds and the interpolation v₀ + (v₁−v₀)·frac is the same
+    three IEEE ops in the same order as the oracle; a grid point
+    hitting an event exactly copies its value.
+
+    Scale shape: ONE keyed exchange (the resample_ffill shape); the
+    kernel sorts each user's history once and fills the whole grid
+    with two vectorized searchsorteds. Output is O(user-hours),
+    emitted from the partitions. Returns (user_id, hour_us, v)."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    US_H = 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t.column(user_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(order_col).cast(pa.int64()),
+            "v": t.column(value_col).cast(pa.float64())})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"u": np.array([], np.int64),
+                                 "hour_us": np.array([], np.int64),
+                                 "v": np.array([], np.float64)})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((oc, ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        # dedupe exact timestamps per user: keep the largest oc (last)
+        last = np.ones(len(u), bool)
+        last[:-1] = (u[1:] != u[:-1]) | (ts[1:] != ts[:-1])
+        u, ts, v = u[last], ts[last], v[last]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(u[1:] != u[:-1]) + 1, [len(u)]))
+        out_u, out_h, out_v = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            t0 = -(-ts[s] // US_H) * US_H        # ceil to hour
+            t1 = (ts[e - 1] // US_H) * US_H      # floor to hour
+            if t1 < t0:
+                continue
+            hours = np.arange(t0, t1 + US_H, US_H)
+            seg_t, seg_v = ts[s:e], v[s:e]
+            il = np.searchsorted(seg_t, hours, side="right") - 1
+            ir = np.searchsorted(seg_t, hours, side="left")
+            tl, tr = seg_t[il], seg_t[ir]
+            vl, vr = seg_v[il], seg_v[ir]
+            frac = (hours - tl).astype(np.float64) \
+                / np.where(tr == tl, 1, tr - tl).astype(np.float64)
+            val = np.where(tl == tr, vl, vl + (vr - vl) * frac)
+            out_u.append(np.full(len(hours), u[s]))
+            out_h.append(hours)
+            out_v.append(val)
+        if not out_u:
+            return pd.DataFrame({"u": np.array([], np.int64),
+                                 "hour_us": np.array([], np.int64),
+                                 "v": np.array([], np.float64)})
+        return pd.DataFrame({"u": np.concatenate(out_u),
+                             "hour_us": np.concatenate(out_h),
+                             "v": np.concatenate(out_v)})
+
+    out = int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                       "u", per_partition, num_partitions=32)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("u"),
+                         "hour_us": t.column("hour_us"),
+                         "v": t.column("v")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def rolling_median_per_key(ds, key_col: str = "user_id",
+                           ts_col: str = "ts",
+                           order_col: str = "event_id",
+                           value_col: str = "value", window: int = 7):
+    """Per-key rolling DISCRETE median over the last ``window`` rows
+    (ROWS window−1 PRECEDING .. CURRENT ROW in (ts, order) order) —
+    the robust running-baseline next to rolling_mean. Median uses
+    quantile_disc semantics (sorted[ceil(n/2)−1]), so every output
+    VALUE IS one of the inputs, copied not combined — float-exact
+    with no arithmetic at all. Returns (key, order, med).
+
+    Scale shape: ONE keyed exchange; full windows evaluate as one
+    numpy sort over a strided sliding-window view (no per-row
+    Python); only each key's first window−1 ramp-up rows take the
+    short per-row partial-window path."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    w = int(window)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(order_col).cast(pa.int64()),
+            "v": t.column(value_col).cast(pa.float64())})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"key": np.array([], np.int64),
+                                 "order_id": np.array([], np.int64),
+                                 "med": np.array([], np.float64)})
+        k = df["k"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((oc, ts, k))
+        k, oc, v = k[order], oc[order], v[order]
+        med = np.empty(len(k), np.float64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(k[1:] != k[:-1]) + 1, [len(k)]))
+        full_mid = -(-w // 2) - 1              # ceil(w/2) - 1
+        for s, e in zip(starts[:-1], starts[1:]):
+            seg = v[s:e]
+            ramp = min(w - 1, len(seg))
+            for i in range(ramp):              # partial windows
+                n = i + 1
+                med[s + i] = np.sort(seg[:n])[-(-n // 2) - 1]
+            if len(seg) >= w:
+                sw = np.lib.stride_tricks.sliding_window_view(seg, w)
+                med[s + w - 1:e] = np.sort(sw, axis=1)[:, full_mid]
+        return pd.DataFrame({"key": k, "order_id": oc, "med": med})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "k", per_partition, num_partitions=32)
