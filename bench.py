@@ -203,7 +203,8 @@ def run_queries(num_cpus: int) -> dict:
              "ewma_users", "percentile_cont_events",
              "regex_extract_docs", "basket_pairs", "incremental_stats",
              "dbscan_customers", "resample_linear", "rolling_median_events",
-             "corr_matrix_lineitem"]
+             "corr_matrix_lineitem", "rfm_scores", "user_paths",
+             "audience_overlap"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

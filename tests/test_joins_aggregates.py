@@ -911,3 +911,75 @@ def test_corr_matrix_constant_column_null(ray_session):
     t = pa.table({"x": [1.0, 2.0, 3.0], "y": [5.0, 5.0, 5.0]})
     out = corr_matrix(rd.from_arrow(t), ["x", "y"], [1, 1])
     assert out.column("r").to_pylist() == [None]
+
+
+def test_rfm_scores_matches_duckdb_ntile(ray_session):
+    from web_crawler_ray.stages.aggregates import rfm_scores
+    rng = np.random.default_rng(137)
+    n = 300
+    u = rng.integers(0, 23, n).astype(np.int64)   # 23 users, k=5 uneven
+    ts = np.datetime64("2024-01-01", "us") + \
+        rng.integers(0, 10**9, n).astype("timedelta64[us]")
+    v = np.round(rng.uniform(0, 30, n), 2)
+    t = pa.table({"user_id": u, "ts": ts, "value": v})
+    out = rfm_scores(rd.from_arrow(t).repartition(5)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", t.to_pandas())
+    ref = con.sql(
+        "WITH s AS (SELECT user_id, max(ts) AS mt, count(*)::BIGINT "
+        "AS f, sum(CAST(round(value*100) AS BIGINT))::BIGINT AS m "
+        "FROM events GROUP BY user_id), g AS (SELECT max(mt) AS gm "
+        "FROM s), r AS (SELECT user_id, (epoch_us(gm) - "
+        "epoch_us(mt))::BIGINT AS recency_us, f AS frequency, m AS "
+        "monetary_cents FROM s, g) SELECT user_id, recency_us, "
+        "frequency, monetary_cents, ntile(5) OVER (ORDER BY "
+        "recency_us, user_id)::BIGINT AS r_score, ntile(5) OVER "
+        "(ORDER BY frequency DESC, user_id)::BIGINT AS f_score, "
+        "ntile(5) OVER (ORDER BY monetary_cents DESC, user_id)"
+        "::BIGINT AS m_score FROM r ORDER BY user_id").df()
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_user_paths_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import user_paths
+    rng = np.random.default_rng(139)
+    n = 250
+    u = rng.integers(0, 40, n).astype(np.int64)
+    ts = np.datetime64("2024-01-01", "us") + \
+        rng.integers(0, 10**7, n).astype("timedelta64[us]")
+    s = rng.choice(["a", "b", "c"], n)
+    t = pa.table({"user_id": u, "ts": ts,
+                  "event_id": np.arange(n, dtype=np.int64),
+                  "event_type": pa.array(s.tolist())})
+    out = user_paths(rd.from_arrow(t).repartition(5), k=3).to_pandas()
+    df = pd.DataFrame({"u": u, "ts": ts, "eid": np.arange(n),
+                       "s": s}).sort_values(["u", "ts", "eid"])
+    import collections
+    c = collections.Counter(
+        ">".join(d["s"].head(3)) for _, d in df.groupby("u"))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(zip(out["path"], out["n"])) == want
+
+
+def test_audience_overlap_matches_brute(ray_session):
+    from web_crawler_ray.stages.relational import cooccurrence_pairs_str
+    rng = np.random.default_rng(149)
+    u = rng.integers(0, 30, 300).astype(np.int64)
+    ty = rng.choice(["x", "y", "z", "w"], 300)
+    t = pa.table({"user_id": u, "event_type": pa.array(ty.tolist())})
+    out = cooccurrence_pairs_str(rd.from_arrow(t).repartition(4),
+                                 "user_id", "event_type",
+                                 min_support=1).to_pandas()
+    import collections
+    sets = collections.defaultdict(set)
+    for uu, tt in zip(u, ty):
+        sets[uu].add(tt)
+    c = collections.Counter()
+    for items in sets.values():
+        ss = sorted(items)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                c[(ss[i], ss[j])] += 1
+    got = {(a, b): s for a, b, s in
+           zip(out["item_a"], out["item_b"], out["support"])}
+    assert got == dict(c)

@@ -3686,6 +3686,77 @@ def _corr_matrix_oracle_sql() -> str:
             + " UNION ALL ".join(rows) + " ORDER BY col_a, col_b")
 
 
+def q_rfm_scores(sf_dir: str):
+    """RFM customer scoring — recency/frequency/monetary per user,
+    each NTILE(5)-bucketed with user-id tie-breaks
+    (stages/aggregates.py rfm_scores: partial combiner + ONE
+    user-keyed exchange; integers and bucketing only, no floats —
+    hash-exact)."""
+    from ..stages.aggregates import rfm_scores
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return rfm_scores(ds)
+
+
+_RFM_SQL = (
+    "WITH s AS (SELECT user_id, max(ts) AS mt, "
+    "count(*)::BIGINT AS f, "
+    "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS m "
+    "FROM events GROUP BY user_id), "
+    "g AS (SELECT max(mt) AS gm FROM s), "
+    "r AS (SELECT user_id, "
+    "(epoch_us(gm) - epoch_us(mt))::BIGINT AS recency_us, "
+    "f AS frequency, m AS monetary_cents FROM s, g) "
+    "SELECT user_id, recency_us, frequency, monetary_cents, "
+    "ntile(5) OVER (ORDER BY recency_us, user_id)::BIGINT AS r_score, "
+    "ntile(5) OVER (ORDER BY frequency DESC, user_id)::BIGINT "
+    "AS f_score, "
+    "ntile(5) OVER (ORDER BY monetary_cents DESC, user_id)::BIGINT "
+    "AS m_score FROM r ORDER BY user_id")
+
+
+def q_user_paths(sf_dir: str):
+    """Top-of-journey path analysis: each user's first three event
+    types joined with '>', counted across users — the Sankey/flow
+    primitive (stages/windows.py user_paths: ONE user-keyed exchange,
+    per-partition path pre-counts, driver merges O(alphabet³)
+    partials; strings + integer counts — hash-exact)."""
+    from ..stages.windows import user_paths
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    return user_paths(ds, k=3)
+
+
+_USER_PATHS_SQL = (
+    "WITH o AS (SELECT user_id, event_type, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS rn FROM events), "
+    "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) "
+    "AS path FROM o WHERE rn <= 3 GROUP BY user_id) "
+    "SELECT path, count(*)::BIGINT AS n FROM p GROUP BY path "
+    "ORDER BY n DESC, path")
+
+
+def q_audience_overlap(sf_dir: str):
+    """Audience overlap matrix: for every event-type pair, how many
+    users performed BOTH — the segment-intersection primitive
+    (stages/relational.py cooccurrence_pairs_str: tiny alphabet
+    combiner + the basket_pairs integer kernel keyed by user;
+    integer supports — hash-exact)."""
+    from ..stages.relational import cooccurrence_pairs_str
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    return cooccurrence_pairs_str(ds, "user_id", "event_type",
+                                  min_support=1)
+
+
+_AUDIENCE_SQL = (
+    "WITH d AS (SELECT DISTINCT user_id AS u, event_type AS ty "
+    "FROM events) "
+    "SELECT a.ty AS item_a, b.ty AS item_b, "
+    "count(*)::BIGINT AS support FROM d a "
+    "JOIN d b ON a.u = b.u AND a.ty < b.ty "
+    "GROUP BY a.ty, b.ty ORDER BY item_a, item_b")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3778,6 +3849,9 @@ def registry() -> dict:
         "resample_linear": q_resample_linear,
         "rolling_median_events": q_rolling_median_events,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "rfm_scores": q_rfm_scores,
+        "user_paths": q_user_paths,
+        "audience_overlap": q_audience_overlap,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4741,6 +4815,9 @@ ORACLES: dict[str, str] = {
     "resample_linear": _RESAMPLE_LINEAR_SQL,
     "rolling_median_events": _ROLLING_MEDIAN_SQL,
     "corr_matrix_lineitem": _corr_matrix_oracle_sql(),
+    "rfm_scores": _RFM_SQL,
+    "user_paths": _USER_PATHS_SQL,
+    "audience_overlap": _AUDIENCE_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -2533,3 +2533,112 @@ def corr_matrix(ds, cols: list[str], scales: list[int]):
         "col_a": pa.array([names_a[x] for x in order], pa.string()),
         "col_b": pa.array([names_b[x] for x in order], pa.string()),
         "r": pa.array([rs[x] for x in order], pa.float64())})
+
+
+def _ntile_positions(order: np.ndarray, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket (1-based) for each element given its sorted
+    position array ``order`` (order[i] = rank of row i, 0-based): the
+    first (n mod k) buckets get ceil(n/k) rows, the rest floor(n/k)."""
+    n = len(order)
+    big = -(-n // k)
+    small = n // k
+    nbig = n % k
+    cut = nbig * big
+    pos = order
+    return np.where(pos < cut, pos // max(big, 1) + 1,
+                    nbig + (pos - cut) // max(small, 1) + 1) \
+        .astype(np.int64)
+
+
+def rfm_scores(ds, user_col: str = "user_id", ts_col: str = "ts",
+               val_col: str = "value", k: int = 5, scale: int = 100):
+    """RFM customer scoring — per-user Recency (µs since the corpus'
+    last event), Frequency (event count) and Monetary (cent sum),
+    each bucketed 1..k with SQL NTILE semantics (recency ascending —
+    most recent scores 1 — frequency and monetary descending; ties
+    broken by user id, so the assignment is total-ordered and
+    deterministic). Every measure is an exact integer and the scores
+    are pure integer bucketing — hash-exact, no floats anywhere.
+
+    Scale shape: per-batch (user, max_ts, n, cents) partial combiner
+    + ONE user-keyed exchange to merge; the k-bucketing is a sort of
+    the O(users) result table, which IS the op's output — the driver
+    never sees event rows. Returns (user_id, recency_us, frequency,
+    monetary_cents, r_score, f_score, m_score) sorted by user."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(t.column(val_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        o = np.argsort(u, kind="mergesort")
+        u, ts, cents = u[o], ts[o], cents[o]
+        st = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ed = np.append(st[1:], len(u))
+        return pa.table({
+            "u": pa.array(u[st]),
+            "mt": pa.array(np.maximum.reduceat(ts, st)
+                           if len(st) else ts),
+            "f": pa.array((ed - st).astype(np.int64)),
+            "m": pa.array(np.add.reduceat(cents, st)
+                          if len(st) else cents)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"u": z, "mt": z, "f": z, "m": z})
+        g = df.groupby("u", sort=True)
+        return pd.DataFrame({
+            "u": np.asarray(list(g.groups), np.int64),
+            "mt": g["mt"].max().to_numpy(np.int64),
+            "f": g["f"].sum().to_numpy(np.int64),
+            "m": g["m"].sum().to_numpy(np.int64)})
+
+    parts = [pa.table(b) for b in
+             int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                          "u", merge, num_partitions=32)
+             .iter_batches(batch_format="pyarrow")]
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "recency_us": pa.array([], pa.int64()),
+                      "frequency": pa.array([], pa.int64()),
+                      "monetary_cents": pa.array([], pa.int64()),
+                      "r_score": pa.array([], pa.int64()),
+                      "f_score": pa.array([], pa.int64()),
+                      "m_score": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    cat = pa.concat_tables(parts)
+    if cat.num_rows == 0:
+        return empty
+    u = cat.column("u").to_numpy(zero_copy_only=False)
+    mt = cat.column("mt").to_numpy(zero_copy_only=False)
+    f = cat.column("f").to_numpy(zero_copy_only=False)
+    m = cat.column("m").to_numpy(zero_copy_only=False)
+    o = np.argsort(u, kind="mergesort")
+    u, mt, f, m = u[o], mt[o], f[o], m[o]
+    rec = int(mt.max()) - mt
+
+    def ranks(key_desc: np.ndarray) -> np.ndarray:
+        # position of each row under ORDER BY key, user_id (u sorted
+        # already, so mergesort on key alone is the tie-break)
+        order = np.argsort(key_desc, kind="mergesort")
+        pos = np.empty(len(order), np.int64)
+        pos[order] = np.arange(len(order))
+        return pos
+
+    r_score = _ntile_positions(ranks(rec), k)
+    f_score = _ntile_positions(ranks(-f), k)
+    m_score = _ntile_positions(ranks(-m), k)
+    return pa.table({"user_id": pa.array(u),
+                     "recency_us": pa.array(rec),
+                     "frequency": pa.array(f),
+                     "monetary_cents": pa.array(m),
+                     "r_score": pa.array(r_score),
+                     "f_score": pa.array(f_score),
+                     "m_score": pa.array(m_score)})

@@ -708,3 +708,60 @@ def cooccurrence_pairs(ds, group_col: str, item_col: str,
 
     return int_part_map(pairs, "a", count_pairs,
                         num_partitions=num_partitions)
+
+
+def cooccurrence_pairs_str(ds, group_col: str, item_col: str,
+                           min_support: int = 1,
+                           num_partitions: int = 32):
+    """String-item variant of cooccurrence_pairs (audience overlap:
+    how many groups contain BOTH items?): the item alphabet is
+    collected with a tiny distinct combiner (O(alphabet), e.g. event
+    types), broadcast as a sorted code list, and the integer kernel
+    runs unchanged; codes map back to names at the end. Pair order is
+    name order (item_a < item_b). Returns a pa.Table
+    (item_a, item_b, support) sorted — O(alphabet²) rows."""
+    import ray
+
+    alph: set = set()
+    for b in ds.map_batches(
+            lambda t: pa.table({"i": pa.compute.unique(
+                t.column(item_col).cast(pa.string()))}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        alph.update(x for x in pa.table(b).column("i").to_pylist())
+    codes = sorted(alph)
+    handle = ray.put(np.asarray(codes, dtype=object))
+
+    def encode(t: pa.Table) -> pa.Table:
+        cs = ray.get(handle)
+        items = np.asarray([str(x) for x in
+                            t.column(item_col).to_pylist()],
+                           dtype=object)
+        pos = np.searchsorted(cs, items)
+        return pa.table({
+            group_col: t.column(group_col).cast(pa.int64()),
+            "item_code": pa.array(pos.astype(np.int64))})
+
+    out = cooccurrence_pairs(ds.map_batches(encode,
+                                            batch_format="pyarrow"),
+                             group_col, "item_code",
+                             min_support=min_support,
+                             num_partitions=num_partitions)
+    tabs = [pa.table(b)
+            for b in out.iter_batches(batch_format="pyarrow")]
+    empty = pa.table({"item_a": pa.array([], pa.string()),
+                      "item_b": pa.array([], pa.string()),
+                      "support": pa.array([], pa.int64())})
+    if not tabs:
+        return empty
+    cat = pa.concat_tables(tabs)
+    if cat.num_rows == 0:
+        return empty
+    a = cat.column("item_a").to_numpy(zero_copy_only=False)
+    b = cat.column("item_b").to_numpy(zero_copy_only=False)
+    s = cat.column("support").to_numpy(zero_copy_only=False)
+    o = np.lexsort((b, a))
+    names = np.asarray(codes, dtype=object)
+    return pa.table({
+        "item_a": pa.array([str(x) for x in names[a[o]]], pa.string()),
+        "item_b": pa.array([str(x) for x in names[b[o]]], pa.string()),
+        "support": pa.array(s[o].astype(np.int64))})

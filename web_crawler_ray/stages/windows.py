@@ -1077,3 +1077,81 @@ def rolling_median_per_key(ds, key_col: str = "user_id",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "k", per_partition, num_partitions=32)
+
+
+def user_paths(ds, user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", step_col: str = "event_type",
+               k: int = 3, sep: str = ">"):
+    """Top-of-journey path analysis: each user's first ``k`` steps in
+    (ts, id) order joined with ``sep``, counted across users — the
+    Sankey/flow primitive behind every funnel dashboard. Pure string
+    assembly + integer counts — hash-exact. Returns a 1-partition
+    Dataset (path, n) sorted by (n desc, path).
+
+    Scale shape: ONE user-keyed exchange; the kernel takes each
+    co-located user's first k rows (vectorized segment slice) and
+    pre-counts paths per partition, so the driver merges
+    O(|step alphabet|^k) partials, never user rows."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t.column(user_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(id_col).cast(pa.int64()),
+            "s": t.column(step_col).cast(pa.string())})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"path": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        s = df["s"].to_numpy(object)
+        order = np.lexsort((oc, ts, u))
+        u, s = u[order], s[order]
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                u[1:] != u[:-1])))
+        base = np.repeat(np.arange(len(starts)),
+                         np.diff(np.append(starts, len(u))))
+        seq = np.arange(len(u)) - starts[base]
+        head = seq < k
+        from collections import Counter
+        c: Counter = Counter()
+        hu, hs = u[head], s[head]
+        st = np.flatnonzero(np.concatenate(([True],
+                                            hu[1:] != hu[:-1])))
+        ed = np.append(st[1:], len(hu))
+        for a, b in zip(st, ed):
+            c[sep.join(hs[a:b])] += 1
+        paths = sorted(c)
+        return pd.DataFrame({"path": np.asarray(paths, object),
+                             "n": np.asarray([c[p] for p in paths],
+                                             np.int64)})
+
+    parts = int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                         "u", per_partition, num_partitions=32)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"path": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        g = df.groupby("path", sort=True)["n"].sum()
+        out = g.reset_index().sort_values(
+            ["n", "path"], ascending=[False, True],
+            kind="mergesort").reset_index(drop=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def zero_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "z", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    return int_part_map(parts.map_batches(zero_key,
+                                          batch_format="pyarrow"),
+                        "z", final, num_partitions=1)
