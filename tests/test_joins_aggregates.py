@@ -983,3 +983,35 @@ def test_audience_overlap_matches_brute(ray_session):
     got = {(a, b): s for a, b, s in
            zip(out["item_a"], out["item_b"], out["support"])}
     assert got == dict(c)
+
+
+def test_hourly_profile_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import hourly_profile
+    rng = np.random.default_rng(151)
+    n = 400
+    k = rng.choice(["a", "b"], n)
+    ts = np.datetime64("2024-01-01", "us") + \
+        rng.integers(0, 3 * 86400 * 10**6, n).astype("timedelta64[us]")
+    v = np.round(rng.uniform(0, 9, n), 2)
+    t = pa.table({"event_type": pa.array(k.tolist()), "ts": ts,
+                  "value": v})
+    out = hourly_profile(rd.from_arrow(t).repartition(5)).to_pandas()
+    hrs = (ts.astype(np.int64) // 3_600_000_000) % 24
+    cents = np.rint(v * 100).astype(np.int64)
+    for row in out.itertuples():
+        sel = (k == row.event_type) & (hrs == row.hour)
+        assert row.n == int(sel.sum())
+        assert row.sum_cents == int(cents[sel].sum())
+        assert row.avg_v == float(row.sum_cents) / float(row.n * 100)
+
+
+def test_daily_pct_change_first_day_zero(ray_session):
+    from web_crawler_ray.stages.aggregates import daily_pct_change
+    base = np.datetime64("2024-01-01T05:00:00", "us")
+    ts = np.array([base, base + np.timedelta64(86400 * 10**6, "us"),
+                   base + np.timedelta64(2 * 86400 * 10**6, "us")])
+    t = pa.table({"event_type": pa.array(["a"] * 3), "ts": ts,
+                  "value": [1.0, 3.0, 1.5]})
+    out = daily_pct_change(rd.from_arrow(t)).to_pandas()
+    assert out["pct"].tolist() == [0.0, 2.0, -0.5]
+    assert out["sum_cents"].tolist() == [100, 300, 150]

@@ -3757,6 +3757,50 @@ _AUDIENCE_SQL = (
     "GROUP BY a.ty, b.ty ORDER BY item_a, item_b")
 
 
+def q_hourly_profile(sf_dir: str):
+    """Hour-of-day activity profile per event type — the seasonality
+    heat-map (stages/aggregates.py hourly_profile: per-batch (key,
+    hour) combiner, driver merges O(keys×24); integers + ONE division
+    — bit-exact)."""
+    from ..stages.aggregates import hourly_profile
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return hourly_profile(ds)
+
+
+_HOURLY_SQL = (
+    "SELECT event_type, hour(ts)::BIGINT AS hour, "
+    "count(*)::BIGINT AS n, "
+    "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents, "
+    "sum(CAST(round(value * 100) AS BIGINT))::BIGINT::DOUBLE "
+    "/ (count(*) * 100)::BIGINT::DOUBLE AS avg_v "
+    "FROM events GROUP BY event_type, hour(ts) "
+    "ORDER BY event_type, hour")
+
+
+def q_daily_pct_change(sf_dir: str):
+    """Day-over-day percent change of each type's daily cent volume —
+    the period-over-period trend op (stages/aggregates.py
+    daily_pct_change: per-batch (key, day) combiner + an O(keys×days)
+    driver lag; first day per type COALESCEs to 0.0 so the hash never
+    rides on NULL; ONE division per row — bit-exact)."""
+    from ..stages.aggregates import daily_pct_change
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return daily_pct_change(ds)
+
+
+_DAILY_PCT_SQL = (
+    "WITH d AS (SELECT event_type, "
+    "epoch_us(ts) // 86400000000 AS day_idx, "
+    "count(*)::BIGINT AS n, "
+    "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents "
+    "FROM events GROUP BY event_type, day_idx) "
+    "SELECT event_type, day_idx::BIGINT AS day_idx, n, sum_cents, "
+    "COALESCE((sum_cents - lag(sum_cents) OVER w)::DOUBLE "
+    "/ (lag(sum_cents) OVER w)::DOUBLE, 0.0) AS pct FROM d "
+    "WINDOW w AS (PARTITION BY event_type ORDER BY day_idx) "
+    "ORDER BY event_type, day_idx")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3852,6 +3896,8 @@ def registry() -> dict:
         "rfm_scores": q_rfm_scores,
         "user_paths": q_user_paths,
         "audience_overlap": q_audience_overlap,
+        "hourly_profile": q_hourly_profile,
+        "daily_pct_change": q_daily_pct_change,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4818,6 +4864,8 @@ ORACLES: dict[str, str] = {
     "rfm_scores": _RFM_SQL,
     "user_paths": _USER_PATHS_SQL,
     "audience_overlap": _AUDIENCE_SQL,
+    "hourly_profile": _HOURLY_SQL,
+    "daily_pct_change": _DAILY_PCT_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

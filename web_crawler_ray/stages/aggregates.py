@@ -2642,3 +2642,135 @@ def rfm_scores(ds, user_col: str = "user_id", ts_col: str = "ts",
                      "r_score": pa.array(r_score),
                      "f_score": pa.array(f_score),
                      "m_score": pa.array(m_score)})
+
+
+def hourly_profile(ds, key_col: str = "event_type", ts_col: str = "ts",
+                   val_col: str = "value", scale: int = 100):
+    """Hour-of-day activity profile per group: (key, hour 0–23, n,
+    cent-sum, average) — the seasonality heat-map behind every ops
+    dashboard. Counts and cent-sums are exact integers; the average
+    is ONE division — bit-exact. Hour derives from naive epoch µs
+    ((t // 3600s) % 24 — identical to SQL hour() on naive
+    timestamps).
+
+    Scale shape: per-batch (key, hour) combiner, driver merges
+    O(batches × keys × 24) partials — no shuffle."""
+    import pandas as pd
+
+    US_H = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray([str(x) for x in
+                           t.column(key_col).to_pylist()], dtype=object)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(t.column(val_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        hr = (ts // US_H) % 24
+        comb = np.asarray([f"{k}\x00{h}" for k, h in
+                           zip(keys, hr)], dtype=object)
+        o = np.argsort(comb, kind="mergesort")
+        comb, cents = comb[o], cents[o]
+        st = np.flatnonzero(np.concatenate(([True],
+                                            comb[1:] != comb[:-1])))
+        ed = np.append(st[1:], len(comb))
+        return pa.table({
+            "kh": pa.array([comb[i] for i in st], pa.string()),
+            "n": pa.array((ed - st).astype(np.int64)),
+            "c": pa.array(np.add.reduceat(cents, st)
+                          if len(st) else cents)})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for kh, n, c in zip(tb.column("kh").to_pylist(),
+                            tb.column("n").to_pylist(),
+                            tb.column("c").to_pylist()):
+            pn, pc = acc.get(kh, (0, 0))
+            acc[kh] = (pn + int(n), pc + int(c))
+    rows = sorted(acc)
+    ks, hs, ns, cs, avgs = [], [], [], [], []
+    for kh in rows:
+        k, h = kh.split("\x00")
+        n, c = acc[kh]
+        ks.append(k)
+        hs.append(int(h))
+        ns.append(n)
+        cs.append(c)
+        avgs.append(float(c) / float(n * scale))
+    o = sorted(range(len(ks)), key=lambda i: (ks[i], hs[i]))
+    return pa.table({
+        key_col: pa.array([ks[i] for i in o], pa.string()),
+        "hour": pa.array([hs[i] for i in o], pa.int64()),
+        "n": pa.array([ns[i] for i in o], pa.int64()),
+        "sum_cents": pa.array([cs[i] for i in o], pa.int64()),
+        "avg_v": pa.array([avgs[i] for i in o], pa.float64())})
+
+
+def daily_pct_change(ds, key_col: str = "event_type",
+                     ts_col: str = "ts", val_col: str = "value",
+                     scale: int = 100):
+    """Day-over-day percent change of each group's daily cent total —
+    the period-over-period trend op (pct vs the group's PREVIOUS
+    PRESENT day, matching SQL lag over the grouped rows; a group's
+    first day emits 0.0, mirrored by the oracle's COALESCE so the
+    value hash never rides on NULL/NaN). Daily totals are exact
+    integers; each pct is ONE division — bit-exact.
+
+    Scale shape: per-batch (key, day) combiner, driver merges and
+    runs the O(keys × days) lag — result-sized work only."""
+    US_D = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray([str(x) for x in
+                           t.column(key_col).to_pylist()], dtype=object)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(t.column(val_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        day = ts // US_D
+        comb = np.asarray([f"{k}\x00{d:06d}" for k, d in
+                           zip(keys, day)], dtype=object)
+        o = np.argsort(comb, kind="mergesort")
+        comb, cents = comb[o], cents[o]
+        st = np.flatnonzero(np.concatenate(([True],
+                                            comb[1:] != comb[:-1])))
+        ed = np.append(st[1:], len(comb))
+        return pa.table({
+            "kd": pa.array([comb[i] for i in st], pa.string()),
+            "n": pa.array((ed - st).astype(np.int64)),
+            "c": pa.array(np.add.reduceat(cents, st)
+                          if len(st) else cents)})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for kd, n, c in zip(tb.column("kd").to_pylist(),
+                            tb.column("n").to_pylist(),
+                            tb.column("c").to_pylist()):
+            pn, pc = acc.get(kd, (0, 0))
+            acc[kd] = (pn + int(n), pc + int(c))
+    ks, ds_, ns, cs, pcts = [], [], [], [], []
+    prev_key, prev_c = None, None
+    for kd in sorted(acc):
+        k, d = kd.split("\x00")
+        n, c = acc[kd]
+        ks.append(k)
+        ds_.append(int(d))
+        ns.append(n)
+        cs.append(c)
+        if k != prev_key:
+            pcts.append(0.0)
+        else:
+            pcts.append(float(c - prev_c) / float(prev_c))
+        prev_key, prev_c = k, c
+    return pa.table({
+        key_col: pa.array(ks, pa.string()),
+        "day_idx": pa.array(ds_, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+        "sum_cents": pa.array(cs, pa.int64()),
+        "pct": pa.array(pcts, pa.float64())})
