@@ -204,7 +204,8 @@ def run_queries(num_cpus: int) -> dict:
              "regex_extract_docs", "basket_pairs", "incremental_stats",
              "dbscan_customers", "resample_linear", "rolling_median_events",
              "corr_matrix_lineitem", "rfm_scores", "user_paths",
-             "audience_overlap", "hourly_profile", "daily_pct_change"]
+             "audience_overlap", "hourly_profile", "daily_pct_change",
+             "knn_accuracy"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

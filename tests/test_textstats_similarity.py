@@ -486,3 +486,54 @@ def test_l2_normalize_unit_norm_and_zero_guard(ray_session):
     out3 = l2_normalize(rd.from_arrow(t).repartition(3)).to_pandas() \
         .sort_values(["vec_id", "dim_idx"]).reset_index(drop=True)
     assert (out["nval"].to_numpy() == out3["nval"].to_numpy()).all()
+
+
+def test_knn_label_accuracy_planted_blobs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.similarity import knn_label_accuracy
+    rng = np.random.default_rng(157)
+    # two well-separated blobs: kNN must classify perfectly
+    c0 = np.array([10.0, 0.0, 0.0, 0.0])
+    c1 = np.array([0.0, 10.0, 0.0, 0.0])
+    vecs, labels = [], []
+    for i in range(40):
+        c = c0 if i % 2 == 0 else c1
+        vecs.append(c + rng.normal(0, 0.3, 4))
+        labels.append(i % 2)
+    t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array(labels, pa.int64())})
+    queries = {i: (np.asarray(vecs[i], np.float64), labels[i])
+               for i in range(8)}
+    out = knn_label_accuracy(rd.from_arrow(t).repartition(4),
+                             queries, k=5)
+    assert out.column("correct").to_pylist() == [1] * 8
+    assert out.column("pred_label").to_pylist() == \
+        out.column("true_label").to_pylist()
+
+
+def test_knn_label_accuracy_vote_tiebreak(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.similarity import knn_label_accuracy
+    # query at origin direction; 4 equidistant neighbors, labels 2/2:
+    # the 2-2 vote tie must break to the SMALLEST label
+    base = np.array([1.0, 0.0])
+    vecs = [base, base, base, base, base]
+    labels = [7, 7, 3, 3, 9]
+    t = pa.table({"vec_id": pa.array(range(5), pa.int64()),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array(labels, pa.int64())})
+    queries = {0: (base.astype(np.float64), 7)}
+    out = knn_label_accuracy(rd.from_arrow(t), queries, k=4)
+    # neighbors of 0 (self excluded) = ids 1..4, labels 7,3,3,9:
+    # votes {7:1, 3:2, 9:1} -> pred 3
+    assert out.column("pred_label").to_pylist() == [3]
+    assert out.column("correct").to_pylist() == [0]

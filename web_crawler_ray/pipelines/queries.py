@@ -3801,6 +3801,63 @@ _DAILY_PCT_SQL = (
     "ORDER BY event_type, day_idx")
 
 
+N_KNN_QUERIES = 32
+KNN_K = 5
+
+
+def _knn_query_vectors(sf_dir: str) -> dict:
+    """First N_KNN_QUERIES (vec, label) pairs by vec_id, via the same
+    pushed-down row filter as _query_vectors."""
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/embeddings.parquet"
+    bound = N_KNN_QUERIES
+    while True:
+        t = pq.read_table(path,
+                          columns=["vec_id", "embedding", "label"],
+                          filters=[("vec_id", "<", bound)])
+        if t.num_rows >= N_KNN_QUERIES:
+            break
+        total = pq.ParquetFile(path).metadata.num_rows
+        if t.num_rows >= total:
+            break
+        bound *= 16
+    df = t.to_pandas().sort_values("vec_id").head(N_KNN_QUERIES)
+    return {int(r.vec_id): (np.asarray(list(r.embedding), np.float64),
+                            int(r.label))
+            for r in df.itertuples()}
+
+
+def q_knn_accuracy(sf_dir: str):
+    """k-NN classifier evaluation: each of the first 32 vectors is
+    classified by majority label of its 5 nearest cosine neighbors
+    (self excluded; deterministic tie-breaks) — the embedding-quality
+    eval primitive (stages/similarity.py knn_label_accuracy: broadcast
+    query matrix + per-batch matmul top-k, O(nq·k) driver rows,
+    labels via broadcast-mask filter)."""
+    from ..stages.similarity import knn_label_accuracy
+    ds = _rp(sf_dir, "embeddings",
+             columns=["vec_id", "embedding", "label"])
+    return knn_label_accuracy(ds, _knn_query_vectors(sf_dir), k=KNN_K)
+
+
+_KNN_SQL = (
+    f"WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS tl "
+    f"FROM embeddings ORDER BY vec_id LIMIT {N_KNN_QUERIES}), "
+    f"nn AS (SELECT qid, tl, e.label AS nl FROM q CROSS JOIN "
+    f"embeddings e WHERE e.vec_id <> qid QUALIFY row_number() OVER "
+    f"(PARTITION BY qid ORDER BY list_cosine_similarity("
+    f"qv::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) "
+    f"<= {KNN_K}), "
+    "v AS (SELECT qid, tl, nl, count(*) AS c FROM nn "
+    "GROUP BY qid, tl, nl), "
+    "p AS (SELECT qid, tl, nl AS pred FROM v QUALIFY row_number() "
+    "OVER (PARTITION BY qid ORDER BY c DESC, nl) = 1) "
+    "SELECT qid AS vec_id, tl::BIGINT AS true_label, "
+    "pred::BIGINT AS pred_label, "
+    "CASE WHEN tl = pred THEN 1 ELSE 0 END::BIGINT AS correct "
+    "FROM p ORDER BY vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3898,6 +3955,7 @@ def registry() -> dict:
         "audience_overlap": q_audience_overlap,
         "hourly_profile": q_hourly_profile,
         "daily_pct_change": q_daily_pct_change,
+        "knn_accuracy": q_knn_accuracy,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4866,6 +4924,7 @@ ORACLES: dict[str, str] = {
     "audience_overlap": _AUDIENCE_SQL,
     "hourly_profile": _HOURLY_SQL,
     "daily_pct_change": _DAILY_PCT_SQL,
+    "knn_accuracy": _KNN_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -757,3 +757,73 @@ def l2_normalize(ds, id_col: str = "vec_id",
             "nval": pa.array(out.ravel())})
 
     return ds.map_batches(nbatch, batch_format="pyarrow")
+
+
+def knn_label_accuracy(ds, queries: dict[int, tuple[np.ndarray, int]],
+                       k: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label"):
+    """k-NN classifier evaluation over the embedding table: each query
+    vector is classified by MAJORITY label of its k nearest cosine
+    neighbors (self excluded; vote ties break to the smallest label,
+    rank ties to the smallest id — fully deterministic). The
+    held-out-eval primitive for embedding quality. Returns a
+    pyarrow Table (vec_id, true_label, pred_label, correct) sorted by
+    query id.
+
+    Scale shape: the query matrix broadcasts once and candidates come
+    from brute_force_topk's per-batch matmul top-(k+1) (O(nq·k) rows
+    per block to the driver); neighbor labels are pulled with a
+    broadcast-mask filter over the table (O(nq·k) rows) — the corpus
+    never lands driver-side."""
+    import pandas as pd
+
+    qvecs = {qid: v for qid, (v, _) in queries.items()}
+    cand = brute_force_topk(ds, qvecs, k + 1, id_col=id_col,
+                            vec_col=vec_col)
+    cand = cand[cand[id_col] != cand["query_id"]]
+    cand = cand.groupby("query_id", sort=True).head(k)
+
+    want = np.unique(cand[id_col].to_numpy(np.int64))
+    handle = ray.put(want)
+
+    def pick(t: pa.Table) -> pa.Table:
+        w = ray.get(handle)
+        nd = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = np.searchsorted(w, nd)
+        ok = (p < len(w)) & (w[np.clip(p, 0, len(w) - 1)] == nd)
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         label_col: t.column(label_col)
+                         .cast(pa.int64())}).filter(pa.array(ok))
+
+    lab_t = pa.concat_tables(
+        [pa.table(b) for b in
+         ds.map_batches(pick, batch_format="pyarrow")
+           .iter_batches(batch_format="pyarrow")] or
+        [pa.table({id_col: pa.array([], pa.int64()),
+                   label_col: pa.array([], pa.int64())})])
+    lid = lab_t.column(id_col).to_numpy(zero_copy_only=False)
+    llab = lab_t.column(label_col).to_numpy(zero_copy_only=False)
+    o = np.argsort(lid, kind="mergesort")
+    lid, llab = lid[o], llab[o]
+
+    out_q, out_t, out_p, out_c = [], [], [], []
+    for qid in sorted(queries):
+        true_l = int(queries[qid][1])
+        nb = cand[cand["query_id"] == qid][id_col] \
+            .to_numpy(np.int64)
+        votes: dict = {}
+        for x in nb:
+            lbl = int(llab[np.searchsorted(lid, x)])
+            votes[lbl] = votes.get(lbl, 0) + 1
+        pred = min(sorted(votes),
+                   key=lambda lbl: (-votes[lbl], lbl)) if votes else -1
+        out_q.append(qid)
+        out_t.append(true_l)
+        out_p.append(pred)
+        out_c.append(int(pred == true_l))
+    return pa.table({"vec_id": pa.array(out_q, pa.int64()),
+                     "true_label": pa.array(out_t, pa.int64()),
+                     "pred_label": pa.array(out_p, pa.int64()),
+                     "correct": pa.array(out_c, pa.int64())})
