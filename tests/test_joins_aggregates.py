@@ -1015,3 +1015,29 @@ def test_daily_pct_change_first_day_zero(ray_session):
     out = daily_pct_change(rd.from_arrow(t)).to_pandas()
     assert out["pct"].tolist() == [0.0, 2.0, -0.5]
     assert out["sum_cents"].tolist() == [100, 300, 150]
+
+
+def test_autocorr_lag1_matches_numpy(ray_session):
+    from web_crawler_ray.stages.windows import autocorr_lag1
+    rng = np.random.default_rng(167)
+    n = 500
+    u = rng.integers(0, 6, n).astype(np.int64)
+    ts = np.datetime64("2024-01-01", "us") + \
+        rng.integers(0, 10**9, n).astype("timedelta64[us]")
+    v = np.round(rng.uniform(0, 40, n), 2)
+    t = pa.table({"user_id": u, "ts": ts,
+                  "event_id": np.arange(n, dtype=np.int64),
+                  "value": v})
+    out = autocorr_lag1(rd.from_arrow(t).repartition(5)) \
+        .to_pandas().set_index("user_id")
+    df = pd.DataFrame({"u": u, "ts": ts, "eid": np.arange(n),
+                       "v": v}).sort_values(["u", "ts", "eid"])
+    for uu in np.unique(u):
+        c = np.rint(df[df["u"] == uu]["v"].to_numpy() * 100)
+        x, y = c[:-1], c[1:]
+        if len(x) < 2 or x.std() == 0 or y.std() == 0:
+            assert uu not in out.index
+            continue
+        ref = np.corrcoef(x, y)[0, 1]
+        assert int(out.loc[uu, "n_pairs"]) == len(x)
+        assert abs(out.loc[uu, "r1"] - ref) < 1e-12

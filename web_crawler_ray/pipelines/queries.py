@@ -3858,6 +3858,74 @@ _KNN_SQL = (
     "FROM p ORDER BY vec_id")
 
 
+def q_label_propagation(sf_dir: str):
+    """Semi-supervised label propagation over the mixed-key lineitem
+    graph — seeds (node % 97 == 0) pinned to node % 5, three
+    synchronous majority rounds with deterministic (count desc, label
+    asc) tie-breaks (stages/graph.py label_propagation: dense bincount
+    rounds on the driver below 1M edges, owner-lookup + tagged-union
+    majority exchanges above; integer counts only — hash-exact).
+    Oracle: the rounds unrolled as CTEs (pagerank precedent)."""
+    from ..stages.graph import label_propagation
+    return label_propagation(_tri_edges(sf_dir), seed_mod=97,
+                             n_labels=5, n_rounds=3)
+
+
+def _label_prop_oracle_sql() -> str:
+    parts = [
+        f"WITH e0 AS ({_TRI_E0}), "
+        "canon AS (SELECT DISTINCT least(src,dst) AS u, "
+        "greatest(src,dst) AS v FROM e0 WHERE src <> dst), "
+        "sym AS (SELECT u, v FROM canon "
+        "UNION ALL SELECT v AS u, u AS v FROM canon), "
+        "nodes AS (SELECT DISTINCT u AS node FROM sym), "
+        "l0 AS (SELECT node, CASE WHEN node % 97 = 0 "
+        "THEN node % 5 ELSE -1 END AS lbl FROM nodes)"]
+    for r in range(1, 4):
+        p = r - 1
+        parts.append(
+            f", c{r} AS (SELECT s.v AS node, l.lbl, count(*) AS c "
+            f"FROM sym s JOIN l{p} l ON l.node = s.u "
+            f"WHERE l.lbl >= 0 GROUP BY s.v, l.lbl), "
+            f"w{r} AS (SELECT node, lbl FROM c{r} QUALIFY "
+            f"row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lbl) = 1), "
+            f"l{r} AS (SELECT p.node, CASE WHEN p.node % 97 = 0 "
+            f"THEN p.lbl WHEN w.lbl IS NOT NULL THEN w.lbl "
+            f"ELSE p.lbl END AS lbl FROM l{p} p "
+            f"LEFT JOIN w{r} w ON w.node = p.node)")
+    parts.append(" SELECT node, lbl::BIGINT AS label FROM l3 "
+                 "ORDER BY node")
+    return "".join(parts)
+
+
+def q_autocorr_users(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event values — the
+    stickiness statistic (stages/windows.py autocorr_lag1: integer
+    sufficient statistics over consecutive cent pairs, two sqrts +
+    ONE division — bit-exact, the welch_ttest precedent; degenerate
+    users filtered on both sides)."""
+    from ..stages.windows import autocorr_lag1
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return autocorr_lag1(ds)
+
+
+_AUTOCORR_SQL = (
+    "WITH o AS (SELECT user_id, "
+    "CAST(round(value * 100) AS HUGEINT) AS x, "
+    "lead(CAST(round(value * 100) AS HUGEINT)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS y FROM events), "
+    "s AS (SELECT user_id, count(*)::HUGEINT AS n, sum(x) AS sx, "
+    "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, "
+    "sum(y * y) AS syy FROM o WHERE y IS NOT NULL GROUP BY user_id) "
+    "SELECT user_id, n::BIGINT AS n_pairs, "
+    "(n * sxy - sx * sy)::DOUBLE / (sqrt((n * sxx - sx * sx)::DOUBLE) "
+    "* sqrt((n * syy - sy * sy)::DOUBLE)) AS r1 FROM s "
+    "WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 "
+    "ORDER BY user_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3956,6 +4024,8 @@ def registry() -> dict:
         "hourly_profile": q_hourly_profile,
         "daily_pct_change": q_daily_pct_change,
         "knn_accuracy": q_knn_accuracy,
+        "label_propagation": q_label_propagation,
+        "autocorr_users": q_autocorr_users,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4925,6 +4995,8 @@ ORACLES: dict[str, str] = {
     "hourly_profile": _HOURLY_SQL,
     "daily_pct_change": _DAILY_PCT_SQL,
     "knn_accuracy": _KNN_SQL,
+    "label_propagation": _label_prop_oracle_sql(),
+    "autocorr_users": _AUTOCORR_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

@@ -1978,3 +1978,177 @@ def link_prediction_cn(edges_ds, min_common: int = 2,
     deg = dd.column("deg").to_numpy(zero_copy_only=False) \
         .astype(np.int64)[o]
     return _score(su, sv, scn, nodes, deg)
+
+
+def label_propagation(edges_ds, seed_mod: int = 97, n_labels: int = 5,
+                      n_rounds: int = 3, src: str = "src",
+                      dst: str = "dst",
+                      driver_limit: int = DRIVER_CC_MAX,
+                      num_partitions: int = 8):
+    """Semi-supervised label propagation over the undirected simple
+    graph (Zhu/Ghahramani-style, synchronous): seed nodes
+    (node % ``seed_mod`` == 0) are pinned to label node % ``n_labels``;
+    every round each non-seed node takes the MAJORITY label among its
+    labeled neighbors (count desc, label asc — deterministic) or keeps
+    its previous label when none are labeled; unreached nodes stay −1.
+    Fixed ``n_rounds`` so the oracle can unroll the rounds as CTEs
+    (the pagerank precedent). Pure integer counts and compares —
+    hash-exact. Returns (node, label) sorted by node.
+
+    Scale shape: below ``driver_limit`` edges the plan is a dense
+    (nodes × n_labels) bincount per round in driver numpy. Above: the
+    canonical-distinct exchange once, then per round ONE owner-lookup
+    exchange attaches current labels to the symmetric edge list and
+    ONE tagged-union exchange does the per-node majority + merge —
+    O(nodes) rows per round, never a Dataset.join."""
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_ds.select_columns([src, dst])
+                                          .iter_batches(batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        uv = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        if not len(uv):
+            return empty
+        a, b = uv[:, 0], uv[:, 1]
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        n = len(nodes)
+        seed = nodes % seed_mod == 0
+        lbl = np.where(seed, nodes % n_labels, -1).astype(np.int64)
+        su = np.concatenate([ai, bi])     # symmetric directions
+        sv = np.concatenate([bi, ai])
+        for _ in range(n_rounds):
+            sel = lbl[su] >= 0
+            counts = np.zeros((n, n_labels), np.int64)
+            np.add.at(counts, (sv[sel], lbl[su[sel]]), 1)
+            any_nb = counts.sum(axis=1) > 0
+            new = counts.argmax(axis=1).astype(np.int64)
+            lbl = np.where(seed, lbl,
+                           np.where(any_nb, new, lbl))
+        return pa.table({"node": pa.array(nodes),
+                         "label": pa.array(lbl)})
+
+    # ---- distributed path ------------------------------------------------
+    import ray.data as rd
+
+    from .shuffles import int_part_map as _ipm
+
+    def to_canon(t: pa.Table) -> pa.Table:
+        uu = t.column(src).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vv = t.column(dst).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(uu, vv), np.maximum(uu, vv)
+        keep = lo != hi
+        return pa.table({"src": pa.array(lo[keep]),
+                         "dst": pa.array(hi[keep])})
+
+    canon = _ipm(edges_ds.map_batches(to_canon, batch_format="pyarrow"),
+                 "src", _distinct_edges,
+                 num_partitions=num_partitions).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        aa = t.column("src").combine_chunks()
+        bb = t.column("dst").combine_chunks()
+        return pa.table({"gkey": pa.concat_arrays([aa, bb]),
+                         "dst": pa.concat_arrays([bb, aa]),
+                         "lab": pa.array(np.zeros(t.num_rows * 2,
+                                                  np.int64)),
+                         "tag": pa.array(np.zeros(t.num_rows * 2,
+                                                  np.int8))})
+
+    sym_e = canon.map_batches(sym, batch_format="pyarrow") \
+        .materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nd = np.unique(df["node"].to_numpy(np.int64))
+        lb = np.where(nd % seed_mod == 0, nd % n_labels, -1) \
+            .astype(np.int64)
+        return pd.DataFrame({"node": nd, "label": lb})
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        aa = t.column("src").combine_chunks()
+        bb = t.column("dst").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([aa, bb])})
+
+    labels = _ipm(canon.map_batches(node_rows, batch_format="pyarrow"),
+                  "node", init_labels,
+                  num_partitions=num_partitions).materialize()
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("node"),
+                         "dst": t.column("node"),
+                         "lab": t.column("label"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def majority_merge(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"node": z, "label": z})
+        tg = df["tag"].to_numpy()
+        own = df[tg == 1]
+        prop = df[tg == 0]
+        nd = own["node"].to_numpy(np.int64)
+        ol = own["label"].to_numpy(np.int64)
+        o = np.argsort(nd, kind="stable")
+        nd, ol = nd[o], ol[o]
+        out = ol.copy()
+        pn = prop["node"].to_numpy(np.int64)
+        pl = prop["label"].to_numpy(np.int64)
+        ok = pl >= 0
+        pn, pl = pn[ok], pl[ok]
+        if len(pn):
+            pidx = np.searchsorted(nd, pn)
+            counts = np.zeros((len(nd), n_labels), np.int64)
+            np.add.at(counts, (pidx, pl), 1)
+            any_nb = counts.sum(axis=1) > 0
+            new = counts.argmax(axis=1).astype(np.int64)
+            seed = nd % seed_mod == 0
+            upd = (~seed) & any_nb
+            out[upd] = new[upd]
+        return pd.DataFrame({"node": nd, "label": out})
+
+    for _ in range(n_rounds):
+        # 1) attach current labels to symmetric edges (owner lookup)
+        msgs = _ipm(sym_e.union(labels.map_batches(
+            tag_lab, batch_format="pyarrow")),
+            "gkey", _owner_lookup, num_partitions=num_partitions)
+        # 2) per-node majority + merge with previous labels
+
+        def tag_prop(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "label": t.column("label"),
+                             "tag": pa.array(np.zeros(t.num_rows,
+                                                      np.int8))})
+
+        def tag_prev(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "label": t.column("label"),
+                             "tag": pa.array(np.ones(t.num_rows,
+                                                     np.int8))})
+
+        labels = _ipm(msgs.map_batches(tag_prop,
+                                       batch_format="pyarrow")
+                      .union(labels.map_batches(
+                          tag_prev, batch_format="pyarrow")),
+                      "node", majority_merge,
+                      num_partitions=num_partitions).materialize()
+
+    cat = pa.concat_tables(
+        [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")])
+    o = np.argsort(cat.column("node").to_numpy(zero_copy_only=False),
+                   kind="mergesort")
+    return pa.table({
+        "node": pa.array(cat.column("node")
+                         .to_numpy(zero_copy_only=False)[o]),
+        "label": pa.array(cat.column("label")
+                          .to_numpy(zero_copy_only=False)[o])})

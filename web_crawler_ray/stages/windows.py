@@ -1155,3 +1155,82 @@ def user_paths(ds, user_col: str = "user_id", ts_col: str = "ts",
     return int_part_map(parts.map_batches(zero_key,
                                           batch_format="pyarrow"),
                         "z", final, num_partitions=1)
+
+
+def autocorr_lag1(ds, user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", val_col: str = "value",
+                  scale: int = 100):
+    """Per-user lag-1 autocorrelation of the cent-quantized value
+    stream — Pearson r over consecutive (xᵢ, xᵢ₊₁) pairs in (ts, id)
+    order, the is-this-series-sticky statistic. BIT-EXACT: every
+    sufficient statistic (n, Sx, Sy, Sxy, Sxx, Syy) is an exact
+    integer (the welch_ttest/ols precedent), the only floats are two
+    correctly-rounded sqrts and ONE division. Users whose pair count
+    or variance is degenerate emit nothing (the oracle's WHERE
+    mirrors it). Returns (user_id, n_pairs, r1).
+
+    Scale shape: ONE user-keyed exchange; the kernel lexsorts once,
+    forms within-user consecutive pairs vectorized, and reduces the
+    six sums per user with integer reduceat — O(users) rows out."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.rint(t.column(val_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * scale).astype(np.int64)
+        return pa.table({"u": pa.array(u), "ts": pa.array(ts),
+                         "oc": pa.array(oc), "v": pa.array(v)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        emptyf = pd.DataFrame({"user_id": z, "n_pairs": z,
+                               "r1": np.array([], np.float64)})
+        if not len(df):
+            return emptyf
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort((oc, ts, u))
+        u, v = u[order], v[order]
+        same = u[1:] == u[:-1]
+        x = v[:-1][same]
+        y = v[1:][same]
+        uu = u[:-1][same]
+        if not len(uu):
+            return emptyf
+        st = np.flatnonzero(np.concatenate(([True],
+                                            uu[1:] != uu[:-1])))
+        nn = np.diff(np.append(st, len(uu)))
+        sx = np.add.reduceat(x, st)
+        sy = np.add.reduceat(y, st)
+        sxy = np.add.reduceat(x * y, st)
+        sxx = np.add.reduceat(x * x, st)
+        syy = np.add.reduceat(y * y, st)
+        out_u, out_n, out_r = [], [], []
+        for i in range(len(st)):
+            n, a, b2 = int(nn[i]), int(sx[i]), int(sy[i])
+            da = n * int(sxx[i]) - a * a
+            db = n * int(syy[i]) - b2 * b2
+            if da <= 0 or db <= 0:
+                continue
+            num = n * int(sxy[i]) - a * b2
+            import math
+            out_u.append(int(uu[st[i]]))
+            out_n.append(n)
+            out_r.append(float(num) / (math.sqrt(float(da))
+                                       * math.sqrt(float(db))))
+        return pd.DataFrame({
+            "user_id": np.asarray(out_u, np.int64),
+            "n_pairs": np.asarray(out_n, np.int64),
+            "r1": np.asarray(out_r, np.float64)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
