@@ -989,3 +989,43 @@ def test_label_propagation_no_seeds_all_unlabeled(ray_session):
     t = label_propagation(rd.from_arrow(e), seed_mod=10**9,
                           n_labels=4, n_rounds=2)
     assert t.column("label").to_pylist() == [-1, -1, -1]
+
+
+def test_degree_assortativity_brute_and_parity(ray_session):
+    from web_crawler_ray.stages.graph import degree_assortativity
+    rng = np.random.default_rng(173)
+    e = pa.table({"src": pa.array(rng.integers(0, 30, 150)),
+                  "dst": pa.array(rng.integers(0, 30, 150))})
+    ds = rd.from_arrow(e).repartition(4)
+    t = degree_assortativity(ds)
+    # brute via numpy corrcoef over the symmetric edge list
+    adj = set()
+    for s, d in zip(e.column("src").to_pylist(),
+                    e.column("dst").to_pylist()):
+        if s != d:
+            adj.add((min(s, d), max(s, d)))
+    deg = collections.Counter()
+    for u, v in adj:
+        deg[u] += 1
+        deg[v] += 1
+    du = np.array([deg[u] for u, v in adj] + [deg[v] for u, v in adj],
+                  np.float64)
+    dv = np.array([deg[v] for u, v in adj] + [deg[u] for u, v in adj],
+                  np.float64)
+    ref = np.corrcoef(du, dv)[0, 1]
+    assert t.num_rows == 1
+    assert int(t.column("n_edges_dir")[0].as_py()) == 2 * len(adj)
+    assert abs(t.column("r")[0].as_py() - ref) < 1e-12
+    d2 = degree_assortativity(ds, driver_limit=0, num_partitions=3)
+    assert t.num_rows == d2.num_rows == 1
+    assert t.column("r")[0].as_py() == d2.column("r")[0].as_py()
+
+
+def test_degree_assortativity_regular_graph_empty(ray_session):
+    from web_crawler_ray.stages.graph import degree_assortativity
+    # 4-cycle: every degree 2 -> zero variance -> empty table
+    e = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                  "dst": pa.array([1, 2, 3, 0], pa.int64())})
+    t = degree_assortativity(rd.from_arrow(e))
+    assert t.num_rows == 0
+    assert t.column_names == ["n_edges_dir", "r"]

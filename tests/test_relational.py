@@ -489,3 +489,28 @@ def test_dbscan_geo_matches_brute(ray_session):
     assert out["label"].to_numpy().tolist() == lbl.tolist()
     assert out["is_core"].to_numpy().astype(bool).tolist() == \
         core.tolist()
+
+
+def test_snapshot_diff_semantics(ray_session):
+    from web_crawler_ray.stages.relational import snapshot_diff
+    a = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": [1.0, 2.0, 3.0, 4.0]})
+    b = pa.table({"k": pa.array([2, 3, 4, 5], pa.int64()),
+                  "v": [2.0, 3.5, 4.0, 5.0]})
+    out = snapshot_diff(rd.from_arrow(a).repartition(2),
+                        rd.from_arrow(b).repartition(3), "k", "v") \
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    assert list(zip(out["key"], out["status"],
+                    out["val_a"], out["val_b"])) == [
+        (1, "removed", 100, -1),
+        (3, "changed", 300, 350),
+        (5, "added", -1, 500)]
+
+
+def test_snapshot_diff_identical_is_empty(ray_session):
+    from web_crawler_ray.stages.relational import snapshot_diff
+    a = pa.table({"k": pa.array([1, 2], pa.int64()), "v": [1.0, 2.0]})
+    out = snapshot_diff(rd.from_arrow(a), rd.from_arrow(a), "k", "v")
+    n = sum(len(pa.table(bb))
+            for bb in out.iter_batches(batch_format="pyarrow"))
+    assert n == 0

@@ -3926,6 +3926,79 @@ _AUTOCORR_SQL = (
     "ORDER BY user_id")
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot/table diff — the lakehouse change-detection primitive
+    over two derived versions of events (A drops event_id%5==0, B
+    drops %7==0 and doubles value on %3==0), emitting added/removed/
+    changed rows with −1 sentinels (stages/relational.py
+    snapshot_diff: ONE tagged-union keyed exchange, searchsorted
+    set-merge, O(diff) rows out; integer compares — hash-exact)."""
+    from ..stages.relational import snapshot_diff
+    ds = _rp(sf_dir, "events", columns=["event_id", "value"])
+
+    def mk_a(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(eid % 5 != 0))
+
+    def mk_b(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(eid % 7 != 0))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = np.where(eid % 3 == 0, v * 2.0, v)
+        return pa.table({"event_id": t.column("event_id"),
+                         "value": pa.array(v)})
+
+    a = ds.map_batches(mk_a, batch_format="pyarrow")
+    b = ds.map_batches(mk_b, batch_format="pyarrow")
+    return snapshot_diff(a, b, "event_id", "value")
+
+
+_SNAPSHOT_DIFF_SQL = (
+    "WITH a AS (SELECT event_id AS k, "
+    "CAST(round(value * 100) AS BIGINT) AS v FROM events "
+    "WHERE event_id % 5 <> 0), "
+    "b AS (SELECT event_id AS k, CAST(round((CASE WHEN "
+    "event_id % 3 = 0 THEN value * 2 ELSE value END) * 100) "
+    "AS BIGINT) AS v FROM events WHERE event_id % 7 <> 0) "
+    "SELECT COALESCE(a.k, b.k) AS key, "
+    "CASE WHEN a.k IS NULL THEN 'added' "
+    "WHEN b.k IS NULL THEN 'removed' ELSE 'changed' END AS status, "
+    "COALESCE(a.v, -1) AS val_a, COALESCE(b.v, -1) AS val_b "
+    "FROM a FULL OUTER JOIN b ON a.k = b.k "
+    "WHERE a.k IS NULL OR b.k IS NULL OR a.v <> b.v ORDER BY key")
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the mixed-key lineitem graph — do hubs
+    link to hubs? (stages/graph.py degree_assortativity: Pearson r of
+    (deg u, deg v) over the symmetric edge list from exact integer
+    sufficient statistics; driver numpy below 1M edges, two
+    payload-attach exchanges + a pure sum combiner above; two sqrts +
+    ONE division — bit-exact)."""
+    from ..stages.graph import degree_assortativity
+    return degree_assortativity(_tri_edges(sf_dir))
+
+
+_ASSORT_SQL = (
+    f"WITH e0 AS ({_TRI_E0}), "
+    "canon AS (SELECT DISTINCT least(src,dst) AS u, "
+    "greatest(src,dst) AS v FROM e0 WHERE src <> dst), "
+    "dg AS (SELECT node, count(*) AS d FROM "
+    "(SELECT u AS node FROM canon UNION ALL SELECT v FROM canon) "
+    "GROUP BY node), "
+    "sym AS (SELECT u, v FROM canon "
+    "UNION ALL SELECT v AS u, u AS v FROM canon), "
+    "j AS (SELECT du.d::HUGEINT AS x, dv.d::HUGEINT AS y FROM sym "
+    "JOIN dg du ON du.node = sym.u JOIN dg dv ON dv.node = sym.v), "
+    "s AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, "
+    "sum(x * y) AS sxy, sum(x * x) AS sxx FROM j) "
+    "SELECT n::BIGINT AS n_edges_dir, "
+    "(n * sxy - sx * sx)::DOUBLE / (sqrt((n * sxx - sx * sx)::DOUBLE) "
+    "* sqrt((n * sxx - sx * sx)::DOUBLE)) AS r FROM s "
+    "WHERE (n * sxx - sx * sx) > 0")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4026,6 +4099,8 @@ def registry() -> dict:
         "knn_accuracy": q_knn_accuracy,
         "label_propagation": q_label_propagation,
         "autocorr_users": q_autocorr_users,
+        "snapshot_diff": q_snapshot_diff,
+        "degree_assortativity": q_degree_assortativity,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -4997,6 +5072,8 @@ ORACLES: dict[str, str] = {
     "knn_accuracy": _KNN_SQL,
     "label_propagation": _label_prop_oracle_sql(),
     "autocorr_users": _AUTOCORR_SQL,
+    "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "degree_assortativity": _ASSORT_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

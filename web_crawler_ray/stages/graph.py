@@ -2152,3 +2152,159 @@ def label_propagation(edges_ds, seed_mod: int = 97, n_labels: int = 5,
                          .to_numpy(zero_copy_only=False)[o]),
         "label": pa.array(cat.column("label")
                           .to_numpy(zero_copy_only=False)[o])})
+
+
+def degree_assortativity(edges_ds, src: str = "src", dst: str = "dst",
+                         driver_limit: int = DRIVER_CC_MAX,
+                         num_partitions: int = 8):
+    """Degree assortativity of the undirected simple graph — the
+    Pearson correlation of (deg(u), deg(v)) over the SYMMETRIC
+    directed edge list (Newman 2002): do hubs link to hubs? BIT-EXACT:
+    the sufficient statistics (n, Sx, Sxy, Sxx; symmetry makes
+    Sy = Sx, Syy = Sxx) are exact integers and the closed form is two
+    sqrts + ONE division. Degenerate (regular) graphs return an empty
+    table. Returns a 1-row Table (n_edges_dir, r).
+
+    Scale shape: below ``driver_limit`` edges, driver numpy. Above:
+    canonical-distinct + degree-count exchanges, then ONE payload
+    attach exchange per endpoint (the triangle_counts tagged-union
+    shape) and a pure per-partition integer-sum combiner — the driver
+    folds O(partitions) partial rows."""
+    import math
+
+    empty = pa.table({"n_edges_dir": pa.array([], pa.int64()),
+                      "r": pa.array([], pa.float64())})
+    edges_m = edges_ds.materialize()
+    n_edges = edges_m.count()
+    if n_edges == 0:
+        return empty
+
+    def _finish(n: int, sx: int, sxy: int, sxx: int):
+        num = n * sxy - sx * sx
+        den = n * sxx - sx * sx
+        if den <= 0:
+            return empty
+        r = float(num) / (math.sqrt(float(den)) * math.sqrt(float(den)))
+        return pa.table({"n_edges_dir": pa.array([n], pa.int64()),
+                         "r": pa.array([r], pa.float64())})
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_m.select_columns([src, dst])
+                                         .iter_batches(batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        uv = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        if not len(uv):
+            return empty
+        a, b = uv[:, 0], uv[:, 1]
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        deg = (np.bincount(ai, minlength=len(nodes))
+               + np.bincount(bi, minlength=len(nodes))).astype(np.int64)
+        du = np.concatenate([deg[ai], deg[bi]])
+        dv = np.concatenate([deg[bi], deg[ai]])
+        return _finish(len(du), int(du.sum()), int((du * dv).sum()),
+                       int((du * du).sum()))
+
+    # ---- distributed path ------------------------------------------------
+    from .shuffles import int_part_map as _ipm
+
+    def to_canon(t: pa.Table) -> pa.Table:
+        uu = t.column(src).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vv = t.column(dst).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(uu, vv), np.maximum(uu, vv)
+        keep = lo != hi
+        return pa.table({"src": pa.array(lo[keep]),
+                         "dst": pa.array(hi[keep])})
+
+    canon = _ipm(edges_m.map_batches(to_canon, batch_format="pyarrow"),
+                 "src", _distinct_edges,
+                 num_partitions=num_partitions).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        aa = t.column("src").combine_chunks()
+        bb = t.column("dst").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([aa, bb])})
+
+    deg = _ipm(canon.map_batches(node_rows, batch_format="pyarrow"),
+               "node", _count_per_node,
+               num_partitions=num_partitions).materialize()
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        tag = df["tag"].to_numpy()
+        own, fol = df[tag == 1], df[tag == 0]
+        z = np.array([], np.int64)
+        if not len(fol):
+            return pd.DataFrame({"k": z, "other": z, "carried": z,
+                                 "dg": z})
+        ok = own["gkey"].to_numpy(np.int64)
+        od = own["p1"].to_numpy(np.int64)
+        o = np.argsort(ok, kind="stable")
+        ok, od = ok[o], od[o]
+        g = fol["gkey"].to_numpy(np.int64)
+        idx = np.searchsorted(ok, g)
+        if len(ok) == 0 or not np.array_equal(
+                ok[np.clip(idx, 0, len(ok) - 1)], g):
+            raise ValueError("assortativity attach: endpoint without "
+                             "a degree row")
+        return pd.DataFrame({"k": g,
+                             "other": fol["p1"].to_numpy(np.int64),
+                             "carried": fol["p2"].to_numpy(np.int64),
+                             "dg": od[idx]})
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({"gkey": t.column("node"), "p1": t.column("deg"),
+                         "p2": pa.array(z),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def tag_e_u(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({"gkey": t.column("src"), "p1": t.column("dst"),
+                         "p2": pa.array(z),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    e_du = _ipm(canon.map_batches(tag_e_u, batch_format="pyarrow")
+                     .union(deg.map_batches(tag_deg,
+                                            batch_format="pyarrow")),
+                "gkey", _attach, num_partitions=num_partitions)
+
+    def tag_e_v(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("other"), "p1": t.column("k"),
+                         "p2": t.column("dg"),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    e_duv = _ipm(e_du.map_batches(tag_e_v, batch_format="pyarrow")
+                     .union(deg.map_batches(tag_deg,
+                                            batch_format="pyarrow")),
+                 "gkey", _attach, num_partitions=num_partitions)
+    # e_duv rows: k=v, other=u, carried=deg(u), dg=deg(v)
+
+    def sums(t: pa.Table) -> pa.Table:
+        du_ = t.column("carried").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dv_ = t.column("dg").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # symmetric: count both directions
+        return pa.table({
+            "n": pa.array([2 * len(du_)], pa.int64()),
+            "sx": pa.array([int(du_.sum() + dv_.sum())], pa.int64()),
+            "sxy": pa.array([2 * int((du_ * dv_).sum())], pa.int64()),
+            "sxx": pa.array([int((du_ * du_).sum()
+                                 + (dv_ * dv_).sum())], pa.int64())})
+
+    n = sx = sxy = sxx = 0
+    for b in e_duv.map_batches(sums, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        n += int(pa.compute.sum(tb.column("n")).as_py() or 0)
+        sx += int(pa.compute.sum(tb.column("sx")).as_py() or 0)
+        sxy += int(pa.compute.sum(tb.column("sxy")).as_py() or 0)
+        sxx += int(pa.compute.sum(tb.column("sxx")).as_py() or 0)
+    if n == 0:
+        return empty
+    return _finish(n, sx, sxy, sxx)

@@ -765,3 +765,77 @@ def cooccurrence_pairs_str(ds, group_col: str, item_col: str,
         "item_a": pa.array([str(x) for x in names[a[o]]], pa.string()),
         "item_b": pa.array([str(x) for x in names[b[o]]], pa.string()),
         "support": pa.array(s[o].astype(np.int64))})
+
+
+def snapshot_diff(a_ds, b_ds, key_col: str, val_col: str,
+                  scale: int = 100, num_partitions: int = 32):
+    """Snapshot/table diff — the lakehouse change-detection primitive:
+    given two versions keyed by ``key_col``, emit one row per
+    non-identical key with status 'added' (B only), 'removed' (A
+    only) or 'changed' (both, value differs), carrying both sides'
+    cent-quantized values (missing side = −1 sentinel, so the hash
+    never rides on NULL). Unchanged keys are dropped. Pure integer
+    compares — hash-exact. Assumes ``key_col`` is unique per side
+    (snapshot semantics). Returns a Dataset
+    (key, status, val_a, val_b).
+
+    Scale shape: ONE tagged-union exchange keyed by the key column;
+    the kernel sorts each side and set-merges with searchsorted —
+    O(diff) rows leave the partitions."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            v = np.rint(t.column(val_col).to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+            return pa.table({
+                "k": t.column(key_col).cast(pa.int64()),
+                "v": pa.array(v),
+                "tag": pa.array(np.full(t.num_rows, side, np.int8))})
+        return fn
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"key": z,
+                                 "status": np.array([], object),
+                                 "val_a": z, "val_b": z})
+        tg = df["tag"].to_numpy()
+        ka = df["k"].to_numpy(np.int64)[tg == 0]
+        va = df["v"].to_numpy(np.int64)[tg == 0]
+        kb = df["k"].to_numpy(np.int64)[tg == 1]
+        vb = df["v"].to_numpy(np.int64)[tg == 1]
+        oa, ob = np.argsort(ka, kind="mergesort"), \
+            np.argsort(kb, kind="mergesort")
+        ka, va, kb, vb = ka[oa], va[oa], kb[ob], vb[ob]
+        pa_ = np.searchsorted(kb, ka)
+        in_b = (pa_ < len(kb)) & (kb[np.clip(pa_, 0, max(len(kb) - 1,
+                                                         0))] == ka) \
+            if len(kb) else np.zeros(len(ka), bool)
+        pb_ = np.searchsorted(ka, kb)
+        in_a = (pb_ < len(ka)) & (ka[np.clip(pb_, 0, max(len(ka) - 1,
+                                                         0))] == kb) \
+            if len(ka) else np.zeros(len(kb), bool)
+        rem_k, rem_v = ka[~in_b], va[~in_b]
+        add_k, add_v = kb[~in_a], vb[~in_a]
+        both_a = np.flatnonzero(in_b)
+        bv = vb[pa_[both_a]] if len(both_a) else np.array([], np.int64)
+        ch = va[both_a] != bv
+        return pd.DataFrame({
+            "key": np.concatenate([add_k, ka[both_a][ch],
+                                   rem_k]),
+            "status": np.concatenate([
+                np.full(len(add_k), "added", object),
+                np.full(int(ch.sum()), "changed", object),
+                np.full(len(rem_k), "removed", object)]),
+            "val_a": np.concatenate([np.full(len(add_k), -1, np.int64),
+                                     va[both_a][ch], rem_v]),
+            "val_b": np.concatenate([add_v, bv[ch],
+                                     np.full(len(rem_k), -1,
+                                             np.int64)])})
+
+    u = a_ds.map_batches(tag(0), batch_format="pyarrow") \
+        .union(b_ds.map_batches(tag(1), batch_format="pyarrow"))
+    return int_part_map(u, "k", diff, num_partitions=num_partitions)
