@@ -206,7 +206,8 @@ def run_queries(num_cpus: int) -> dict:
              "corr_matrix_lineitem", "rfm_scores", "user_paths",
              "audience_overlap", "hourly_profile", "daily_pct_change",
              "knn_accuracy", "label_propagation", "autocorr_users",
-             "snapshot_diff", "degree_assortativity"]
+             "snapshot_diff", "degree_assortativity", "window_funnel",
+             "max_concurrency"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -485,3 +485,97 @@ def test_sliding_distinct_users_dedups_within_window(ray_session):
     # hop 30 min, size 60: windows [-30,30) gets events at 5,10 ->
     # 1 user; [0,60) all -> 2; [30,90) only user 2 -> 1
     assert list(out["n_users"]) == [1, 2, 1]
+
+
+def test_window_funnel_levels(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import window_funnel
+    US_M = 60_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def at(m):
+        return base + np.timedelta64(m * US_M, "us")
+
+    rows = [
+        # user 1: full chain within 120 min -> 3
+        (1, at(0), "view"), (1, at(10), "click"), (1, at(50), "purchase"),
+        # user 2: purchase beyond the window of the FIRST event -> 2
+        (2, at(0), "view"), (2, at(100), "click"), (2, at(130), "purchase"),
+        # user 3: click before view only -> 1
+        (3, at(50), "view"), (3, at(10), "click"),
+        # user 4: only purchases -> 0
+        (4, at(0), "purchase"),
+        # user 5: first view misses, LATER view completes -> 3
+        (5, at(0), "view"), (5, at(200), "view"),
+        (5, at(210), "click"), (5, at(220), "purchase"),
+        # user 6: other event types ignored entirely (absent user)
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "event_type": pa.array([r[2] for r in rows])})
+    out = window_funnel(rd.from_arrow(t).repartition(3),
+                        window_minutes=120.0) \
+        .to_pandas().set_index("user_id")["level"]
+    assert out.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
+
+
+def test_window_funnel_matches_exists_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import window_funnel
+    rng = np.random.default_rng(179)
+    n = 600
+    u = rng.integers(0, 25, n).astype(np.int64)
+    ts = np.datetime64("2024-01-01", "us") + \
+        rng.integers(0, 6 * 3600 * 10**6, n).astype("timedelta64[us]")
+    st = rng.choice(["view", "click", "purchase", "other"], n)
+    t = pa.table({"user_id": u, "ts": ts,
+                  "event_type": pa.array(st.tolist())})
+    W = 3600 * 10**6
+    out = window_funnel(rd.from_arrow(t).repartition(4),
+                        window_minutes=60.0) \
+        .to_pandas().set_index("user_id")["level"]
+    ti = ts.astype(np.int64)
+    for uu in np.unique(u):
+        vs = np.sort(ti[(u == uu) & (st == "view")])
+        cs = np.sort(ti[(u == uu) & (st == "click")])
+        ps = np.sort(ti[(u == uu) & (st == "purchase")])
+        lvl = 0
+        if len(vs):
+            lvl = 1
+            if any((cs > v).any() and (cs[cs > v] <= v + W).any()
+                   for v in vs):
+                lvl = 2
+                if any(any((ps > c).any() and (ps[(ps > c)] <= v + W).any()
+                           for c in cs[(cs > v) & (cs <= v + W)])
+                       for v in vs):
+                    lvl = 3
+        if len(vs) or len(cs) or len(ps):
+            assert out[uu] == lvl
+        else:
+            assert uu not in out.index
+
+
+def test_max_concurrency_sweep(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from web_crawler_ray.stages.windows import max_concurrency
+    US_M = 60_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # id%20 durations: id 0 -> 1 min, id 4 -> 5 min, id 9 -> 10 min
+    # user 1: [0,10), [5,10)(id4 at 5), [9,10)(id0 at 9) -> peak 3
+    # user 2: [0,1) and [1,2)(id0 at 1): half-open -> peak 1
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([base, base + np.timedelta64(5 * US_M, "us"),
+                        base + np.timedelta64(9 * US_M, "us"),
+                        base, base + np.timedelta64(1 * US_M, "us")]),
+        "event_id": pa.array([9, 4, 0, 0, 20], pa.int64())})
+    out = max_concurrency(rd.from_arrow(t).repartition(2)) \
+        .to_pandas().set_index("user_id")["max_open"]
+    assert out.to_dict() == {1: 3, 2: 1}

@@ -3999,6 +3999,63 @@ _ASSORT_SQL = (
     "WHERE (n * sxx - sx * sx) > 0")
 
 
+def q_window_funnel(sf_dir: str):
+    """Time-bounded ordered funnel level per user (windowFunnel):
+    deepest view→click→purchase prefix with strictly increasing
+    timestamps all within 2 h of the chain's first event
+    (stages/windows.py window_funnel: greedy earliest-next-step ==
+    EXISTS-any-chain, proved in the docstring; integer-µs compares —
+    hash-exact)."""
+    from ..stages.windows import window_funnel
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return window_funnel(ds, stages=("view", "click", "purchase"),
+                         window_minutes=120.0)
+
+
+_WINDOW_FUNNEL_SQL = (
+    "WITH v AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events "
+    "WHERE event_type = 'view'), "
+    "c AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events "
+    "WHERE event_type = 'click'), "
+    "p AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events "
+    "WHERE event_type = 'purchase'), "
+    "users AS (SELECT DISTINCT user_id AS u FROM events "
+    "WHERE event_type IN ('view', 'click', 'purchase')), "
+    "l3 AS (SELECT DISTINCT v.u FROM v JOIN c ON c.u = v.u "
+    "AND c.t > v.t AND c.t <= v.t + 7200000000 "
+    "JOIN p ON p.u = v.u AND p.t > c.t "
+    "AND p.t <= v.t + 7200000000), "
+    "l2 AS (SELECT DISTINCT v.u FROM v JOIN c ON c.u = v.u "
+    "AND c.t > v.t AND c.t <= v.t + 7200000000), "
+    "l1 AS (SELECT DISTINCT u FROM v) "
+    "SELECT u AS user_id, CASE "
+    "WHEN u IN (SELECT u FROM l3) THEN 3 "
+    "WHEN u IN (SELECT u FROM l2) THEN 2 "
+    "WHEN u IN (SELECT u FROM l1) THEN 1 ELSE 0 END::BIGINT AS level "
+    "FROM users ORDER BY user_id")
+
+
+def q_max_concurrency(sf_dir: str):
+    """Peak concurrent open intervals per user — the load-peak sweep
+    over interval_union's variable-length intervals
+    (stages/windows.py max_concurrency: ±1 boundary events, closes
+    before opens at equal instants (half-open), segmented running-sum
+    max; pure integers — hash-exact)."""
+    from ..stages.windows import max_concurrency
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    return max_concurrency(ds)
+
+
+_MAX_CONC_SQL = (
+    "WITH b AS (SELECT user_id AS u, epoch_us(ts) AS t, 1 AS d "
+    "FROM events UNION ALL SELECT user_id, "
+    "epoch_us(ts) + (1 + event_id % 20) * 60000000, -1 FROM events), "
+    "r AS (SELECT u, sum(d) OVER (PARTITION BY u ORDER BY t, d "
+    "ROWS UNBOUNDED PRECEDING) AS rsum FROM b) "
+    "SELECT u AS user_id, max(rsum)::BIGINT AS max_open FROM r "
+    "GROUP BY u ORDER BY user_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4101,6 +4158,8 @@ def registry() -> dict:
         "autocorr_users": q_autocorr_users,
         "snapshot_diff": q_snapshot_diff,
         "degree_assortativity": q_degree_assortativity,
+        "window_funnel": q_window_funnel,
+        "max_concurrency": q_max_concurrency,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5074,6 +5133,8 @@ ORACLES: dict[str, str] = {
     "autocorr_users": _AUTOCORR_SQL,
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "degree_assortativity": _ASSORT_SQL,
+    "window_funnel": _WINDOW_FUNNEL_SQL,
+    "max_concurrency": _MAX_CONC_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "profile_events": _PROFILE_SQL,
     "merge_upsert": _UPSERT_SQL,

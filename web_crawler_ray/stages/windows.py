@@ -1234,3 +1234,147 @@ def autocorr_lag1(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def window_funnel(ds, stages: tuple = ("view", "click", "purchase"),
+                  window_minutes: float = 120.0,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type"):
+    """Time-bounded ordered funnel level per user (the windowFunnel
+    shape): the deepest stage prefix reachable with strictly
+    increasing timestamps, ALL within ``window_minutes`` of the
+    chain's first event. Greedy earliest-next-step search — provably
+    optimal for this window-of-first variant (taking the earliest
+    next stage only enlarges what remains reachable), so the result
+    equals the oracle's EXISTS-any-chain semantics. Integer-µs
+    compares only — hash-exact. Returns (user_id, level), level 0
+    when the user lacks even stage one.
+
+    Scale shape: ONE user-keyed exchange; the kernel sorts per-stage
+    timestamp arrays once per user and walks the chain with
+    searchsorted probes per candidate first-stage event — O(events
+    of stage one) probes, vectorized within each user."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    w_us = int(round(window_minutes * 60.0 * 1e6))
+    n_stages = len(stages)
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = np.asarray([stage_idx.get(str(x), -1) for x in
+                           t.column(type_col).to_pylist()], np.int64)
+        keep = keys >= 0
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)[keep]
+        return pa.table({"u": pa.array(u), "ts": pa.array(ts),
+                         "sg": pa.array(keys[keep])})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "level": z})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        sg = df["sg"].to_numpy(np.int64)
+        order = np.lexsort((ts, sg, u))
+        u, ts, sg = u[order], ts[order], sg[order]
+        out_u, out_l = [], []
+        starts = np.concatenate(
+            ([0], np.flatnonzero(u[1:] != u[:-1]) + 1, [len(u)]))
+        for s, e in zip(starts[:-1], starts[1:]):
+            per_stage = [ts[s:e][sg[s:e] == i]
+                         for i in range(n_stages)]
+            lvl = 0
+            if len(per_stage[0]):
+                lvl = 1
+                # vectorized over stage-one candidates
+                cur = per_stage[0].copy()
+                first = per_stage[0]
+                alive = np.ones(len(cur), bool)
+                for nxt in range(1, n_stages):
+                    arr = per_stage[nxt]
+                    if not len(arr) or not alive.any():
+                        break
+                    pos = np.searchsorted(arr, cur[alive],
+                                          side="right")
+                    ok = pos < len(arr)
+                    t_next = np.where(ok, arr[np.clip(pos, 0,
+                                                      len(arr) - 1)],
+                                      0)
+                    ok &= t_next <= first[alive] + w_us
+                    if not ok.any():
+                        break
+                    lvl = nxt + 1
+                    na = np.zeros(len(cur), bool)
+                    idx_alive = np.flatnonzero(alive)
+                    na[idx_alive[ok]] = True
+                    cur[na] = t_next[ok]
+                    alive = na
+            out_u.append(int(u[s]))
+            out_l.append(lvl)
+        return pd.DataFrame({"user_id": np.asarray(out_u, np.int64),
+                             "level": np.asarray(out_l, np.int64)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
+
+
+def max_concurrency(ds, user_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    minutes_expr=lambda oc: 1 + oc % 20):
+    """Maximum number of simultaneously-open intervals per user —
+    the peak-concurrency sweep over the same variable-length
+    half-open intervals interval_union merges ([ts, ts + (1+id%20)
+    min)): sort the ±1 boundary events by (time, delta) with closes
+    (−1) before opens at equal instants (half-open ⇒ no overlap at
+    the boundary), take the running-sum maximum. Pure integer
+    arithmetic — hash-exact. Returns (user_id, max_open).
+
+    Scale shape: ONE user-keyed exchange; the kernel is one lexsort +
+    segmented cumsum/max over 2×events rows — O(users) rows out."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dur = (minutes_expr(oc) * 60_000_000).astype(np.int64)
+        return pa.table({
+            "u": pa.array(np.concatenate([u, u])),
+            "t": pa.array(np.concatenate([ts, ts + dur])),
+            "d": pa.array(np.concatenate(
+                [np.ones(len(u), np.int64),
+                 -np.ones(len(u), np.int64)]))})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "max_open": z})
+        u = df["u"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        order = np.lexsort((d, t, u))      # -1 before +1 at equal t
+        u, d = u[order], d[order]
+        csum = np.cumsum(d)
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                u[1:] != u[:-1])))
+        base = np.repeat(np.where(starts > 0,
+                                  csum[np.maximum(starts - 1, 0)],
+                                  0) * (starts > 0),
+                         np.diff(np.append(starts, len(u))))
+        open_n = csum - base
+        mx = np.maximum.reduceat(open_n, starts)
+        return pd.DataFrame({"user_id": u[starts],
+                             "max_open": mx.astype(np.int64)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
