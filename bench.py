@@ -207,7 +207,7 @@ def run_queries(num_cpus: int) -> dict:
              "audience_overlap", "hourly_profile", "daily_pct_change",
              "knn_accuracy", "label_propagation", "autocorr_users",
              "snapshot_diff", "degree_assortativity", "window_funnel",
-             "max_concurrency"]
+             "max_concurrency", "ohlc_bars", "cusum_users"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

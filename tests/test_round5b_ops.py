@@ -1,0 +1,119 @@
+"""Unit semantics for the fifth-session round-5 additions — OHLC time
+bars, per-user CUSUM changepoints, and the rest of the session's op
+batches — covering the edges the registry-level DuckDB gate doesn't
+reach (partition invariance, brute-force recurrence parity, tie
+breaks)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _events(n=400, n_users=7, seed=11):
+    rng = np.random.default_rng(seed)
+    ts = (np.int64(1_700_000_000_000_000)
+          + rng.integers(0, 6 * 3_600_000_000, n))
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, n_users, n).astype(np.int64)),
+        "event_type": pa.array(
+            np.array(["click", "view", "buy"])[rng.integers(0, 3, n)]),
+        "value": pa.array(np.round(rng.uniform(0.01, 120.0, n), 2)),
+    })
+
+
+# --- OHLC bars ---------------------------------------------------------------
+
+def _brute_ohlc(df, bar_us=3_600_000_000):
+    df = df.copy()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["bar_ts"] = (df["t"] // bar_us) * bar_us
+    df["cents"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    rows = []
+    for (k, b), g in df.groupby(["event_type", "bar_ts"], sort=True):
+        g = g.sort_values(["t", "event_id"], kind="mergesort")
+        rows.append({"event_type": k, "bar_ts": b,
+                     "px_open": g["value"].iloc[0],
+                     "px_high": g["value"].max(),
+                     "px_low": g["value"].min(),
+                     "px_close": g["value"].iloc[-1],
+                     "n_events": len(g),
+                     "volume": g["cents"].sum() / 100.0})
+    return pd.DataFrame(rows)
+
+
+def test_ohlc_matches_brute_across_partitionings(ray_session):
+    from web_crawler_ray.stages.windows import ohlc_bars
+    t = _events()
+    want = _brute_ohlc(t.to_pandas())
+    for parts in (1, 5, 17):
+        got = (ohlc_bars(rd.from_arrow(t).repartition(parts))
+               .to_pandas()
+               .sort_values(["event_type", "bar_ts"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_ohlc_open_close_tie_break_on_event_id(ray_session):
+    from web_crawler_ray.stages.windows import ohlc_bars
+    # 3 rows with the SAME timestamp: open must be the min event_id's
+    # value, close the max event_id's, regardless of arrival order.
+    ts = np.array([5_000_000] * 3, dtype="datetime64[us]")
+    t = pa.table({
+        "event_id": pa.array(np.array([7, 2, 9], np.int64)),
+        "ts": pa.array(ts),
+        "event_type": pa.array(["x"] * 3),
+        "value": pa.array([10.0, 20.0, 30.0]),
+    })
+    got = ohlc_bars(rd.from_arrow(t).repartition(3)).to_pandas()
+    assert len(got) == 1
+    assert got["px_open"].iloc[0] == 20.0   # event_id 2
+    assert got["px_close"].iloc[0] == 30.0  # event_id 9
+    assert got["px_high"].iloc[0] == 30.0
+    assert got["px_low"].iloc[0] == 10.0
+
+
+# --- CUSUM -------------------------------------------------------------------
+
+def _brute_cusum(df, target=55.0, threshold=250.0):
+    out = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        s = 0.0
+        for eid, v in zip(g["event_id"], g["value"]):
+            s = max(0.0, s + (v - target))
+            out[eid] = s
+    return out
+
+
+def test_cusum_matches_brute_bitexact(ray_session):
+    from web_crawler_ray.stages.windows import cusum_per_user
+    t = _events(n=600, n_users=5)
+    want = _brute_cusum(t.to_pandas())
+    got = (cusum_per_user(rd.from_arrow(t).repartition(9),
+                          target=55.0, threshold=250.0)
+           .to_pandas().set_index("event_id"))
+    assert len(got) == len(want)
+    for eid, s in want.items():
+        assert got.loc[eid, "cusum"] == s          # bit-exact
+        assert got.loc[eid, "alarm"] == int(s > 250.0)
+
+
+def test_cusum_resets_at_zero_floor(ray_session):
+    from web_crawler_ray.stages.windows import cusum_per_user
+    # values far below target keep the statistic pinned at 0.0
+    t = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "ts": pa.array(np.arange(4).astype("datetime64[us]")),
+        "user_id": pa.array(np.zeros(4, np.int64)),
+        "value": pa.array([1.0, 2.0, 1000.0, 1.0]),
+    })
+    got = (cusum_per_user(rd.from_arrow(t), target=55.0, threshold=250.0)
+           .to_pandas().sort_values("event_id"))
+    assert got["cusum"].iloc[0] == 0.0
+    assert got["cusum"].iloc[1] == 0.0
+    assert got["cusum"].iloc[2] == 945.0
+    assert got["alarm"].tolist() == [0, 0, 1, 1]

@@ -4056,6 +4056,63 @@ _MAX_CONC_SQL = (
     "GROUP BY u ORDER BY user_id")
 
 
+def q_ohlc_bars(sf_dir: str):
+    """Hourly OHLC candle + volume per event type — the market-data /
+    telemetry downsampling bar (stages/windows.py ohlc_bars: map-side
+    reduceat combiner, ONE groupby merge over O(blocks × bars) partial
+    rows; open/close are value COPIES at the min/max (ts, event_id)
+    row so no float is ever combined, volume folds as exact integer
+    cents finished by one division — bit-exact)."""
+    from ..stages.windows import ohlc_bars
+    ds = _rp(sf_dir, "events",
+             columns=["event_type", "ts", "event_id", "value"])
+    return ohlc_bars(ds)
+
+
+_OHLC_SQL = (
+    "WITH b AS (SELECT event_type, "
+    "(epoch_us(ts) // 3600000000) * 3600000000 AS bar_ts, "
+    "epoch_us(ts) AS t, event_id, value, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "o AS (SELECT *, row_number() OVER (PARTITION BY event_type, "
+    "bar_ts ORDER BY t, event_id) AS ra, row_number() OVER "
+    "(PARTITION BY event_type, bar_ts ORDER BY t DESC, event_id DESC) "
+    "AS rd FROM b) "
+    "SELECT event_type, bar_ts, "
+    "max(CASE WHEN ra = 1 THEN value END) AS px_open, "
+    "max(value) AS px_high, min(value) AS px_low, "
+    "max(CASE WHEN rd = 1 THEN value END) AS px_close, "
+    "count(*)::BIGINT AS n_events, "
+    "sum(cents)::BIGINT::DOUBLE / 100.0 AS volume "
+    "FROM o GROUP BY event_type, bar_ts ORDER BY event_type, bar_ts")
+
+
+def q_cusum_users(sf_dir: str):
+    """Per-row one-sided CUSUM drift statistic + alarm flag per user
+    (Page 1954), target 55 / threshold 250 — the sequential
+    changepoint detector next to ewma_users (stages/windows.py
+    cusum_per_user: ONE user-keyed exchange, the step loop vectorizes
+    ACROSS users; sub-add-max per step is the identical IEEE sequence
+    the recursive-CTE oracle executes — bit-exact)."""
+    from ..stages.windows import cusum_per_user
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return cusum_per_user(ds, target=55.0, threshold=250.0)
+
+
+_CUSUM_SQL = (
+    "WITH RECURSIVE o AS (SELECT user_id, event_id, value, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS rn FROM events), "
+    "r AS (SELECT user_id, event_id, rn, "
+    "greatest(0.0, value - 55.0) AS s FROM o WHERE rn = 1 "
+    "UNION ALL SELECT o.user_id, o.event_id, o.rn, "
+    "greatest(0.0, r.s + (o.value - 55.0)) FROM r "
+    "JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1) "
+    "SELECT user_id, event_id, s AS cusum, "
+    "(s > 250.0)::BIGINT AS alarm FROM r")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4160,6 +4217,8 @@ def registry() -> dict:
         "degree_assortativity": q_degree_assortativity,
         "window_funnel": q_window_funnel,
         "max_concurrency": q_max_concurrency,
+        "ohlc_bars": q_ohlc_bars,
+        "cusum_users": q_cusum_users,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5165,6 +5224,8 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": _JACCARD_PAIRS_SQL,
     "minhash_dedup": _MINHASH_DEDUP_SQL,
     "training_pipeline": _TRAINING_PIPELINE_SQL,
+    "ohlc_bars": _OHLC_SQL,
+    "cusum_users": _CUSUM_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

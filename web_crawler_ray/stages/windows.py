@@ -1378,3 +1378,150 @@ def max_concurrency(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def ohlc_bars(ds, key_col: str = "event_type", ts_col: str = "ts",
+              id_col: str = "event_id", val_col: str = "value",
+              bar_us: int = 3_600_000_000, scale: int = 100):
+    """Per-(key, time-bar) OHLC candle + volume — the market-data /
+    telemetry downsampling aggregate (reference analogue: the metrics
+    rollups the dashboard charts aggregate per interval,
+    web-crawler-backend summaries; here generalized to the standard
+    open/high/low/close bar). BIT-EXACT SQL twin: open/close COPY the
+    value at the min/max ``(ts, id)`` row of the bar (values are never
+    combined, so no float-fold ordering), high/low are min/max copies,
+    and volume folds as exact integer cents (``rint(value·scale)`` —
+    the time_weighted_avg quantization convention) finished by ONE
+    division.
+
+    Scale shape: map-side combiner — each batch reduces itself to one
+    row per (key, bar) with numpy ``reduceat`` over the lexsorted
+    block, then ONE ``groupby(key, bar)`` merge re-extremizes
+    O(blocks × bars) partial rows. No per-row shuffle; bars stream out
+    of the merge. Returns (key, bar_ts, px_open, px_high, px_low,
+    px_close, n_events, volume) with bar_ts = epoch-µs of bar start."""
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(key_col).to_pandas())
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.rint(v * scale).astype(np.int64)
+        bar = (ts // bar_us) * bar_us
+        uk, kinv = np.unique(k, return_inverse=True)
+        order = np.lexsort((eid, ts, bar, kinv))
+        ki, b = kinv[order], bar[order]
+        tss, ei = ts[order], eid[order]
+        vv, cc = v[order], cents[order]
+        brk = np.concatenate(([True],
+                              (ki[1:] != ki[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ki)) - 1
+        return pa.table({
+            key_col: pa.array(uk[ki[starts]]),
+            "bar_ts": pa.array(b[starts], pa.int64()),
+            "o_ts": pa.array(tss[starts], pa.int64()),
+            "o_id": pa.array(ei[starts], pa.int64()),
+            "px_open": pa.array(vv[starts], pa.float64()),
+            "c_ts": pa.array(tss[ends], pa.int64()),
+            "c_id": pa.array(ei[ends], pa.int64()),
+            "px_close": pa.array(vv[ends], pa.float64()),
+            "px_high": pa.array(np.maximum.reduceat(vv, starts)),
+            "px_low": pa.array(np.minimum.reduceat(vv, starts)),
+            "n_events": pa.array(
+                np.diff(np.append(starts, len(ki))), pa.int64()),
+            "cents": pa.array(np.add.reduceat(cc, starts), pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        go = g.sort_values(["o_ts", "o_id"], kind="mergesort").iloc[0]
+        gc = g.sort_values(["c_ts", "c_id"], kind="mergesort").iloc[-1]
+        return pd.DataFrame({
+            key_col: [go[key_col]],
+            "bar_ts": [np.int64(go["bar_ts"])],
+            "px_open": [go["px_open"]],
+            "px_high": [g["px_high"].max()],
+            "px_low": [g["px_low"].min()],
+            "px_close": [gc["px_close"]],
+            "n_events": [np.int64(g["n_events"].sum())],
+            "volume": [float(g["cents"].sum()) / float(scale)],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key_col, "bar_ts"])
+              .map_groups(merge, batch_format="pandas"))
+
+
+def cusum_per_user(ds, user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", val_col: str = "value",
+                   target: float = 55.0, threshold: float = 250.0):
+    """Per-row one-sided CUSUM drift statistic of each user's value
+    stream (s₁ = max(0, x₁−target); sₖ = max(0, sₖ₋₁ + (xₖ−target)))
+    with an alarm flag when the statistic crosses ``threshold`` — the
+    classic sequential changepoint / anomaly-onset detector (Page
+    1954). BIT-EXACT against a recursive-CTE twin: each step is the
+    SAME three IEEE ops in the same order on both sides (sub, add,
+    max — max/greatest are exact selections).
+
+    Scale shape: ONE raw-task exchange keyed by user (the
+    ewma_per_user skeleton); the recurrence is sequential PER USER so
+    the kernel vectorizes ACROSS users — the step loop advances every
+    user's accumulator at once, step count = the partition's longest
+    stream. Returns (user_id, event_id, cusum, alarm∈{0,1})."""
+    from .shuffles import int_part_map
+
+    tgt = float(target)
+    thr = float(threshold)
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oc = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"u": pa.array(u), "ts": pa.array(ts),
+                         "oc": pa.array(oc), "v": pa.array(v)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "event_id": z,
+                                 "cusum": np.array([], np.float64),
+                                 "alarm": z})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((oc, ts, u))
+        u, ts, oc, v = u[order], ts[order], oc[order], v[order]
+        n = len(u)
+        brk = np.ones(n, np.int64)
+        brk[1:] = (u[1:] != u[:-1]).astype(np.int64)
+        starts = np.flatnonzero(brk)
+        base = np.repeat(np.arange(len(starts)),
+                         np.diff(np.append(starts, n)))
+        seq = np.arange(n) - starts[base]
+        uidx = base
+        step_order = np.lexsort((uidx, seq))
+        s_acc = np.zeros(len(starts), np.float64)
+        out = np.empty(n, np.float64)
+        max_seq = int(seq.max()) + 1
+        counts = np.bincount(seq[step_order], minlength=max_seq)
+        pos = 0
+        for k in range(max_seq):
+            sel = step_order[pos:pos + counts[k]]
+            pos += counts[k]
+            ui = uidx[sel]
+            s_acc[ui] = np.maximum(0.0, s_acc[ui] + (v[sel] - tgt))
+            out[sel] = s_acc[ui]
+        return pd.DataFrame({"user_id": u, "event_id": oc,
+                             "cusum": out,
+                             "alarm": (out > thr).astype(np.int64)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
