@@ -207,7 +207,8 @@ def run_queries(num_cpus: int) -> dict:
              "audience_overlap", "hourly_profile", "daily_pct_change",
              "knn_accuracy", "label_propagation", "autocorr_users",
              "snapshot_diff", "degree_assortativity", "window_funnel",
-             "max_concurrency", "ohlc_bars", "cusum_users"]
+             "max_concurrency", "ohlc_bars", "cusum_users",
+             "kmv_distinct", "late_data_stats"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

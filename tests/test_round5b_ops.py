@@ -117,3 +117,72 @@ def test_cusum_resets_at_zero_floor(ray_session):
     assert got["cusum"].iloc[1] == 0.0
     assert got["cusum"].iloc[2] == 945.0
     assert got["alarm"].tolist() == [0, 0, 1, 1]
+
+
+# --- KMV distinct ------------------------------------------------------------
+
+def test_kmv_accuracy_and_exact_branch(ray_session):
+    from web_crawler_ray.stages.sketches import kmv_distinct
+    # exact branch: fewer distinct than k
+    t = pa.table({"v": pa.array(np.arange(40, dtype=np.int64) % 17)})
+    out = kmv_distinct(rd.from_arrow(t), "v", k=64).to_pandas()
+    assert out["k_used"].iloc[0] == 17
+    assert out["est"].iloc[0] == 17.0
+    # estimator branch: n >> k, relative error within KMV bounds
+    n = 50_000
+    t = pa.table({"v": pa.array(np.arange(n, dtype=np.int64))})
+    out = kmv_distinct(rd.from_arrow(t).repartition(8),
+                       "v", k=512).to_pandas()
+    assert out["k_used"].iloc[0] == 512
+    est = out["est"].iloc[0]
+    assert abs(est - n) / n < 0.15, est
+
+
+def test_kmv_partition_invariant(ray_session):
+    from web_crawler_ray.stages.sketches import kmv_distinct
+    rng = np.random.default_rng(3)
+    t = pa.table({"v": pa.array(rng.integers(0, 5000, 20_000))})
+    outs = [kmv_distinct(rd.from_arrow(t).repartition(p), "v", k=128)
+            .to_pandas() for p in (1, 7)]
+    # sketch state is a deterministic function of the SET of values
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# --- late-data watermark -----------------------------------------------------
+
+def _brute_late(df, delay_us=600_000_000):
+    df = df.sort_values("event_id")
+    t = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    wm = np.concatenate(([np.iinfo(np.int64).min],
+                         np.maximum.accumulate(t)[:-1]))
+    late = (wm != np.iinfo(np.int64).min) & (t + delay_us < wm)
+    out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                        "late": late.astype(np.int64)})
+    g = out.groupby("event_type")
+    return pd.DataFrame({"event_type": list(g.groups),
+                         "n_events": g.size().to_numpy(np.int64),
+                         "n_late": g["late"].sum().to_numpy(np.int64)})
+
+
+def test_late_data_matches_brute_and_crosses_buckets(ray_session):
+    from web_crawler_ray.stages.windows import late_data_stats
+    # adversarial: timestamps DECREASE over arrival so lateness is
+    # common and the carry-in (cross-bucket prefix max) is load-bearing
+    n = 3000
+    rng = np.random.default_rng(5)
+    ts = (np.int64(1_700_000_000_000_000)
+          + rng.integers(0, 7_200_000_000, n)
+          - np.arange(n, dtype=np.int64) * 1_000_000)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "event_type": pa.array(
+            np.array(["a", "b"])[rng.integers(0, 2, n)]),
+    })
+    want = _brute_late(t.to_pandas()).sort_values("event_type") \
+        .reset_index(drop=True)
+    got = (late_data_stats(rd.from_arrow(t).repartition(11),
+                           bucket=256)  # force many buckets
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False)

@@ -4113,6 +4113,58 @@ _CUSUM_SQL = (
     "(s > 250.0)::BIGINT AS alarm FROM r")
 
 
+def q_kmv_distinct(sf_dir: str):
+    """K-Minimum-Values distinct-user sketch (k=64) — the third
+    cardinality sketch, picked because its registers are EXACTLY
+    SQL-computable: state = the k smallest distinct 63-bit md5 hashes
+    (stages/sketches.py kmv_distinct: pure combiner, merge = k
+    smallest of the union, driver folds O(batches×k) ints). The
+    estimate is one exact-constant multiply + ONE division both sides;
+    under k distinct values the sketch IS the exact count — at
+    sf0.001 the exact branch grades, at sf0.01 the estimator branch."""
+    from ..stages.sketches import kmv_distinct
+    ds = _rp(sf_dir, "events", columns=["user_id"])
+    return kmv_distinct(ds, "user_id", k=64)
+
+
+_KMV_SQL = (
+    "WITH h AS (SELECT DISTINCT (md5_number_lower(user_id::VARCHAR) "
+    "& 9223372036854775807::UBIGINT)::BIGINT AS hv FROM events), "
+    "s AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, "
+    "count(*) OVER () AS nd FROM h), "
+    "agg AS (SELECT max(nd) AS nd, max(CASE WHEN rn = least(nd, 64) "
+    "THEN hv END) AS kth FROM s) "
+    "SELECT least(nd, 64)::BIGINT AS k_used, kth::BIGINT AS kth_hash, "
+    "CASE WHEN nd < 64 THEN nd::DOUBLE ELSE "
+    "(63::DOUBLE * 9223372036854775808.0) / kth::DOUBLE END AS est "
+    "FROM agg")
+
+
+def q_late_data_stats(sf_dir: str):
+    """Watermark late-data audit: events arrive in event_id order, the
+    watermark trails the running max event-time by 600 s, late =
+    event-time older than the watermark at arrival; per-type counts
+    (stages/windows.py late_data_stats: two-pass segmented prefix
+    scan — per-bucket max combiner + driver O(buckets) exclusive
+    prefix, then ONE bucket-keyed exchange with broadcast carry-ins;
+    all-integer µs, exact)."""
+    from ..stages.windows import late_data_stats
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "event_type"])
+    return late_data_stats(ds, delay_us=600_000_000)
+
+
+_LATE_SQL = (
+    "WITH o AS (SELECT event_type, epoch_us(ts) AS t, "
+    "max(epoch_us(ts)) OVER (ORDER BY event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+    "FROM events) "
+    "SELECT event_type, count(*)::BIGINT AS n_events, "
+    "sum(CASE WHEN wm IS NOT NULL AND t + 600000000 < wm "
+    "THEN 1 ELSE 0 END)::BIGINT AS n_late "
+    "FROM o GROUP BY event_type ORDER BY event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4219,6 +4271,8 @@ def registry() -> dict:
         "max_concurrency": q_max_concurrency,
         "ohlc_bars": q_ohlc_bars,
         "cusum_users": q_cusum_users,
+        "kmv_distinct": q_kmv_distinct,
+        "late_data_stats": q_late_data_stats,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5226,6 +5280,8 @@ ORACLES: dict[str, str] = {
     "training_pipeline": _TRAINING_PIPELINE_SQL,
     "ohlc_bars": _OHLC_SQL,
     "cusum_users": _CUSUM_SQL,
+    "kmv_distinct": _KMV_SQL,
+    "late_data_stats": _LATE_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -561,3 +561,51 @@ def cms_estimates(ds, value: str, w: int = 1024, d: int = 4):
 
     return distinct.map_batches(estimate, batch_format="pyarrow") \
                    .select_columns([value, "est"])
+
+
+def kmv_distinct(ds, value: str, k: int = 256):
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002)
+    — the third cardinality sketch next to hll_distinct/_md5, chosen
+    because its registers are EXACTLY computable in SQL: the sketch
+    state is simply the ``k`` smallest distinct 63-bit md5 hashes of
+    the values, so the DuckDB twin recomputes the identical state with
+    ``DISTINCT md5_number_lower(...) ORDER BY ... LIMIT k`` and the
+    estimate ``(k−1)·2⁶³ / h_k`` is one exact-constant multiply and
+    ONE division on both sides (bit-exact; when fewer than ``k``
+    distinct values exist the sketch IS the exact count). Returns a
+    1-row table (k_used, kth_hash, est).
+
+    Scale shape: a pure combiner — each batch reduces to its own
+    ≤k smallest distinct hashes, merge = k smallest of the union
+    (associative/commutative/idempotent, same mergeability class as
+    the HLL register max); the driver folds O(batches × k) int64s and
+    never sees a row. The md5-per-distinct-string loop is bounded by
+    per-batch distinct (the md5 oracle-twin convention,
+    aggregates.md5_low64)."""
+    from ..stages.aggregates import md5_low64
+
+    M63 = (1 << 63) - 1
+    TWO63 = 9223372036854775808.0  # 2^63, exact as a double
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.select([value]).drop_null().column(value) \
+            .combine_chunks().unique().to_pylist()
+        hv = np.unique(np.array(
+            [md5_low64(str(v)) & M63 for v in vals], np.int64))
+        return pa.table({"hv": pa.array(hv[:k], pa.int64())})
+
+    parts = [pa.table(b).column("hv").to_numpy(zero_copy_only=False)
+             for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    hv = np.unique(np.concatenate(parts)) if parts else \
+        np.array([], np.int64)
+    nd = len(hv)
+    k_used = min(nd, k)
+    kth = int(hv[k_used - 1]) if k_used else 0
+    if nd < k:
+        est = float(nd)
+    else:
+        est = (float(k - 1) * TWO63) / float(kth)
+    return pa.table({"k_used": pa.array([k_used], pa.int64()),
+                     "kth_hash": pa.array([kth], pa.int64()),
+                     "est": pa.array([est], pa.float64())})

@@ -1525,3 +1525,96 @@ def cusum_per_user(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def late_data_stats(ds, ts_col: str = "ts", id_col: str = "event_id",
+                    type_col: str = "event_type",
+                    delay_us: int = 600_000_000, bucket: int = 4096):
+    """Watermark late-data accounting — the streaming-ingestion audit:
+    events arrive in ``id_col`` order, the low watermark trails the
+    running max event-time by ``delay_us``, and an event is LATE iff
+    its event-time is older than the watermark at its arrival
+    (``t_i + delay < max(t_j : id_j < id_i)``). Returns per-type
+    (event_type, n_events, n_late). All-integer µs — exact.
+
+    Scale shape: a global prefix-scan done as two passes (the
+    attr_last_touch segmented-scan idiom): pass 1 reduces each batch
+    to per-arrival-bucket max event-times (pure combiner, driver folds
+    O(buckets) rows and computes the exclusive prefix max across
+    buckets); pass 2 is ONE bucket-keyed exchange where each bucket
+    applies its broadcast carry-in plus an in-bucket grouped exclusive
+    cummax (C-level pandas), then reduces itself to per-type counts —
+    one tiny groupby merge finishes. ``bucket`` auto-widens so the
+    carry table stays ≤64k entries regardless of input size."""
+    from ray.data.aggregate import Sum
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "eid": t.column(id_col).cast(pa.int64()),
+            "t": pa.array(t.column(ts_col).to_numpy(zero_copy_only=False)
+                          .astype("datetime64[us]").astype(np.int64)),
+            "k": t.column(type_col),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    max_eid = int(prepped.max("eid"))
+    B = max(bucket, -(-(max_eid + 1) // 65536))
+
+    def bmax(t: pa.Table) -> pa.Table:
+        eid = t.column("eid").to_numpy(zero_copy_only=False)
+        tt = t.column("t").to_numpy(zero_copy_only=False)
+        b = eid // B
+        ub, inv = np.unique(b, return_inverse=True)
+        mx = np.full(len(ub), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, tt)
+        return pa.table({"b": pa.array(ub, pa.int64()),
+                         "mx": pa.array(mx, pa.int64())})
+
+    rows = [pa.table(x).to_pandas() for x in
+            prepped.map_batches(bmax, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")]
+    bm = (pd.concat(rows).groupby("b")["mx"].max()
+          if rows else pd.Series(dtype=np.int64))
+    n_buckets = max_eid // B + 1
+    full = np.full(n_buckets, -np.inf)
+    if len(bm):
+        full[bm.index.to_numpy()] = bm.to_numpy(np.int64).astype(
+            np.float64)  # epoch-µs < 2^53: exact in float64
+    carry = np.concatenate(([-np.inf],
+                            np.maximum.accumulate(full)[:-1]))
+
+    dly = np.int64(delay_us)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": np.array([], object),
+                "n_events": np.array([], np.int64),
+                "n_late": np.array([], np.int64)})
+        df = df.sort_values(["b", "eid"], kind="mergesort")
+        t = df["t"].to_numpy(np.int64)
+        cm = df.groupby("b", sort=False)["t"].cummax()
+        excl = cm.groupby(df["b"], sort=False).shift(1).to_numpy()
+        wm = np.fmax(np.where(np.isnan(excl), -np.inf, excl),
+                     carry[df["b"].to_numpy(np.int64)])
+        late = (t + dly).astype(np.float64) < wm
+        out = pd.DataFrame({"event_type": df["k"].to_numpy(),
+                            "late": late.astype(np.int64)})
+        g = out.groupby("event_type", sort=True)
+        return pd.DataFrame({
+            "event_type": list(g.groups),
+            "n_events": g.size().to_numpy(np.int64),
+            "n_late": g["late"].sum().to_numpy(np.int64)})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        eid = t.column("eid").to_numpy(zero_copy_only=False)
+        return t.append_column("b", pa.array(eid // B, pa.int64()))
+
+    partials = int_part_map(
+        prepped.map_batches(add_bucket, batch_format="pyarrow"),
+        "b", per_partition, num_partitions=32)
+    return partials.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_late", alias_name="n_late"))
