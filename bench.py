@@ -208,7 +208,8 @@ def run_queries(num_cpus: int) -> dict:
              "knn_accuracy", "label_propagation", "autocorr_users",
              "snapshot_diff", "degree_assortativity", "window_funnel",
              "max_concurrency", "ohlc_bars", "cusum_users",
-             "kmv_distinct", "late_data_stats"]
+             "kmv_distinct", "late_data_stats",
+             "sequence_match", "zorder_orders"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -186,3 +186,83 @@ def test_late_data_matches_brute_and_crosses_buckets(ray_session):
            .to_pandas().sort_values("event_type").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False)
+
+
+# --- sequence match ----------------------------------------------------------
+
+def test_sequence_match_brute_and_order(ray_session):
+    from web_crawler_ray.stages.windows import sequence_match
+    import re
+    t = _events(n=150, n_users=12)
+    cmap = {"click": "c", "view": "v", "buy": "p"}
+    pat = "vcp"  # ADJACENT view-click-buy: rare enough to split users
+    df = t.to_pandas()
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        s = "".join(cmap.get(x, "?") for x in g["event_type"])
+        want[uid] = (len(g), 1 if re.search(pat, s) else 0)
+    got = (sequence_match(rd.from_arrow(t).repartition(7),
+                          pattern=pat, code_map=cmap)
+           .to_pandas().set_index("user_id"))
+    assert len(got) == len(want)
+    for uid, (n, m) in want.items():
+        assert got.loc[uid, "n_events"] == n
+        assert got.loc[uid, "matched"] == m
+    # at least one of each outcome, or the test data proves nothing
+    assert set(got["matched"].unique()) == {0, 1}
+
+
+def test_sequence_match_respects_event_order_not_arrival(ray_session):
+    from web_crawler_ray.stages.windows import sequence_match
+    # arrival order (event_id) says p-c-v but event-time says v-c-p
+    t = pa.table({
+        "event_id": pa.array(np.array([0, 1, 2], np.int64)),
+        "ts": pa.array(np.array([30, 20, 10], np.int64)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(np.zeros(3, np.int64)),
+        "event_type": pa.array(["buy", "click", "view"]),
+    })
+    got = sequence_match(rd.from_arrow(t), pattern="v.*c.*p",
+                         code_map={"view": "v", "click": "c",
+                                   "buy": "p"}).to_pandas()
+    assert got["matched"].iloc[0] == 1
+
+
+# --- z-order layout ----------------------------------------------------------
+
+def _morton16(x, y):
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_code_matches_scalar_and_locality(ray_session):
+    from web_crawler_ray.stages.relational import zorder_layout
+    n = 2000
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 1 << 16, n).astype(np.int64)
+    ys = rng.integers(0, 1 << 16, n).astype(np.int64)
+    t = pa.table({"rid": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(xs), "y": pa.array(ys)})
+    got = zorder_layout(
+        rd.from_arrow(t).repartition(6), "x", "y",
+        lambda tb: tb.column("x").to_numpy(zero_copy_only=False),
+        lambda tb: tb.column("y").to_numpy(zero_copy_only=False),
+        id_cols=["rid"], k=n).to_pandas()
+    want = {int(r): _morton16(int(x), int(y))
+            for r, x, y in zip(t["rid"].to_pylist(),
+                               xs, ys)}
+    assert len(got) == n
+    for rid, z in zip(got["rid"], got["zcode"]):
+        assert want[int(rid)] == int(z)
+    # z-order invariant: output sorted by (zcode, rid)
+    assert (got["zcode"].is_monotonic_increasing
+            or (got.sort_values(["zcode", "rid"])["zcode"].to_numpy()
+                == got["zcode"].to_numpy()).all())
+    # locality: the code of (x, y) and (x+1, y) differ before the code
+    # of (x, y) and (x ^ 0x8000, y) — interleaving weights high bits
+    assert abs(_morton16(5, 9) - _morton16(6, 9)) < \
+        abs(_morton16(5, 9) - _morton16(5 ^ 0x8000, 9))

@@ -4165,6 +4165,71 @@ _LATE_SQL = (
     "FROM o GROUP BY event_type ORDER BY event_type")
 
 
+def q_sequence_match(sf_dir: str):
+    """Per-user event-SEQUENCE regex match: view, later click, later
+    purchase with arbitrary gaps ('v.*c.*p') — the MATCH_RECOGNIZE /
+    sequenceMatch generalization of window_funnel (stages/windows.py
+    sequence_match: ONE user-keyed exchange, one compiled regex per
+    user over its (ts, event_id)-ordered code string; oracle =
+    string_agg ORDER BY + regexp)."""
+    from ..stages.windows import sequence_match
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    return sequence_match(
+        ds, pattern="v.*c.*p",
+        code_map={"signup": "s", "click": "c", "error": "e",
+                  "view": "v", "purchase": "p"})
+
+
+_SEQ_MATCH_SQL = (
+    "WITH o AS (SELECT user_id, ts, event_id, "
+    "CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c' "
+    "WHEN 'error' THEN 'e' WHEN 'view' THEN 'v' "
+    "WHEN 'purchase' THEN 'p' ELSE '?' END AS code FROM events) "
+    "SELECT user_id, count(*)::BIGINT AS n_events, "
+    "CASE WHEN regexp_matches(string_agg(code, '' "
+    "ORDER BY ts, event_id), 'v.*c.*p') THEN 1 ELSE 0 END::BIGINT "
+    "AS matched FROM o GROUP BY user_id ORDER BY user_id")
+
+
+def q_zorder_orders(sf_dir: str):
+    """Z-order (Morton) layout key over orders, x = custkey low 16
+    bits, y = order-date day number low 16 bits; first 500 rows of the
+    z-ordered layout — the lakehouse OPTIMIZE ZORDER clustering
+    primitive (stages/relational.py zorder_layout: vectorized bit
+    interleave in map_batches, per-batch top-k prune + one
+    single-partition merge, no global sort shuffle; all-integer, the
+    oracle recomputes the interleave with a generate_series fold)."""
+    from ..stages.relational import zorder_layout
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def x_of(t):
+        return t.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+    def y_of(t):
+        return (t.column("o_orderdate").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+                // 86_400_000_000)
+
+    return zorder_layout(ds, "o_custkey", "o_orderdate", x_of, y_of,
+                         id_cols=["o_orderkey", "o_custkey"], k=500)
+
+
+_ZORDER_SQL = (
+    "WITH b AS (SELECT o_orderkey, o_custkey, "
+    "o_custkey % 65536 AS x, "
+    "((epoch_us(o_orderdate) // 86400000000) % 65536) AS y "
+    "FROM orders), "
+    "z AS (SELECT o_orderkey, o_custkey, "
+    "list_sum(list_transform(generate_series(0, 15), i -> "
+    "(((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))"
+    "::BIGINT AS zcode FROM b) "
+    "SELECT o_orderkey, o_custkey, zcode FROM z "
+    "ORDER BY zcode, o_orderkey, o_custkey LIMIT 500")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4273,6 +4338,8 @@ def registry() -> dict:
         "cusum_users": q_cusum_users,
         "kmv_distinct": q_kmv_distinct,
         "late_data_stats": q_late_data_stats,
+        "sequence_match": q_sequence_match,
+        "zorder_orders": q_zorder_orders,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5282,6 +5349,8 @@ ORACLES: dict[str, str] = {
     "cusum_users": _CUSUM_SQL,
     "kmv_distinct": _KMV_SQL,
     "late_data_stats": _LATE_SQL,
+    "sequence_match": _SEQ_MATCH_SQL,
+    "zorder_orders": _ZORDER_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -1618,3 +1618,69 @@ def late_data_stats(ds, ts_col: str = "ts", id_col: str = "event_id",
     return partials.groupby("event_type").aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("n_late", alias_name="n_late"))
+
+
+def sequence_match(ds, pattern: str, code_map: dict,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   type_col: str = "event_type"):
+    """Event-SEQUENCE pattern matching per user — the
+    MATCH_RECOGNIZE / ClickHouse-sequenceMatch shape: each user's
+    events order by (ts, id), event types map to single-char codes via
+    ``code_map``, and ``pattern`` (a regex over the code string, e.g.
+    ``'v.*c.*p'`` = view, later click, later purchase with arbitrary
+    gaps) decides the match. Returns (user_id, n_events, matched∈{0,1})
+    — the generalization of window_funnel to arbitrary regular
+    patterns (no time bound; the SQL twin is ``string_agg(code, ''
+    ORDER BY ts, id) ~ pattern``).
+
+    Scale shape: ONE user-keyed exchange (session_stats shape); the
+    kernel lexsorts once, slices each user's contiguous code run and
+    joins it into one string (O(groups) Python loop — same bounded
+    per-group cost class as the textstats heuristics), then applies
+    ONE compiled regex per user. Output is O(users), emitted from the
+    partitions."""
+    import re as _re
+
+    from .shuffles import int_part_map
+
+    rx = _re.compile(pattern)
+    cmap = dict(code_map)
+
+    def prep(t: pa.Table) -> pa.Table:
+        codes = np.array([cmap.get(x, "?") for x in
+                          t.column(type_col).to_pylist()])
+        return pa.table({
+            "u": t.column(user_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col).to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(id_col).cast(pa.int64()),
+            "c": pa.array(codes),
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "n_events": z,
+                                 "matched": z})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        c = df["c"].to_numpy()
+        order = np.lexsort((oc, ts, u))
+        u, c = u[order], c[order]
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                u[1:] != u[:-1])))
+        ends = np.append(starts[1:], len(u))
+        users, n_ev, hit = [], [], []
+        for s, e in zip(starts, ends):
+            users.append(u[s])
+            n_ev.append(e - s)
+            hit.append(1 if rx.search("".join(c[s:e])) else 0)
+        return pd.DataFrame({
+            "user_id": np.array(users, np.int64),
+            "n_events": np.array(n_ev, np.int64),
+            "matched": np.array(hit, np.int64)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
