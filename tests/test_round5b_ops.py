@@ -266,3 +266,51 @@ def test_zorder_code_matches_scalar_and_locality(ray_session):
     # of (x, y) and (x ^ 0x8000, y) — interleaving weights high bits
     assert abs(_morton16(5, 9) - _morton16(6, 9)) < \
         abs(_morton16(5, 9) - _morton16(5 ^ 0x8000, 9))
+
+
+# --- maximal independent set -------------------------------------------------
+
+def test_mis_properties_and_path_parity(ray_session):
+    from web_crawler_ray.stages.graph import maximal_independent_set
+    rng = np.random.default_rng(7)
+    m = 1500
+    u = rng.integers(0, 300, m).astype(np.int64)
+    v = rng.integers(0, 300, m).astype(np.int64)
+    t = pa.table({"src": pa.array(u), "dst": pa.array(v)})
+    a = maximal_independent_set(
+        rd.from_arrow(t).repartition(5)).to_pandas()
+    b = maximal_independent_set(
+        rd.from_arrow(t).repartition(5), driver_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)   # driver == distributed
+    mis = set(a["node"])
+    edges = {(min(x, y), max(x, y)) for x, y in zip(u, v) if x != y}
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    for x, y in edges:                     # independence
+        assert not (x in mis and y in mis)
+    for n in adj:                          # maximality
+        if n not in mis:
+            assert adj[n] & mis
+
+
+def test_mis_star_and_path_graphs(ray_session):
+    from web_crawler_ray.stages.graph import maximal_independent_set
+    # star: center + 50 leaves -> MIS is either all leaves or
+    # {center}+nothing; maximality forces all leaves unless the center
+    # has the minimum priority
+    u = np.zeros(50, np.int64)
+    v = np.arange(1, 51, dtype=np.int64)
+    t = pa.table({"src": pa.array(u), "dst": pa.array(v)})
+    got = set(maximal_independent_set(rd.from_arrow(t))
+              .column("node").to_pylist())
+    assert got == set(range(1, 51)) or got == {0}
+    # disconnected pairs: exactly one endpoint of each edge
+    t = pa.table({"src": pa.array(np.array([10, 20, 30], np.int64)),
+                  "dst": pa.array(np.array([11, 21, 31], np.int64))})
+    got = set(maximal_independent_set(rd.from_arrow(t))
+              .column("node").to_pylist())
+    assert len(got) == 3
+    for a, b in ((10, 11), (20, 21), (30, 31)):
+        assert (a in got) != (b in got)

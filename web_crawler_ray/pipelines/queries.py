@@ -4230,6 +4230,54 @@ _ZORDER_SQL = (
     "ORDER BY zcode, o_orderkey, o_custkey LIMIT 500")
 
 
+def q_mis_nodes(sf_dir: str):
+    """Maximal independent set of the undirected mixed-key lineitem
+    graph — static-md5-priority parallel greedy (Luby with the coin
+    replaced by a fixed hash, so the result is the deterministic
+    priority-order-first MIS and the oracle can REPLAY the rounds as
+    unrolled CTEs; converges in 3/5 rounds at sf0.001/0.01, the SQL
+    unrolls 8 — extra rounds are no-ops once nothing is live).
+    stages/graph.py maximal_independent_set: numpy driver loop below
+    1M edges, four keyed exchanges per round above; both paths
+    parity-pinned in pytest."""
+    from ..stages.graph import maximal_independent_set
+    return maximal_independent_set(_tri_edges(sf_dir))
+
+
+def _mis_oracle_sql(rounds: int = 8) -> str:
+    # every CTE is MATERIALIZED: each round references the previous
+    # state 4x, so default inlining would expand the parquet scan
+    # 3^rounds times (observed: "Too many open files")
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_TRI_E0}), ",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) "
+        "WHERE src <> dst), ",
+        "n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e), ",
+        "p AS MATERIALIZED (SELECT node, "
+        "(md5_number_lower(node::VARCHAR) & "
+        "9223372036854775807::UBIGINT)::BIGINT AS prio FROM n0), ",
+        "s0 AS MATERIALIZED (SELECT node, 0 AS st FROM n0), ",
+    ]
+    for i in range(rounds):
+        a, b, c = f"s{i}", f"s{i + 1}", f"c{i + 1}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT s.node FROM {a} s "
+            "JOIN p ps ON ps.node = s.node WHERE s.st = 0 AND "
+            f"NOT EXISTS (SELECT 1 FROM e JOIN {a} t ON t.node = e.src "
+            "JOIN p q ON q.node = e.src WHERE e.dst = s.node "
+            "AND t.st = 0 AND q.prio <= ps.prio)), ")
+        parts.append(
+            f"{b} AS MATERIALIZED (SELECT s.node, CASE WHEN s.node IN "
+            f"(SELECT node FROM {c}) THEN 1 WHEN s.st = 0 AND EXISTS "
+            f"(SELECT 1 FROM e JOIN {c} cc ON cc.node = e.src "
+            "WHERE e.dst = s.node) THEN 2 ELSE s.st END AS st "
+            f"FROM {a} s), ")
+    body = "".join(parts)
+    return (body.rstrip(", ")
+            + f" SELECT node FROM s{rounds} WHERE st = 1 ORDER BY node")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4340,6 +4388,7 @@ def registry() -> dict:
         "late_data_stats": q_late_data_stats,
         "sequence_match": q_sequence_match,
         "zorder_orders": q_zorder_orders,
+        "mis_nodes": q_mis_nodes,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5351,6 +5400,7 @@ ORACLES: dict[str, str] = {
     "late_data_stats": _LATE_SQL,
     "sequence_match": _SEQ_MATCH_SQL,
     "zorder_orders": _ZORDER_SQL,
+    "mis_nodes": _mis_oracle_sql(),
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

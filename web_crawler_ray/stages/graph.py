@@ -2308,3 +2308,269 @@ def degree_assortativity(edges_ds, src: str = "src", dst: str = "dst",
     if n == 0:
         return empty
     return _finish(n, sx, sxy, sxx)
+
+
+def maximal_independent_set(edges_ds, src: str = "src",
+                            dst: str = "dst",
+                            driver_limit: int = DRIVER_CC_MAX,
+                            max_rounds: int = 64,
+                            num_partitions: int = 8):
+    """Maximal independent set of the undirected simple graph via
+    static-priority parallel greedy (Luby-style with the re-randomized
+    coin replaced by a FIXED md5 priority per node, so the result is
+    the deterministic lexicographically-first MIS in priority order
+    and an SQL twin can replay it): each round every LIVE node whose
+    priority is smaller than all live neighbors' joins the MIS and its
+    neighbors die; rounds repeat until no node is live. Expected
+    O(log n) rounds for hash-random priorities. Returns a
+    ``pyarrow.Table`` (node,) sorted — the MIS members. Anti-chain +
+    maximality hold by construction (pinned in pytest).
+
+    Scale shape: below ``driver_limit`` edges a vectorized numpy loop
+    on the driver (minimum.at per round). Above: per round FOUR keyed
+    raw-task exchanges in the k_core/label_propagation idiom —
+    (1) live-src edges emit (dst, prio(src)); (2) per-node fold picks
+    candidates (live, prio < min over live-neighbor prios — priorities
+    recompute from the node id, never shipped with state); (3) edges
+    keyed by src against the candidate set emit kill rows; (4) status
+    fold applies MIS/killed. One O(1) live-count scalar reaches the
+    driver per round; no Dataset.join anywhere."""
+    import ray.data as rd
+
+    from ..stages.aggregates import md5_low64
+    from .shuffles import int_part_map as _ipm
+
+    M63 = (1 << 63) - 1
+    INF = np.iinfo(np.int64).max
+
+    def _prio(nodes: np.ndarray) -> np.ndarray:
+        return np.array([md5_low64(str(int(x))) & M63 for x in nodes],
+                        np.int64)
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    empty = pa.table({"node": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_ds.select_columns([src, dst])
+             .iter_batches(batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        nodes, inv = np.unique(np.concatenate([u, v]),
+                               return_inverse=True)
+        if not len(nodes):
+            return empty
+        ui, vi = inv[:len(u)], inv[len(u):]
+        su = np.concatenate([ui, vi])      # symmetric
+        sv = np.concatenate([vi, ui])
+        prio = _prio(nodes)
+        n = len(nodes)
+        live = np.ones(n, bool)
+        mis = np.zeros(n, bool)
+        for _ in range(max_rounds):
+            if not live.any():
+                break
+            m = live[su] & live[sv]
+            minp = np.full(n, INF, np.int64)
+            np.minimum.at(minp, sv[m], prio[su[m]])
+            cand = live & (prio < minp)
+            mis |= cand
+            kill = np.zeros(n, bool)
+            sel = m & cand[su]
+            kill[sv[sel]] = True
+            live &= ~(cand | kill)
+        if live.any():
+            raise RuntimeError("MIS did not converge in "
+                               f"{max_rounds} rounds")
+        return pa.table({"node": pa.array(np.sort(nodes[mis]))})
+
+    # ---- distributed path ------------------------------------------------
+    def sym(t: pa.Table) -> pa.Table:
+        uu = t.column(src).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vv = t.column(dst).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = uu != vv
+        uu, vv = uu[keep], vv[keep]
+        return pa.table({"src": pa.array(np.concatenate([uu, vv])),
+                         "dst": pa.array(np.concatenate([vv, uu]))})
+
+    e = _ipm(edges_ds.map_batches(sym, batch_format="pyarrow"),
+             "src", _distinct_edges,
+             num_partitions=num_partitions).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src")})
+
+    def init_status(df: pd.DataFrame) -> pd.DataFrame:
+        nd = np.unique(df["node"].to_numpy(np.int64))
+        return pd.DataFrame({"node": nd,
+                             "st": np.zeros(len(nd), np.int64)})
+
+    # st: 0 = live, 1 = MIS, 2 = removed
+    status = _ipm(e.map_batches(node_rows, batch_format="pyarrow"),
+                  "node", init_status,
+                  num_partitions=num_partitions).materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("src"),
+                         "other": t.column("dst"),
+                         "st": pa.array(np.full(t.num_rows, -1,
+                                                np.int64)),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_status(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("node"),
+                         "other": t.column("node"),
+                         "st": t.column("st"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def _live_member(own: pd.DataFrame, keys: np.ndarray) -> np.ndarray:
+        """Membership of ``keys`` in own's LIVE node set (sorted probe)."""
+        liv = np.sort(own.loc[own["st"].to_numpy(np.int64) == 0, "gkey"]
+                      .to_numpy(np.int64))
+        idx = np.searchsorted(liv, keys)
+        ok = np.zeros(len(keys), bool)
+        inb = idx < len(liv)
+        ok[inb] = liv[idx[inb]] == keys[inb]
+        return ok
+
+    def emit_nb_prio(df: pd.DataFrame) -> pd.DataFrame:
+        """Round step 1: live-src edges emit (node=dst, p=prio(src))."""
+        z = np.array([], np.int64)
+        tg = df["tag"].to_numpy()
+        own, fol = df[tg == 1], df[tg == 0]
+        if not len(fol) or not len(own):
+            return pd.DataFrame({"node": z, "p": z})
+        g = fol["gkey"].to_numpy(np.int64)
+        ok = _live_member(own, g)
+        srcs = g[ok]
+        return pd.DataFrame({"node": fol["other"].to_numpy(np.int64)[ok],
+                             "p": _prio(srcs)})
+
+    def tag_nb(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("node"),
+                         "other": t.column("node"),
+                         "st": t.column("p"),
+                         "tag": pa.array(np.full(t.num_rows, 2, np.int8))})
+
+    def pick_cand(df: pd.DataFrame) -> pd.DataFrame:
+        """Round step 2: per-node min over live-neighbor prios; live
+        nodes beating that min become candidates (st -> 1)."""
+        z = np.array([], np.int64)
+        tg = df["tag"].to_numpy()
+        own = df[tg == 1]
+        nb = df[tg == 2]
+        if not len(own):
+            return pd.DataFrame({"node": z, "st": z})
+        nd = own["gkey"].to_numpy(np.int64)
+        st = own["st"].to_numpy(np.int64).copy()
+        o = np.argsort(nd, kind="stable")
+        nd, st = nd[o], st[o]
+        minp = np.full(len(nd), INF, np.int64)
+        if len(nb):
+            k = nb["gkey"].to_numpy(np.int64)
+            p = nb["st"].to_numpy(np.int64)
+            pos = np.searchsorted(nd, k)
+            np.minimum.at(minp, pos, p)
+        liv = st == 0
+        pr = np.full(len(nd), INF, np.int64)
+        if liv.any():
+            pr[liv] = _prio(nd[liv])
+        st[liv & (pr < minp)] = 1
+        return pd.DataFrame({"node": nd, "st": st})
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        st = t.column("st").to_numpy(zero_copy_only=False)
+        sel = st == 1
+        nd = t.column("node").to_numpy(zero_copy_only=False)[sel]
+        return pa.table({"gkey": pa.array(nd),
+                         "other": pa.array(nd),
+                         "st": pa.array(np.ones(len(nd), np.int64)),
+                         "tag": pa.array(np.ones(len(nd), np.int8))})
+
+    def emit_kills(df: pd.DataFrame) -> pd.DataFrame:
+        """Round step 3: edges whose src is a NEW candidate emit the
+        dst as a kill row."""
+        z = np.array([], np.int64)
+        tg = df["tag"].to_numpy()
+        own, fol = df[tg == 1], df[tg == 0]
+        if not len(fol) or not len(own):
+            return pd.DataFrame({"node": z})
+        ck = np.sort(own["gkey"].to_numpy(np.int64))
+        g = fol["gkey"].to_numpy(np.int64)
+        idx = np.searchsorted(ck, g)
+        ok = np.zeros(len(g), bool)
+        inb = idx < len(ck)
+        ok[inb] = ck[idx[inb]] == g[inb]
+        return pd.DataFrame(
+            {"node": fol["other"].to_numpy(np.int64)[ok]})
+
+    def tag_kill(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("node"),
+                         "other": t.column("node"),
+                         "st": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "tag": pa.array(np.full(t.num_rows, 2, np.int8))})
+
+    def apply_kills(df: pd.DataFrame) -> pd.DataFrame:
+        """Round step 4: live nodes adjacent to a new MIS member die."""
+        z = np.array([], np.int64)
+        tg = df["tag"].to_numpy()
+        own = df[tg == 1]
+        kl = df[tg == 2]
+        if not len(own):
+            return pd.DataFrame({"node": z, "st": z})
+        nd = own["gkey"].to_numpy(np.int64)
+        st = own["st"].to_numpy(np.int64).copy()
+        if len(kl):
+            ks = np.unique(kl["gkey"].to_numpy(np.int64))
+            idx = np.searchsorted(ks, nd)
+            hit = np.zeros(len(nd), bool)
+            inb = idx < len(ks)
+            hit[inb] = ks[idx[inb]] == nd[inb]
+            st[(st == 0) & hit] = 2
+        return pd.DataFrame({"node": nd, "st": st})
+
+    for _ in range(max_rounds):
+        n_live = int(status.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int((t.column("st").to_numpy(zero_copy_only=False)
+                      == 0).sum())], pa.int64())}),
+            batch_format="pyarrow").sum("n"))
+        if n_live == 0:
+            break
+        nbp = _ipm(e.map_batches(tag_edges, batch_format="pyarrow")
+                   .union(status.map_batches(tag_status,
+                                             batch_format="pyarrow")),
+                   "gkey", emit_nb_prio,
+                   num_partitions=num_partitions)
+        status = _ipm(status.map_batches(tag_status,
+                                         batch_format="pyarrow")
+                      .union(nbp.map_batches(tag_nb,
+                                             batch_format="pyarrow")),
+                      "gkey", pick_cand,
+                      num_partitions=num_partitions).materialize()
+        kills = _ipm(e.map_batches(tag_edges, batch_format="pyarrow")
+                     .union(status.map_batches(cand_rows,
+                                               batch_format="pyarrow")),
+                     "gkey", emit_kills,
+                     num_partitions=num_partitions)
+        # freshly-picked candidates become permanent MIS members (1);
+        # pick_cand marked them already, so only kills remain to apply
+        status = _ipm(status.map_batches(tag_status,
+                                         batch_format="pyarrow")
+                      .union(kills.map_batches(tag_kill,
+                                               batch_format="pyarrow")),
+                      "gkey", apply_kills,
+                      num_partitions=num_partitions).materialize()
+    else:
+        raise RuntimeError(f"MIS did not converge in {max_rounds} rounds")
+
+    out = pa.concat_tables(
+        [pa.table(b) for b in status.iter_batches(batch_format="pyarrow")])
+    nd = out.column("node").to_numpy(zero_copy_only=False)
+    st = out.column("st").to_numpy(zero_copy_only=False)
+    return pa.table({"node": pa.array(np.sort(nd[st == 1]))})
