@@ -209,7 +209,8 @@ def run_queries(num_cpus: int) -> dict:
              "snapshot_diff", "degree_assortativity", "window_funnel",
              "max_concurrency", "ohlc_bars", "cusum_users",
              "kmv_distinct", "late_data_stats",
-             "sequence_match", "zorder_orders", "mis_nodes"]
+             "sequence_match", "zorder_orders", "mis_nodes",
+             "closeness_sampled", "rake_keywords"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -314,3 +314,77 @@ def test_mis_star_and_path_graphs(ray_session):
     assert len(got) == 3
     for a, b in ((10, 11), (20, 21), (30, 31)):
         assert (a in got) != (b in got)
+
+
+# --- sampled closeness -------------------------------------------------------
+
+def test_closeness_matches_brute_bfs(ray_session):
+    from web_crawler_ray.stages.graph import closeness_sampled
+    import collections
+    rng = np.random.default_rng(13)
+    m = 800
+    u = rng.integers(0, 120, m).astype(np.int64)
+    v = rng.integers(0, 120, m).astype(np.int64)
+    sym_u = np.concatenate([u, v])
+    sym_v = np.concatenate([v, u])
+    t = pa.table({"src": pa.array(sym_u), "dst": pa.array(sym_v)})
+    got = closeness_sampled(rd.from_arrow(t).repartition(4),
+                            n_sources=3).to_pandas()
+    # brute multi-source BFS
+    adj = collections.defaultdict(set)
+    for x, y in zip(sym_u, sym_v):
+        adj[int(x)].add(int(y))
+    seeds = sorted(set(sym_u.tolist()))[:3]
+    acc = collections.defaultdict(lambda: [0, 0])
+    for s in seeds:
+        dist = {s: 0}
+        q = [s]
+        while q:
+            nxt = []
+            for x in q:
+                for y in adj[x]:
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        nxt.append(y)
+            q = nxt
+        for nd, d in dist.items():
+            acc[nd][0] += 1
+            acc[nd][1] += d
+    assert len(got) == len(acc)
+    for _, r in got.iterrows():
+        n_src, s_h = acc[int(r["node"])]
+        assert r["n_src"] == n_src and r["sum_hops"] == s_h
+
+
+# --- RAKE keywords -----------------------------------------------------------
+
+def test_rake_scores_by_hand(ray_session):
+    from web_crawler_ray.stages.textstats import rake_keywords
+    docs = pa.table({"text": pa.array([
+        "deep learning of deep networks",
+        "the deep model",
+        "graph learning",
+    ])})
+    got = rake_keywords(rd.from_arrow(docs).repartition(2), k=10) \
+        .to_pandas().set_index("word")
+    # phrases: [deep learning] [deep networks] | [deep model] |
+    # [graph learning]   ("of"/"the" break phrases)
+    assert got.loc["deep", "freq"] == 3
+    assert got.loc["deep", "deg"] == 6      # 2 + 2 + 2
+    assert got.loc["learning", "freq"] == 2
+    assert got.loc["learning", "deg"] == 4  # 2 + 2
+    assert got.loc["model", "deg"] == 2
+    assert "the" not in got.index and "of" not in got.index
+    # ranking: deg desc puts 'deep' first
+    assert got.index[0] == "deep"
+
+
+def test_rake_partition_invariant(ray_session):
+    from web_crawler_ray.stages.textstats import rake_keywords
+    rng = np.random.default_rng(4)
+    vocab = np.array(["alpha", "beta", "gamma", "the", "delta", "a"])
+    docs = pa.table({"text": pa.array(
+        [" ".join(vocab[rng.integers(0, 6, 12)]) for _ in range(60)])})
+    outs = [rake_keywords(rd.from_arrow(docs).repartition(p), k=5)
+            .to_pandas().reset_index(drop=True) for p in (1, 9)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])

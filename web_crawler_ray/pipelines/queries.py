@@ -4278,6 +4278,76 @@ def _mis_oracle_sql(rounds: int = 8) -> str:
             + f" SELECT node FROM s{rounds} WHERE st = 1 ORDER BY node")
 
 
+def q_closeness_sampled(sf_dir: str):
+    """Landmark (sampled) closeness-centrality statistics from the 4
+    smallest node ids of the undirected mixed-key lineitem graph —
+    per node the count of landmarks reaching it and the exact integer
+    sum of hop distances (stages/graph.py closeness_sampled: 4
+    sequential bfs_hops runs over ONE materialized edge Dataset,
+    O(S·V) result-sized fold; bfs paths parity-pinned). Oracle: one
+    multi-seed bounded recursive CTE carrying the seed id."""
+    from ..stages.graph import closeness_sampled
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t.column("src").combine_chunks()
+        b = t.column("dst").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    return closeness_sampled(_tri_edges(sf_dir).map_batches(
+        both, batch_format="pyarrow"), n_sources=4)
+
+
+_CLOSENESS_SQL = (
+    f"WITH RECURSIVE e0 AS ({_TRI_E0}), "
+    "e AS (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)), "
+    "seeds AS (SELECT DISTINCT src AS node FROM e "
+    "ORDER BY node LIMIT 4), "
+    "r AS (SELECT node AS sid, node, 0 AS hops FROM seeds "
+    "UNION SELECT r.sid, e.dst, r.hops + 1 FROM r "
+    "JOIN e ON e.src = r.node WHERE r.hops < 24), "
+    "m AS (SELECT sid, node, min(hops) AS h FROM r "
+    "GROUP BY sid, node) "
+    "SELECT node, count(*)::BIGINT AS n_src, "
+    "sum(h)::BIGINT AS sum_hops FROM m GROUP BY node ORDER BY node")
+
+
+def q_rake_keywords(sf_dir: str):
+    """Top-40 RAKE keywords over documents — the classic unsupervised
+    keyword extractor reduced to its exact-integer core: phrases break
+    at stopwords, each non-stop word scores (freq, deg = Σ phrase
+    length over its occurrences) (stages/textstats.py rake_keywords:
+    per-batch partial dicts, ONE groupby(word) sum, per-batch top-k
+    prune — no global sort). The oracle rebuilds phrases in SQL with a
+    running stopword-count window over the unnested token list."""
+    from ..stages.textstats import rake_keywords
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return rake_keywords(ds, k=40)
+
+
+_RAKE_SQL = (
+    "WITH w0 AS (SELECT doc_id, "
+    "string_split_regex(lower(text), '[^a-z]+') AS lst "
+    "FROM documents), "
+    "w AS (SELECT doc_id, lst[i] AS w, i FROM w0, "
+    "UNNEST(generate_series(1, len(lst))) AS t(i) "
+    "WHERE lst[i] <> ''), "
+    "m AS (SELECT doc_id, w, i, CASE WHEN w IN ('the', 'a', 'and', "
+    "'of', 'to', 'in', 'is', 'for', 'on', 'with') THEN 1 ELSE 0 END "
+    "AS stop FROM w), "
+    "p AS (SELECT doc_id, w, stop, sum(stop) OVER "
+    "(PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) "
+    "AS pid FROM m), "
+    "ph AS (SELECT doc_id, pid, count(*) AS plen FROM p "
+    "WHERE stop = 0 GROUP BY doc_id, pid), "
+    "wd AS (SELECT p.w, count(*) AS freq, sum(ph.plen) AS deg "
+    "FROM p JOIN ph ON ph.doc_id = p.doc_id AND ph.pid = p.pid "
+    "WHERE p.stop = 0 GROUP BY p.w) "
+    "SELECT w AS word, freq::BIGINT AS freq, deg::BIGINT AS deg "
+    "FROM wd ORDER BY deg DESC, freq DESC, word LIMIT 40")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4389,6 +4459,8 @@ def registry() -> dict:
         "sequence_match": q_sequence_match,
         "zorder_orders": q_zorder_orders,
         "mis_nodes": q_mis_nodes,
+        "closeness_sampled": q_closeness_sampled,
+        "rake_keywords": q_rake_keywords,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5401,6 +5473,8 @@ ORACLES: dict[str, str] = {
     "sequence_match": _SEQ_MATCH_SQL,
     "zorder_orders": _ZORDER_SQL,
     "mis_nodes": _mis_oracle_sql(),
+    "closeness_sampled": _CLOSENESS_SQL,
+    "rake_keywords": _RAKE_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]
