@@ -388,3 +388,72 @@ def test_rake_partition_invariant(ray_session):
     outs = [rake_keywords(rd.from_arrow(docs).repartition(p), k=5)
             .to_pandas().reset_index(drop=True) for p in (1, 9)]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# --- Apriori triples ---------------------------------------------------------
+
+def test_apriori_matches_brute_and_pruning_is_lossless(ray_session):
+    from web_crawler_ray.stages.relational import apriori_triples
+    import itertools, collections
+    rng = np.random.default_rng(21)
+    n = 2000
+    g = rng.integers(0, 300, n).astype(np.int64)
+    i = rng.integers(0, 25, n).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "i": pa.array(i)})
+    got = apriori_triples(rd.from_arrow(t).repartition(6), "g", "i",
+                          min_support=3).to_pandas()
+    baskets = collections.defaultdict(set)
+    for gg, ii in zip(g, i):
+        baskets[gg].add(ii)
+    cnt = collections.Counter()
+    for items in baskets.values():
+        for tri in itertools.combinations(sorted(items), 3):
+            cnt[tri] += 1
+    want = {tri: c for tri, c in cnt.items() if c >= 3}
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        key = (int(r["item_a"]), int(r["item_b"]), int(r["item_c"]))
+        assert want[key] == int(r["support"])
+
+
+def test_apriori_empty_result_keeps_schema(ray_session):
+    from web_crawler_ray.stages.relational import apriori_triples
+    t = pa.table({"g": pa.array(np.array([1, 1, 2], np.int64)),
+                  "i": pa.array(np.array([5, 6, 5], np.int64))})
+    got = apriori_triples(rd.from_arrow(t), "g", "i", min_support=2)
+    assert got.num_rows == 0
+    assert got.column_names == ["item_a", "item_b", "item_c",
+                                "support"]
+
+
+# --- KMV set operations ------------------------------------------------------
+
+def test_kmv_set_ops_exact_branch(ray_session):
+    from web_crawler_ray.stages.sketches import kmv_set_ops
+    # 10 click users {0..9}, 8 view users {5..12}: union 13, inter 5
+    rows = ([(u, "click") for u in range(10)] * 2
+            + [(u, "view") for u in range(5, 13)])
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[1] for r in rows])})
+    out = kmv_set_ops(rd.from_arrow(t).repartition(3), "user_id",
+                      "event_type", "click", "view", k=64).to_pandas()
+    assert out["k_a"].iloc[0] == 10 and out["k_b"].iloc[0] == 8
+    assert out["est_union"].iloc[0] == 13.0
+    assert out["n_match"].iloc[0] == 5
+    assert out["est_intersection"].iloc[0] == 5.0
+
+
+def test_kmv_set_ops_estimator_accuracy(ray_session):
+    from web_crawler_ray.stages.sketches import kmv_set_ops
+    na, nb, overlap = 4000, 3000, 1500
+    a = np.arange(na)
+    b = np.arange(na - overlap, na - overlap + nb)
+    rows_u = np.concatenate([a, b])
+    rows_t = np.array(["click"] * na + ["view"] * nb)
+    t = pa.table({"user_id": pa.array(rows_u.astype(np.int64)),
+                  "event_type": pa.array(rows_t)})
+    out = kmv_set_ops(rd.from_arrow(t).repartition(7), "user_id",
+                      "event_type", "click", "view", k=512).to_pandas()
+    true_union = na + nb - overlap
+    assert abs(out["est_union"].iloc[0] - true_union) / true_union < 0.2
+    assert abs(out["est_intersection"].iloc[0] - overlap) / overlap < 0.35

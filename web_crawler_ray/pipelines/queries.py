@@ -4348,6 +4348,77 @@ _RAKE_SQL = (
     "FROM wd ORDER BY deg DESC, freq DESC, word LIMIT 40")
 
 
+def q_apriori_triples(sf_dir: str):
+    """Level-3 frequent itemsets: part triples co-ordered in ≥2 orders
+    (stages/relational.py apriori_triples: pairwise level reused from
+    cooccurrence_pairs, frequent-pair set broadcast once, one
+    basket-keyed pruned-triple emit + one support-count exchange; the
+    Apriori pruning changes work, never results — support monotonicity
+    — so the oracle is the plain triple self-join with HAVING)."""
+    from ..stages.relational import apriori_triples
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return apriori_triples(ds, "l_orderkey", "l_partkey",
+                           min_support=2)
+
+
+_APRIORI_SQL = (
+    "WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+    "FROM lineitem) "
+    "SELECT a.pk AS item_a, b.pk AS item_b, c.pk AS item_c, "
+    "count(*)::BIGINT AS support "
+    "FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk "
+    "JOIN d c ON a.ok = c.ok AND b.pk < c.pk "
+    "GROUP BY item_a, item_b, item_c HAVING count(*) >= 2 "
+    "ORDER BY item_a, item_b, item_c")
+
+
+def q_kmv_set_ops(sf_dir: str):
+    """Theta-sketch set operations over the click-user and view-user
+    KMV sketches (k=64): union and intersection cardinality estimates
+    from exactly-SQL-computable registers (stages/sketches.py
+    kmv_set_ops: one tagged combiner pass, driver folds O(batches×k)
+    ints; ≤2 IEEE ops per estimate — bit-exact twin; at sf0.001 both
+    sketches are unsaturated so the same query grades the exact
+    degenerate branch, at sf0.01 the estimator branch)."""
+    from ..stages.sketches import kmv_set_ops
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    return kmv_set_ops(ds, "user_id", "event_type",
+                       "click", "view", k=64)
+
+
+_KMV_SET_SQL = (
+    "WITH ca AS (SELECT DISTINCT (md5_number_lower(user_id::VARCHAR) "
+    "& 9223372036854775807::UBIGINT)::BIGINT AS hv FROM events "
+    "WHERE event_type = 'click'), "
+    "cb AS (SELECT DISTINCT (md5_number_lower(user_id::VARCHAR) "
+    "& 9223372036854775807::UBIGINT)::BIGINT AS hv FROM events "
+    "WHERE event_type = 'view'), "
+    "ra AS (SELECT hv FROM (SELECT hv, row_number() OVER "
+    "(ORDER BY hv) AS rn FROM ca) WHERE rn <= 64), "
+    "rb AS (SELECT hv FROM (SELECT hv, row_number() OVER "
+    "(ORDER BY hv) AS rn FROM cb) WHERE rn <= 64), "
+    "ka AS (SELECT count(*) AS n, max(hv) AS mx FROM ra), "
+    "kb AS (SELECT count(*) AS n, max(hv) AS mx FROM rb), "
+    "th AS (SELECT least("
+    "CASE WHEN ka.n = 64 THEN ka.mx::DOUBLE "
+    "ELSE 9223372036854775808.0 END, "
+    "CASE WHEN kb.n = 64 THEN kb.mx::DOUBLE "
+    "ELSE 9223372036854775808.0 END) AS theta FROM ka, kb), "
+    "cm AS (SELECT count(*) AS n_match FROM ra JOIN rb USING (hv) "
+    "CROSS JOIN th WHERE ra.hv::DOUBLE < th.theta), "
+    "ru AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, "
+    "count(*) OVER () AS nd FROM "
+    "(SELECT hv FROM ra UNION SELECT hv FROM rb)), "
+    "uu AS (SELECT max(nd) AS nd, max(CASE WHEN rn = least(nd, 64) "
+    "THEN hv END) AS kth FROM ru) "
+    "SELECT ka.n::BIGINT AS k_a, kb.n::BIGINT AS k_b, "
+    "CASE WHEN uu.nd < 64 THEN uu.nd::DOUBLE ELSE "
+    "(63::DOUBLE * 9223372036854775808.0) / uu.kth::DOUBLE END "
+    "AS est_union, cm.n_match::BIGINT AS n_match, "
+    "(cm.n_match::DOUBLE * 9223372036854775808.0) / th.theta "
+    "AS est_intersection FROM ka, kb, th, cm, uu")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4461,6 +4532,8 @@ def registry() -> dict:
         "mis_nodes": q_mis_nodes,
         "closeness_sampled": q_closeness_sampled,
         "rake_keywords": q_rake_keywords,
+        "apriori_triples": q_apriori_triples,
+        "kmv_set_ops": q_kmv_set_ops,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5475,6 +5548,8 @@ ORACLES: dict[str, str] = {
     "mis_nodes": _mis_oracle_sql(),
     "closeness_sampled": _CLOSENESS_SQL,
     "rake_keywords": _RAKE_SQL,
+    "apriori_triples": _APRIORI_SQL,
+    "kmv_set_ops": _KMV_SET_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

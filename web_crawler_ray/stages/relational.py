@@ -884,3 +884,122 @@ def zorder_layout(ds, x_col: str, y_col: str, x_of, y_of,
               .repartition(1)
               .map_batches(prune, batch_format="pandas")
               .select_columns(out_cols))
+
+
+def apriori_triples(ds, group_col: str, item_col: str,
+                    min_support: int = 2, num_partitions: int = 32):
+    """Level-3 frequent itemsets (Apriori, Agrawal & Srikant 1994):
+    every item TRIPLE (a < b < c) co-occurring in at least
+    ``min_support`` baskets. Candidate generation uses the Apriori
+    property — a triple is emitted only when all three of its pairs
+    are frequent — which changes the WORK, never the RESULT (support
+    monotonicity: a frequent triple's sub-pairs are frequent), so the
+    SQL twin is simply the triple self-join with HAVING. All integer
+    counts. Returns (item_a, item_b, item_c, support).
+
+    Scale shape: the pairwise level reuses cooccurrence_pairs (two
+    keyed exchanges); the frequent-pair set is BROADCAST once as a
+    sorted encoded array (O(F2), the Apriori frontier, not the data);
+    one basket-keyed exchange emits pruned triples (per-basket loop
+    bounded by basket size — lineitem baskets ≤7 distinct items) and
+    one item-keyed exchange counts support. Shuffle volume is pruned
+    triples, never baskets³."""
+    import itertools
+
+    import pandas as pd
+    import ray
+
+    from .shuffles import int_part_map
+
+    f2 = cooccurrence_pairs(ds, group_col, item_col,
+                            min_support=min_support,
+                            num_partitions=num_partitions)
+    parts = [pa.table(b) for b in
+             f2.iter_batches(batch_format="pyarrow")]
+    empty = pa.table({"item_a": pa.array([], pa.int64()),
+                      "item_b": pa.array([], pa.int64()),
+                      "item_c": pa.array([], pa.int64()),
+                      "support": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    cat = pa.concat_tables(parts)
+    if cat.num_rows == 0:
+        return empty
+    pa_, pb_ = (cat.column("item_a").to_numpy(zero_copy_only=False),
+                cat.column("item_b").to_numpy(zero_copy_only=False))
+    f2_keys_ref = ray.put(np.sort((pa_.astype(np.int64) << np.int64(31))
+                                  | pb_.astype(np.int64)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": t.column(group_col).cast(pa.int64()),
+            "i": t.column(item_col).cast(pa.int64())})
+
+    def emit_triples(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        out = {"x": z, "y": z, "zz": z}
+        if not len(df):
+            return pd.DataFrame(out)
+        keys = ray.get(f2_keys_ref)
+
+        def freq(a: int, b: int) -> bool:
+            k = (a << 31) | b
+            j = np.searchsorted(keys, k)
+            return j < len(keys) and keys[j] == k
+
+        g = df["g"].to_numpy(np.int64)
+        i = df["i"].to_numpy(np.int64)
+        o = np.lexsort((i, g))
+        g, i = g[o], i[o]
+        keep = np.ones(len(g), bool)
+        keep[1:] = (g[1:] != g[:-1]) | (i[1:] != i[:-1])
+        g, i = g[keep], i[keep]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(g[1:] != g[:-1]) + 1, [len(g)]))
+        xs, ys, zs = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            items = i[s:e]
+            if len(items) < 3:
+                continue
+            for a, b, c in itertools.combinations(items.tolist(), 3):
+                if freq(a, b) and freq(a, c) and freq(b, c):
+                    xs.append(a)
+                    ys.append(b)
+                    zs.append(c)
+        return pd.DataFrame({"x": np.array(xs, np.int64),
+                             "y": np.array(ys, np.int64),
+                             "zz": np.array(zs, np.int64)})
+
+    triples = int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                           "g", emit_triples,
+                           num_partitions=num_partitions)
+
+    def count_triples(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"item_a": z, "item_b": z,
+                                 "item_c": z, "support": z})
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        w = df["zz"].to_numpy(np.int64)
+        o = np.lexsort((w, y, x))
+        x, y, w = x[o], y[o], w[o]
+        new = np.ones(len(x), bool)
+        new[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1]) | \
+            (w[1:] != w[:-1])
+        st = np.flatnonzero(new)
+        cnt = np.diff(np.append(st, len(x)))
+        sel = cnt >= min_support
+        return pd.DataFrame({"item_a": x[st][sel],
+                             "item_b": y[st][sel],
+                             "item_c": w[st][sel],
+                             "support": cnt[sel].astype(np.int64)})
+
+    res = int_part_map(triples, "x", count_triples,
+                       num_partitions=num_partitions)
+    tabs = [pa.table(b) for b in
+            res.iter_batches(batch_format="pyarrow")]
+    live = [t for t in tabs if t.num_rows]
+    # O(result) rows: concat to a schema-carrying Table (all-empty
+    # Datasets lose their columns at to_pandas — session-2 landmine)
+    return pa.concat_tables(live) if live else empty

@@ -609,3 +609,75 @@ def kmv_distinct(ds, value: str, k: int = 256):
     return pa.table({"k_used": pa.array([k_used], pa.int64()),
                      "kth_hash": pa.array([kth], pa.int64()),
                      "est": pa.array([est], pa.float64())})
+
+
+def kmv_set_ops(ds, value: str, type_col: str, type_a: str,
+                type_b: str, k: int = 64):
+    """Theta-sketch-style SET OPERATIONS on two KMV sketches built in
+    one pass (Dasgupta et al., the DataSketches theta framework):
+    sketch A = k smallest distinct hashes of ``value`` where
+    ``type_col == type_a``, sketch B likewise for ``type_b``. Union
+    estimate folds the REGISTERS (k smallest of regA ∪ regB — equal to
+    the k smallest of the true union, since any of those must be among
+    its own set's k smallest); intersection estimate counts common
+    registers below θ = min(θ_A, θ_B) and scales by 2⁶³/θ. Both
+    estimates are ≤2 IEEE float ops over exactly-SQL-computable
+    integer registers (the kmv_distinct convention) — bit-exact twin;
+    unsaturated sketches degrade to EXACT counts (θ = 2⁶³). Returns a
+    1-row table (k_a, k_b, est_union, n_match, est_intersection).
+
+    Scale shape: ONE pass — each batch emits ≤k smallest distinct
+    hashes PER SIDE (a pure tagged combiner), the driver folds
+    O(batches × k) ints; no shuffle, no row ever reaches the driver."""
+    import pyarrow.compute as pc
+
+    from ..stages.aggregates import md5_low64
+
+    M63 = (1 << 63) - 1
+    TWO63 = 9223372036854775808.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        sides, hvs = [], []
+        for side, tname in ((0, type_a), (1, type_b)):
+            m = pc.equal(t.column(type_col), tname)
+            vals = t.filter(m).select([value]).drop_null() \
+                .column(value).combine_chunks().unique().to_pylist()
+            hv = np.unique(np.array(
+                [md5_low64(str(v)) & M63 for v in vals], np.int64))[:k]
+            sides.append(np.full(len(hv), side, np.int64))
+            hvs.append(hv)
+        return pa.table({"side": pa.array(np.concatenate(sides)),
+                         "hv": pa.array(np.concatenate(hvs))})
+
+    accs = {0: [], 1: []}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        sd = tb.column("side").to_numpy(zero_copy_only=False)
+        hv = tb.column("hv").to_numpy(zero_copy_only=False)
+        accs[0].append(hv[sd == 0])
+        accs[1].append(hv[sd == 1])
+
+    def fold(parts):
+        u = np.unique(np.concatenate(parts)) if parts else \
+            np.array([], np.int64)
+        return u[:k]
+
+    ra, rb = fold(accs[0]), fold(accs[1])
+    th_a = float(ra[k - 1]) if len(ra) == k else TWO63
+    th_b = float(rb[k - 1]) if len(rb) == k else TWO63
+    theta = min(th_a, th_b)
+    common = np.intersect1d(ra, rb)
+    n_match = int((common.astype(np.float64) < theta).sum())
+    est_inter = (float(n_match) * TWO63) / theta
+    ru = np.unique(np.concatenate([ra, rb]))[:k]
+    if len(ru) < k:
+        est_union = float(len(ru))
+    else:
+        est_union = (float(k - 1) * TWO63) / float(ru[k - 1])
+    return pa.table({
+        "k_a": pa.array([len(ra)], pa.int64()),
+        "k_b": pa.array([len(rb)], pa.int64()),
+        "est_union": pa.array([est_union], pa.float64()),
+        "n_match": pa.array([n_match], pa.int64()),
+        "est_intersection": pa.array([est_inter], pa.float64())})
