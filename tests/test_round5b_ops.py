@@ -457,3 +457,95 @@ def test_kmv_set_ops_estimator_accuracy(ray_session):
     true_union = na + nb - overlap
     assert abs(out["est_union"].iloc[0] - true_union) / true_union < 0.2
     assert abs(out["est_intersection"].iloc[0] - overlap) / overlap < 0.35
+
+
+# --- DAG layers --------------------------------------------------------------
+
+def test_dag_layers_matches_brute_and_path_parity(ray_session):
+    from web_crawler_ray.stages.graph import dag_layers
+    rng = np.random.default_rng(17)
+    m = 1200
+    u = rng.integers(0, 200, m).astype(np.int64)
+    v = rng.integers(0, 200, m).astype(np.int64)
+    t = pa.table({"src": pa.array(u), "dst": pa.array(v)})
+    a = dag_layers(rd.from_arrow(t).repartition(5)).to_pandas()
+    b = dag_layers(rd.from_arrow(t).repartition(5),
+                   driver_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)   # driver == distributed
+    # brute: orient by (deg, id), layer = longest in-path via peel
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    keep = lo != hi
+    uv = np.unique(np.stack([lo[keep], hi[keep]], 1), axis=0)
+    x, y = uv[:, 0], uv[:, 1]
+    nodes, inv = np.unique(np.concatenate([x, y]), return_inverse=True)
+    xi, yi = inv[:len(x)], inv[len(x):]
+    deg = np.bincount(np.concatenate([xi, yi]), minlength=len(nodes))
+    sw = (deg[xi] > deg[yi]) | ((deg[xi] == deg[yi])
+                               & (nodes[xi] > nodes[yi]))
+    du = np.where(sw, yi, xi)
+    dv = np.where(sw, xi, yi)
+    n = len(nodes)
+    layer = np.full(n, -1, np.int64)
+    alive = np.ones(n, bool)
+    r = 0
+    while alive.any():
+        indeg = np.bincount(dv[alive[du] & alive[dv]], minlength=n)
+        rem = alive & (indeg == 0)
+        layer[rem] = r
+        alive &= ~rem
+        r += 1
+    want = dict(zip(nodes.tolist(), layer.tolist()))
+    assert len(a) == len(want)
+    for _, row in a.iterrows():
+        assert want[int(row["node"])] == int(row["layer"])
+    # DAG invariant: every oriented edge goes to a strictly higher layer
+    lay = dict(zip(a["node"], a["layer"]))
+    for s, d in zip(nodes[du], nodes[dv]):
+        assert lay[int(s)] < lay[int(d)]
+
+
+# --- stream-stream window join -----------------------------------------------
+
+def test_stream_window_join_matches_brute(ray_session):
+    from web_crawler_ray.stages.joins import stream_window_join
+    t = _events(n=300, n_users=6)
+    w = 1_800_000_000  # 30 min
+    got = (stream_window_join(rd.from_arrow(t).repartition(7),
+                              "user_id", "ts", "event_id",
+                              "event_type", "click", "view",
+                              window_us=w)
+           .to_pandas().sort_values(["key", "left_id", "right_id"])
+           .reset_index(drop=True))
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    want = []
+    cl = df[df["event_type"] == "click"]
+    vw = df[df["event_type"] == "view"]
+    for _, c in cl.iterrows():
+        for _, v in vw.iterrows():
+            if c["user_id"] == v["user_id"] and \
+                    abs(v["t"] - c["t"]) <= w:
+                want.append((c["user_id"], c["event_id"],
+                             v["event_id"], v["t"] - c["t"]))
+    want = pd.DataFrame(want, columns=["key", "left_id", "right_id",
+                                       "dt_us"]) \
+        .sort_values(["key", "left_id", "right_id"]) \
+        .reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_window_join_window_boundary_inclusive(ray_session):
+    from web_crawler_ray.stages.joins import stream_window_join
+    # dt exactly == window on both sides must pair; one tick past not
+    t = pa.table({
+        "user_id": pa.array(np.zeros(4, np.int64)),
+        "ts": pa.array(np.array([1_000_000, 2_000_000, 0, 2_000_001],
+                                np.int64).astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "event_type": pa.array(["click", "view", "view", "view"]),
+    })
+    got = stream_window_join(rd.from_arrow(t), "user_id", "ts",
+                             "event_id", "event_type", "click",
+                             "view", window_us=1_000_000).to_pandas()
+    assert sorted(got["right_id"].tolist()) == [1, 2]

@@ -4419,6 +4419,69 @@ _KMV_SET_SQL = (
     "AS est_intersection FROM ka, kb, th, cm, uu")
 
 
+def q_dag_layers(sf_dir: str):
+    """Topological layers of the degree-oriented acyclification of the
+    mixed-key lineitem graph — longest in-path length per node, the
+    parallel-scheduling depth of a dependency DAG (stages/graph.py
+    dag_layers: numpy Kahn peel on the driver below 1M edges; above,
+    degree-attach + orient exchanges once, then two keyed exchanges
+    per peel round; both paths parity-pinned). Oracle: the alive-set
+    recurrence as a bounded recursive CTE — a node's max surviving
+    iteration IS its longest in-path (bound 48 >> depth 20 at
+    sf0.01)."""
+    from ..stages.graph import dag_layers
+    return dag_layers(_tri_edges(sf_dir))
+
+
+_DAG_LAYERS_SQL = (
+    f"WITH RECURSIVE e0 AS ({_TRI_E0}), "
+    "canon AS (SELECT DISTINCT least(src, dst) AS u, "
+    "greatest(src, dst) AS v FROM e0 WHERE src <> dst), "
+    "adj AS (SELECT u AS a, v AS b FROM canon "
+    "UNION ALL SELECT v, u FROM canon), "
+    "dg AS (SELECT a AS node, count(*) AS d FROM adj GROUP BY a), "
+    "ed AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND "
+    "c.u < c.v) THEN c.u ELSE c.v END AS src, "
+    "CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v) "
+    "THEN c.v ELSE c.u END AS dst FROM canon c "
+    "JOIN dg du ON du.node = c.u JOIN dg dv ON dv.node = c.v), "
+    "r AS (SELECT 0 AS it, node FROM dg "
+    "UNION SELECT a.it + 1, e.dst FROM ed e "
+    "JOIN r a ON a.node = e.src WHERE a.it < 48) "
+    "SELECT node, max(it)::BIGINT AS layer FROM r "
+    "GROUP BY node ORDER BY node")
+
+
+def q_stream_window_join(sf_dir: str):
+    """Stream-stream interval join: every (click, view) pair of the
+    same user within ±1 day — the Flink/Beam dual-buffer windowed
+    join (stages/joins.py stream_window_join: ONE user-keyed
+    exchange, per-key vectorized window bisection, output = true pair
+    count; exact integer µs deltas)."""
+    from ..stages.joins import stream_window_join
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    out = stream_window_join(ds, "user_id", "ts", "event_id",
+                             "event_type", "click", "view",
+                             window_us=86_400_000_000)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["user_id", "left_id", "right_id", "dt_us"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+_STREAM_JOIN_SQL = (
+    "SELECT c.user_id, c.event_id AS left_id, "
+    "v.event_id AS right_id, "
+    "(epoch_us(v.ts) - epoch_us(c.ts))::BIGINT AS dt_us "
+    "FROM events c JOIN events v ON c.user_id = v.user_id "
+    "AND c.event_type = 'click' AND v.event_type = 'view' "
+    "AND abs(epoch_us(v.ts) - epoch_us(c.ts)) <= 86400000000 "
+    "ORDER BY c.user_id, left_id, right_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4534,6 +4597,8 @@ def registry() -> dict:
         "rake_keywords": q_rake_keywords,
         "apriori_triples": q_apriori_triples,
         "kmv_set_ops": q_kmv_set_ops,
+        "dag_layers": q_dag_layers,
+        "stream_window_join": q_stream_window_join,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5550,6 +5615,8 @@ ORACLES: dict[str, str] = {
     "rake_keywords": _RAKE_SQL,
     "apriori_triples": _APRIORI_SQL,
     "kmv_set_ops": _KMV_SET_SQL,
+    "dag_layers": _DAG_LAYERS_SQL,
+    "stream_window_join": _STREAM_JOIN_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -2631,3 +2631,293 @@ def closeness_sampled(edges_ds, n_sources: int = 4,
                           .astype(np.int64)),
         "sum_hops": pa.array(np.add.reduceat(hp, st).astype(np.int64)),
     })
+
+
+def dag_layers(edges_ds, src: str = "src", dst: str = "dst",
+               driver_limit: int = DRIVER_CC_MAX,
+               max_rounds: int = 256, num_partitions: int = 8):
+    """Topological LAYERS of the degree-oriented acyclification of an
+    undirected graph: each edge directs from its (degree, id)-smaller
+    endpoint (acyclic by construction — the triangle_counts
+    orientation), and a node's layer is its longest in-path length
+    (equivalently the Kahn-peel round at which its in-degree hits
+    zero) — the parallel-scheduling depth signal for dependency
+    graphs. All-integer, deterministic. Returns a ``pyarrow.Table``
+    (node, layer) sorted by node.
+
+    Scale shape: below ``driver_limit`` edges a numpy peel loop on the
+    driver (bincount in-degrees per round). Above: the canonicalize
+    exchange once, then per round ONE owner-lookup exchange keeps
+    edges whose src is still alive and ONE tagged-union exchange
+    peels in-degree-0 nodes, stamping the round as their layer; the
+    driver sees one O(1) alive-count scalar per round; rounds = DAG
+    depth (≤ longest degeneracy path, 20 on the sf0.01 graph)."""
+    import ray.data as rd
+
+    from .shuffles import int_part_map as _ipm
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "layer": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return empty
+
+    def orient(u, v):
+        """Degree-oriented DAG edges (du, dv) from undirected u, v."""
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        uv = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        a, b = uv[:, 0], uv[:, 1]
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        deg = np.bincount(np.concatenate([ai, bi]),
+                          minlength=len(nodes))
+        sw = (deg[ai] > deg[bi]) | \
+            ((deg[ai] == deg[bi]) & (nodes[ai] > nodes[bi]))
+        return nodes, np.where(sw, bi, ai), np.where(sw, ai, bi)
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_ds.select_columns([src, dst])
+             .iter_batches(batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, du, dv = orient(u, v)
+        if not len(nodes):
+            return empty
+        n = len(nodes)
+        layer = np.full(n, -1, np.int64)
+        alive = np.ones(n, bool)
+        for r in range(max_rounds):
+            if not alive.any():
+                break
+            indeg = np.bincount(dv[alive[du] & alive[dv]], minlength=n)
+            rem = alive & (indeg == 0)
+            layer[rem] = r
+            alive &= ~rem
+        if alive.any():
+            raise RuntimeError("dag_layers did not converge in "
+                               f"{max_rounds} rounds")
+        return pa.table({"node": pa.array(nodes),
+                         "layer": pa.array(layer)})
+
+    # ---- distributed path: orient via two exchanges, then peel ----------
+    def to_canon(t: pa.Table) -> pa.Table:
+        uu = t.column(src).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vv = t.column(dst).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(uu, vv), np.maximum(uu, vv)
+        keep = lo != hi
+        return pa.table({"src": pa.array(lo[keep]),
+                         "dst": pa.array(hi[keep])})
+
+    canon = _ipm(edges_ds.map_batches(to_canon, batch_format="pyarrow"),
+                 "src", _distinct_edges,
+                 num_partitions=num_partitions).materialize()
+
+    # degree per node: symmetric endpoint counts (combiner per batch)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        aa = t.column("src").to_numpy(zero_copy_only=False)
+        bb = t.column("dst").to_numpy(zero_copy_only=False)
+        s = np.sort(np.concatenate([aa, bb]))
+        new = np.ones(len(s), bool)
+        new[1:] = s[1:] != s[:-1]
+        st = np.nonzero(new)[0]
+        return pa.table({"node": pa.array(s[st]),
+                         "cnt": pa.array(np.diff(np.append(st, len(s)))
+                                         .astype(np.int64))})
+
+    def fold_deg(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["node"].to_numpy(np.int64)
+        c = df["cnt"].to_numpy(np.int64)
+        o = np.argsort(n, kind="stable")
+        n, c = n[o], c[o]
+        new = np.ones(len(n), bool)
+        new[1:] = n[1:] != n[:-1]
+        st = np.nonzero(new)[0]
+        return pd.DataFrame({"node": n[st],
+                             "deg": np.add.reduceat(c, st)})
+
+    degs = _ipm(canon.map_batches(deg_partial, batch_format="pyarrow"),
+                "node", fold_deg,
+                num_partitions=num_partitions).materialize()
+
+    # attach degrees to both endpoints (two owner-lookup exchanges),
+    # then orient each canonical edge
+    def tag_edge_for(key: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"gkey": t.column(key),
+                             "src": t.column("src"),
+                             "dst": t.column("dst"),
+                             "d": pa.array(np.full(t.num_rows, -1,
+                                                   np.int64)),
+                             "tag": pa.array(np.zeros(t.num_rows,
+                                                      np.int8))})
+        return f
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        nd = t.column("node")
+        return pa.table({"gkey": nd, "src": nd, "dst": nd,
+                         "d": t.column("deg"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def attach(colname: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            z = np.array([], np.int64)
+            tg = df["tag"].to_numpy()
+            own, fol = df[tg == 1], df[tg == 0]
+            cols = {"src": z, "dst": z, "dsrc": z}
+            if colname == "ddst":
+                cols = {"src": z, "dst": z, "dsrc": z, "ddst": z}
+            if not len(fol) or not len(own):
+                return pd.DataFrame(cols)
+            ok = own["gkey"].to_numpy(np.int64)
+            dv_ = own["d"].to_numpy(np.int64)
+            o = np.argsort(ok, kind="stable")
+            ok, dv_ = ok[o], dv_[o]
+            g = fol["gkey"].to_numpy(np.int64)
+            pos = np.searchsorted(ok, g)
+            out = {"src": fol["src"].to_numpy(np.int64),
+                   "dst": fol["dst"].to_numpy(np.int64)}
+            if colname == "ddst":
+                out["dsrc"] = fol["d2"].to_numpy(np.int64)
+            out[colname] = dv_[pos]
+            return pd.DataFrame(out)
+        return f
+
+    e1 = _ipm(canon.map_batches(tag_edge_for("src"),
+                                batch_format="pyarrow")
+              .union(degs.map_batches(tag_deg, batch_format="pyarrow")),
+              "gkey", attach("dsrc"), num_partitions=num_partitions)
+
+    def tag_e1(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("dst"),
+                         "src": t.column("src"),
+                         "dst": t.column("dst"),
+                         "d2": t.column("dsrc"),
+                         "d": pa.array(np.full(t.num_rows, -1, np.int64)),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_deg2(t: pa.Table) -> pa.Table:
+        nd = t.column("node")
+        return pa.table({"gkey": nd, "src": nd, "dst": nd,
+                         "d2": pa.array(np.full(t.num_rows, -1,
+                                                np.int64)),
+                         "d": t.column("deg"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    e2 = _ipm(e1.map_batches(tag_e1, batch_format="pyarrow")
+              .union(degs.map_batches(tag_deg2, batch_format="pyarrow")),
+              "gkey", attach("ddst"), num_partitions=num_partitions)
+
+    def to_dag(t: pa.Table) -> pa.Table:
+        a = t.column("src").to_numpy(zero_copy_only=False)
+        b = t.column("dst").to_numpy(zero_copy_only=False)
+        da = t.column("dsrc").to_numpy(zero_copy_only=False)
+        db = t.column("ddst").to_numpy(zero_copy_only=False)
+        sw = (da > db) | ((da == db) & (a > b))
+        return pa.table({"src": pa.array(np.where(sw, b, a)),
+                         "dst": pa.array(np.where(sw, a, b))})
+
+    dag = e2.map_batches(to_dag, batch_format="pyarrow").materialize()
+
+    # peel rounds: status (node, layer) with layer = -1 while alive
+    def init_layers(df: pd.DataFrame) -> pd.DataFrame:
+        nd = np.unique(df["node"].to_numpy(np.int64))
+        return pd.DataFrame({"node": nd,
+                             "layer": np.full(len(nd), -1, np.int64)})
+
+    layers = _ipm(degs.map_batches(
+        lambda t: pa.table({"node": t.column("node")}),
+        batch_format="pyarrow"), "node", init_layers,
+        num_partitions=num_partitions).materialize()
+
+    def tag_dag(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("src"),
+                         "other": t.column("dst"),
+                         "lay": pa.array(np.full(t.num_rows, -2,
+                                                 np.int64)),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_layers(t: pa.Table) -> pa.Table:
+        nd = t.column("node")
+        return pa.table({"gkey": nd, "other": nd,
+                         "lay": t.column("layer"),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def alive_dst(df: pd.DataFrame) -> pd.DataFrame:
+        """Edges whose src is ALIVE (layer == -1) emit dst blockers."""
+        z = np.array([], np.int64)
+        tg = df["tag"].to_numpy()
+        own, fol = df[tg == 1], df[tg == 0]
+        if not len(fol) or not len(own):
+            return pd.DataFrame({"node": z})
+        liv = np.sort(own.loc[own["lay"].to_numpy(np.int64) == -1,
+                              "gkey"].to_numpy(np.int64))
+        g = fol["gkey"].to_numpy(np.int64)
+        pos = np.searchsorted(liv, g)
+        ok = np.zeros(len(g), bool)
+        inb = pos < len(liv)
+        ok[inb] = liv[pos[inb]] == g[inb]
+        return pd.DataFrame({"node": fol["other"].to_numpy(np.int64)[ok]})
+
+    def tag_block(t: pa.Table) -> pa.Table:
+        nd = t.column("node")
+        return pa.table({"gkey": nd, "other": nd,
+                         "lay": pa.array(np.full(t.num_rows, -2,
+                                                 np.int64)),
+                         "tag": pa.array(np.full(t.num_rows, 2,
+                                                 np.int8))})
+
+    for r in range(max_rounds):
+        n_alive = int(layers.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int((t.column("layer").to_numpy(zero_copy_only=False)
+                      == -1).sum())], pa.int64())}),
+            batch_format="pyarrow").sum("n"))
+        if n_alive == 0:
+            break
+        blocked = _ipm(dag.map_batches(tag_dag, batch_format="pyarrow")
+                       .union(layers.map_batches(
+                           tag_layers, batch_format="pyarrow")),
+                       "gkey", alive_dst,
+                       num_partitions=num_partitions)
+
+        rr = r
+
+        def peel(df: pd.DataFrame, _r=rr) -> pd.DataFrame:
+            z = np.array([], np.int64)
+            tg = df["tag"].to_numpy()
+            own = df[tg == 1]
+            bl = df[tg == 2]
+            if not len(own):
+                return pd.DataFrame({"node": z, "layer": z})
+            nd = own["gkey"].to_numpy(np.int64)
+            ly = own["lay"].to_numpy(np.int64).copy()
+            blocked_set = np.unique(bl["gkey"].to_numpy(np.int64)) \
+                if len(bl) else np.array([], np.int64)
+            pos = np.searchsorted(blocked_set, nd)
+            isb = np.zeros(len(nd), bool)
+            inb = pos < len(blocked_set)
+            isb[inb] = blocked_set[pos[inb]] == nd[inb]
+            ly[(ly == -1) & ~isb] = _r
+            return pd.DataFrame({"node": nd, "layer": ly})
+
+        layers = _ipm(layers.map_batches(tag_layers,
+                                         batch_format="pyarrow")
+                      .union(blocked.map_batches(
+                          tag_block, batch_format="pyarrow")),
+                      "gkey", peel,
+                      num_partitions=num_partitions).materialize()
+    else:
+        raise RuntimeError(f"dag_layers did not converge in "
+                           f"{max_rounds} rounds")
+
+    out = pa.concat_tables(
+        [pa.table(b) for b in layers.iter_batches(batch_format="pyarrow")])
+    nd = out.column("node").to_numpy(zero_copy_only=False)
+    ly = out.column("layer").to_numpy(zero_copy_only=False)
+    o = np.argsort(nd, kind="stable")
+    return pa.table({"node": pa.array(nd[o]),
+                     "layer": pa.array(ly[o])})

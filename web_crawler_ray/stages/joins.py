@@ -468,3 +468,99 @@ def grid_distance_pairs(ds, id_col: str, lat_col: str, lon_col: str,
                          "dist2": pa.array([], pa.float64())})
     return pa.concat_tables(tabs).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def stream_window_join(ds, key_col: str, ts_col: str, id_col: str,
+                       type_col: str, left_type: str, right_type: str,
+                       window_us: int, num_partitions: int = 32):
+    """STREAM-STREAM time-window equi-join: pair every ``left_type``
+    event with every ``right_type`` event of the SAME key whose
+    event-times differ by at most ``window_us`` — the Flink/Beam
+    interval-join shape (each side buffers the other's window). Emits
+    (key, left_id, right_id, dt_us = right − left), exact integer µs.
+
+    Scale shape: ONE exchange keyed by ``key_col`` co-locates each
+    key's events (the as-of join idiom); the kernel sorts both sides
+    once per partition and emits pairs with two vectorized
+    searchsorteds (lo/hi bounds per left row) + a repeat-gather — no
+    per-row loop, output volume = true pair count. The window bound
+    keeps state finite; at stream scale the same kernel runs per
+    (key, coarse-time-bucket) with window-overlap replication."""
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "t": pa.array(t.column(ts_col).to_numpy(zero_copy_only=False)
+                          .astype("datetime64[us]").astype(np.int64)),
+            "i": t.column(id_col).cast(pa.int64()),
+            "s": pa.array(np.where(
+                np.asarray(t.column(type_col).to_pandas()) == left_type,
+                0, np.where(np.asarray(t.column(type_col).to_pandas())
+                            == right_type, 1, -1)).astype(np.int64)),
+        })
+
+    w = np.int64(window_us)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        empty = pd.DataFrame({"key": z, "left_id": z,
+                              "right_id": z, "dt_us": z})
+        df = df[df["s"].to_numpy(np.int64) >= 0]
+        if not len(df):
+            return empty
+        k = df["k"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        i = df["i"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        L, R = s == 0, s == 1
+        # rights sorted by (key, ts, id) for the windowed probe
+        ro = np.lexsort((i[R], t[R], k[R]))
+        rk, rt, ri = k[R][ro], t[R][ro], i[R][ro]
+        if not len(rk) or not L.any():
+            return empty
+        lk, lt, li = k[L], t[L], i[L]
+        # per-key slices of the right side
+        ks = np.flatnonzero(np.concatenate(([True], rk[1:] != rk[:-1])))
+        key_vals = rk[ks]
+        key_end = np.append(ks[1:], len(rk))
+        kpos = np.searchsorted(key_vals, lk)
+        valid = (kpos < len(key_vals))
+        valid[valid] = key_vals[kpos[valid]] == lk[valid]
+        lk, lt, li, kpos = lk[valid], lt[valid], li[valid], kpos[valid]
+        if not len(lk):
+            return empty
+        # rt is sorted only WITHIN each key slice, so the window
+        # bisection runs per key slice (vectorized over that key's
+        # lefts — the bounded per-group class); order lefts by key so
+        # each slice is probed once
+        lo_ = np.argsort(lk, kind="stable")
+        lk, lt, li, kpos = lk[lo_], lt[lo_], li[lo_], kpos[lo_]
+        lstarts = np.flatnonzero(np.concatenate(
+            ([True], lk[1:] != lk[:-1])))
+        lends = np.append(lstarts[1:], len(lk))
+        lo = np.empty(len(lk), np.int64)
+        hi = np.empty(len(lk), np.int64)
+        for s0, e0 in zip(lstarts, lends):
+            b, e = ks[kpos[s0]], key_end[kpos[s0]]
+            seg = rt[b:e]
+            lo[s0:e0] = b + np.searchsorted(seg, lt[s0:e0] - w,
+                                            side="left")
+            hi[s0:e0] = b + np.searchsorted(seg, lt[s0:e0] + w,
+                                            side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        rep = np.repeat(np.arange(len(lk)), cnt)
+        # index of each pair's right row: lo[rep] + intra-run offset
+        offs = np.arange(tot) - np.repeat(
+            np.cumsum(np.concatenate(([0], cnt[:-1]))), cnt)
+        ridx = lo[rep] + offs
+        return pd.DataFrame({"key": lk[rep], "left_id": li[rep],
+                             "right_id": ri[ridx],
+                             "dt_us": rt[ridx] - lt[rep]})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "k", per_partition,
+                        num_partitions=num_partitions)
