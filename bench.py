@@ -212,7 +212,8 @@ def run_queries(num_cpus: int) -> dict:
              "sequence_match", "zorder_orders", "mis_nodes",
              "closeness_sampled", "rake_keywords",
              "apriori_triples", "kmv_set_ops",
-             "dag_layers", "stream_window_join"]
+             "dag_layers", "stream_window_join",
+             "window_dedup", "holt_users"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

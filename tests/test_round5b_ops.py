@@ -549,3 +549,72 @@ def test_stream_window_join_window_boundary_inclusive(ray_session):
                              "event_id", "event_type", "click",
                              "view", window_us=1_000_000).to_pandas()
     assert sorted(got["right_id"].tolist()) == [1, 2]
+
+
+# --- window dedup ------------------------------------------------------------
+
+def test_window_dedup_tracks_kept_not_previous(ray_session):
+    from web_crawler_ray.stages.windows import window_dedup
+    # gap 10: events at t=0, 4, 8, 12 -> kept 0 and 12 (4 and 8 are
+    # within 10 of the KEPT 0; a lag filter would wrongly keep 12 only
+    # if measured against 8)
+    t = pa.table({
+        "user_id": pa.array(np.zeros(4, np.int64)),
+        "ts": pa.array(np.array([0, 4, 8, 12], np.int64)
+                       .astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "event_type": pa.array(["x"] * 4),
+    })
+    got = window_dedup(rd.from_arrow(t), gap_us=10).to_pandas() \
+        .sort_values("event_id")
+    assert got["kept"].tolist() == [1, 0, 0, 1]
+
+
+def test_window_dedup_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import window_dedup
+    t = _events(n=500, n_users=6)
+    gap = 3_600_000_000
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    want = {}
+    for _, g in df.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["t", "event_id"], kind="mergesort")
+        last = None
+        for eid, tt in zip(g["event_id"], g["t"]):
+            k = 1 if last is None or tt - last >= gap else 0
+            want[eid] = k
+            if k:
+                last = tt
+    got = window_dedup(rd.from_arrow(t).repartition(9), gap_us=gap) \
+        .to_pandas().set_index("event_id")
+    assert len(got) == len(want)
+    for eid, k in want.items():
+        assert got.loc[eid, "kept"] == k
+    assert set(got["kept"].unique()) == {0, 1}
+
+
+# --- Holt linear smoothing ---------------------------------------------------
+
+def test_holt_matches_brute_bitexact(ray_session):
+    from web_crawler_ray.stages.windows import holt_linear
+    t = _events(n=400, n_users=5)
+    a, ca, be, cb = 0.25, 0.75, 0.125, 0.875
+    df = t.to_pandas()
+    want = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        l = b = None
+        for eid, v in zip(g["event_id"], g["value"]):
+            if l is None:
+                l, b = v, 0.0
+            else:
+                l_new = a * v + ca * (l + b)
+                b = be * (l_new - l) + cb * b
+                l = l_new
+            want[eid] = (l, b)
+    got = holt_linear(rd.from_arrow(t).repartition(8),
+                      alpha=a, beta=be) \
+        .to_pandas().set_index("event_id")
+    for eid, (l, b) in want.items():
+        assert got.loc[eid, "level"] == l     # bit-exact
+        assert got.loc[eid, "trend"] == b

@@ -4482,6 +4482,60 @@ _STREAM_JOIN_SQL = (
     "ORDER BY c.user_id, left_id, right_id")
 
 
+def q_window_dedup(sf_dir: str):
+    """Keep-first-in-window throttle per (user, type), 1-day gap —
+    the CDC-ingest / notification dedup whose state tracks the last
+    KEPT event, not the previous row (stages/windows.py window_dedup:
+    one user-keyed exchange, the step loop advances every group's
+    last-kept timestamp at once; all-integer µs). Oracle: the kept
+    chain stepped in a recursive CTE."""
+    from ..stages.windows import window_dedup
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    return window_dedup(ds, gap_us=86_400_000_000)
+
+
+_WINDOW_DEDUP_SQL = (
+    "WITH RECURSIVE o AS (SELECT user_id, event_type, event_id, "
+    "epoch_us(ts) AS t, row_number() OVER (PARTITION BY user_id, "
+    "event_type ORDER BY ts, event_id) AS rn FROM events), "
+    "r AS (SELECT user_id, event_type, event_id, rn, t, 1 AS kept, "
+    "t AS last_t FROM o WHERE rn = 1 "
+    "UNION ALL SELECT o.user_id, o.event_type, o.event_id, o.rn, "
+    "o.t, CASE WHEN o.t - r.last_t >= 86400000000 THEN 1 ELSE 0 END, "
+    "CASE WHEN o.t - r.last_t >= 86400000000 THEN o.t ELSE r.last_t "
+    "END FROM r JOIN o ON o.user_id = r.user_id "
+    "AND o.event_type = r.event_type AND o.rn = r.rn + 1) "
+    "SELECT event_id, kept::BIGINT AS kept FROM r")
+
+
+def q_holt_users(sf_dir: str):
+    """Per-row Holt double exponential smoothing (level + trend,
+    α = 1/4, β = 1/8) of each user's value stream — the trend-aware
+    forecasting baseline one notch past ewma_users (stages/windows.py
+    holt_linear: one user-keyed exchange, the step loop advances every
+    user's (level, trend) pair at once; identical fixed-operand IEEE
+    op tree as the recursive-CTE oracle — bit-exact)."""
+    from ..stages.windows import holt_linear
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return holt_linear(ds, alpha=0.25, beta=0.125)
+
+
+_HOLT_SQL = (
+    "WITH RECURSIVE o AS (SELECT user_id, event_id, value, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS rn FROM events), "
+    "r AS (SELECT user_id, event_id, rn, value AS l, 0.0::DOUBLE AS b "
+    "FROM o WHERE rn = 1 "
+    "UNION ALL SELECT o.user_id, o.event_id, o.rn, "
+    "0.25::DOUBLE * o.value + 0.75::DOUBLE * (r.l + r.b), "
+    "0.125::DOUBLE * ((0.25::DOUBLE * o.value "
+    "+ 0.75::DOUBLE * (r.l + r.b)) - r.l) + 0.875::DOUBLE * r.b "
+    "FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1) "
+    "SELECT user_id, event_id, l AS level, b AS trend FROM r")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4599,6 +4653,8 @@ def registry() -> dict:
         "kmv_set_ops": q_kmv_set_ops,
         "dag_layers": q_dag_layers,
         "stream_window_join": q_stream_window_join,
+        "window_dedup": q_window_dedup,
+        "holt_users": q_holt_users,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5617,6 +5673,8 @@ ORACLES: dict[str, str] = {
     "kmv_set_ops": _KMV_SET_SQL,
     "dag_layers": _DAG_LAYERS_SQL,
     "stream_window_join": _STREAM_JOIN_SQL,
+    "window_dedup": _WINDOW_DEDUP_SQL,
+    "holt_users": _HOLT_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -1684,3 +1684,148 @@ def sequence_match(ds, pattern: str, code_map: dict,
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def window_dedup(ds, gap_us: int = 86_400_000_000,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id", type_col: str = "event_type"):
+    """Keep-first-in-window dedup / throttle per (user, type): in
+    (ts, id) order an event is KEPT iff it is the group's first or at
+    least ``gap_us`` after the last KEPT event — the CDC-ingest /
+    notification-throttle primitive (state depends on the kept
+    predecessor, not the previous row, so this is NOT a lag filter).
+    Returns (event_id, kept∈{0,1}) for every input row; all-integer
+    µs — exact.
+
+    Scale shape: ONE user-keyed exchange (the ewma skeleton, group =
+    (user, type) via within-partition codes); the recurrence is
+    sequential PER GROUP so the step loop advances every group's
+    last-kept timestamp at once. The oracle steps the identical chain
+    in a recursive CTE."""
+    from .shuffles import int_part_map
+
+    gap = np.int64(gap_us)
+
+    def prep(t: pa.Table) -> pa.Table:
+        codes = np.asarray(t.column(type_col).to_pandas())
+        return pa.table({
+            "u": t.column(user_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col).to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(id_col).cast(pa.int64()),
+            "c": pa.array(codes),
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"event_id": z, "kept": z})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        _, ccode = np.unique(df["c"].to_numpy(), return_inverse=True)
+        order = np.lexsort((oc, ts, ccode, u))
+        u, ts, oc, ccode = u[order], ts[order], oc[order], ccode[order]
+        n = len(u)
+        brk = np.ones(n, bool)
+        brk[1:] = (u[1:] != u[:-1]) | (ccode[1:] != ccode[:-1])
+        starts = np.flatnonzero(brk)
+        base = np.repeat(np.arange(len(starts)),
+                         np.diff(np.append(starts, n)))
+        seq = np.arange(n) - starts[base]
+        step_order = np.lexsort((base, seq))
+        last = np.full(len(starts), np.iinfo(np.int64).min // 4,
+                       np.int64)
+        kept = np.empty(n, np.int64)
+        max_seq = int(seq.max()) + 1
+        counts = np.bincount(seq[step_order], minlength=max_seq)
+        pos = 0
+        for k in range(max_seq):
+            sel = step_order[pos:pos + counts[k]]
+            pos += counts[k]
+            gi = base[sel]
+            ok = ts[sel] - last[gi] >= gap
+            kept[sel] = ok.astype(np.int64)
+            last[gi] = np.where(ok, ts[sel], last[gi])
+        return pd.DataFrame({"event_id": oc, "kept": kept})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
+
+
+def holt_linear(ds, alpha: float = 0.25, beta: float = 0.125,
+                user_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", val_col: str = "value"):
+    """Per-row HOLT double exponential smoothing of each user's value
+    stream (level + trend: l₁ = x₁, b₁ = 0; lₜ = α·xₜ +
+    (1−α)·(lₜ₋₁+bₜ₋₁); bₜ = β·(lₜ−lₜ₋₁) + (1−β)·bₜ₋₁) — the
+    trend-aware forecasting baseline one notch past ewma_users.
+    BIT-EXACT against a recursive-CTE twin: both sides execute the
+    identical fixed-operand IEEE op tree per step (dyadic α, β make
+    1−α, 1−β exact). Returns (user_id, event_id, level, trend).
+
+    Scale shape: ONE user-keyed exchange (the ewma skeleton); the
+    step loop advances every user's (level, trend) pair at once."""
+    from .shuffles import int_part_map
+
+    a = float(alpha)
+    ca = 1.0 - a
+    be = float(beta)
+    cb = 1.0 - be
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t.column(user_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col).to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(id_col).cast(pa.int64()),
+            "v": pa.array(t.column(val_col).to_numpy(zero_copy_only=False)
+                          .astype(np.float64)),
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        f = np.array([], np.float64)
+        if not len(df):
+            return pd.DataFrame({"user_id": z, "event_id": z,
+                                 "level": f, "trend": f})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((oc, ts, u))
+        u, ts, oc, v = u[order], ts[order], oc[order], v[order]
+        n = len(u)
+        brk = np.ones(n, bool)
+        brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        base = np.repeat(np.arange(len(starts)),
+                         np.diff(np.append(starts, n)))
+        seq = np.arange(n) - starts[base]
+        step_order = np.lexsort((base, seq))
+        l_acc = np.empty(len(starts), np.float64)
+        b_acc = np.empty(len(starts), np.float64)
+        lv = np.empty(n, np.float64)
+        tr = np.empty(n, np.float64)
+        max_seq = int(seq.max()) + 1
+        counts = np.bincount(seq[step_order], minlength=max_seq)
+        pos = 0
+        for k in range(max_seq):
+            sel = step_order[pos:pos + counts[k]]
+            pos += counts[k]
+            gi = base[sel]
+            if k == 0:
+                l_acc[gi] = v[sel]
+                b_acc[gi] = 0.0
+            else:
+                l_old = l_acc[gi]
+                l_new = a * v[sel] + ca * (l_old + b_acc[gi])
+                b_acc[gi] = be * (l_new - l_old) + cb * b_acc[gi]
+                l_acc[gi] = l_new
+            lv[sel] = l_acc[gi]
+            tr[sel] = b_acc[gi]
+        return pd.DataFrame({"user_id": u, "event_id": oc,
+                             "level": lv, "trend": tr})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
