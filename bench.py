@@ -213,7 +213,8 @@ def run_queries(num_cpus: int) -> dict:
              "closeness_sampled", "rake_keywords",
              "apriori_triples", "kmv_set_ops",
              "dag_layers", "stream_window_join",
-             "window_dedup", "holt_users"]
+             "window_dedup", "holt_users",
+             "abtest_lift", "share_of_total"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

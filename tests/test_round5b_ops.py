@@ -618,3 +618,47 @@ def test_holt_matches_brute_bitexact(ray_session):
     for eid, (l, b) in want.items():
         assert got.loc[eid, "level"] == l     # bit-exact
         assert got.loc[eid, "trend"] == b
+
+
+# --- A/B lift ----------------------------------------------------------------
+
+def test_abtest_lift_hand_computed(ray_session):
+    from web_crawler_ray.stages.aggregates import abtest_lift
+    # 4 even users (2 convert), 4 odd users (1 converts); convert =
+    # >= 2 purchases
+    rows = []
+    purchases = {0: 2, 2: 3, 4: 1, 6: 0, 1: 2, 3: 1, 5: 0, 7: 1}
+    for u, np_ in purchases.items():
+        rows += [(u, "purchase")] * np_ + [(u, "view")]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[1] for r in rows])})
+    out = abtest_lift(rd.from_arrow(t).repartition(3),
+                      convert_min=2).to_pandas()
+    assert out["n_a"].iloc[0] == 4 and out["c_a"].iloc[0] == 2
+    assert out["n_b"].iloc[0] == 4 and out["c_b"].iloc[0] == 1
+    p1, p2 = 2 / 4, 1 / 4
+    lift = p1 - p2
+    p = 3 / 8
+    q = 8 / 16
+    want_z = lift / np.sqrt(p * (1.0 - p) * q)
+    assert out["lift"].iloc[0] == lift
+    assert out["z_stat"].iloc[0] == want_z
+    assert np.isfinite(out["z_stat"].iloc[0])
+
+
+# --- share of total ----------------------------------------------------------
+
+def test_share_of_total_sums_to_one_and_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import share_of_total
+    t = _events(n=300, n_users=5)
+    got = share_of_total(rd.from_arrow(t).repartition(6)).to_pandas()
+    df = t.to_pandas()
+    df["cents"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    tot = df.groupby("event_type")["cents"].sum()
+    want = {eid: c / tot[k] for eid, k, c in
+            zip(df["event_id"], df["event_type"], df["cents"])}
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[int(r["event_id"])] == r["share"]   # bit-exact
+    s = got.groupby("event_type")["share"].sum()
+    assert np.allclose(s.to_numpy(), 1.0)

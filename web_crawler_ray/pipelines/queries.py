@@ -4536,6 +4536,60 @@ _HOLT_SQL = (
     "SELECT user_id, event_id, l AS level, b AS trend FROM r")
 
 
+def q_abtest_lift(sf_dir: str):
+    """Two-proportion A/B read-out: users split by id parity, converts
+    = ≥15 purchase events (any-purchase is p=1-degenerate on this
+    population and would NaN the pooled z); counts + lift + pooled
+    z-statistic (stages/aggregates.py abtest_lift: per-batch partial
+    user-max rows, one groupby(user) fold, 4-int driver combiner; the
+    float finish is a fixed op tree with one correctly-rounded sqrt —
+    the welch_ttest bit-exact convention)."""
+    from ..stages.aggregates import abtest_lift
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    return abtest_lift(ds, convert_type="purchase")
+
+
+_ABTEST_SQL = (
+    "WITH u AS (SELECT user_id, CASE WHEN sum(CASE WHEN "
+    "event_type = 'purchase' THEN 1 ELSE 0 END) >= 15 THEN 1 "
+    "ELSE 0 END AS cv FROM events GROUP BY user_id), "
+    "ag AS (SELECT "
+    "sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a, "
+    "sum(CASE WHEN user_id % 2 = 0 THEN cv ELSE 0 END) AS c_a, "
+    "sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b, "
+    "sum(CASE WHEN user_id % 2 = 1 THEN cv ELSE 0 END) AS c_b "
+    "FROM u) "
+    "SELECT n_a::BIGINT AS n_a, c_a::BIGINT AS c_a, "
+    "n_b::BIGINT AS n_b, c_b::BIGINT AS c_b, "
+    "(c_a::DOUBLE / n_a::DOUBLE - c_b::DOUBLE / n_b::DOUBLE) "
+    "AS lift, "
+    "(c_a::DOUBLE / n_a::DOUBLE - c_b::DOUBLE / n_b::DOUBLE) / "
+    "sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE) * "
+    "(1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE) * "
+    "((n_a + n_b)::DOUBLE / (n_a * n_b)::DOUBLE)) AS z_stat "
+    "FROM ag")
+
+
+def q_share_of_total(sf_dir: str):
+    """Per-event share of its type's total value — the
+    percent-of-total window behind mix/composition reports
+    (stages/aggregates.py share_of_total: cents-sum combiner folded
+    to O(groups) totals on the driver, broadcast back, ONE division
+    per row — no row shuffle; bit-exact)."""
+    from ..stages.aggregates import share_of_total
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    return share_of_total(ds)
+
+
+_SHARE_SQL = (
+    "WITH b AS (SELECT event_id, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_id, event_type, cents::DOUBLE / "
+    "(sum(cents) OVER (PARTITION BY event_type))::DOUBLE AS share "
+    "FROM b")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4655,6 +4709,8 @@ def registry() -> dict:
         "stream_window_join": q_stream_window_join,
         "window_dedup": q_window_dedup,
         "holt_users": q_holt_users,
+        "abtest_lift": q_abtest_lift,
+        "share_of_total": q_share_of_total,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5675,6 +5731,8 @@ ORACLES: dict[str, str] = {
     "stream_window_join": _STREAM_JOIN_SQL,
     "window_dedup": _WINDOW_DEDUP_SQL,
     "holt_users": _HOLT_SQL,
+    "abtest_lift": _ABTEST_SQL,
+    "share_of_total": _SHARE_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

