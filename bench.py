@@ -214,7 +214,8 @@ def run_queries(num_cpus: int) -> dict:
              "apriori_triples", "kmv_set_ops",
              "dag_layers", "stream_window_join",
              "window_dedup", "holt_users",
-             "abtest_lift", "share_of_total"]
+             "abtest_lift", "share_of_total",
+             "isotonic_hourly", "freq_cap"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

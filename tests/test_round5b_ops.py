@@ -662,3 +662,75 @@ def test_share_of_total_sums_to_one_and_matches_brute(ray_session):
         assert want[int(r["event_id"])] == r["share"]   # bit-exact
     s = got.groupby("event_type")["share"].sum()
     assert np.allclose(s.to_numpy(), 1.0)
+
+
+# --- isotonic regression -----------------------------------------------------
+
+def test_isotonic_monotone_and_matches_sklearn_free_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import isotonic_hourly
+    t = _events(n=2000, n_users=9, seed=31)
+    out = isotonic_hourly(rd.from_arrow(t).repartition(7)).to_pandas()
+    df = t.to_pandas()
+    df["hour"] = (df["ts"].astype("datetime64[us]").astype(np.int64)
+                  // 3_600_000_000) % 24
+    df["cents"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    for k, g in df.groupby("event_type"):
+        got = out[out["event_type"] == k].sort_values("hour")
+        # monotone non-decreasing
+        f = got["fitted"].to_numpy()
+        assert (np.diff(f) >= 0).all()
+        # minimax identity against brute O(h^2)
+        gg = g.groupby("hour").agg(n=("cents", "size"),
+                                   s=("cents", "sum"))
+        hours = gg.index.to_numpy()
+        ns, ss = gg["n"].to_numpy(), gg["s"].to_numpy()
+        cs = np.concatenate(([0], np.cumsum(ss)))
+        cn = np.concatenate(([0], np.cumsum(ns)))
+        h = len(hours)
+        for i in range(h):
+            best = -np.inf
+            for j in range(i + 1):
+                mn = min((cs[k2 + 1] - cs[j]) / (cn[k2 + 1] - cn[j])
+                         for k2 in range(i, h))
+                best = max(best, mn)
+            assert got["fitted"].to_numpy()[i] == best / 100.0
+        # PAVA optimality sanity: fitted equals mean when means are
+        # already isotone within a pooled block is implied by identity
+
+
+def test_isotonic_pools_violators(ray_session):
+    from web_crawler_ray.stages.aggregates import isotonic_hourly
+    # hours 0..2 with means 30, 10, 20 -> isotonic fit pools all
+    # three to 20 (total mean) for h0/h1... brute: PAVA(30,10,20)
+    # with equal weights = (20, 20, 20)
+    ts = np.array([0, 3_600_000_000, 7_200_000_000], np.int64)
+    t = pa.table({
+        "event_type": pa.array(["x"] * 3),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array([30.0, 10.0, 20.0]),
+    })
+    out = isotonic_hourly(rd.from_arrow(t)).to_pandas() \
+        .sort_values("hour")
+    assert np.allclose(out["fitted"].to_numpy(), 20.0)
+
+
+# --- frequency capping -------------------------------------------------------
+
+def test_freq_cap_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import freq_cap
+    t = _events(n=800, n_users=4, seed=41)
+    got = freq_cap(rd.from_arrow(t).repartition(9), cap=2) \
+        .to_pandas().set_index("event_id")
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["day"] = df["t"] // 86_400_000_000
+    want = {}
+    for _, g in df.groupby(["user_id", "event_type", "day"]):
+        g = g.sort_values(["t", "event_id"], kind="mergesort")
+        for r, eid in enumerate(g["event_id"], 1):
+            want[eid] = r
+    assert len(got) == len(want)
+    for eid, r in want.items():
+        assert got.loc[eid, "rank"] == r
+        assert got.loc[eid, "capped"] == int(r > 2)
+    assert (got["capped"] == 1).any() and (got["capped"] == 0).any()

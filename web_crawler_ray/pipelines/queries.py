@@ -4590,6 +4590,68 @@ _SHARE_SQL = (
     "FROM b")
 
 
+def q_isotonic_hourly(sf_dir: str):
+    """Isotonic (monotone) regression of mean value over hour-of-day
+    per event type — the shape-constrained calibration fit, PAVA via
+    the minimax identity ŷᵢ = max_{j≤i} min_{k≥i} mean(j..k)
+    (stages/aggregates.py isotonic_hourly: (key, hour) cents
+    combiner, O(keys·24²) driver minimax; every range mean is ONE
+    division of exact integer sums and max/min are selections, so
+    the SQL twin computing the SAME divisions is bit-exact —
+    incremental PAVA pooling would NOT be)."""
+    from ..stages.aggregates import isotonic_hourly
+    ds = _rp(sf_dir, "events",
+             columns=["event_type", "ts", "value"])
+    return isotonic_hourly(ds)
+
+
+_ISOTONIC_SQL = (
+    "WITH b AS (SELECT event_type, "
+    "((epoch_us(ts) // 3600000000) % 24) AS hour, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "g AS (SELECT event_type, hour, count(*) AS n, sum(cents) AS s "
+    "FROM b GROUP BY event_type, hour), "
+    "o AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "ORDER BY hour) AS rn FROM g), "
+    "p AS (SELECT event_type, rn, hour, n, s, sum(n) OVER w AS cn, "
+    "sum(s) OVER w AS cs FROM o WINDOW w AS (PARTITION BY event_type "
+    "ORDER BY rn ROWS UNBOUNDED PRECEDING)), "
+    "r AS (SELECT a.event_type, a.rn AS j, b2.rn AS k, "
+    "(b2.cs - a.cs + a.s)::DOUBLE / (b2.cn - a.cn + a.n)::DOUBLE "
+    "AS m FROM p a JOIN p b2 ON a.event_type = b2.event_type "
+    "AND a.rn <= b2.rn), "
+    "mn AS (SELECT i.event_type, i.rn AS pos, r.j, min(r.m) AS mi "
+    "FROM p i JOIN r ON r.event_type = i.event_type "
+    "AND r.j <= i.rn AND r.k >= i.rn GROUP BY i.event_type, i.rn, "
+    "r.j), "
+    "ft AS (SELECT event_type, pos, max(mi) AS f FROM mn "
+    "GROUP BY event_type, pos) "
+    "SELECT p.event_type, p.hour, p.n::BIGINT AS n_events, "
+    "p.s::DOUBLE / (p.n * 100)::DOUBLE AS mean_v, "
+    "ft.f / 100.0 AS fitted FROM p "
+    "JOIN ft ON ft.event_type = p.event_type AND ft.pos = p.rn "
+    "ORDER BY p.event_type, p.hour")
+
+
+def q_freq_cap(sf_dir: str):
+    """Frequency-capping audit: rank events within (user, type, day)
+    by (ts, id), flag past the 3rd — the ad-serving budget primitive
+    (stages/windows.py freq_cap: one user-keyed exchange, one lexsort
+    ranks every cell via segmented sequence indices; pure integer)."""
+    from ..stages.windows import freq_cap
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    return freq_cap(ds, cap=3)
+
+
+_FREQ_CAP_SQL = (
+    "WITH o AS (SELECT event_id, row_number() OVER (PARTITION BY "
+    "user_id, event_type, epoch_us(ts) // 86400000000 "
+    "ORDER BY ts, event_id) AS rk FROM events) "
+    "SELECT event_id, rk::BIGINT AS rank, "
+    "CASE WHEN rk > 3 THEN 1 ELSE 0 END::BIGINT AS capped FROM o")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4711,6 +4773,8 @@ def registry() -> dict:
         "holt_users": q_holt_users,
         "abtest_lift": q_abtest_lift,
         "share_of_total": q_share_of_total,
+        "isotonic_hourly": q_isotonic_hourly,
+        "freq_cap": q_freq_cap,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5733,6 +5797,8 @@ ORACLES: dict[str, str] = {
     "holt_users": _HOLT_SQL,
     "abtest_lift": _ABTEST_SQL,
     "share_of_total": _SHARE_SQL,
+    "isotonic_hourly": _ISOTONIC_SQL,
+    "freq_cap": _FREQ_CAP_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

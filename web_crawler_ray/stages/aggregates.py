@@ -2892,3 +2892,86 @@ def share_of_total(ds, key: str = "event_type", id_col: str = "event_id",
                               / tot.astype(np.float64))})
 
     return ds.map_batches(divide, batch_format="pyarrow")
+
+
+def isotonic_hourly(ds, key: str = "event_type", ts_col: str = "ts",
+                    val_col: str = "value", scale: int = 100):
+    """ISOTONIC (monotone non-decreasing) regression of mean value
+    over hour-of-day, per key — the shape-constrained calibration fit
+    (PAVA). Computed via the minimax identity ŷ_i = max_{j≤i}
+    min_{k≥i} mean(y[j..k]) rather than incremental pooling: every
+    range mean is ONE division of exact integer cent sums, and
+    max/min are exact selections, so the SQL twin computing the SAME
+    O(h²) divisions picks bit-identical values (incremental PAVA
+    pooling would differ in float). h = 24, so the driver-side
+    minimax is O(keys·h²) trivial. Returns (key, hour, n_events,
+    mean_v, fitted).
+
+    Scale shape: ONE per-batch (key, hour) cents combiner —
+    O(blocks × keys × 24) partial rows folded on the driver; the data
+    is never shuffled."""
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(key).to_pandas())
+        hr = (t.column(ts_col).to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64)
+              // 3_600_000_000) % 24
+        cents = np.rint(t.column(val_col).to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        uk, kinv = np.unique(k, return_inverse=True)
+        gid = kinv * 24 + hr
+        n = np.bincount(gid, minlength=len(uk) * 24).astype(np.int64)
+        s = np.zeros(len(uk) * 24, np.int64)
+        np.add.at(s, gid, cents)
+        sel = n > 0
+        idx = np.flatnonzero(sel)
+        return pa.table({
+            key: pa.array(uk[idx // 24]),
+            "hour": pa.array((idx % 24).astype(np.int64)),
+            "n": pa.array(n[sel]),
+            "s": pa.array(s[sel])})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for kk, hh, nn, ss in zip(tb.column(key).to_pylist(),
+                                  tb.column("hour").to_pylist(),
+                                  tb.column("n").to_pylist(),
+                                  tb.column("s").to_pylist()):
+            n0, s0 = acc.get((kk, hh), (0, 0))
+            acc[(kk, hh)] = (n0 + int(nn), s0 + int(ss))
+
+    out_k, out_h, out_n, out_m, out_f = [], [], [], [], []
+    for kk in sorted({k0 for k0, _ in acc}):
+        hours = sorted(h for k0, h in acc if k0 == kk)
+        ns = np.array([acc[(kk, h)][0] for h in hours], np.int64)
+        ss = np.array([acc[(kk, h)][1] for h in hours], np.int64)
+        h = len(hours)
+        # prefix sums -> every range mean as ONE division (same
+        # divisions the SQL twin performs)
+        cs = np.concatenate(([0], np.cumsum(ss)))
+        cn = np.concatenate(([0], np.cumsum(ns)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # cells with j > k divide by 0 -> masked to NaN next line
+            rng = (cs[None, 1:] - cs[:-1, None]).astype(np.float64) \
+                / (cn[None, 1:] - cn[:-1, None]).astype(np.float64)
+        # rng[j, k] = mean over positions j..k (j <= k); mask j > k
+        jj, kk2 = np.meshgrid(np.arange(h), np.arange(h),
+                              indexing="ij")
+        rng = np.where(jj <= kk2, rng, np.nan)
+        # fitted_i = max_{j<=i} min_{k>=i} rng[j, k]
+        fitted = np.empty(h, np.float64)
+        for i in range(h):
+            mins = np.nanmin(rng[: i + 1, i:], axis=1)
+            fitted[i] = np.max(mins)
+        means = ss.astype(np.float64) / (ns * scale).astype(np.float64)
+        out_k += [kk] * h
+        out_h += hours
+        out_n += ns.tolist()
+        out_m += means.tolist()
+        out_f += (fitted / float(scale)).tolist()
+    return pa.table({key: pa.array(out_k),
+                     "hour": pa.array(out_h, pa.int64()),
+                     "n_events": pa.array(out_n, pa.int64()),
+                     "mean_v": pa.array(out_m, pa.float64()),
+                     "fitted": pa.array(out_f, pa.float64())})

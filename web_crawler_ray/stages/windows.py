@@ -1829,3 +1829,55 @@ def holt_linear(ds, alpha: float = 0.25, beta: float = 0.125,
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def freq_cap(ds, cap: int = 3, user_col: str = "user_id",
+             ts_col: str = "ts", id_col: str = "event_id",
+             type_col: str = "event_type"):
+    """Frequency-capping audit: rank every event within its
+    (user, type, day) cell by (ts, id) and flag those past the
+    ``cap``-th — the ad-serving / notification budget primitive.
+    Returns (event_id, rank 1-based, capped∈{0,1}); pure integer
+    ranking, no arithmetic.
+
+    Scale shape: ONE user-keyed exchange; one lexsort per partition
+    ranks every cell at once via segmented sequence indices (no
+    per-group loop)."""
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "u": t.column(user_col).cast(pa.int64()),
+            "ts": pa.array(ts),
+            "day": pa.array(ts // 86_400_000_000),
+            "oc": t.column(id_col).cast(pa.int64()),
+            "c": t.column(type_col),
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"event_id": z, "rank": z,
+                                 "capped": z})
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        day = df["day"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        _, cc = np.unique(df["c"].to_numpy(), return_inverse=True)
+        order = np.lexsort((oc, ts, day, cc, u))
+        u, day, cc, oc = u[order], day[order], cc[order], oc[order]
+        n = len(u)
+        brk = np.ones(n, bool)
+        brk[1:] = (u[1:] != u[:-1]) | (cc[1:] != cc[:-1]) | \
+            (day[1:] != day[:-1])
+        starts = np.flatnonzero(brk)
+        base = np.repeat(np.arange(len(starts)),
+                         np.diff(np.append(starts, n)))
+        rank = np.arange(n) - starts[base] + 1
+        return pd.DataFrame({"event_id": oc, "rank": rank,
+                             "capped": (rank > cap).astype(np.int64)})
+
+    return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
+                        "u", per_partition, num_partitions=32)
