@@ -734,3 +734,19 @@ def test_freq_cap_matches_brute(ray_session):
         assert got.loc[eid, "rank"] == r
         assert got.loc[eid, "capped"] == int(r > 2)
     assert (got["capped"] == 1).any() and (got["capped"] == 0).any()
+
+
+def test_closeness_fast_path_equals_composed_path(ray_session):
+    from web_crawler_ray.stages.graph import closeness_sampled
+    rng = np.random.default_rng(23)
+    m = 400
+    u = rng.integers(0, 60, m).astype(np.int64)
+    v = rng.integers(0, 60, m).astype(np.int64)
+    t = pa.table({"src": pa.array(np.concatenate([u, v])),
+                  "dst": pa.array(np.concatenate([v, u]))})
+    fast = closeness_sampled(rd.from_arrow(t).repartition(3),
+                             n_sources=3).to_pandas()
+    composed = closeness_sampled(rd.from_arrow(t).repartition(3),
+                                 n_sources=3,
+                                 driver_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(fast, composed)
