@@ -750,3 +750,39 @@ def test_closeness_fast_path_equals_composed_path(ray_session):
                                  n_sources=3,
                                  driver_limit=0).to_pandas()
     pd.testing.assert_frame_equal(fast, composed)
+
+
+# --- k-truss -----------------------------------------------------------------
+
+def test_ktruss_parity_and_support_property(ray_session):
+    from web_crawler_ray.stages.graph import k_truss
+    import collections
+    rng = np.random.default_rng(27)
+    m = 2000
+    u = rng.integers(0, 120, m).astype(np.int64)
+    v = rng.integers(0, 120, m).astype(np.int64)
+    t = pa.table({"src": pa.array(u), "dst": pa.array(v)})
+    a = k_truss(rd.from_arrow(t).repartition(5), k=4).to_pandas()
+    b = k_truss(rd.from_arrow(t).repartition(5), k=4,
+                driver_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)   # driver == distributed
+    adj = collections.defaultdict(set)
+    for x, y in zip(a["src"], a["dst"]):
+        adj[x].add(y)
+        adj[y].add(x)
+    for x, y in zip(a["src"], a["dst"]):
+        assert len(adj[x] & adj[y]) >= 2   # support within the truss
+
+
+def test_ktruss_shapes(ray_session):
+    from web_crawler_ray.stages.graph import k_truss
+    # a triangle survives 3-truss; a pendant edge does not
+    t = pa.table({"src": pa.array(np.array([1, 2, 3, 3], np.int64)),
+                  "dst": pa.array(np.array([2, 3, 1, 9], np.int64))})
+    got = k_truss(rd.from_arrow(t), k=3).to_pandas()
+    assert sorted(map(tuple, got.to_numpy().tolist())) == \
+        [(1, 2), (1, 3), (2, 3)]
+    # k=4 kills the lone triangle
+    got = k_truss(rd.from_arrow(t), k=4)
+    assert got.num_rows == 0
+    assert got.column_names == ["src", "dst"]

@@ -4652,6 +4652,41 @@ _FREQ_CAP_SQL = (
     "CASE WHEN rk > 3 THEN 1 ELSE 0 END::BIGINT AS capped FROM o")
 
 
+def q_ktruss_edges(sf_dir: str):
+    """3-truss of the undirected mixed-key lineitem graph — the edge
+    set where every edge closes ≥1 triangle within the surviving
+    subgraph, peeled to fixpoint (stages/graph.py k_truss: per-round
+    wedge-close with per-EDGE credit; numpy driver loop below 1M
+    edges, six keyed exchanges per round above; both paths
+    parity-pinned; converges in 2 rounds here, oracle unrolls 4 as
+    MATERIALIZED CTEs — the mis_nodes inlining landmine)."""
+    from ..stages.graph import k_truss
+    return k_truss(_tri_edges(sf_dir), k=3)
+
+
+def _ktruss_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    thr = k - 2
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_TRI_E0}), ",
+        "a0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM e0 WHERE src <> dst), ",
+    ]
+    for i in range(rounds):
+        a, b = f"a{i}", f"a{i + 1}"
+        parts.append(
+            f"adj{i} AS MATERIALIZED (SELECT u AS a, v AS b FROM {a} "
+            f"UNION ALL SELECT v, u FROM {a}), ")
+        parts.append(
+            f"{b} AS MATERIALIZED (SELECT e.u, e.v FROM {a} e "
+            f"JOIN adj{i} x ON x.a = e.u "
+            f"JOIN adj{i} y ON y.a = e.v AND y.b = x.b "
+            f"GROUP BY e.u, e.v HAVING count(*) >= {thr}), ")
+    body = "".join(parts)
+    return (body.rstrip(", ")
+            + f" SELECT u AS src, v AS dst FROM a{rounds} "
+            "ORDER BY src, dst")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4775,6 +4810,7 @@ def registry() -> dict:
         "share_of_total": q_share_of_total,
         "isotonic_hourly": q_isotonic_hourly,
         "freq_cap": q_freq_cap,
+        "ktruss_edges": q_ktruss_edges,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5799,6 +5835,7 @@ ORACLES: dict[str, str] = {
     "share_of_total": _SHARE_SQL,
     "isotonic_hourly": _ISOTONIC_SQL,
     "freq_cap": _FREQ_CAP_SQL,
+    "ktruss_edges": _ktruss_oracle_sql(),
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]
