@@ -215,7 +215,8 @@ def run_queries(num_cpus: int) -> dict:
              "dag_layers", "stream_window_join",
              "window_dedup", "holt_users",
              "abtest_lift", "share_of_total",
-             "isotonic_hourly", "freq_cap", "ktruss_edges"]
+             "isotonic_hourly", "freq_cap", "ktruss_edges",
+             "next_event_accuracy", "item_item_cosine"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

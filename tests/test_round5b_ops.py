@@ -786,3 +786,44 @@ def test_ktruss_shapes(ray_session):
     got = k_truss(rd.from_arrow(t), k=4)
     assert got.num_rows == 0
     assert got.column_names == ["src", "dst"]
+
+
+# --- next-event accuracy -----------------------------------------------------
+
+def test_next_event_accuracy_hand_case(ray_session):
+    from web_crawler_ray.stages.windows import next_event_accuracy
+    # user 0 sequence: a b a b a c   -> transitions a>b x2, b>a x2,
+    # a>c x1 ; pred(a)=b (2>1), pred(b)=a
+    types = ["a", "b", "a", "b", "a", "c"]
+    t = pa.table({
+        "user_id": pa.array(np.zeros(6, np.int64)),
+        "ts": pa.array(np.arange(6).astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "event_type": pa.array(types),
+    })
+    got = next_event_accuracy(rd.from_arrow(t)).to_pandas() \
+        .set_index("event_type")
+    assert got.loc["a", "n_trans"] == 3
+    assert got.loc["a", "n_correct"] == 2
+    assert got.loc["a", "accuracy"] == 2 / 3
+    assert got.loc["b", "n_trans"] == 2
+    assert got.loc["b", "accuracy"] == 1.0
+    assert "c" not in got.index   # no outgoing transitions
+
+
+# --- item-item cosine --------------------------------------------------------
+
+def test_item_item_cosine_hand_case(ray_session):
+    from web_crawler_ray.stages.relational import item_item_cosine
+    # baskets: {1,2,3}, {1,2}, {1,3} -> c12=2, c13=2, c23=1;
+    # n1=3, n2=2, n3=2
+    g = np.array([10, 10, 10, 20, 20, 30, 30], np.int64)
+    i = np.array([1, 2, 3, 1, 2, 1, 3], np.int64)
+    t = pa.table({"g": pa.array(g), "i": pa.array(i)})
+    got = item_item_cosine(rd.from_arrow(t).repartition(3), "g", "i",
+                           min_support=1).to_pandas()
+    got = got.set_index(["item_a", "item_b"])
+    assert got.loc[(1, 2), "support"] == 2
+    assert got.loc[(1, 2), "cosine"] == 2.0 / np.sqrt(6.0)
+    assert got.loc[(1, 3), "cosine"] == 2.0 / np.sqrt(6.0)
+    assert got.loc[(2, 3), "cosine"] == 1.0 / np.sqrt(4.0)

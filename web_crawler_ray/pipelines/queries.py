@@ -4687,6 +4687,62 @@ def _ktruss_oracle_sql(k: int = 3, rounds: int = 4) -> str:
             "ORDER BY src, dst")
 
 
+def q_next_event_accuracy(sf_dir: str):
+    """In-sample next-event prediction accuracy of the first-order
+    Markov model per current state (stages/windows.py
+    next_event_accuracy: reuses the transition_counts exchange, fits
+    the majority successor and scores on the O(states²) count table —
+    the alphabet, not the data; integer counts + ONE division)."""
+    from ..stages.windows import next_event_accuracy
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type", "event_id"])
+    return next_event_accuracy(ds)
+
+
+_NEXT_ACC_SQL = (
+    "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+    "FROM events), "
+    "t AS (SELECT event_type AS cur, nxt, count(*) AS n FROM o "
+    "WHERE nxt IS NOT NULL GROUP BY cur, nxt), "
+    "p AS (SELECT cur, nxt AS pred FROM (SELECT cur, nxt, "
+    "row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt) "
+    "AS rn FROM t) WHERE rn = 1) "
+    "SELECT t.cur AS event_type, sum(t.n)::BIGINT AS n_trans, "
+    "sum(CASE WHEN t.nxt = p.pred THEN t.n ELSE 0 END)::BIGINT "
+    "AS n_correct, "
+    "sum(CASE WHEN t.nxt = p.pred THEN t.n ELSE 0 END)::DOUBLE "
+    "/ sum(t.n)::DOUBLE AS accuracy "
+    "FROM t JOIN p ON p.cur = t.cur GROUP BY t.cur "
+    "ORDER BY event_type")
+
+
+def q_item_item_cosine(sf_dir: str):
+    """Item-item cosine similarity over part co-occurrence in orders
+    — item-based collaborative filtering, binarized (stages/
+    relational.py item_item_cosine: pair supports from
+    cooccurrence_pairs, per-item basket counts in ONE item-keyed
+    exchange, O(items) count map broadcast once; one sqrt + one
+    division — bit-exact)."""
+    from ..stages.relational import item_item_cosine
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return item_item_cosine(ds, "l_orderkey", "l_partkey",
+                            min_support=2)
+
+
+_ITEM_COS_SQL = (
+    "WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+    "FROM lineitem), "
+    "n AS (SELECT pk, count(*) AS c FROM d GROUP BY pk), "
+    "p AS (SELECT a.pk AS ia, b.pk AS ib, count(*) AS sup "
+    "FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk "
+    "GROUP BY ia, ib HAVING count(*) >= 2) "
+    "SELECT ia AS item_a, ib AS item_b, sup::BIGINT AS support, "
+    "sup::DOUBLE / sqrt((na.c * nb.c)::DOUBLE) AS cosine "
+    "FROM p JOIN n na ON na.pk = ia JOIN n nb ON nb.pk = ib "
+    "ORDER BY item_a, item_b")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4811,6 +4867,8 @@ def registry() -> dict:
         "isotonic_hourly": q_isotonic_hourly,
         "freq_cap": q_freq_cap,
         "ktruss_edges": q_ktruss_edges,
+        "next_event_accuracy": q_next_event_accuracy,
+        "item_item_cosine": q_item_item_cosine,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5836,6 +5894,8 @@ ORACLES: dict[str, str] = {
     "isotonic_hourly": _ISOTONIC_SQL,
     "freq_cap": _FREQ_CAP_SQL,
     "ktruss_edges": _ktruss_oracle_sql(),
+    "next_event_accuracy": _NEXT_ACC_SQL,
+    "item_item_cosine": _ITEM_COS_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

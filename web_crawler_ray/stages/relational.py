@@ -1003,3 +1003,94 @@ def apriori_triples(ds, group_col: str, item_col: str,
     # O(result) rows: concat to a schema-carrying Table (all-empty
     # Datasets lose their columns at to_pandas — session-2 landmine)
     return pa.concat_tables(live) if live else empty
+
+
+def item_item_cosine(ds, group_col: str, item_col: str,
+                     min_support: int = 2, num_partitions: int = 32):
+    """Item-item COSINE similarity from co-occurrence counts — the
+    classic item-based collaborative-filtering similarity (Sarwar et
+    al. 2001, binarized): cos(i, j) = c_ij / √(n_i·n_j) over basket
+    membership, for pairs with support ≥ ``min_support``. BIT-EXACT:
+    c_ij and the per-item basket counts n_i are exact integers and
+    the finish is one correctly-rounded sqrt + ONE division (the
+    welch convention). Returns (item_a, item_b, support, cosine)
+    sorted.
+
+    Scale shape: pair supports reuse cooccurrence_pairs (two keyed
+    exchanges); per-item basket counts take ONE item-keyed exchange
+    (all (basket, item) rows of an item co-locate, so
+    within-partition distinct is global); the O(items) count map is
+    BROADCAST once (ray.put) and each pair batch finishes itself —
+    pairs never collect on the driver."""
+    import pandas as pd
+    import ray
+
+    from .shuffles import int_part_map
+
+    pairs = cooccurrence_pairs(ds, group_col, item_col,
+                               min_support=min_support,
+                               num_partitions=num_partitions)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": t.column(group_col).cast(pa.int64()),
+            "i": t.column(item_col).cast(pa.int64())})
+
+    def item_counts(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.array([], np.int64)
+        if not len(df):
+            return pd.DataFrame({"i": z, "n": z})
+        g = df["g"].to_numpy(np.int64)
+        i = df["i"].to_numpy(np.int64)
+        o = np.lexsort((g, i))
+        g, i = g[o], i[o]
+        keep = np.ones(len(g), bool)
+        keep[1:] = (i[1:] != i[:-1]) | (g[1:] != g[:-1])
+        g, i = g[keep], i[keep]
+        st = np.flatnonzero(np.concatenate(([True], i[1:] != i[:-1])))
+        return pd.DataFrame({"i": i[st],
+                             "n": np.diff(np.append(st, len(i)))
+                             .astype(np.int64)})
+
+    cnt_parts = [pa.table(b) for b in
+                 int_part_map(ds.map_batches(prep,
+                                             batch_format="pyarrow"),
+                              "i", item_counts,
+                              num_partitions=num_partitions)
+                 .iter_batches(batch_format="pyarrow")]
+    live = [t for t in cnt_parts if t.num_rows]
+    empty = pa.table({"item_a": pa.array([], pa.int64()),
+                      "item_b": pa.array([], pa.int64()),
+                      "support": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if not live:
+        return empty
+    cm = pa.concat_tables(live)
+    items = cm.column("i").to_numpy(zero_copy_only=False)
+    ns = cm.column("n").to_numpy(zero_copy_only=False)
+    o = np.argsort(items, kind="stable")
+    cnt_ref = ray.put((items[o], ns[o]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        it, nn = ray.get(cnt_ref)
+        a = t.column("item_a").to_numpy(zero_copy_only=False)
+        b = t.column("item_b").to_numpy(zero_copy_only=False)
+        sup = t.column("support").to_numpy(zero_copy_only=False)
+        na = nn[np.searchsorted(it, a)]
+        nb = nn[np.searchsorted(it, b)]
+        cos = sup.astype(np.float64) / np.sqrt(
+            (na * nb).astype(np.float64))
+        return pa.table({"item_a": pa.array(a), "item_b": pa.array(b),
+                         "support": pa.array(sup),
+                         "cosine": pa.array(cos)})
+
+    tabs = [pa.table(x) for x in
+            pairs.map_batches(finish, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")]
+    live2 = [t for t in tabs if t.num_rows]
+    if not live2:
+        return empty
+    return pa.concat_tables(live2).sort_by(
+        [("item_a", "ascending"), ("item_b", "ascending")])

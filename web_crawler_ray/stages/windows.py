@@ -1881,3 +1881,49 @@ def freq_cap(ds, cap: int = 3, user_col: str = "user_id",
 
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "u", per_partition, num_partitions=32)
+
+
+def next_event_accuracy(ds, user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        state_col: str = "event_type",
+                        order_col: str = "event_id"):
+    """In-sample NEXT-EVENT prediction read-out of the first-order
+    Markov model: predict each state's most frequent successor
+    (count desc, state asc — deterministic), then score every
+    transition against that prediction — the baseline sequence-model
+    evaluation next to transition_counts. Per current state:
+    (n_trans, n_correct, accuracy = ONE division). Integer counts —
+    bit-exact.
+
+    Scale shape: reuses transition_counts (ONE user-keyed exchange,
+    O(states²) local counts per partition); the model fit + scoring
+    run on the O(states²) count table on the driver — the alphabet,
+    not the data."""
+    tc = transition_counts(ds, user_col=user_col, ts_col=ts_col,
+                           state_col=state_col, order_col=order_col)
+    empty = pa.table({state_col: pa.array([], pa.string()),
+                      "n_trans": pa.array([], pa.int64()),
+                      "n_correct": pa.array([], pa.int64()),
+                      "accuracy": pa.array([], pa.float64())})
+    cat = tc if isinstance(tc, pa.Table) else pa.concat_tables(
+        [pa.table(b) for b in tc.iter_batches(batch_format="pyarrow")])
+    if cat.num_rows == 0:
+        return empty
+    df = cat.to_pandas()
+    # counts may arrive as multiple partials per (src, dst)
+    df = df.groupby(["src", "dst"], as_index=False)["n"].sum()
+    out_k, out_n, out_c, out_a = [], [], [], []
+    for cur, g in df.groupby("src"):
+        g = g.sort_values(["n", "dst"], ascending=[False, True],
+                          kind="mergesort")
+        pred = g["dst"].iloc[0]
+        n_tot = int(g["n"].sum())
+        n_ok = int(g.loc[g["dst"] == pred, "n"].sum())
+        out_k.append(cur)
+        out_n.append(n_tot)
+        out_c.append(n_ok)
+        out_a.append(float(n_ok) / float(n_tot))
+    return pa.table({state_col: pa.array(out_k, pa.string()),
+                     "n_trans": pa.array(out_n, pa.int64()),
+                     "n_correct": pa.array(out_c, pa.int64()),
+                     "accuracy": pa.array(out_a, pa.float64())})
