@@ -216,7 +216,8 @@ def run_queries(num_cpus: int) -> dict:
              "window_dedup", "holt_users",
              "abtest_lift", "share_of_total",
              "isotonic_hourly", "freq_cap", "ktruss_edges",
-             "next_event_accuracy", "item_item_cosine"]
+             "next_event_accuracy", "item_item_cosine",
+             "snm_pairs"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -827,3 +827,42 @@ def test_item_item_cosine_hand_case(ray_session):
     assert got.loc[(1, 2), "cosine"] == 2.0 / np.sqrt(6.0)
     assert got.loc[(1, 3), "cosine"] == 2.0 / np.sqrt(6.0)
     assert got.loc[(2, 3), "cosine"] == 1.0 / np.sqrt(4.0)
+
+
+# --- sorted-neighborhood linkage ---------------------------------------------
+
+def test_snm_matches_brute_across_block_boundaries(ray_session):
+    from web_crawler_ray.stages.joins import sorted_neighborhood_pairs
+    import itertools
+    rng = np.random.default_rng(33)
+    names = [f"rec{rng.integers(0, 100):03d}x" for _ in range(200)]
+    t = pa.table({"nm": pa.array(names),
+                  "rid": pa.array(np.arange(200, dtype=np.int64))})
+    w, k = 4, 2
+    # many partitions force cross-block windows
+    got = sorted_neighborhood_pairs(
+        rd.from_arrow(t).repartition(13), "nm", "rid",
+        window=w, max_dist=k).to_pandas()
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[n]
+
+    order = sorted(range(200), key=lambda r: (names[r], r))
+    want = set()
+    for pos_a, pos_b in itertools.combinations(range(200), 2):
+        if pos_b - pos_a <= w:
+            ra, rb = order[pos_a], order[pos_b]
+            dd = lev(names[ra], names[rb])
+            if dd <= k:
+                want.add((min(ra, rb), max(ra, rb), dd))
+    got_set = {(int(a), int(b), int(d)) for a, b, d in
+               zip(got["id_a"], got["id_b"], got["dist"])}
+    assert got_set == want
+    assert len(want) > 0

@@ -4743,6 +4743,32 @@ _ITEM_COS_SQL = (
     "ORDER BY item_a, item_b")
 
 
+def q_snm_pairs(sf_dir: str):
+    """Sorted-Neighborhood record linkage over customer names: sort
+    by name, 5-rank window, Levenshtein ≤ 2 — the classic ER blocking
+    alternative to the hash-blocked fuzzy_name_pairs (stages/joins.py
+    sorted_neighborhood_pairs: one distributed sort, one raw task per
+    sorted block, block boundaries chained via O(blocks×window) tail
+    rows; banded DP across the candidate axis). Oracle: row_number
+    window self-join + levenshtein()."""
+    from ..stages.joins import sorted_neighborhood_pairs
+    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return sorted_neighborhood_pairs(ds, "c_name", "c_custkey",
+                                     window=5, max_dist=2)
+
+
+_SNM_SQL = (
+    "WITH r AS (SELECT c_custkey AS id, c_name AS nm, "
+    "row_number() OVER (ORDER BY c_name, c_custkey) AS rk "
+    "FROM customer), "
+    "p AS (SELECT least(a.id, b.id) AS id_a, "
+    "greatest(a.id, b.id) AS id_b, "
+    "levenshtein(a.nm, b.nm) AS dist FROM r a "
+    "JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5) "
+    "SELECT id_a, id_b, dist::BIGINT AS dist FROM p "
+    "WHERE dist <= 2 ORDER BY id_a, id_b, dist")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4869,6 +4895,7 @@ def registry() -> dict:
         "ktruss_edges": q_ktruss_edges,
         "next_event_accuracy": q_next_event_accuracy,
         "item_item_cosine": q_item_item_cosine,
+        "snm_pairs": q_snm_pairs,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5896,6 +5923,7 @@ ORACLES: dict[str, str] = {
     "ktruss_edges": _ktruss_oracle_sql(),
     "next_event_accuracy": _NEXT_ACC_SQL,
     "item_item_cosine": _ITEM_COS_SQL,
+    "snm_pairs": _SNM_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

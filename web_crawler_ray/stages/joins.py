@@ -564,3 +564,103 @@ def stream_window_join(ds, key_col: str, ts_col: str, id_col: str,
     return int_part_map(ds.map_batches(prep, batch_format="pyarrow"),
                         "k", per_partition,
                         num_partitions=num_partitions)
+
+
+@ray.remote
+def _snm_tail(tbl: pa.Table, name_col: str, id_col: str,
+              w: int) -> pa.Table:
+    n = tbl.num_rows
+    return tbl.select([name_col, id_col]).slice(max(0, n - w))
+
+
+@ray.remote
+def _snm_block(tbl: pa.Table, prev_tail: pa.Table, name_col: str,
+               id_col: str, w: int, max_dist: int) -> pa.Table:
+    """Windowed candidate emit + banded verify over one sorted block
+    prefixed with the previous w global rows; only pairs whose LATER
+    element lies in this block are emitted (no double counting)."""
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+    tail_n = prev_tail.num_rows
+    cat = pa.concat_tables([prev_tail,
+                            tbl.select([name_col, id_col])])
+    n = cat.num_rows
+    if n < 2 or tbl.num_rows == 0:
+        return empty
+    ids = cat.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    txt = cat.column(name_col).to_pylist()
+    bs = [str(t).encode("utf-8") for t in txt]
+    ln = np.array([len(b) for b in bs], np.int64)
+    L = max(int(ln.max()), 1)
+    mat = np.zeros((n, L), np.uint8)
+    for r, b in enumerate(bs):
+        mat[r, : len(b)] = np.frombuffer(b, np.uint8)
+    iis, jjs = [], []
+    for d in range(1, w + 1):
+        i = np.arange(0, n - d)
+        j = i + d
+        sel = j >= tail_n          # later element in THIS block
+        iis.append(i[sel])
+        jjs.append(j[sel])
+    ii = np.concatenate(iis)
+    jj = np.concatenate(jjs)
+    keep = np.abs(ln[ii] - ln[jj]) <= max_dist
+    ii, jj = ii[keep], jj[keep]
+    if not len(ii):
+        return empty
+    swap = ln[ii] < ln[jj]
+    a = np.where(swap, jj, ii)
+    b = np.where(swap, ii, jj)
+    dist = _edit_distances_banded(mat[a], ln[a], mat[b], ln[b],
+                                  max_dist)
+    hit = dist <= max_dist
+    ia, ib = ids[ii[hit]], ids[jj[hit]]
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                     "dist": pa.array(dist[hit].astype(np.int64))})
+
+
+def sorted_neighborhood_pairs(ds, name_col: str, id_col: str,
+                              window: int = 5, max_dist: int = 2):
+    """Sorted-Neighborhood Method record linkage (Hernández & Stolfo
+    1995): sort all records by the blocking key (here the name
+    itself), slide a ``window``-rank window, and verify candidates
+    with banded Levenshtein ≤ ``max_dist`` — the classic alternative
+    to hash blocking (edit_distance_pairs) when typos cluster
+    lexicographically. Returns a ``pyarrow.Table``
+    (id_a, id_b, dist) with id_a < id_b, sorted.
+
+    Scale shape: ONE distributed sample-ranged ``Dataset.sort``, then
+    one raw task per sorted block; the cross-block boundary is handled
+    by chaining each block's last ``window`` (name, id) rows through
+    the driver (O(blocks × window) tiny tables) and prefixing the next
+    block — pairs whose later element is in the block are emitted
+    exactly once. The banded DP vectorizes across the candidate axis
+    (the edit_distance_pairs kernel)."""
+    sorted_ds = ds.sort([name_col, id_col]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+    if not refs:
+        return empty
+    tails = ray.get([_snm_tail.remote(r, name_col, id_col, window)
+                     for r in refs])
+    running = tails[0].schema.empty_table()
+    prev_tails = []
+    for t in tails:
+        prev_tails.append(running)
+        cat = pa.concat_tables([running, t])
+        running = cat.slice(max(0, cat.num_rows - window))
+    outs = ray.get([_snm_block.remote(r, pt, name_col, id_col,
+                                      window, max_dist)
+                    for r, pt in zip(refs, prev_tails)])
+    live = [t for t in outs if t.num_rows]
+    if not live:
+        return empty
+    return pa.concat_tables(live).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending"),
+         ("dist", "ascending")])
