@@ -217,7 +217,7 @@ def run_queries(num_cpus: int) -> dict:
              "abtest_lift", "share_of_total",
              "isotonic_hourly", "freq_cap", "ktruss_edges",
              "next_event_accuracy", "item_item_cosine",
-             "snm_pairs"]
+             "snm_pairs", "image_dedup"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -866,3 +866,42 @@ def test_snm_matches_brute_across_block_boundaries(ray_session):
                zip(got["id_a"], got["id_b"], got["dist"])}
     assert got_set == want
     assert len(want) > 0
+
+
+# --- perceptual image dedup --------------------------------------------------
+
+def test_ahash_deterministic_and_injective_on_corpus(ray_session):
+    from web_crawler_ray.stages import multimodal as M
+    refs = [f"img{c:04d}" for c in range(64)]
+    tbl = M.synth_ppm_table(refs)
+    hashes = [M.ahash64(M.decode_ppm(p))
+              for p in tbl.column("payload").to_pylist()]
+    assert len(set(hashes)) == 64          # injective on the corpus
+    # re-decode gives the identical hash (pure integer pipeline)
+    again = [M.ahash64(M.decode_ppm(p))
+             for p in tbl.column("payload").to_pylist()]
+    assert hashes == again
+
+
+def test_image_dedup_groups_match_planting(ray_session):
+    from web_crawler_ray.stages import multimodal as M
+    import hashlib, collections
+    refs = [f"media://host{i % 7}/asset{i}" for i in range(300)]
+    blob = M.synth_ppm_table_planted(refs, n_images=16)
+    ds = rd.from_arrow(blob).repartition(9)
+    got = M.image_dedup_groups(ds).to_pandas()
+    want = collections.defaultdict(list)
+    for r in refs:
+        cid = int.from_bytes(hashlib.md5(r.encode()).digest()[8:],
+                             "little") % 16
+        want[cid].append(r)
+    assert len(got) == len(want)
+    want_groups = {(min(v), len(v)) for v in want.values()}
+    got_groups = {(r, int(n)) for r, n in
+                  zip(got["rep_ref"], got["n_refs"])}
+    assert got_groups == want_groups
+    # partition invariance
+    got2 = M.image_dedup_groups(rd.from_arrow(blob).repartition(2)) \
+        .to_pandas()
+    assert {(r, int(n)) for r, n in
+            zip(got2["rep_ref"], got2["n_refs"])} == want_groups

@@ -4769,6 +4769,34 @@ _SNM_SQL = (
     "WHERE dist <= 2 ORDER BY id_a, id_b, dist")
 
 
+def q_image_dedup(sf_dir: str):
+    """EXACT perceptual image dedup over a planted-duplicate blob
+    store: media refs map onto 64 canonical P6 images (md5 planting),
+    every payload is REALLY decoded and aHash-fingerprinted
+    (all-integer 64-bit average hash), and ONE hash-keyed exchange
+    groups duplicates (stages/multimodal.py image_dedup_groups).
+    Rows-only at the gate like its media siblings (binary decode is
+    not SQL-expressible); the planting, hash injectivity on the
+    corpus, and partition invariance are pinned in pytest."""
+    from ..stages import multimodal as M
+    refs = _media_refs(sf_dir)
+    n = refs.num_rows
+    k = max(2, min(16, n // 32 + 1))
+    slices = [refs.slice(i * n // k, (i + 1) * n // k - i * n // k)
+              for i in range(k)]
+    uniq = rd.from_arrow([s for s in slices if s.num_rows])
+    blob = uniq.map_batches(
+        lambda t: M.synth_ppm_table_planted(
+            t.column("media_ref").to_pylist()),
+        batch_format="pyarrow", batch_size=32)
+    out = M.image_dedup_groups(blob)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["rep_ref", "n_refs"])
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4896,6 +4924,7 @@ def registry() -> dict:
         "next_event_accuracy": q_next_event_accuracy,
         "item_item_cosine": q_item_item_cosine,
         "snm_pairs": q_snm_pairs,
+        "image_dedup": q_image_dedup,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
