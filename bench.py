@@ -217,7 +217,9 @@ def run_queries(num_cpus: int) -> dict:
              "abtest_lift", "share_of_total",
              "isotonic_hourly", "freq_cap", "ktruss_edges",
              "next_event_accuracy", "item_item_cosine",
-             "snm_pairs", "image_dedup"]
+             "snm_pairs", "image_dedup",
+             "anova_events", "cramers_v_events",
+             "reciprocity_edges", "dict_match_docs"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

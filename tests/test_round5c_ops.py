@@ -1,0 +1,148 @@
+"""Unit semantics for the sixth-session round-5 additions — one-way
+ANOVA, Cramér's V, directed reciprocity, dictionary matching —
+covering the edges the registry-level DuckDB gate doesn't reach
+(partition invariance, scipy/brute cross-checks, degenerate inputs)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _vals(n=500, k=4, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "g": pa.array(np.array([f"g{i}" for i in range(k)])
+                      [rng.integers(0, k, n)]),
+        "value": pa.array(np.round(rng.uniform(0.01, 80.0, n), 2)),
+    })
+
+
+# --- one-way ANOVA -----------------------------------------------------------
+
+def test_anova_matches_scipy_and_partitioning(ray_session):
+    from web_crawler_ray.stages.aggregates import anova_oneway
+    t = _vals()
+    outs = []
+    for nb in (1, 7):
+        ds = rd.from_arrow(t).repartition(nb)
+        outs.append(anova_oneway(ds, "g", "value", x_scale=100)
+                    .to_pandas())
+    # partition invariance is exact (integer partials, fixed fold)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0].iloc[0]
+    df = t.to_pandas()
+    cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    groups = [cents[df["g"].to_numpy() == g] / 100.0
+              for g in sorted(df["g"].unique())]
+    try:
+        from scipy.stats import f_oneway
+    except ImportError:
+        f_ref = None
+    else:
+        f_ref = f_oneway(*groups).statistic
+    if f_ref is not None:
+        assert abs(got["f_stat"] - f_ref) < 1e-8 * abs(f_ref)
+    assert got["k"] == 4 and got["n"] == 500
+    assert got["ss_between"] >= 0.0 and got["ss_within"] > 0.0
+
+
+def test_anova_single_group_null_f(ray_session):
+    from web_crawler_ray.stages.aggregates import anova_oneway
+    t = pa.table({"g": pa.array(["a"] * 10),
+                  "value": pa.array(np.linspace(1, 2, 10))})
+    out = anova_oneway(rd.from_arrow(t), "g", "value").to_pandas()
+    assert out.iloc[0]["k"] == 1
+    assert pd.isna(out.iloc[0]["f_stat"])
+
+
+# --- Cramér's V --------------------------------------------------------------
+
+def test_cramers_v_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import cramers_v
+    rng = np.random.default_rng(5)
+    n = 800
+    r = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    c = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    t = pa.table({"r": pa.array(r), "c": pa.array(c)})
+    out = cramers_v(rd.from_arrow(t).repartition(5), "r", "c") \
+        .to_pandas().iloc[0]
+    ct = pd.crosstab(pd.Series(r), pd.Series(c)).to_numpy()
+    e = np.outer(ct.sum(1), ct.sum(0)) / ct.sum()
+    chi2 = ((ct - e) ** 2 / e).sum()
+    v = np.sqrt(chi2 / ct.sum() / min(ct.shape[0] - 1, ct.shape[1] - 1))
+    assert abs(out["chi2"] - chi2) < 1e-9 * chi2
+    assert abs(out["v"] - v) < 1e-12
+    assert out["dof"] == 6 and out["n"] == n
+
+
+def test_cramers_v_observed_cells_only(ray_session):
+    from web_crawler_ray.stages.aggregates import cramers_v
+    # c is a function of r; cells that never occur contribute NO term
+    # (the documented chi2_contingency convention, matched by the
+    # GROUP BY oracle): chi2 covers only the 3 diagonal cells.
+    r = np.repeat(["p", "q", "s"], 40)
+    c = np.repeat(["1", "2", "3"], 40)
+    t = pa.table({"r": pa.array(r), "c": pa.array(c)})
+    out = cramers_v(rd.from_arrow(t).repartition(3), "r", "c") \
+        .to_pandas().iloc[0]
+    # e = 40*40/120 per observed cell; term = (40 - e)^2 / e
+    e = 40.0 * 40.0 / 120.0
+    chi2 = 3 * ((40.0 - e) ** 2 / e)
+    assert abs(out["chi2"] - chi2) < 1e-9
+    assert abs(out["v"] - np.sqrt(chi2 / 120.0 / 2.0)) < 1e-12
+
+
+# --- directed reciprocity ----------------------------------------------------
+
+def _brute_reciprocity(src, dst):
+    d = {(s, t) for s, t in zip(src, dst) if s != t}
+    nm = sum((t, s) in d for (s, t) in d)
+    return len(d), nm
+
+
+def test_reciprocity_matches_brute_across_partitionings(ray_session):
+    from web_crawler_ray.stages.graph import reciprocity
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 40, 3000).astype(np.int64)
+    dst = rng.integers(0, 40, 3000).astype(np.int64)
+    ne, nm = _brute_reciprocity(src, dst)
+    assert nm > 0  # dense enough that mutual edges exist
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    for nb in (1, 6):
+        out = reciprocity(rd.from_arrow(t).repartition(nb),
+                          num_partitions=8).to_pandas().iloc[0]
+        assert out["n_edges"] == ne
+        assert out["n_mutual"] == nm
+        assert out["reciprocity"] == float(nm) / float(ne)
+
+
+def test_reciprocity_pure_dag_zero(ray_session):
+    from web_crawler_ray.stages.graph import reciprocity
+    # strictly increasing edges -> no mutuals; self loops dropped
+    src = np.arange(50, dtype=np.int64)
+    dst = src + 1
+    t = pa.table({"src": pa.array(np.concatenate((src, [7]))),
+                  "dst": pa.array(np.concatenate((dst, [7])))})
+    out = reciprocity(rd.from_arrow(t)).to_pandas().iloc[0]
+    assert out["n_edges"] == 50 and out["n_mutual"] == 0
+    assert out["reciprocity"] == 0.0
+
+
+# --- dictionary matching -----------------------------------------------------
+
+def test_dict_match_matches_brute(ray_session):
+    from web_crawler_ray.stages.textstats import dict_match
+    docs = ["the merge sort and merge join", "window window window",
+            "", "no hits here at all", "sort of a sorted sort"]
+    terms = ("merge", "sort", "window")
+    t = pa.table({"text": pa.array(docs)})
+    out = dict_match(rd.from_arrow(t).repartition(3), terms) \
+        .to_pandas().set_index("term")
+    for term in terms:
+        occ = sum(d.count(term) for d in docs)
+        nd = sum(term in d for d in docs)
+        assert out.loc[term, "n_occ"] == occ
+        assert out.loc[term, "n_docs"] == nd
+    # "sort" must count substring hits inside "sorted" exactly once each
+    assert out.loc["sort", "n_occ"] == 4

@@ -4797,6 +4797,137 @@ def q_image_dedup(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def q_anova_events(sf_dir: str):
+    """One-way ANOVA of event value (cents) across event types — the
+    k-group A/B readout generalizing welch_ttest (stages/aggregates.py
+    anova_oneway: exact integer (n, Sx, Sxx) combiner, sorted-key
+    sequential float fold == DuckDB list(ORDER BY)->list_sum, fixed
+    op-tree F — bit-exact)."""
+    from ..stages.aggregates import anova_oneway
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return anova_oneway(ds, "event_type", "value", x_scale=100)
+
+
+_ANOVA_SQL = (
+    "WITH b AS (SELECT event_type AS g, "
+    "CAST(round(value * 100) AS HUGEINT) AS x FROM events), "
+    "s AS (SELECT g, count(*)::HUGEINT AS n, sum(x) AS sx, "
+    "sum(x*x) AS sxx FROM b GROUP BY g), "
+    "t AS (SELECT count(*)::BIGINT AS k, sum(n) AS nn, sum(sx) AS tsx, "
+    "sum(sxx) AS tsxx, "
+    "list_sum(list((sx*sx)::DOUBLE / n::DOUBLE ORDER BY g)) AS fold "
+    "FROM s) "
+    "SELECT k, nn::BIGINT AS n, "
+    "fold - (tsx*tsx)::DOUBLE / nn::DOUBLE AS ss_between, "
+    "(tsxx::DOUBLE - (tsx*tsx)::DOUBLE / nn::DOUBLE) "
+    "- (fold - (tsx*tsx)::DOUBLE / nn::DOUBLE) AS ss_within, "
+    "((fold - (tsx*tsx)::DOUBLE / nn::DOUBLE) / (k-1)::DOUBLE) "
+    "/ (((tsxx::DOUBLE - (tsx*tsx)::DOUBLE / nn::DOUBLE) "
+    "- (fold - (tsx*tsx)::DOUBLE / nn::DOUBLE)) "
+    "/ (nn::BIGINT - k)::DOUBLE) AS f_stat FROM t")
+
+
+def q_cramers_v_events(sf_dir: str):
+    """Cramér's V association between event type and hour-of-day —
+    chi2's normalized companion over the seasonality contingency
+    (stages/aggregates.py cramers_v: shared cell-count combiner,
+    sorted-cell chi2 fold + two divisions + one sqrt — bit-exact)."""
+    from ..stages.aggregates import cramers_v
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts"])
+
+    def hr(t: pa.Table) -> pa.Table:
+        h = (t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 3_600_000_000) % 24
+        return pa.table({"event_type": t.column("event_type"),
+                         "hour": pa.array(
+                             np.char.zfill(h.astype("U2"), 2))})
+
+    return cramers_v(ds.map_batches(hr, batch_format="pyarrow"),
+                     "event_type", "hour")
+
+
+_CRAMERS_SQL = (
+    "WITH b AS (SELECT event_type AS r, "
+    "lpad(((epoch_us(ts) // 3600000000) % 24)::VARCHAR, 2, '0') AS c "
+    "FROM events), "
+    "cells AS (SELECT r, c, count(*)::HUGEINT AS o FROM b "
+    "GROUP BY r, c), "
+    "marg AS (SELECT count(DISTINCT r)::BIGINT AS nr, "
+    "count(DISTINCT c)::BIGINT AS nc, sum(o)::HUGEINT AS n FROM cells), "
+    "rt AS (SELECT r, sum(o)::HUGEINT AS m FROM cells GROUP BY r), "
+    "ct AS (SELECT c, sum(o)::HUGEINT AS m FROM cells GROUP BY c), "
+    "terms AS (SELECT cells.r, cells.c, "
+    "(cells.o::DOUBLE - (rt.m * ct.m)::DOUBLE / marg.n::DOUBLE) "
+    "* (cells.o::DOUBLE - (rt.m * ct.m)::DOUBLE / marg.n::DOUBLE) "
+    "/ ((rt.m * ct.m)::DOUBLE / marg.n::DOUBLE) AS term "
+    "FROM cells, marg JOIN rt ON rt.r = cells.r "
+    "JOIN ct ON ct.c = cells.c), "
+    "x AS (SELECT list_sum(list(term ORDER BY r, c)) AS chi2 "
+    "FROM terms) "
+    "SELECT marg.n::BIGINT AS n, (nr-1)*(nc-1) AS dof, chi2, "
+    "sqrt((chi2 / marg.n::DOUBLE) "
+    "/ least(nr-1, nc-1)::DOUBLE) AS v FROM x, marg")
+
+
+def q_reciprocity_edges(sf_dir: str):
+    """Directed-edge reciprocity of the mod-1500 lineitem graph — the
+    link-symmetry audit for crawl link graphs (stages/graph.py
+    reciprocity: ONE unordered-pair-keyed raw-task exchange, local
+    dedupe + both-direction count per partition, O(partitions) exact
+    ints to the driver, one division — bit-exact). The denser 1500-node
+    modulus guarantees mutual pairs exist even at sf0.001."""
+    from ..stages.graph import reciprocity
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def to_e(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array((ok % 1500).astype(np.int64)),
+                         "dst": pa.array(((pk * 7 + sk) % 1500)
+                                         .astype(np.int64))})
+
+    return reciprocity(ds.map_batches(to_e, batch_format="pyarrow"))
+
+
+_RECIP_SQL = (
+    "WITH e0 AS (SELECT l_orderkey % 1500 AS src, "
+    "(l_partkey * 7 + l_suppkey) % 1500 AS dst FROM lineitem), "
+    "d AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), "
+    "m AS (SELECT count(*)::BIGINT AS nm FROM d a "
+    "JOIN d b ON a.src = b.dst AND a.dst = b.src), "
+    "t AS (SELECT count(*)::BIGINT AS ne FROM d) "
+    "SELECT ne AS n_edges, nm AS n_mutual, "
+    "nm::DOUBLE / ne::DOUBLE AS reciprocity FROM t, m")
+
+
+_DICT_TERMS = ("batch", "customer", "filter", "join", "merge", "sort",
+               "spark", "stream", "table", "vector", "window", "query")
+
+
+def q_dict_match_docs(sf_dir: str):
+    """Dictionary keyword audit over documents: per-term corpus
+    occurrences + document frequency for a broadcast 12-term list —
+    the blocklist/brand-safety scan (stages/textstats.py dict_match:
+    |terms| vectorized count_substring kernels per batch, combiner
+    rows only, NO shuffle; exact integers)."""
+    from ..stages.textstats import dict_match
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return dict_match(ds, _DICT_TERMS)
+
+
+_DICT_SQL = (
+    "WITH terms(term) AS (VALUES "
+    + ", ".join(f"('{t}')" for t in _DICT_TERMS) + "), "
+    "c AS (SELECT term, (length(text) - "
+    "length(replace(text, term, ''))) // length(term) AS cnt "
+    "FROM documents CROSS JOIN terms) "
+    "SELECT term, sum(cnt)::BIGINT AS n_occ, "
+    "(count(*) FILTER (WHERE cnt > 0))::BIGINT AS n_docs "
+    "FROM c GROUP BY term ORDER BY term")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4925,6 +5056,10 @@ def registry() -> dict:
         "item_item_cosine": q_item_item_cosine,
         "snm_pairs": q_snm_pairs,
         "image_dedup": q_image_dedup,
+        "anova_events": q_anova_events,
+        "cramers_v_events": q_cramers_v_events,
+        "reciprocity_edges": q_reciprocity_edges,
+        "dict_match_docs": q_dict_match_docs,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -5953,6 +6088,10 @@ ORACLES: dict[str, str] = {
     "next_event_accuracy": _NEXT_ACC_SQL,
     "item_item_cosine": _ITEM_COS_SQL,
     "snm_pairs": _SNM_SQL,
+    "anova_events": _ANOVA_SQL,
+    "cramers_v_events": _CRAMERS_SQL,
+    "reciprocity_edges": _RECIP_SQL,
+    "dict_match_docs": _DICT_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -1992,23 +1992,11 @@ def ks_two_sample(ds, key_col: str, val_col: str, a: str, b: str):
     return cat
 
 
-def chi2_contingency(ds, row_col: str, col_col: str):
-    """Chi-square statistic of the OBSERVED contingency table between
-    two categorical columns (cells that never occur contribute no
-    term — both engines aggregate the same GROUP BY cells) with a
-    BIT-EXACT SQL twin: counts and marginals are exact integers,
-    each cell's expected value and term are the same fixed float
-    steps ((r*c)::D / n::D; d = o::D - e; d*d/e), and the cross-cell
-    sum folds in SORTED cell order on both sides — DuckDB via
-    ``list(term ORDER BY cells) -> list_sum`` (the sequential
-    left-to-right fold l2_normalize pinned), numpy via the same
-    ordered accumulation. The independence test for corpus audits
-    (is source mix independent of language?).
-
-    Scale shape: per-batch (row, col) count combiner (no shuffle,
-    driver merges O(batches x cells)); the chi2 fold is O(cells) on
-    the driver. Returns a 1-row Table (n_rows_cat, n_cols_cat, dof,
-    chi2)."""
+def _category_pair_counts(ds, row_col: str, col_col: str) -> dict:
+    """Exact (row, col) contingency counts as a pure per-batch
+    combiner — each batch reduces to one count row per observed cell,
+    the driver merges O(batches x cells) partials with Python ints.
+    Shared by chi2_contingency and cramers_v."""
     import pyarrow as pa
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2032,6 +2020,29 @@ def chi2_contingency(ds, row_col: str, col_col: str):
         for i in range(tb.num_rows):
             kk = (tb.column("r")[i].as_py(), tb.column("c")[i].as_py())
             acc[kk] = acc.get(kk, 0) + int(tb.column("n")[i].as_py())
+    return acc
+
+
+def chi2_contingency(ds, row_col: str, col_col: str):
+    """Chi-square statistic of the OBSERVED contingency table between
+    two categorical columns (cells that never occur contribute no
+    term — both engines aggregate the same GROUP BY cells) with a
+    BIT-EXACT SQL twin: counts and marginals are exact integers,
+    each cell's expected value and term are the same fixed float
+    steps ((r*c)::D / n::D; d = o::D - e; d*d/e), and the cross-cell
+    sum folds in SORTED cell order on both sides — DuckDB via
+    ``list(term ORDER BY cells) -> list_sum`` (the sequential
+    left-to-right fold l2_normalize pinned), numpy via the same
+    ordered accumulation. The independence test for corpus audits
+    (is source mix independent of language?).
+
+    Scale shape: per-batch (row, col) count combiner (no shuffle,
+    driver merges O(batches x cells)); the chi2 fold is O(cells) on
+    the driver. Returns a 1-row Table (n_rows_cat, n_cols_cat, dof,
+    chi2)."""
+    import pyarrow as pa
+
+    acc = _category_pair_counts(ds, row_col, col_col)
     if not acc:
         return pa.table({"n_rows_cat": pa.array([], pa.int64()),
                          "n_cols_cat": pa.array([], pa.int64()),
@@ -2975,3 +2986,123 @@ def isotonic_hourly(ds, key: str = "event_type", ts_col: str = "ts",
                      "n_events": pa.array(out_n, pa.int64()),
                      "mean_v": pa.array(out_m, pa.float64()),
                      "fitted": pa.array(out_f, pa.float64())})
+
+
+def anova_oneway(ds, key_col: str, x_col: str, x_scale: int = 100):
+    """One-way ANOVA F statistic across the groups of ``key_col`` —
+    the k-group generalization of welch_ttest, with a BIT-EXACT SQL
+    twin by the same sufficient-statistic trick: x is integral after
+    scaling, so per-group (n, Sx, Sxx) are EXACT integers mergeable
+    in any order, and the closed form touches floats only in
+    correctly-rounded int->double conversions, divisions and
+    fixed-order add chains mirrored verbatim by the oracle:
+
+        fold = sum over groups IN SORTED KEY ORDER of
+               (Sx_g*Sx_g)::D / n_g::D        (sequential list_sum fold)
+        sq   = (SX*SX)::D / N::D              (grand-total term)
+        ssb  = fold - sq
+        ssw  = (SXX::D - sq) - (fold - sq)    (NOT algebraically simplified)
+        f    = (ssb / (k-1)::D) / (ssw / (N-k)::D)
+
+    Scale shape: identical to welch_ttest — one (key, n, sx, sxx)
+    combiner row per key per batch, no shuffle, driver merges
+    O(batches x keys) partials with exact Python ints and folds
+    O(keys) float terms. Returns a 1-row Table
+    (k, n, ss_between, ss_within, f_stat); f_stat is null when
+    k < 2 or ssw == 0."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks().dictionary_encode()
+        codes = k.indices.to_numpy(zero_copy_only=False)
+        keys = k.dictionary.to_pylist()
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * x_scale).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c, xs = codes[order], x[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
+        return pa.table({
+            key_col: pa.array([keys[i] for i in c[starts]]),
+            "n": pa.array(np.diff(np.concatenate((starts, [len(c)])))
+                          .astype(np.int64)),
+            "sx": pa.array(np.add.reduceat(xs, starts)),
+            "sxx": pa.array(np.add.reduceat(xs * xs, starts))})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            kk = tb.column(key_col)[i].as_py()
+            row = acc.setdefault(kk, [0, 0, 0])
+            for j, cname in enumerate(("n", "sx", "sxx")):
+                row[j] += int(tb.column(cname)[i].as_py())
+    if not acc:
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "ss_between": pa.array([], pa.float64()),
+                         "ss_within": pa.array([], pa.float64()),
+                         "f_stat": pa.array([], pa.float64())})
+    k = len(acc)
+    N = sum(v[0] for v in acc.values())
+    SX = sum(v[1] for v in acc.values())
+    SXX = sum(v[2] for v in acc.values())
+    fold = 0.0
+    for g in sorted(acc):  # fixed fold order == SQL list(ORDER BY g)
+        n_g, sx_g, _ = acc[g]
+        fold = fold + float(sx_g * sx_g) / float(n_g)
+    sq = float(SX * SX) / float(N)
+    ssb = fold - sq
+    ssw = (float(SXX) - sq) - (fold - sq)
+    f = None
+    if k >= 2 and N > k and ssw != 0.0:
+        f = (ssb / float(k - 1)) / (ssw / float(N - k))
+    return pa.table({"k": pa.array([k], pa.int64()),
+                     "n": pa.array([N], pa.int64()),
+                     "ss_between": pa.array([ssb], pa.float64()),
+                     "ss_within": pa.array([ssw], pa.float64()),
+                     "f_stat": pa.array([f], pa.float64())})
+
+
+def cramers_v(ds, row_col: str, col_col: str):
+    """Cramér's V association strength between two categorical
+    columns — chi2_contingency's normalized companion (0 = independent,
+    1 = perfectly associated): v = sqrt((chi2 / n) / min(r-1, c-1)).
+    Bit-exact vs SQL: the chi2 fold is the same sorted-cell sequential
+    fold chi2_contingency pins, and v adds only two divisions and one
+    correctly-rounded sqrt, mirrored verbatim by the oracle.
+
+    Scale shape: identical to chi2_contingency (per-batch cell-count
+    combiner, no shuffle, O(cells) driver fold). Returns a 1-row Table
+    (n, dof, chi2, v); v is null when min(r-1, c-1) == 0."""
+    import math
+
+    import pyarrow as pa
+
+    acc = _category_pair_counts(ds, row_col, col_col)
+    if not acc:
+        return pa.table({"n": pa.array([], pa.int64()),
+                         "dof": pa.array([], pa.int64()),
+                         "chi2": pa.array([], pa.float64()),
+                         "v": pa.array([], pa.float64())})
+    rt: dict = {}
+    ct: dict = {}
+    n_tot = 0
+    for (r, c), n in acc.items():
+        rt[r] = rt.get(r, 0) + n
+        ct[c] = ct.get(c, 0) + n
+        n_tot += n
+    chi2 = 0.0
+    for (r, c) in sorted(acc):  # fixed fold order == SQL ORDER BY
+        o = acc[(r, c)]
+        e = float(rt[r] * ct[c]) / float(n_tot)
+        d = float(o) - e
+        chi2 = chi2 + (d * d) / e
+    m = min(len(rt) - 1, len(ct) - 1)
+    v = math.sqrt((chi2 / float(n_tot)) / float(m)) if m > 0 else None
+    return pa.table({
+        "n": pa.array([n_tot], pa.int64()),
+        "dof": pa.array([(len(rt) - 1) * (len(ct) - 1)], pa.int64()),
+        "chi2": pa.array([chi2], pa.float64()),
+        "v": pa.array([v], pa.float64())})

@@ -3255,3 +3255,64 @@ def k_truss(edges_ds, k: int = 3, src: str = "src", dst: str = "dst",
         return empty
     return cat.select(["src", "dst"]).sort_by(
         [("src", "ascending"), ("dst", "ascending")])
+
+
+def reciprocity(edges_ds, src: str = "src", dst: str = "dst",
+                num_partitions: int = 64):
+    """Directed-graph reciprocity — what fraction of distinct directed
+    edges have their reverse edge present? The link-symmetry audit for
+    crawl link graphs (a host graph with high reciprocity behaves like
+    an undirected web; near-zero means a strict hierarchy).
+
+    Semantics (== the oracle's DISTINCT self-join): over the DISTINCT
+    directed edge set with self-loops dropped, ``n_mutual`` = number of
+    directed edges whose reverse is also present; ``reciprocity`` =
+    n_mutual / n_edges (exact integers + ONE division — bit-exact).
+
+    Scale shape: ONE unordered-pair-keyed raw-task exchange
+    (shuffles.int_part_map) — both directions of a pair hash to the
+    same partition, so each partition dedupes its directed edges and
+    counts both-direction pairs locally and emits ONE partial count
+    row; the driver folds O(partitions) rows of exact ints. No
+    driver-side edge data, no sort-based shuffle."""
+    from ..functions.hashing import hash64_ints
+    from .shuffles import int_part_map
+
+    K = np.int64(1) << np.int64(31)
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t.column(src).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = t.column(dst).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        gkey = hash64_ints(lo * K + hi).view(np.int64)
+        return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                         "rev": pa.array((s > d).astype(np.int64)),
+                         "gkey": pa.array(gkey)})
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n_edges": np.array([], np.int64),
+                                 "n_mutual": np.array([], np.int64)})
+        pid = (df["lo"].to_numpy() * K + df["hi"].to_numpy())
+        u = np.unique(pid * 2 + df["rev"].to_numpy())
+        upid, cnt = np.unique(u >> 1, return_counts=True)
+        n_mut = 2 * int((cnt == 2).sum())
+        return pd.DataFrame({"n_edges": [np.int64(len(u))],
+                             "n_mutual": [np.int64(n_mut)]})
+
+    parts = int_part_map(edges_ds, "gkey", kern,
+                         num_partitions=num_partitions, prepare=prep)
+    ne = nm = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        ne += int(pa.compute.sum(tb.column("n_edges")).as_py() or 0)
+        nm += int(pa.compute.sum(tb.column("n_mutual")).as_py() or 0)
+    r = (float(nm) / float(ne)) if ne else None
+    return pa.table({"n_edges": pa.array([ne], pa.int64()),
+                     "n_mutual": pa.array([nm], pa.int64()),
+                     "reciprocity": pa.array([r], pa.float64())})

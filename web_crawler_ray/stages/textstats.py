@@ -1395,3 +1395,52 @@ def rake_keywords(ds, text_col: str = "text", k: int = 40,
     return (merged.map_batches(prune, batch_format="pandas")
             .repartition(1)
             .map_batches(prune, batch_format="pandas"))
+
+
+def dict_match(ds, terms, text_col: str = "text"):
+    """Multi-pattern dictionary matching: per-term corpus occurrence
+    and document-frequency counts for a broadcast term list — the
+    blocklist / brand-safety / keyword-audit scan (the reference greps
+    fixed keyword sets per page the same way, e.g. the page
+    classifier's signal terms, page-classifier.service.js). Counts are
+    NON-OVERLAPPING substring occurrences: pyarrow's count_substring
+    and DuckDB's length/replace trick agree for patterns that cannot
+    overlap themselves (callers pass plain words).
+
+    Scale shape: the term list rides the task closure (one broadcast),
+    each batch runs |terms| vectorized count_substring kernels and
+    reduces to ONE (term, n_occ, n_docs) combiner row per term — NO
+    shuffle, the driver folds O(batches x terms) exact-int partials.
+    An Aho–Corasick automaton replaces the per-term kernels when the
+    dictionary grows past a few hundred patterns; the combiner shape
+    is unchanged. Returns a Table sorted by term."""
+    import pyarrow.compute as pc
+
+    terms = list(terms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        occ, docs = [], []
+        for term in terms:
+            c = pc.fill_null(pc.count_substring(txt, term), 0)
+            cv = c.to_numpy(zero_copy_only=False).astype(np.int64)
+            occ.append(int(cv.sum()))
+            docs.append(int((cv > 0).sum()))
+        return pa.table({"term": pa.array(terms),
+                         "n_occ": pa.array(occ, pa.int64()),
+                         "n_docs": pa.array(docs, pa.int64())})
+
+    acc = {term: [0, 0] for term in terms}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            row = acc[tb.column("term")[i].as_py()]
+            row[0] += int(tb.column("n_occ")[i].as_py())
+            row[1] += int(tb.column("n_docs")[i].as_py())
+    ks = sorted(terms)
+    return pa.table({"term": pa.array(ks),
+                     "n_occ": pa.array([acc[k][0] for k in ks],
+                                       pa.int64()),
+                     "n_docs": pa.array([acc[k][1] for k in ks],
+                                        pa.int64())})
