@@ -219,7 +219,9 @@ def run_queries(num_cpus: int) -> dict:
              "next_event_accuracy", "item_item_cosine",
              "snm_pairs", "image_dedup",
              "anova_events", "cramers_v_events",
-             "reciprocity_edges", "dict_match_docs"]
+             "reciprocity_edges", "dict_match_docs",
+             "hierarchy_rollup", "feature_hash_docs",
+             "random_projection"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -146,3 +146,135 @@ def test_dict_match_matches_brute(ray_session):
         assert out.loc[term, "n_docs"] == nd
     # "sort" must count substring hits inside "sorted" exactly once each
     assert out.loc["sort", "n_occ"] == 4
+
+
+# --- hierarchy rollup --------------------------------------------------------
+
+def _tree(n=60, seed=2):
+    rng = np.random.default_rng(seed)
+    k = np.arange(1, n + 1, dtype=np.int64)
+    p = np.array([1 if x <= 1 else rng.integers(1, x) for x in k],
+                 np.int64)
+    v = rng.integers(-50, 100, n).astype(np.int64)
+    return k, p, v
+
+
+def _brute_rollup(k, p, v):
+    sub = {int(x): 0 for x in k}
+    cnt = {int(x): 0 for x in k}
+    pi = {int(a): int(b) for a, b in zip(k, p)}
+    for x, vv in zip(k, v):
+        a = int(x)
+        while True:
+            sub[a] += int(vv)
+            cnt[a] += 1
+            if pi[a] == a:
+                break
+            a = pi[a]
+    return sub, cnt
+
+
+def test_tree_rollup_driver_matches_brute(ray_session):
+    from web_crawler_ray.stages.graph import tree_rollup
+    k, p, v = _tree()
+    sub, cnt = _brute_rollup(k, p, v)
+    t = pa.table({"node": pa.array(k), "parent": pa.array(p),
+                  "cents": pa.array(v)})
+    out = tree_rollup(rd.from_arrow(t), value_col="cents") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert len(out) == len(k)
+    for _, r in out.iterrows():
+        assert sub[r["node"]] == r["subtree_sum"]
+        assert cnt[r["node"]] == r["n_desc"]
+
+
+def test_tree_rollup_distributed_equals_driver(ray_session):
+    from web_crawler_ray.stages.graph import tree_rollup
+    k, p, v = _tree(n=80, seed=7)
+    t = pa.table({"node": pa.array(k), "parent": pa.array(p),
+                  "cents": pa.array(v)})
+    want = tree_rollup(rd.from_arrow(t), value_col="cents") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    got = tree_rollup(rd.from_arrow(t).repartition(5),
+                      value_col="cents", driver_limit=0,
+                      num_partitions=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        want, got[want.columns.tolist()], check_like=True)
+
+
+def test_tree_rollup_deep_chain(ray_session):
+    from web_crawler_ray.stages.graph import tree_rollup
+    # path graph 1<-2<-...<-40: subtree_sum(i) = sum(v[i:]),
+    # depth 39 needs ceil(log2 39)+1 = 7 doubling rounds
+    n = 40
+    k = np.arange(1, n + 1, dtype=np.int64)
+    p = np.maximum(k - 1, 1)
+    v = np.arange(n, dtype=np.int64) + 1
+    t = pa.table({"node": pa.array(k), "parent": pa.array(p),
+                  "cents": pa.array(v)})
+    for dl in (10**6, 0):
+        out = tree_rollup(rd.from_arrow(t), value_col="cents",
+                          driver_limit=dl) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        want_sub = [int(v[i - 1:].sum()) for i in k]
+        assert out["subtree_sum"].tolist() == want_sub
+        assert out["n_desc"].tolist() == [n - i + 1 for i in k]
+
+
+# --- feature hashing ---------------------------------------------------------
+
+def test_feature_hash_matches_brute(ray_session):
+    import hashlib
+    from web_crawler_ray.stages.textstats import feature_hash
+    docs = ["merge sort merge", "window  join", "", "sort", "a b a b a"]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    out = feature_hash(rd.from_arrow(t).repartition(3), n_buckets=64) \
+        .to_pandas()
+    acc = {}
+    for i, d in enumerate(docs):
+        for tok in d.split(" "):
+            if not tok:
+                continue
+            h = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[8:], "little")
+            key = (i, h % 64)
+            s = 1 if (h >> 6) & 1 else -1
+            w, n = acc.get(key, (0, 0))
+            acc[key] = (w + s, n + 1)
+    got = {(r["doc_id"], r["bucket"]): (r["w"], r["n_tok"])
+           for _, r in out.iterrows()}
+    assert got == acc
+
+
+# --- random projection -------------------------------------------------------
+
+def test_random_projection_exact_and_bounded(ray_session):
+    import hashlib
+    from web_crawler_ray.stages.similarity import random_projection
+    rng = np.random.default_rng(4)
+    n, d, kk = 20, 16, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs[3] = 0.0  # all-zero vector quantizes to zeros
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    out = random_projection(rd.from_arrow(t).repartition(4), k=kk) \
+        .to_pandas()
+    assert len(out) == n * kk
+    assert (out[out["vec_id"] == 3]["y"] == 0).all()
+    assert (out["y"].abs() <= d * 127).all()
+    # brute one vector end-to-end
+    x = vecs[0].astype(np.float64)
+    ma = np.abs(x).max()
+    sc = (x * 127.0) / ma
+    q = (np.sign(sc) * np.floor(np.abs(sc) + 0.5)).astype(np.int64)
+    for j in range(kk):
+        y = 0
+        for i in range(d):
+            h = int.from_bytes(
+                hashlib.md5(f"{i}:{j}".encode()).digest()[8:], "little")
+            y += int(q[i]) if h & 1 else -int(q[i])
+        got = out[(out["vec_id"] == 0) & (out["proj_idx"] == j)]
+        assert got["y"].iloc[0] == y

@@ -4928,6 +4928,112 @@ _DICT_SQL = (
     "FROM c GROUP BY term ORDER BY term")
 
 
+def q_hierarchy_rollup(sf_dir: str):
+    """Account-hierarchy rollup: customers form a random recursive
+    forest (parent(k) = 1 + md5_low64(str(k)) % (k-1), root 1 — the
+    data-driven tree forces REAL pointer lookups) and every node
+    reports its subtree's exact cent sum + descendant count
+    (stages/graph.py tree_rollup: driver numpy chase below 1M rows,
+    pointer-DOUBLING path-aggregation exchanges above — ceil(log2
+    depth)+1 rounds, O(n·depth) total pair traffic == the recursive
+    CTE's own closure). subtree_bal = cents / 100.0 (one division —
+    bit-exact)."""
+    import hashlib
+
+    from ..stages.graph import tree_rollup
+    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # NB: int(kk) — the md5 int exceeds 2^63, and numpy resolves
+        # big-int % np.int64 through float64 (silent precision loss)
+        par = np.array(
+            [int(kk) if kk <= 1 else 1 + int.from_bytes(
+                hashlib.md5(str(int(kk)).encode()).digest()[8:],
+                "little") % (int(kk) - 1) for kk in k], np.int64)
+        cents = np.rint(t.column("c_acctbal").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"node": pa.array(k), "parent": pa.array(par),
+                         "cents": pa.array(cents)})
+
+    out = tree_rollup(ds.map_batches(prep, batch_format="pyarrow"),
+                      value_col="cents")
+
+    def proj(t: pa.Table) -> pa.Table:
+        bal = t.column("subtree_sum").to_numpy(
+            zero_copy_only=False).astype(np.float64) / 100.0
+        return pa.table({"node": t.column("node"),
+                         "n_desc": t.column("n_desc"),
+                         "subtree_bal": pa.array(bal)})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+_HIER_SQL = (
+    "WITH RECURSIVE par AS (SELECT c_custkey AS k, "
+    "CASE WHEN c_custkey <= 1 THEN c_custkey ELSE "
+    "1 + (md5_number_lower(c_custkey::VARCHAR) "
+    "% (c_custkey - 1)::UBIGINT)::BIGINT END AS p, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer), "
+    "anc AS (SELECT k, k AS a, cents FROM par "
+    "UNION ALL SELECT anc.k, par.p, anc.cents FROM anc "
+    "JOIN par ON par.k = anc.a WHERE par.p <> anc.a) "
+    "SELECT a AS node, count(*)::BIGINT AS n_desc, "
+    "sum(cents)::DOUBLE / 100.0 AS subtree_bal "
+    "FROM anc GROUP BY a ORDER BY node")
+
+
+def q_feature_hash_docs(sf_dir: str):
+    """Hashing-trick document vectors over the corpus: signed token
+    counts in 64 md5 buckets, sparse cells only (stages/textstats.py
+    feature_hash: flatten via Arrow split offsets, one md5 per
+    DISTINCT token per batch, one bincount — NO shuffle; exact
+    integers)."""
+    from ..stages.textstats import feature_hash
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return feature_hash(ds, n_buckets=64)
+
+
+_FEATHASH_SQL = (
+    "WITH tok AS (SELECT doc_id, t.tok FROM documents, "
+    "UNNEST(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''), "
+    "h AS (SELECT doc_id, "
+    "(md5_number_lower(tok) % 64)::BIGINT AS bucket, "
+    "CASE WHEN ((md5_number_lower(tok) >> 6) & 1) = 1 "
+    "THEN 1 ELSE -1 END AS s FROM tok) "
+    "SELECT doc_id, bucket, sum(s)::BIGINT AS w, "
+    "count(*)::BIGINT AS n_tok FROM h GROUP BY doc_id, bucket "
+    "ORDER BY doc_id, bucket")
+
+
+def q_random_projection(sf_dir: str):
+    """±1 Johnson–Lindenstrauss projection of the embeddings onto 8
+    signed dimensions — exact int64 outputs by composing the int8
+    quantization with a FIXED md5-derived sign matrix (stages/
+    similarity.py random_projection: one int matmul per batch, sign
+    matrix built once per process, NO shuffle)."""
+    from ..stages.similarity import random_projection
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return random_projection(ds, k=8)
+
+
+_RANDPROJ_SQL = (
+    "WITH m AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, x -> abs(x)))::DOUBLE "
+    "AS maxabs FROM embeddings), "
+    "q AS (SELECT vec_id, i - 1 AS dim_idx, "
+    "CASE WHEN maxabs = 0 THEN 0 ELSE "
+    "CAST(round((embedding[i]::DOUBLE * 127.0) / maxabs) AS BIGINT) "
+    "END AS q FROM m, "
+    "UNNEST(generate_series(1, len(embedding))) AS t(i)) "
+    "SELECT vec_id, j AS proj_idx, "
+    "sum(CASE WHEN (md5_number_lower(dim_idx::VARCHAR || ':' "
+    "|| j::VARCHAR) & 1) = 1 THEN q ELSE -q END)::BIGINT AS y "
+    "FROM q, UNNEST(generate_series(0, 7)) AS g(j) "
+    "GROUP BY vec_id, j ORDER BY vec_id, proj_idx")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5060,6 +5166,9 @@ def registry() -> dict:
         "cramers_v_events": q_cramers_v_events,
         "reciprocity_edges": q_reciprocity_edges,
         "dict_match_docs": q_dict_match_docs,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "feature_hash_docs": q_feature_hash_docs,
+        "random_projection": q_random_projection,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -6092,6 +6201,9 @@ ORACLES: dict[str, str] = {
     "cramers_v_events": _CRAMERS_SQL,
     "reciprocity_edges": _RECIP_SQL,
     "dict_match_docs": _DICT_SQL,
+    "hierarchy_rollup": _HIER_SQL,
+    "feature_hash_docs": _FEATHASH_SQL,
+    "random_projection": _RANDPROJ_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

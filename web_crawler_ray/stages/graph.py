@@ -3316,3 +3316,169 @@ def reciprocity(edges_ds, src: str = "src", dst: str = "dst",
     return pa.table({"n_edges": pa.array([ne], pa.int64()),
                      "n_mutual": pa.array([nm], pa.int64()),
                      "reciprocity": pa.array([r], pa.float64())})
+
+
+def tree_rollup(nodes_ds, node_col: str = "node",
+                parent_col: str = "parent", value_col: str = "cents",
+                driver_limit: int = 1_000_000, max_rounds: int = 10,
+                num_partitions: int = 8):
+    """Hierarchy rollup: for every node of a forest given as
+    (node, parent, integer value) rows — ``parent == node`` marks a
+    root — aggregate the value over the node's ENTIRE subtree
+    (descendants including itself): the org-chart / account-hierarchy
+    / category-tree primitive (SQL's recursive-CTE rollup). Returns a
+    Dataset of (node, n_desc, subtree_sum) — exact integers, no
+    floats anywhere.
+
+    Below ``driver_limit`` rows the pointer chase runs driver-side in
+    numpy (depth-bounded; each step one gather + two scatter-adds).
+    Above it — or when ``driver_limit=0`` forces it — the distributed
+    plan is POINTER-DOUBLING PATH AGGREGATION on keyed raw-task
+    exchanges (the connected_components idiom — never Dataset.join):
+
+        A = {(k, k, v_k)}          collected (node, ancestor, value)
+        J_k = parent(k)            jump pointer, distance 2^r
+        round r: requests (J_k, k, v_k) meet owner J's A-rows and
+                 J-row; new pairs (k, a) for a in A_J land distances
+                 [2^r, 2^{r+1}); J_k <- J_{J_k}; A deduped per
+                 node-keyed partition
+        stop when |A| is stable (exact integer scalar per round —
+        stability certifies every path reached its root)
+
+    so a depth-D forest finishes in ceil(log2 D)+1 rounds, total
+    traffic O(n · depth) pairs (the ancestor closure itself — the
+    same rows a recursive CTE materializes), never O(depth) sequential
+    lookups. The finish is ONE ancestor-keyed exchange summing values.
+    """
+    import ray
+
+    from .shuffles import int_part_map
+
+    nodes_ds = nodes_ds.materialize()
+
+    if nodes_ds.count() <= max(driver_limit, 0):
+        cols = [pa.table(b) for b in nodes_ds.iter_batches(
+            batch_format="pyarrow")]
+        cat = pa.concat_tables(cols) if cols else None
+        if cat is None or cat.num_rows == 0:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n_desc": pa.array([], pa.int64()),
+                 "subtree_sum": pa.array([], pa.int64())}))
+        k = cat.column(node_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = cat.column(parent_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = cat.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, p, v = k[order], p[order], v[order]
+        pi = np.searchsorted(k, p)  # parent index (forest: always found)
+        sub = v.copy()
+        cnt = np.ones(len(k), np.int64)
+        cur = np.arange(len(k))
+        moving = np.arange(len(k))
+        while len(moving):
+            nxt = pi[cur[moving]]
+            moved = nxt != cur[moving]
+            idx = moving[moved]
+            np.add.at(sub, nxt[moved], v[idx])
+            np.add.at(cnt, nxt[moved], np.ones(len(idx), np.int64))
+            cur[idx] = nxt[moved]
+            moving = idx
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array(k), "n_desc": pa.array(cnt),
+             "subtree_sum": pa.array(sub)}))
+
+    def init_a(t: pa.Table) -> pa.Table:
+        kk = t.column(node_col).cast(pa.int64())
+        vv = t.column(value_col).cast(pa.int64())
+        return pa.table({"k": kk, "a": kk, "v": vv})
+
+    def init_j(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column(node_col).cast(pa.int64()),
+                         "j": t.column(parent_col).cast(pa.int64()),
+                         "v": t.column(value_col).cast(pa.int64())})
+
+    A = nodes_ds.map_batches(init_a, batch_format="pyarrow") \
+                .materialize()
+    J = nodes_ds.map_batches(init_j, batch_format="pyarrow") \
+                .materialize()
+
+    def tag_req(t: pa.Table) -> pa.Table:
+        # requester k asks owner j for its A-set and J-pointer
+        return pa.table({"gkey": t.column("j"), "k": t.column("k"),
+                         "a": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "v": t.column("v"),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_own_a(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("k"), "k": t.column("k"),
+                         "a": t.column("a"),
+                         "v": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def tag_own_j(t: pa.Table) -> pa.Table:
+        return pa.table({"gkey": t.column("k"), "k": t.column("k"),
+                         "a": t.column("j"),
+                         "v": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "tag": pa.array(np.full(t.num_rows, 2, np.int8))})
+
+    def meet(df: pd.DataFrame) -> pd.DataFrame:
+        # owner-side rendezvous: requests x owner A-rows -> new pairs;
+        # requests x owner J-row -> jumped pointers
+        req = df[df["tag"] == 0][["gkey", "k", "v"]]
+        own_a = df[df["tag"] == 1][["gkey", "a"]]
+        own_j = df[df["tag"] == 2][["gkey", "a"]].rename(
+            columns={"a": "j2"})
+        new_a = req.merge(own_a, on="gkey")[["k", "a", "v"]]
+        new_a["tag"] = np.int8(1)
+        new_j = req.merge(own_j, on="gkey")[["k", "j2", "v"]].rename(
+            columns={"j2": "a"})
+        new_j["tag"] = np.int8(2)
+        return pd.concat((new_a, new_j), ignore_index=True)
+
+    def dedupe_a(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["k", "a"])
+
+    prev = None
+    for _ in range(max_rounds):
+        tagged = J.map_batches(tag_req, batch_format="pyarrow") \
+            .union(A.map_batches(tag_own_a, batch_format="pyarrow")) \
+            .union(J.map_batches(tag_own_j, batch_format="pyarrow"))
+        out = int_part_map(tagged, "gkey", meet,
+                           num_partitions=num_partitions).materialize()
+
+        def take_a(t: pa.Table) -> pa.Table:
+            m = pa.compute.equal(t.column("tag"), 1)
+            return t.filter(m).select(["k", "a", "v"])
+
+        def take_j(t: pa.Table) -> pa.Table:
+            m = pa.compute.equal(t.column("tag"), 2)
+            return t.filter(m).select(["k", "a", "v"]) \
+                    .rename_columns(["k", "j", "v"])
+
+        new_a = out.map_batches(take_a, batch_format="pyarrow")
+        J = out.map_batches(take_j, batch_format="pyarrow").materialize()
+        A = int_part_map(A.union(new_a), "k", dedupe_a,
+                         num_partitions=num_partitions).materialize()
+        n = A.count()
+        if prev is not None and n == prev:
+            break
+        prev = n
+    else:
+        import warnings
+        warnings.warn(
+            f"tree_rollup: ancestor closure did not stabilize within "
+            f"max_rounds={max_rounds}; increase max_rounds for deeper "
+            f"trees", RuntimeWarning)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("a", sort=True).agg(
+            n_desc=("k", "size"), subtree_sum=("v", "sum"))
+        g = g.reset_index().rename(columns={"a": "node"})
+        g["n_desc"] = g["n_desc"].astype(np.int64)
+        g["subtree_sum"] = g["subtree_sum"].astype(np.int64)
+        return g
+
+    return int_part_map(A, "a", finish, num_partitions=num_partitions)

@@ -827,3 +827,70 @@ def knn_label_accuracy(ds, queries: dict[int, tuple[np.ndarray, int]],
                      "true_label": pa.array(out_t, pa.int64()),
                      "pred_label": pa.array(out_p, pa.int64()),
                      "correct": pa.array(out_c, pa.int64())})
+
+
+_RP_SIGN_CACHE: dict = {}
+
+
+def _rp_signs(dim: int, k: int) -> "np.ndarray":
+    """Deterministic ±1 JL projection matrix (dim x k): sign(i, j) =
+    +1 iff md5_low64(f"{i}:{j}") is odd — SQL-replayable via
+    md5_number_lower. Built once per process (the broadcast)."""
+    import hashlib
+
+    key = (dim, k)
+    got = _RP_SIGN_CACHE.get(key)
+    if got is None:
+        s = np.empty((dim, k), np.int64)
+        for i in range(dim):
+            for j in range(k):
+                h = int.from_bytes(hashlib.md5(
+                    f"{i}:{j}".encode()).digest()[8:], "little")
+                s[i, j] = 1 if (h & 1) == 1 else -1
+        _RP_SIGN_CACHE[key] = got = s
+    return got
+
+
+def random_projection(ds, k: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding"):
+    """Johnson–Lindenstrauss random projection of the embedding table
+    onto ``k`` signed dimensions — the cheap dimensionality reducer in
+    front of LSH/clustering — made EXACTLY reproducible by composing
+    two already-exact pieces: the symmetric int8 quantization
+    (quantize_embeddings' q = round_half_away(x*127/max|x|)) and a
+    FIXED ±1 matrix derived from md5 (so the oracle can replay it
+    key-for-key). y_j = sum_i sign(i, j) * q_i is an exact int64
+    (|y| <= dim * 127) — no float anywhere after quantization.
+
+    Scale shape: stateless vectorized pass, NO shuffle — the sign
+    matrix is built once per process and the per-batch work is one
+    int64 matmul. Returns a Dataset of (vec_id, proj_idx, y)."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        col = t.column(vec_col).combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        if t.num_rows == 0 or offs[-1] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "proj_idx": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        dim = int(offs[1] - offs[0])
+        x = col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(ids), dim)
+        maxabs = np.abs(x).max(axis=1)
+        safe = np.where(maxabs == 0.0, 1.0, maxabs)
+        # same op tree as quantize_embeddings / its SQL twin:
+        # multiply THEN divide, round half away from zero
+        scaled = (x * 127.0) / safe[:, None]
+        q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
+            .astype(np.int64)
+        q[maxabs == 0.0] = 0
+        y = q @ _rp_signs(dim, k)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, k)),
+            "proj_idx": pa.array(np.tile(np.arange(k, dtype=np.int64),
+                                         len(ids))),
+            "y": pa.array(y.reshape(-1))})
+
+    return ds.map_batches(kern, batch_format="pyarrow")

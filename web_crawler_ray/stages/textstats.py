@@ -1444,3 +1444,59 @@ def dict_match(ds, terms, text_col: str = "text"):
                                        pa.int64()),
                      "n_docs": pa.array([acc[k][1] for k in ks],
                                         pa.int64())})
+
+
+def feature_hash(ds, n_buckets: int = 64, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Hashing-trick (feature-hashing) document vectors: each
+    whitespace token lands in bucket ``md5_low64(tok) % n_buckets``
+    with sign ``+1/-1`` from md5 bit 6 (above the bucket bits at
+    n_buckets=64), and a document's sparse vector is the signed token
+    count per bucket — the fixed-width, vocabulary-free featurizer
+    (Weinberger et al.; sklearn's HashingVectorizer shape). Exact
+    integers; the md5 convention is the fingerprint/simhash twin's.
+
+    Scale shape: stateless vectorized pass, NO shuffle — tokens are
+    flattened per batch via Arrow split offsets, hashed once per
+    DISTINCT token (np.unique; the corpus vocabulary, not the token
+    stream), and per-(doc, bucket) sums are one bincount. Emits only
+    the observed sparse cells. Returns a Dataset of
+    (doc_id, bucket, w, n_tok)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    B = np.int64(n_buckets)
+
+    def kern(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        toks = pc.split_pattern(
+            pc.fill_null(t.column(text_col).combine_chunks(), ""), " ")
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = np.asarray(toks.values.to_pylist(), dtype=object)
+        drow = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        keep = flat != ""
+        flat, drow = flat[keep], drow[keep]
+        if not len(flat):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64())})
+        vocab, inv = np.unique(flat, return_inverse=True)
+        h = np.array([int.from_bytes(
+            hashlib.md5(str(w).encode()).digest()[8:], "little")
+            for w in vocab], np.uint64)
+        bkt = (h % np.uint64(B)).astype(np.int64)[inv]
+        sgn = np.where((h >> np.uint64(6)) & np.uint64(1) == 1,
+                       1, -1).astype(np.int64)[inv]
+        cell = drow * B + bkt
+        uc, inv2 = np.unique(cell, return_inverse=True)
+        w = np.bincount(inv2, weights=sgn).astype(np.int64)
+        n = np.bincount(inv2).astype(np.int64)
+        return pa.table({id_col: pa.array(ids[(uc // B)]),
+                         "bucket": pa.array(uc % B),
+                         "w": pa.array(w),
+                         "n_tok": pa.array(n)})
+
+    return ds.map_batches(kern, batch_format="pyarrow")
