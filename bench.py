@@ -221,7 +221,8 @@ def run_queries(num_cpus: int) -> dict:
              "anova_events", "cramers_v_events",
              "reciprocity_edges", "dict_match_docs",
              "hierarchy_rollup", "feature_hash_docs",
-             "random_projection"]
+             "random_projection", "bollinger_users",
+             "cdc_snapshot", "scc_components"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

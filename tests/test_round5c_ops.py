@@ -278,3 +278,124 @@ def test_random_projection_exact_and_bounded(ray_session):
             y += int(q[i]) if h & 1 else -int(q[i])
         got = out[(out["vec_id"] == 0) & (out["proj_idx"] == j)]
         assert got["y"].iloc[0] == y
+
+
+# --- strongly connected components -------------------------------------------
+
+def _brute_scc(u, v, n):
+    R = np.eye(n, dtype=bool)
+    A = np.zeros((n, n), bool)
+    A[u, v] = True
+    R = R | A
+    for _ in range(n):
+        R2 = R | (R @ R)
+        if (R2 == R).all():
+            break
+        R = R2
+    M = R & R.T
+    return np.array([np.flatnonzero(M[i]).min() for i in range(n)])
+
+
+def test_scc_driver_and_distributed_match_brute(ray_session):
+    from web_crawler_ray.stages.graph import scc_components
+    rng = np.random.default_rng(1)
+    for n, m in [(12, 20), (30, 60), (8, 10), (40, 45)]:
+        u = rng.integers(0, n, m).astype(np.int64)
+        v = rng.integers(0, n, m).astype(np.int64)
+        comp = _brute_scc(u, v, n)
+        present = np.unique(np.concatenate((u, v)))
+        want = {int(x): int(comp[x]) for x in present}
+        t = pa.table({"src": pa.array(u), "dst": pa.array(v)})
+        for dl in (10**6, 0):
+            out = scc_components(rd.from_arrow(t).repartition(3),
+                                 driver_limit=dl,
+                                 num_partitions=4).to_pandas()
+            got = dict(zip(out["node"], out["component"]))
+            assert got == want, (n, m, dl)
+
+
+def test_scc_shapes(ray_session):
+    from web_crawler_ray.stages.graph import scc_components
+    # directed cycle = one SCC; chain = singletons; two cycles joined
+    # by a one-way edge stay separate SCCs
+    cyc = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                    "dst": pa.array([2, 3, 1], pa.int64())})
+    out = scc_components(rd.from_arrow(cyc)).to_pandas()
+    assert set(out["component"]) == {1}
+    chain = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                      "dst": pa.array([2, 3, 4], pa.int64())})
+    out = scc_components(rd.from_arrow(chain)).to_pandas()
+    assert dict(zip(out["node"], out["component"])) == {
+        1: 1, 2: 2, 3: 3, 4: 4}
+    two = pa.table({
+        "src": pa.array([1, 2, 5, 6, 2], pa.int64()),
+        "dst": pa.array([2, 1, 6, 5, 5], pa.int64())})
+    for dl in (10**6, 0):
+        out = scc_components(rd.from_arrow(two), driver_limit=dl,
+                             num_partitions=3).to_pandas()
+        assert dict(zip(out["node"], out["component"])) == {
+            1: 1, 2: 1, 5: 5, 6: 5}
+
+
+# --- Bollinger bands ---------------------------------------------------------
+
+def _events(n=400, n_users=7, seed=11):
+    rng = np.random.default_rng(seed)
+    ts = (np.int64(1_700_000_000_000_000)
+          + rng.integers(0, 6 * 3_600_000_000, n))
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, n_users, n).astype(np.int64)),
+        "event_type": pa.array(
+            np.array(["click", "view", "buy"])[rng.integers(0, 3, n)]),
+        "value": pa.array(np.round(rng.uniform(0.01, 120.0, n), 2)),
+    })
+
+
+def test_bollinger_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import bollinger_bands
+    t = _events(n=300, n_users=5, seed=21)
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    out = bollinger_bands(rd.from_arrow(t).repartition(4), window=8) \
+        .to_pandas().set_index(["key", "order_id"])
+    w = 8
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["t", "event_id"], kind="mergesort")
+        c = g["c"].to_numpy()
+        for i in range(len(g)):
+            lo = max(0, i - w + 1)
+            win = c[lo:i + 1]
+            n = len(win)
+            sx, sxx = int(win.sum()), int((win * win).sum())
+            ma = float(sx) / float(n)
+            sd = np.sqrt(float(n * sxx - sx * sx)) / float(n)
+            row = out.loc[(uid, g["event_id"].iloc[i])]
+            assert row["n_w"] == n
+            assert row["ma"] == ma
+            assert row["band_up"] == ma + 2.0 * sd
+            assert row["band_dn"] == ma - 2.0 * sd
+
+
+# --- CDC snapshot ------------------------------------------------------------
+
+def test_cdc_apply_matches_brute(ray_session):
+    from web_crawler_ray.stages.relational import cdc_apply
+    rng = np.random.default_rng(13)
+    n = 400
+    t = pa.table({
+        "key": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "ts_us": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(np.array(["U", "U", "D"])[
+            rng.integers(0, 3, n)]),
+        "cents": pa.array(rng.integers(-100, 100, n).astype(np.int64))})
+    df = t.to_pandas()
+    last = df.sort_values(["key", "ts_us", "seq"]).groupby("key").last()
+    want = last[last["op"] != "D"][["cents", "ts_us"]]
+    out = cdc_apply(rd.from_arrow(t).repartition(5)) \
+        .to_pandas().set_index("key").sort_index()
+    assert out["cents"].to_dict() == want["cents"].to_dict()
+    assert out["ts_us"].to_dict() == want["ts_us"].to_dict()

@@ -5034,6 +5034,117 @@ _RANDPROJ_SQL = (
     "GROUP BY vec_id, j ORDER BY vec_id, proj_idx")
 
 
+def q_bollinger_users(sf_dir: str):
+    """Per-user Bollinger bands over event values — rolling mean ±2
+    population std on the last 8 rows (stages/windows.py
+    bollinger_bands: ONE keyed exchange, integer rolling moments via
+    per-segment prefix sums, sqrt-of-integer-numerator-then-divide
+    fixed tree — bit-exact)."""
+    from ..stages.windows import bollinger_bands
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    out = bollinger_bands(ds, window=8, n_sigma=2.0)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "event_id", "n_w", "ma", "band_up", "band_dn"]),
+        batch_format="pyarrow")
+
+
+_BOLL_SQL = (
+    "WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t, "
+    "event_id AS oc, CAST(round(value * 100) AS BIGINT) AS c "
+    "FROM events), "
+    "w AS (SELECT k, oc, count(*) OVER win AS n, "
+    "sum(c) OVER win AS sx, sum(c*c) OVER win AS sxx FROM b "
+    "WINDOW win AS (PARTITION BY k ORDER BY t, oc "
+    "ROWS 7 PRECEDING)) "
+    "SELECT k AS user_id, oc AS event_id, n::BIGINT AS n_w, "
+    "sx::DOUBLE / n::DOUBLE AS ma, "
+    "sx::DOUBLE / n::DOUBLE + 2.0 * (sqrt((n*sxx - sx*sx)::DOUBLE) "
+    "/ n::DOUBLE) AS band_up, "
+    "sx::DOUBLE / n::DOUBLE - 2.0 * (sqrt((n*sxx - sx*sx)::DOUBLE) "
+    "/ n::DOUBLE) AS band_dn "
+    "FROM w ORDER BY user_id, event_id")
+
+
+def q_cdc_snapshot(sf_dir: str):
+    """CDC snapshot from an op log derived from events ('error' rows
+    are delete tombstones, everything else upserts; key spreads each
+    user over 8 sub-streams) — the tombstone-aware sibling of
+    merge_upsert (stages/relational.py cdc_apply: ONE keyed exchange,
+    segmented last-row pick, values copied — exact)."""
+    from ..stages.relational import cdc_apply
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "event_type",
+                      "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_pylist()
+        cents = np.rint(t.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "key": pa.array((uid * 8 + eid % 8).astype(np.int64)),
+            "ts_us": pa.array(ts),
+            "seq": pa.array(eid.astype(np.int64)),
+            "op": pa.array(["D" if x == "error" else "U" for x in et]),
+            "cents": pa.array(cents)})
+
+    return cdc_apply(ds.map_batches(prep, batch_format="pyarrow"))
+
+
+_CDC_SQL = (
+    "WITH b AS (SELECT user_id * 8 + event_id % 8 AS key, "
+    "epoch_us(ts) AS t, event_id AS seq, "
+    "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, "
+    "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY key "
+    "ORDER BY t DESC, seq DESC) AS rn FROM b) "
+    "SELECT key, c AS cents, t AS ts_us FROM r "
+    "WHERE rn = 1 AND op <> 'D' ORDER BY key")
+
+
+def q_scc_components(sf_dir: str):
+    """Strongly connected components of the directed mod-2000
+    lineitem graph — the bow-tie web-graph primitive next to
+    connected_components (stages/graph.py scc_components: iterative
+    Kosaraju on the driver below 1M edges; FORWARD-BACKWARD coloring
+    with receiver-side color checks on keyed raw-task exchanges
+    above, both parity-pinned in pytest). component = MIN member id,
+    exact."""
+    from ..stages.graph import scc_components
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def to_e(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array((ok % 2000).astype(np.int64)),
+                         "dst": pa.array(((pk * 13 + sk) % 2000)
+                                         .astype(np.int64))})
+
+    return scc_components(ds.map_batches(to_e, batch_format="pyarrow"))
+
+
+_SCC_SQL = (
+    "WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM "
+    "(SELECT l_orderkey % 2000 AS src, "
+    "(l_partkey * 13 + l_suppkey) % 2000 AS dst FROM lineitem)), "
+    "r AS (SELECT src AS u, dst AS v FROM e "
+    "UNION SELECT r.u, e.dst FROM r JOIN e ON e.src = r.v), "
+    "nodes AS (SELECT src AS node FROM e "
+    "UNION SELECT dst FROM e), "
+    "m AS (SELECT r1.u, r1.v FROM r r1 "
+    "JOIN r r2 ON r2.u = r1.v AND r2.v = r1.u) "
+    "SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) "
+    "AS component FROM nodes n LEFT JOIN m ON m.u = n.node "
+    "GROUP BY n.node ORDER BY n.node")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5169,6 +5280,9 @@ def registry() -> dict:
         "hierarchy_rollup": q_hierarchy_rollup,
         "feature_hash_docs": q_feature_hash_docs,
         "random_projection": q_random_projection,
+        "bollinger_users": q_bollinger_users,
+        "cdc_snapshot": q_cdc_snapshot,
+        "scc_components": q_scc_components,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -6204,6 +6318,9 @@ ORACLES: dict[str, str] = {
     "hierarchy_rollup": _HIER_SQL,
     "feature_hash_docs": _FEATHASH_SQL,
     "random_projection": _RANDPROJ_SQL,
+    "bollinger_users": _BOLL_SQL,
+    "cdc_snapshot": _CDC_SQL,
+    "scc_components": _SCC_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

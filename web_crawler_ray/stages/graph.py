@@ -3482,3 +3482,339 @@ def tree_rollup(nodes_ds, node_col: str = "node",
         return g
 
     return int_part_map(A, "a", finish, num_partitions=num_partitions)
+
+
+@ray.remote
+def _val_sum(t: pa.Table) -> int:
+    import pyarrow.compute as pc
+    return int(pc.sum(t.column("val")).as_py() or 0)
+
+
+def _kosaraju(u: np.ndarray, v: np.ndarray):
+    """Driver SCC via iterative Kosaraju over CSR adjacency. Returns
+    (nodes_sorted, comp) with comp = MIN member id of the node's
+    strongly connected component."""
+    nodes = np.unique(np.concatenate((u, v)))
+    n = len(nodes)
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+
+    def csr(src, dst):
+        order = np.argsort(src, kind="stable")
+        s, d = src[order], dst[order]
+        indptr = np.searchsorted(s, np.arange(n + 1))
+        return indptr, d
+
+    fp, fd = csr(ui, vi)
+    bp, bd = csr(vi, ui)
+
+    # pass 1: finish order on G (iterative DFS with explicit cursor)
+    seen = np.zeros(n, bool)
+    cursor = fp[:-1].copy()
+    finish = []
+    for s0 in range(n):
+        if seen[s0]:
+            continue
+        seen[s0] = True
+        stack = [s0]
+        while stack:
+            x = stack[-1]
+            advanced = False
+            while cursor[x] < fp[x + 1]:
+                y = fd[cursor[x]]
+                cursor[x] += 1
+                if not seen[y]:
+                    seen[y] = True
+                    stack.append(y)
+                    advanced = True
+                    break
+            if not advanced:
+                finish.append(stack.pop())
+
+    # pass 2: DFS on G^T in reverse finish order
+    comp = np.full(n, -1, np.int64)
+    seen2 = np.zeros(n, bool)
+    for s0 in reversed(finish):
+        if seen2[s0]:
+            continue
+        members = [s0]
+        seen2[s0] = True
+        stack = [s0]
+        while stack:
+            x = stack.pop()
+            for j in range(bp[x], bp[x + 1]):
+                y = bd[j]
+                if not seen2[y]:
+                    seen2[y] = True
+                    members.append(y)
+                    stack.append(y)
+        mn = nodes[min(members)]
+        for m in members:
+            comp[m] = mn
+    return nodes, comp
+
+
+def scc_components(edges_ds, src: str = "src", dst: str = "dst",
+                   driver_limit: int = DRIVER_CC_MAX,
+                   max_rounds: int = 16, max_iters: int = 64,
+                   num_partitions: int = 8):
+    """STRONGLY connected components of a directed edge Dataset —
+    connected_components' directed sibling (mutual reachability, the
+    web-graph primitive behind Broder's bow-tie analysis). Returns a
+    Dataset of (node, component), component = MIN member id.
+
+    Below ``driver_limit`` edges: iterative Kosaraju on the driver.
+    Above it — or with ``driver_limit=0`` — the distributed plan is
+    FORWARD-BACKWARD COLORING (Orzan): per outer round over the
+    still-unassigned subgraph,
+
+        color(v) <- max{u : u reaches v}    (max-label relaxation to
+                                             fixpoint, exact integer
+                                             sum convergence scalar)
+        roots r: color(r) == r; SCC(r) = {v : color(v) = r and
+                 v reaches r} — the backward flag propagates ONLY
+                 within color-r nodes (correct because any node on a
+                 v->r path inherits color r: r reaches it through v,
+                 and a larger claimant would recolor r itself)
+        assign SCC(r) for every root in parallel, drop those nodes,
+        repeat
+
+    Every keyed exchange rides shuffles.int_part_map (the
+    connected_components rationale: Dataset.join dies on empty
+    partitions and pays sort-shuffle fixed costs per call). Outer
+    rounds peel at least one SCC per color class per round —
+    O(#SCC-levels) worst case on a chain-of-SCCs; both loops carry
+    max_rounds/max_iters warnings like connected_components."""
+    import ray
+
+    from .shuffles import int_part_map
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}))
+
+    if n_edges <= driver_limit:
+        cols = [pa.table(b) for b in
+                edges_ds.select_columns([src, dst])
+                        .iter_batches(batch_format="pyarrow")]
+        cat = pa.concat_tables(cols)
+        u = cat.column(src).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nodes, comp = _kosaraju(u, v)
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array(nodes), "component": pa.array(comp)}))
+
+    def to_e(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column(src).cast(pa.int64()),
+            "dst": t.column(dst).cast(pa.int64())})
+
+    def dedupe_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["src", "dst"])
+
+    live = int_part_map(
+        edges_ds.map_batches(to_e, batch_format="pyarrow"),
+        "src", dedupe_edges,
+        num_partitions=num_partitions).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        a = t.column("src").combine_chunks()
+        b = t.column("dst").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b])})
+
+    def distinct_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["node"])
+
+    pending = int_part_map(
+        live.map_batches(node_rows, batch_format="pyarrow"),
+        "node", distinct_nodes,
+        num_partitions=num_partitions).materialize()
+
+    assigned = []  # list of pa.Tables (node, component) — O(result)
+
+    def _fixpoint(edges, state, combine, payload_from_state):
+        """Relax messages along `edges` into per-node `combine` until
+        the integer state sum stabilizes. state: (node, val)."""
+        prev = None
+        for _ in range(max_iters):
+            tagged = edges.map_batches(
+                lambda t: pa.table({
+                    "gkey": t.column("src"), "dst": t.column("dst"),
+                    "val": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "tag": pa.array(np.zeros(t.num_rows, np.int8))}),
+                batch_format="pyarrow") \
+                .union(state.map_batches(
+                    lambda t: pa.table({
+                        "gkey": t.column("node"),
+                        "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                        "val": t.column("val"),
+                        "tag": pa.array(np.ones(t.num_rows, np.int8))}),
+                    batch_format="pyarrow"))
+            msgs = int_part_map(tagged, "gkey", payload_from_state,
+                                num_partitions=num_partitions)
+            state = int_part_map(msgs.union(state), "node", combine,
+                                 num_partitions=num_partitions) \
+                .materialize()
+            s = sum(ray.get([_val_sum.remote(r)
+                             for r in state.to_arrow_refs()]))
+            if prev is not None and s == prev:
+                return state, True
+            prev = s
+        import warnings
+        warnings.warn(
+            f"scc_components: relaxation did not stabilize within "
+            f"max_iters={max_iters}", RuntimeWarning)
+        return state, False
+
+    def fwd_emit(df: pd.DataFrame) -> pd.DataFrame:
+        # owner src: forward its current color along each out-edge
+        own = df[df["tag"] == 1][["gkey", "val"]]
+        e = df[df["tag"] == 0][["gkey", "dst"]]
+        out = e.merge(own, on="gkey")[["dst", "val"]]
+        return out.rename(columns={"dst": "node"})
+
+    def max_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["val"].max().reset_index()
+        return g
+
+    for _ in range(max_rounds):
+        n_pending = pending.count()
+        if n_pending == 0:
+            break
+
+        # colors init: node id itself
+        colors = pending.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "val": t.column("node")}),
+            batch_format="pyarrow").materialize()
+        colors, _ok = _fixpoint(live, colors, max_combine, fwd_emit)
+
+        # backward flag: 1 at roots, spread along REVERSED edges
+        # between same-color nodes. Encoding disambiguates a node's
+        # OWN state row from incoming messages inside the combiner
+        # (an incoming color may exceed the receiver's own color —
+        # sender reaches a bigger root the receiver doesn't):
+        #   state row   val = color*4 + 2 + flag
+        #   message row val = color*4 + 1
+        def init_flag(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            col = t.column("val").to_numpy(zero_copy_only=False)
+            flag = (col == node).astype(np.int64)
+            return pa.table({"node": pa.array(node),
+                             "val": pa.array(col * 4 + 2 + flag)})
+
+        flags = colors.map_batches(init_flag,
+                                   batch_format="pyarrow").materialize()
+
+        rev = live.map_batches(
+            lambda t: pa.table({"src": t.column("dst"),
+                                "dst": t.column("src")}),
+            batch_format="pyarrow")
+
+        def bw_emit(df: pd.DataFrame) -> pd.DataFrame:
+            own = df[df["tag"] == 1][["gkey", "val"]]
+            own = own[own["val"] % 4 == 3]        # flagged owners only
+            e = df[df["tag"] == 0][["gkey", "dst"]]
+            out = e.merge(own, on="gkey")
+            out["val"] = (out["val"] // 4) * 4 + 1  # -> message row
+            return out[["dst", "val"]].rename(columns={"dst": "node"})
+
+        def flag_combine(df: pd.DataFrame) -> pd.DataFrame:
+            # per node: exactly one own state row (val%4 in {2,3})
+            # plus zero or more messages (val%4 == 1); the node flips
+            # to flagged iff any incoming message's color equals its
+            # OWN color (receiver-side color equality check).
+            v = df["val"].to_numpy(np.int64)
+            node = df["node"].to_numpy(np.int64)
+            is_own = (v % 4) >= 2
+            own = pd.DataFrame({"node": node[is_own],
+                                "oval": v[is_own]})
+            msg = pd.DataFrame({"node": node[~is_own],
+                                "mcol": v[~is_own] // 4})
+            if len(msg):
+                j = msg.merge(own, on="node")
+                hit = j[j["mcol"] == j["oval"] // 4] \
+                    .drop_duplicates(subset=["node"])[["node"]]
+                hit["bump"] = np.int64(1)
+                own = own.merge(hit, on="node", how="left")
+                bump = own["bump"].fillna(0).astype(np.int64)
+                new_val = np.where(own["oval"] % 4 == 3,
+                                   own["oval"],
+                                   own["oval"] + bump)
+            else:
+                new_val = own["oval"].to_numpy(np.int64)
+            return pd.DataFrame({"node": own["node"].to_numpy(np.int64),
+                                 "val": new_val.astype(np.int64)})
+
+        flags, _ok2 = _fixpoint(rev, flags, flag_combine, bw_emit)
+
+        # members: flag==1 -> assigned this round, grouped by color
+        def split_done(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            val = t.column("val").to_numpy(zero_copy_only=False)
+            done = (val % 4) == 3
+            return pa.table({"node": pa.array(node[done]),
+                             "root": pa.array(val[done] // 4)})
+
+        done_ds = flags.map_batches(split_done,
+                                    batch_format="pyarrow")
+
+        def min_label(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("root", sort=False)["node"].agg(
+                ["min"]).reset_index()
+            g = g.rename(columns={"min": "component"})
+            return df.merge(g, on="root")[["node", "component"]]
+
+        comp_tbl = pa.concat_tables(
+            [pa.table(b) for b in
+             int_part_map(done_ds, "root", min_label,
+                          num_partitions=num_partitions)
+             .iter_batches(batch_format="pyarrow")] or
+            [pa.table({"node": pa.array([], pa.int64()),
+                       "component": pa.array([], pa.int64())})])
+        assigned.append(comp_tbl)
+
+        # shrink: drop assigned nodes from pending and their edges
+        done_nodes = np.sort(comp_tbl.column("node").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        done_ref = ray.put(done_nodes)
+
+        def drop_nodes(t: pa.Table) -> pa.Table:
+            dn = ray.get(done_ref)
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            keep = np.searchsorted(dn, node)
+            mask = ~((keep < len(dn)) & (dn[np.minimum(
+                keep, len(dn) - 1)] == node))
+            return t.filter(pa.array(mask))
+
+        def drop_edges(t: pa.Table) -> pa.Table:
+            dn = ray.get(done_ref)
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+
+            def hit(x):
+                i = np.searchsorted(dn, x)
+                return (i < len(dn)) & (dn[np.minimum(
+                    i, len(dn) - 1)] == x)
+
+            return t.filter(pa.array(~(hit(s) | hit(d))))
+
+        pending = pending.map_batches(
+            drop_nodes, batch_format="pyarrow").materialize()
+        live = live.map_batches(
+            drop_edges, batch_format="pyarrow").materialize()
+    else:
+        import warnings
+        warnings.warn(
+            f"scc_components: {pending.count()} nodes unassigned "
+            f"after max_rounds={max_rounds}", RuntimeWarning)
+
+    out = pa.concat_tables(assigned) if assigned else pa.table(
+        {"node": pa.array([], pa.int64()),
+         "component": pa.array([], pa.int64())})
+    return ray.data.from_arrow(out)

@@ -1094,3 +1094,42 @@ def item_item_cosine(ds, group_col: str, item_col: str,
         return empty
     return pa.concat_tables(live2).sort_by(
         [("item_a", "ascending"), ("item_b", "ascending")])
+
+
+def cdc_apply(ds, key_col: str = "key", ts_col: str = "ts_us",
+              seq_col: str = "seq", op_col: str = "op",
+              val_col: str = "cents", delete_op: str = "D"):
+    """Change-data-capture snapshot: apply an insert/update/delete op
+    log in (ts, seq) order and emit the final per-key state — the
+    tombstone-aware sibling of merge_upsert (SCD-1 keeps the last
+    value; CDC additionally DROPS keys whose last op is a delete).
+    Values/timestamps are copied, never combined — exact.
+
+    Scale shape: ONE key-keyed raw-task exchange; per-partition
+    lexsort by (key, ts, seq) + segmented last-row pick, no per-row
+    Python. Returns (key, cents, ts_us) for keys whose final op is
+    not the tombstone."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key": np.array([], np.int64),
+                "cents": np.array([], np.int64),
+                "ts_us": np.array([], np.int64)})
+        k = df[key_col].to_numpy(np.int64)
+        t = df[ts_col].to_numpy(np.int64)
+        s = df[seq_col].to_numpy(np.int64)
+        op = df[op_col].to_numpy()
+        v = df[val_col].to_numpy(np.int64)
+        order = np.lexsort((s, t, k))
+        k, t, op, v = k[order], t[order], op[order], v[order]
+        last = np.concatenate(
+            (np.flatnonzero(k[1:] != k[:-1]), [len(k) - 1]))
+        keep = last[op[last] != delete_op]
+        return pd.DataFrame({"key": k[keep], "cents": v[keep],
+                             "ts_us": t[keep]})
+
+    return int_part_map(ds, key_col, per_partition)

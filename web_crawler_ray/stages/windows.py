@@ -1927,3 +1927,87 @@ def next_event_accuracy(ds, user_col: str = "user_id",
                      "n_trans": pa.array(out_n, pa.int64()),
                      "n_correct": pa.array(out_c, pa.int64()),
                      "accuracy": pa.array(out_a, pa.float64())})
+
+
+def bollinger_bands(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    order_col: str = "event_id",
+                    value_col: str = "value", window: int = 8,
+                    n_sigma: float = 2.0, scale: int = 100):
+    """Per-key Bollinger bands: rolling mean ± n_sigma · rolling
+    POPULATION std over the last ``window`` rows in (ts, order) order
+    — the volatility envelope next to rolling_avg/rolling_median,
+    BIT-EXACT against SQL because the rolling moments are exact
+    integer sums (values scaled to ints; sx, sxx via per-segment
+    prefix sums) and the float finish is one fixed op tree mirrored
+    verbatim by the oracle:
+
+        ma = sx::D / n::D
+        sd = sqrt((n·sxx − sx·sx)::D) / n::D
+        band_up = ma + n_sigma·sd ; band_dn = ma − n_sigma·sd
+
+    (sqrt of the non-negative integer variance numerator FIRST, one
+    divide after — no intermediate that could differ). Ramp-up rows
+    use their partial n, matching ROWS window−1 PRECEDING.
+
+    Scale shape: ONE keyed exchange; per-partition lexsort + two
+    cumsum passes, no per-row Python. Returns
+    (key, order_id, n_w, ma, band_up, band_dn)."""
+    import math
+
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    w = int(window)
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(order_col).cast(pa.int64()),
+            "c": pa.array(cents)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key": np.array([], np.int64),
+                "order_id": np.array([], np.int64),
+                "n_w": np.array([], np.int64),
+                "ma": np.array([], np.float64),
+                "band_up": np.array([], np.float64),
+                "band_dn": np.array([], np.float64)})
+        k = df["k"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        order = np.lexsort((oc, ts, k))
+        k, oc, c = k[order], oc[order], c[order]
+        n_arr = np.empty(len(k), np.int64)
+        sx = np.empty(len(k), np.int64)
+        sxx = np.empty(len(k), np.int64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(k[1:] != k[:-1]) + 1, [len(k)]))
+        for s, e in zip(starts[:-1], starts[1:]):
+            seg = c[s:e]
+            ps = np.concatenate(([0], np.cumsum(seg)))
+            ps2 = np.concatenate(([0], np.cumsum(seg * seg)))
+            idx = np.arange(len(seg))
+            lo = np.maximum(idx - w + 1, 0)
+            n_arr[s:e] = idx - lo + 1
+            sx[s:e] = ps[idx + 1] - ps[lo]
+            sxx[s:e] = ps2[idx + 1] - ps2[lo]
+        nf = n_arr.astype(np.float64)
+        ma = sx.astype(np.float64) / nf
+        var_num = (n_arr * sxx - sx * sx).astype(np.float64)
+        sd = np.sqrt(var_num) / nf
+        return pd.DataFrame({
+            "key": k, "order_id": oc, "n_w": n_arr, "ma": ma,
+            "band_up": ma + n_sigma * sd,
+            "band_dn": ma - n_sigma * sd})
+
+    return int_part_map(ds, "k", per_partition, prepare=prep)
