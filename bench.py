@@ -222,7 +222,8 @@ def run_queries(num_cpus: int) -> dict:
              "reciprocity_edges", "dict_match_docs",
              "hierarchy_rollup", "feature_hash_docs",
              "random_projection", "bollinger_users",
-             "cdc_snapshot", "scc_components"]
+             "cdc_snapshot", "scc_components",
+             "sax_users", "kcenter_coreset"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

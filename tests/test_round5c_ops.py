@@ -399,3 +399,74 @@ def test_cdc_apply_matches_brute(ray_session):
         .to_pandas().set_index("key").sort_index()
     assert out["cents"].to_dict() == want["cents"].to_dict()
     assert out["ts_us"].to_dict() == want["ts_us"].to_dict()
+
+
+# --- SAX / PAA ---------------------------------------------------------------
+
+def test_sax_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import sax_paa
+    t = _events(n=250, n_users=4, seed=30)
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    bps = (2000, 4000, 6000, 8000)
+    letters = "abcde"
+    out = sax_paa(rd.from_arrow(t).repartition(3), seg_len=8,
+                  breakpoints=bps).to_pandas() \
+        .set_index(["key", "seg_idx"]).sort_index()
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["t", "event_id"], kind="mergesort")
+        c = g["c"].to_numpy()
+        for s in range(0, len(c), 8):
+            win = c[s:s + 8]
+            paa = float(win.sum()) / float(len(win))
+            sym = letters[int(np.searchsorted(
+                np.array(bps, float), paa, side="right"))]
+            row = out.loc[(uid, s // 8)]
+            assert row["n"] == len(win)
+            assert row["paa"] == paa
+            assert row["sym"] == sym
+
+
+# --- k-center coreset --------------------------------------------------------
+
+def _quant_int8(x):
+    ma = np.abs(x).max(axis=1)
+    safe = np.where(ma == 0, 1.0, ma)
+    sc = (x * 127.0) / safe[:, None]
+    q = (np.sign(sc) * np.floor(np.abs(sc) + 0.5)).astype(np.int64)
+    q[ma == 0] = 0
+    return q
+
+
+def test_kcenter_matches_brute(ray_session):
+    from web_crawler_ray.stages.clustering import kcenter_coreset
+    rng = np.random.default_rng(8)
+    n, d, kk = 60, 12, 6
+    ids = rng.permutation(1000)[:n].astype(np.int64)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    out = kcenter_coreset(rd.from_arrow(t).repartition(4), k=kk) \
+        .to_pandas()
+    q = _quant_int8(x.astype(np.float64))
+    order = np.argsort(ids)
+    # brute greedy
+    first = int(np.argmin(ids))
+    chosen = [(0, int(ids[first]), 0)]
+    dist = ((q - q[first]) ** 2).sum(axis=1)
+    for t_round in range(1, kk):
+        best = None
+        for i in range(n):
+            cand = (int(dist[i]), -int(ids[i]))
+            if best is None or cand > best:
+                best = cand
+                bi = i
+        chosen.append((t_round, int(ids[bi]), int(dist[bi])))
+        nd = ((q - q[bi]) ** 2).sum(axis=1)
+        dist = np.minimum(dist, nd)
+    got = list(zip(out["order_idx"], out["vec_id"], out["radius"]))
+    assert got == chosen
+    # radii non-increasing after the seed row
+    assert all(out["radius"].iloc[i] >= out["radius"].iloc[i + 1]
+               for i in range(1, kk - 1))

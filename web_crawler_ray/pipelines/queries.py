@@ -5145,6 +5145,79 @@ _SCC_SQL = (
     "GROUP BY n.node ORDER BY n.node")
 
 
+def q_sax_users(sf_dir: str):
+    """SAX symbolic series per user: 8-row PAA segments quantized
+    into 5 letters against fixed cent breakpoints (stages/windows.py
+    sax_paa: ONE keyed exchange, rank-derived segments, one reduceat;
+    exact division + exact-integer compares — bit-exact)."""
+    from ..stages.windows import sax_paa
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return sax_paa(ds, seg_len=8,
+                   breakpoints=(2000, 4000, 6000, 8000))
+
+
+_SAX_SQL = (
+    "WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t, "
+    "event_id AS oc, CAST(round(value * 100) AS BIGINT) AS c "
+    "FROM events), "
+    "r AS (SELECT k, c, (row_number() OVER "
+    "(PARTITION BY k ORDER BY t, oc) - 1) // 8 AS seg FROM b), "
+    "s AS (SELECT k, seg, count(*)::BIGINT AS n, "
+    "sum(c)::DOUBLE / count(*)::DOUBLE AS paa FROM r "
+    "GROUP BY k, seg) "
+    "SELECT k AS key, seg AS seg_idx, n, paa, "
+    "CASE WHEN paa < 2000 THEN 'a' WHEN paa < 4000 THEN 'b' "
+    "WHEN paa < 6000 THEN 'c' WHEN paa < 8000 THEN 'd' "
+    "ELSE 'e' END AS sym FROM s ORDER BY key, seg_idx")
+
+
+def q_kcenter_coreset(sf_dir: str):
+    """Greedy k-center (Gonzalez farthest-point) coreset of the
+    embeddings — diversity sampling for active learning, EXACT on the
+    int8-quantized codes: every distance an integer squared
+    euclidean, argmax ties broken on min id (stages/clustering.py
+    kcenter_coreset: k rounds of broadcast-center distance update +
+    per-batch (max, min-id) combiner, no shuffle)."""
+    from ..stages.clustering import kcenter_coreset
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kcenter_coreset(ds, k=8)
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    dist = ("list_sum(list_transform(generate_series(1, "
+            "len({a}.qv)), i -> ({a}.qv[i] - {c}.qv[i]) "
+            "* ({a}.qv[i] - {c}.qv[i])))")
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(generate_series(1, len(embedding)), i -> "
+        "CASE WHEN maxabs = 0 THEN 0 ELSE "
+        "CAST(round((embedding[i]::DOUBLE * 127.0) / maxabs) "
+        "AS BIGINT) END) AS qv FROM (SELECT vec_id, embedding, "
+        "list_max(list_transform(embedding, x -> abs(x)))::DOUBLE "
+        "AS maxabs FROM embeddings)), "
+        "c0 AS MATERIALIZED (SELECT vec_id, qv FROM q "
+        "ORDER BY vec_id LIMIT 1), "
+        "d1 AS MATERIALIZED (SELECT q.vec_id, q.qv, "
+        + dist.format(a="q", c="c0")
+        + " AS d FROM q, c0)"]
+    for t in range(1, k):
+        parts.append(
+            f", c{t} AS MATERIALIZED (SELECT vec_id, qv, d FROM d{t} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)")
+        if t < k - 1:
+            parts.append(
+                f", d{t + 1} AS MATERIALIZED (SELECT d{t}.vec_id, "
+                f"d{t}.qv, least(d{t}.d, "
+                + dist.format(a=f"d{t}", c=f"c{t}")
+                + f") AS d FROM d{t}, c{t})")
+    sel = ["SELECT 0 AS order_idx, vec_id, 0 AS radius FROM c0"]
+    for t in range(1, k):
+        sel.append(f"SELECT {t}, vec_id, d FROM c{t}")
+    return ("".join(parts) + " " + " UNION ALL ".join(sel)
+            + " ORDER BY order_idx")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5283,6 +5356,8 @@ def registry() -> dict:
         "bollinger_users": q_bollinger_users,
         "cdc_snapshot": q_cdc_snapshot,
         "scc_components": q_scc_components,
+        "sax_users": q_sax_users,
+        "kcenter_coreset": q_kcenter_coreset,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -6321,6 +6396,8 @@ ORACLES: dict[str, str] = {
     "bollinger_users": _BOLL_SQL,
     "cdc_snapshot": _CDC_SQL,
     "scc_components": _SCC_SQL,
+    "sax_users": _SAX_SQL,
+    "kcenter_coreset": _kcenter_oracle_sql(8),
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

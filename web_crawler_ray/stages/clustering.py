@@ -201,3 +201,115 @@ def dbscan_geo(pts_ds, eps_deg: float, min_pts: int,
     return pa.table({"id": pa.array(ids),
                      "label": pa.array(label),
                      "is_core": pa.array(is_core.astype(np.int64))})
+
+
+def kcenter_coreset(ds, k: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Greedy k-center coreset (Gonzalez farthest-point) over the
+    embedding table — the diversity-sampling primitive for active
+    learning / coreset selection — made EXACTLY reproducible by
+    running on the int8-quantized codes (quantize_embeddings' exact
+    integer q vectors), so every distance is an exact integer squared
+    euclidean and every argmax tie-breaks on min vec_id:
+
+        c_0   = vector with the smallest id
+        d_i   = ||q_i - q_{c_0}||^2
+        round t: c_t = argmax d (ties -> min id);
+                 d_i <- min(d_i, ||q_i - q_{c_t}||^2)
+
+    Returns a pa.Table (order_idx, vec_id, radius): radius = the
+    selected point's distance at selection time (the k-center
+    coverage radius sequence, non-increasing); radius[0] = 0.
+
+    Scale shape: the quantized codes + current distances live in a
+    materialized Dataset; each of the k rounds is one map_batches
+    distance update against the BROADCAST chosen center plus a
+    per-batch (max dist, min id) combiner — O(k) driver scalars, no
+    shuffle anywhere."""
+    import ray
+
+    def quant(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        col = t.column(vec_col).combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.list_(pa.int64())),
+                             "d": pa.array([], pa.int64())})
+        dim = int(offs[1] - offs[0])
+        x = col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(ids), dim)
+        maxabs = np.abs(x).max(axis=1)
+        safe = np.where(maxabs == 0.0, 1.0, maxabs)
+        sc = (x * 127.0) / safe[:, None]
+        q = (np.sign(sc) * np.floor(np.abs(sc) + 0.5)).astype(np.int64)
+        q[maxabs == 0.0] = 0
+        return pa.table({
+            "vid": pa.array(ids),
+            "q": pa.array(list(q), pa.list_(pa.int64())),
+            "d": pa.array(np.full(len(ids), -1, np.int64))})
+
+    state = ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def _pick_min_id(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        v = t.column("vid").to_numpy(zero_copy_only=False)
+        i = int(np.argmin(v))
+        return (int(v[i]),
+                np.array(t.column("q")[i].as_py(), np.int64))
+
+    @ray.remote
+    def _pick_far(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        v = t.column("vid").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        best = np.lexsort((v, -d))[0]
+        return (int(d[best]), int(v[best]),
+                np.array(t.column("q")[best].as_py(), np.int64))
+
+    # c0: min id across blocks
+    picks = [p for p in ray.get([_pick_min_id.remote(r)
+                                 for r in state.to_arrow_refs()])
+             if p is not None]
+    if not picks:
+        return pa.table({"order_idx": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "radius": pa.array([], pa.int64())})
+    c_id, c_q = min(picks, key=lambda p: p[0])
+    chosen = [(0, c_id, 0)]
+
+    for t_round in range(1, k):
+        cq_ref = ray.put(c_q)
+        cid = c_id
+
+        def upd(t: pa.Table, _cq_ref=cq_ref) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            cq = ray.get(_cq_ref)
+            qs = t.column("q").combine_chunks()
+            m = qs.values.to_numpy(zero_copy_only=False) \
+                .reshape(t.num_rows, len(cq))
+            diff = m - cq[None, :]
+            nd = np.einsum("ij,ij->i", diff, diff)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            nd = np.where(d < 0, nd, np.minimum(d, nd))
+            return pa.table({"vid": t.column("vid"), "q": t.column("q"),
+                             "d": pa.array(nd.astype(np.int64))})
+
+        state = state.map_batches(upd, batch_format="pyarrow") \
+                     .materialize()
+        far = [p for p in ray.get([_pick_far.remote(r)
+                                   for r in state.to_arrow_refs()])
+               if p is not None]
+        d_best, c_id, c_q = max(
+            far, key=lambda p: (p[0], -p[1]))
+        chosen.append((t_round, c_id, d_best))
+
+    return pa.table({
+        "order_idx": pa.array([c[0] for c in chosen], pa.int64()),
+        "vec_id": pa.array([c[1] for c in chosen], pa.int64()),
+        "radius": pa.array([c[2] for c in chosen], pa.int64())})

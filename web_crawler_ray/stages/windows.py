@@ -2011,3 +2011,77 @@ def bollinger_bands(ds, key_col: str = "user_id", ts_col: str = "ts",
             "band_dn": ma - n_sigma * sd})
 
     return int_part_map(ds, "k", per_partition, prepare=prep)
+
+
+def sax_paa(ds, key_col: str = "user_id", ts_col: str = "ts",
+            order_col: str = "event_id", value_col: str = "value",
+            seg_len: int = 8, breakpoints=(2000, 4000, 6000, 8000),
+            scale: int = 100):
+    """SAX-style symbolic series: per key, the (ts, order)-ordered
+    value stream is cut into fixed-length position segments of
+    ``seg_len`` rows, each segment reduced to its PAA mean (Piecewise
+    Aggregate Approximation) and quantized into a letter against the
+    FIXED integer cent ``breakpoints`` (a < b < ... left-inclusive:
+    letter i when paa < breakpoints[i], last letter otherwise) — the
+    shape-indexing representation for similarity search over series
+    (Lin et al.'s SAX, with explicit breakpoints instead of the
+    z-normal table so every comparison is an exact-integer or
+    exact-division compare, bit-exact vs SQL).
+
+    Scale shape: ONE keyed exchange; per-partition lexsort, segment
+    ids from within-key ranks, one reduceat per moment. Returns
+    (key, seg_idx, n, paa, sym)."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    w = int(seg_len)
+    bps = [int(b) for b in breakpoints]
+    letters = [chr(ord("a") + i) for i in range(len(bps) + 1)]
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(order_col).cast(pa.int64()),
+            "c": pa.array(cents)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key": np.array([], np.int64),
+                "seg_idx": np.array([], np.int64),
+                "n": np.array([], np.int64),
+                "paa": np.array([], np.float64),
+                "sym": np.array([], str)})
+        k = df["k"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        order = np.lexsort((oc, ts, k))
+        k, c = k[order], c[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        runlen = np.diff(np.concatenate((starts, [len(k)])))
+        rank = np.arange(len(k)) - np.repeat(starts, runlen)
+        seg = rank // w
+        change = np.zeros(len(k), bool)
+        change[0] = True
+        change[1:] = (k[1:] != k[:-1]) | (seg[1:] != seg[:-1])
+        ss = np.flatnonzero(change)
+        n = np.diff(np.concatenate((ss, [len(k)])))
+        sx = np.add.reduceat(c, ss)
+        paa = sx.astype(np.float64) / n.astype(np.float64)
+        sym_idx = np.searchsorted(np.array(bps, np.float64), paa,
+                                  side="right")
+        return pd.DataFrame({
+            "key": k[ss], "seg_idx": seg[ss], "n": n.astype(np.int64),
+            "paa": paa,
+            "sym": np.array(letters, dtype=object)[sym_idx]})
+
+    return int_part_map(ds, "k", per_partition, prepare=prep)
