@@ -223,7 +223,9 @@ def run_queries(num_cpus: int) -> dict:
              "hierarchy_rollup", "feature_hash_docs",
              "random_projection", "bollinger_users",
              "cdc_snapshot", "scc_components",
-             "sax_users", "kcenter_coreset"]
+             "sax_users", "kcenter_coreset",
+             "seasonal_events", "square_counts",
+             "bipartite_orders"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

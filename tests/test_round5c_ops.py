@@ -470,3 +470,137 @@ def test_kcenter_matches_brute(ray_session):
     # radii non-increasing after the seed row
     assert all(out["radius"].iloc[i] >= out["radius"].iloc[i + 1]
                for i in range(1, kk - 1))
+
+
+# --- seasonal decomposition --------------------------------------------------
+
+def test_seasonal_decompose_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import seasonal_decompose
+    t = _events(n=500, n_users=3, seed=40)
+    out = seasonal_decompose(
+        rd.from_arrow(t).repartition(4), key_col="event_type",
+        half_window=2).to_pandas()
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    HOUR = 3_600_000_000
+    df["h"] = (df["t"] // HOUR) * HOUR
+    for key, g in df.groupby("event_type"):
+        gg = g.groupby("h").agg(n=("c", "size"), sx=("c", "sum"))
+        hours = gg.index.to_numpy()
+        ns, sxs = gg["n"].to_numpy(), gg["sx"].to_numpy()
+        y = sxs / ns
+        trend = np.empty(len(hours))
+        for i in range(len(hours)):
+            lo, hi = max(0, i - 2), min(len(hours) - 1, i + 2)
+            trend[i] = float(sxs[lo:hi + 1].sum()) \
+                / float(ns[lo:hi + 1].sum())
+        detr = y - trend
+        hod = (hours // HOUR) % 24
+        sub = out[out["key"] == key].set_index("hour_ts")
+        assert len(sub) == len(hours)
+        for i, h in enumerate(hours):
+            row = sub.loc[h]
+            assert row["y"] == y[i]
+            assert row["trend"] == trend[i]
+            # decomposition identity holds exactly:
+            assert row["y"] - row["trend"] \
+                == row["seasonal"] + row["resid"]
+        # seasonal is constant per hour-of-day
+        sh = sub.copy()
+        sh["hod"] = (sh.index.to_numpy() // HOUR) % 24
+        assert (sh.groupby("hod")["seasonal"].nunique() == 1).all()
+
+
+# --- square counting ---------------------------------------------------------
+
+def _brute_squares(src, dst):
+    import itertools
+    adj = {}
+    es = set()
+    for s, t in zip(src, dst):
+        if s == t:
+            continue
+        a, b = min(s, t), max(s, t)
+        if (a, b) in es:
+            continue
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    total = 0
+    npairs = 0
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            w = len(adj[u] & adj[v])
+            if w >= 2:
+                npairs += 1
+                total += w * (w - 1) // 2
+    return npairs, total // 2
+
+
+def test_square_counts_matches_brute(ray_session):
+    from web_crawler_ray.stages.graph import square_counts
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 25, 150).astype(np.int64)
+    dst = rng.integers(0, 25, 150).astype(np.int64)
+    npairs, squares = _brute_squares(src, dst)
+    assert squares > 0
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    for nb in (1, 5):
+        out = square_counts(rd.from_arrow(t).repartition(nb),
+                            num_partitions=4).to_pandas().iloc[0]
+        assert out["n_diag_pairs"] == npairs
+        assert out["squares"] == squares
+
+
+def test_square_counts_known_shapes(ray_session):
+    from web_crawler_ray.stages.graph import square_counts
+    # C4 = 1 square; K4 = 3 squares; triangle = 0
+    c4 = pa.table({"src": pa.array([1, 2, 3, 4], pa.int64()),
+                   "dst": pa.array([2, 3, 4, 1], pa.int64())})
+    assert square_counts(rd.from_arrow(c4)).to_pandas() \
+        .iloc[0]["squares"] == 1
+    k4s, k4d = zip(*[(a, b) for a in range(4) for b in range(a + 1, 4)])
+    k4 = pa.table({"src": pa.array(list(k4s), pa.int64()),
+                   "dst": pa.array(list(k4d), pa.int64())})
+    assert square_counts(rd.from_arrow(k4)).to_pandas() \
+        .iloc[0]["squares"] == 3
+    tri = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                    "dst": pa.array([2, 3, 1], pa.int64())})
+    assert square_counts(rd.from_arrow(tri)).to_pandas() \
+        .iloc[0]["squares"] == 0
+
+
+# --- bipartite check ---------------------------------------------------------
+
+def test_bipartite_check_cycles(ray_session):
+    from web_crawler_ray.stages.graph import bipartite_check
+
+    def cycle(base, L):
+        return [(base + i, base + (i + 1) % L) for i in range(L)]
+
+    edges = cycle(0, 4) + cycle(10, 5) + cycle(20, 6) + cycle(30, 3)
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    for dl in (10**6, 0):
+        out = bipartite_check(rd.from_arrow(t).repartition(3),
+                              driver_limit=dl, num_partitions=4) \
+            .to_pandas().set_index("component").sort_index()
+        assert out.loc[0]["is_bipartite"] == 1   # C4
+        assert out.loc[10]["is_bipartite"] == 0  # C5
+        assert out.loc[20]["is_bipartite"] == 1  # C6
+        assert out.loc[30]["is_bipartite"] == 0  # C3
+        assert out["n_nodes"].tolist() == [4, 5, 6, 3]
+
+
+def test_bipartite_check_path_and_star(ray_session):
+    from web_crawler_ray.stages.graph import bipartite_check
+    # trees are always bipartite
+    src = np.array([1, 2, 3, 10, 10, 10], np.int64)
+    dst = np.array([2, 3, 4, 11, 12, 13], np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    out = bipartite_check(rd.from_arrow(t)).to_pandas()
+    assert (out["is_bipartite"] == 1).all()
+    assert sorted(out["n_nodes"].tolist()) == [4, 4]

@@ -5218,6 +5218,116 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
             + " ORDER BY order_idx")
 
 
+def q_seasonal_events(sf_dir: str):
+    """Classical additive decomposition of per-type hourly event
+    value: y = trend + seasonal(hour-of-day) + resid (stages/
+    windows.py seasonal_decompose: integer (n, sx) hour combiner, NO
+    shuffle; pooled ±2-row centered MA, ordered seasonal fold —
+    bit-exact)."""
+    from ..stages.windows import seasonal_decompose
+    ds = _rp(sf_dir, "events",
+             columns=["event_type", "ts", "value"])
+    return seasonal_decompose(ds, half_window=2)
+
+
+_SEASONAL_SQL = (
+    "WITH b AS (SELECT event_type AS k, "
+    "(epoch_us(ts) // 3600000000) * 3600000000 AS hour_ts, "
+    "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+    "g AS (SELECT k, hour_ts, count(*)::BIGINT AS n, "
+    "sum(c)::BIGINT AS sx FROM b GROUP BY k, hour_ts), "
+    "wi AS (SELECT k, hour_ts, n, sx, sum(n) OVER win AS wn, "
+    "sum(sx) OVER win AS wsx FROM g WINDOW win AS "
+    "(PARTITION BY k ORDER BY hour_ts "
+    "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)), "
+    "d AS (SELECT k, hour_ts, sx::DOUBLE / n::DOUBLE AS y, "
+    "wsx::DOUBLE / wn::DOUBLE AS trend, "
+    "sx::DOUBLE / n::DOUBLE - wsx::DOUBLE / wn::DOUBLE AS detr, "
+    "(hour_ts // 3600000000) % 24 AS hod FROM wi), "
+    "s AS (SELECT k, hod, list_sum(list(detr ORDER BY hour_ts)) "
+    "/ count(*)::DOUBLE AS seasonal FROM d GROUP BY k, hod) "
+    "SELECT d.k AS key, d.hour_ts, d.y, d.trend, s.seasonal, "
+    "d.detr - s.seasonal AS resid FROM d "
+    "JOIN s ON s.k = d.k AND s.hod = d.hod "
+    "ORDER BY key, hour_ts")
+
+
+def q_square_counts(sf_dir: str):
+    """Global 4-cycle count of the sparse mixed-key lineitem graph —
+    the motif signal past triangles (stages/graph.py square_counts:
+    wedge emit keyed by center + pair-keyed codeg fold, squares =
+    Σ C(codeg, 2) / 2 — exact integers, two exchanges)."""
+    from ..stages.graph import square_counts
+    return square_counts(_tri_edges(sf_dir))
+
+
+_SQUARES_SQL = (
+    f"WITH e0 AS ({_TRI_E0}), "
+    "canon AS (SELECT DISTINCT least(src, dst) AS u, "
+    "greatest(src, dst) AS v FROM e0 WHERE src <> dst), "
+    "sym AS (SELECT u, v FROM canon "
+    "UNION ALL SELECT v AS u, u AS v FROM canon), "
+    "cod AS (SELECT s1.u AS a, s2.u AS c, count(*)::BIGINT AS w "
+    "FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u "
+    "GROUP BY a, c) "
+    "SELECT (count(*) FILTER (WHERE w >= 2))::BIGINT "
+    "AS n_diag_pairs, "
+    "(sum((w * (w - 1)) // 2) // 2)::BIGINT AS squares FROM cod")
+
+
+def q_bipartite_orders(sf_dir: str):
+    """Per-component 2-colorability of a 200-cycle forest derived
+    from orders (cycle lengths 3..7, so odd and even components
+    coexist) — bipartiteness via the BIPARTITE DOUBLE COVER reduction
+    to two connected_components runs (stages/graph.py
+    bipartite_check: a component is bipartite iff (v,0)/(v,1) split;
+    one rendezvous + one count fold; exact)."""
+    from ..stages.graph import bipartite_check
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey"])
+
+    def to_e(t: pa.Table) -> pa.Table:
+        o = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = o % 200
+        L = 3 + g % 5
+        i = (o // 200) % L
+        return pa.table({"src": pa.array(g * 8 + i),
+                         "dst": pa.array(g * 8 + (i + 1) % L)})
+
+    return bipartite_check(ds.map_batches(to_e,
+                                          batch_format="pyarrow"))
+
+
+_BIP_E0 = ("SELECT (o_orderkey % 200) * 8 + ((o_orderkey // 200) "
+           "% (3 + (o_orderkey % 200) % 5)) AS u, "
+           "(o_orderkey % 200) * 8 + (((o_orderkey // 200) "
+           "% (3 + (o_orderkey % 200) % 5)) + 1) "
+           "% (3 + (o_orderkey % 200) % 5) AS v FROM orders")
+
+
+_BIPARTITE_SQL = (
+    f"WITH RECURSIVE e0 AS ({_BIP_E0}), "
+    "und AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v "
+    "FROM e0), "
+    "allv AS (SELECT u AS node FROM und UNION SELECT v FROM und), "
+    "reach AS (SELECT node, node AS r FROM allv "
+    "UNION SELECT reach.node, und.v AS r FROM reach "
+    "JOIN und ON und.u = reach.r), "
+    "comp AS (SELECT node, MIN(r) AS component FROM reach "
+    "GROUP BY node), "
+    "pr AS (SELECT node, node AS r, 0 AS p FROM allv "
+    "UNION SELECT pr.node, und.v AS r, 1 - pr.p FROM pr "
+    "JOIN und ON und.u = pr.r), "
+    "odd AS (SELECT DISTINCT node FROM pr "
+    "WHERE r = node AND p = 1), "
+    "j AS (SELECT comp.component, comp.node, "
+    "CASE WHEN o.node IS NULL THEN 0 ELSE 1 END AS od "
+    "FROM comp LEFT JOIN odd o ON o.node = comp.node) "
+    "SELECT component, count(*)::BIGINT AS n_nodes, "
+    "(1 - max(od))::BIGINT AS is_bipartite FROM j "
+    "GROUP BY component ORDER BY component")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5358,6 +5468,9 @@ def registry() -> dict:
         "scc_components": q_scc_components,
         "sax_users": q_sax_users,
         "kcenter_coreset": q_kcenter_coreset,
+        "seasonal_events": q_seasonal_events,
+        "square_counts": q_square_counts,
+        "bipartite_orders": q_bipartite_orders,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -6398,6 +6511,9 @@ ORACLES: dict[str, str] = {
     "scc_components": _SCC_SQL,
     "sax_users": _SAX_SQL,
     "kcenter_coreset": _kcenter_oracle_sql(8),
+    "seasonal_events": _SEASONAL_SQL,
+    "square_counts": _SQUARES_SQL,
+    "bipartite_orders": _BIPARTITE_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -3818,3 +3818,174 @@ def scc_components(edges_ds, src: str = "src", dst: str = "dst",
         {"node": pa.array([], pa.int64()),
          "component": pa.array([], pa.int64())})
     return ray.data.from_arrow(out)
+
+
+def square_counts(edges_ds, src: str = "src", dst: str = "dst",
+                  num_partitions: int = 16):
+    """Global 4-cycle (square) count of the undirected simple graph —
+    the motif signal one step past triangles (dense bipartite-ish
+    link farms light up in squares long before triangles). Identity:
+    every square has exactly two diagonals, so with codeg(u,v) = the
+    number of common neighbors of an unordered pair,
+
+        squares = (1/2) * sum over pairs of C(codeg(u, v), 2)
+
+    — exact integers throughout (the sum is always even).
+
+    Scale shape: wedge emit keyed by center (ONE exchange: each
+    center's sorted neighbor set emits its C(deg, 2) diagonal pairs
+    — the same E^1.5 wedge volume every motif counter pays, so use a
+    sparsified graph), then ONE pair-keyed exchange counts codeg and
+    folds C(codeg, 2) into one partial row per partition; the driver
+    sums O(partitions) ints. Returns a 1-row Table
+    (n_diag_pairs, squares)."""
+    from .shuffles import int_part_map
+
+    K = np.int64(1) << np.int64(31)
+
+    def to_und(t: pa.Table) -> pa.Table:
+        a = t.column(src).cast(pa.int64()).combine_chunks()
+        b = t.column(dst).cast(pa.int64()).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    def wedge_emit(df: pd.DataFrame) -> pd.DataFrame:
+        # per center (src): distinct sorted neighbors -> diagonal pairs
+        if not len(df):
+            return pd.DataFrame({"pkey": np.array([], np.int64),
+                                 "gkey": np.array([], np.int64)})
+        u = df["src"].to_numpy(np.int64)
+        v = df["dst"].to_numpy(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        uv = np.unique(u * K + v)
+        cu, cv = uv // K, uv % K
+        starts = np.concatenate(
+            ([0], np.flatnonzero(cu[1:] != cu[:-1]) + 1, [len(cu)]))
+        pk = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            nb = cv[s:e]
+            if len(nb) < 2:
+                continue
+            ii, jj = np.triu_indices(len(nb), k=1)
+            pk.append(nb[ii] * K + nb[jj])
+        if not pk:
+            return pd.DataFrame({"pkey": np.array([], np.int64),
+                                 "gkey": np.array([], np.int64)})
+        pkey = np.concatenate(pk)
+        from ..functions.hashing import hash64_ints
+        return pd.DataFrame({"pkey": pkey,
+                             "gkey": hash64_ints(pkey)
+                             .view(np.int64)})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n_pairs": np.array([], np.int64),
+                                 "c2": np.array([], np.int64)})
+        _, w = np.unique(df["pkey"].to_numpy(np.int64),
+                         return_counts=True)
+        w = w[w >= 2].astype(np.int64)
+        return pd.DataFrame({
+            "n_pairs": [np.int64(len(w))],
+            "c2": [np.int64((w * (w - 1) // 2).sum())]})
+
+    und = edges_ds.map_batches(to_und, batch_format="pyarrow")
+    wedges = int_part_map(und, "src", wedge_emit,
+                          num_partitions=num_partitions)
+    parts = int_part_map(wedges, "gkey", fold,
+                         num_partitions=num_partitions)
+    npairs = c2 = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        npairs += int(pa.compute.sum(tb.column("n_pairs")).as_py() or 0)
+        c2 += int(pa.compute.sum(tb.column("c2")).as_py() or 0)
+    return pa.table({"n_diag_pairs": pa.array([npairs], pa.int64()),
+                     "squares": pa.array([c2 // 2], pa.int64())})
+
+
+def bipartite_check(edges_ds, src: str = "src", dst: str = "dst",
+                    driver_limit: int = DRIVER_CC_MAX,
+                    num_partitions: int = 8):
+    """Per-component bipartiteness of an undirected graph via the
+    BIPARTITE DOUBLE COVER: lift every edge {u, v} to
+    {(u,0),(v,1)} and {(u,1),(v,0)} (node encoding 2v+side) — a
+    connected component is bipartite iff its double cover splits into
+    TWO components, i.e. iff (v,0) and (v,1) get different labels.
+    This reduces 2-coloring to TWO connected_components runs — no new
+    distributed machinery, and odd cycles are detected without ever
+    materializing a coloring. Returns a Table
+    (component, n_nodes, is_bipartite) sorted by component.
+
+    Scale shape: two cc runs (driver union-find below driver_limit,
+    min-label propagation exchanges above — see connected_components)
+    plus ONE node-keyed rendezvous joining the two labelings and ONE
+    component-keyed count fold."""
+    from .shuffles import int_part_map
+
+    edges_ds = edges_ds.materialize()
+
+    cc1 = connected_components(edges_ds, src=src, dst=dst,
+                               driver_limit=driver_limit,
+                               num_partitions=num_partitions)
+
+    def lift(t: pa.Table) -> pa.Table:
+        u = t.column(src).cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        v = t.column(dst).cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate((2 * u, 2 * u + 1))),
+            "dst": pa.array(np.concatenate((2 * v + 1, 2 * v)))})
+
+    cc2 = connected_components(
+        edges_ds.map_batches(lift, batch_format="pyarrow"),
+        driver_limit=driver_limit, num_partitions=num_partitions)
+
+    def as_ds(x):
+        import ray.data as rd
+        return rd.from_arrow(x) if isinstance(x, pa.Table) else x
+
+    t1 = as_ds(cc1).map_batches(
+        lambda t: pa.table({"gkey": t.column("node"),
+                            "payload": t.column("component"),
+                            "tag": pa.array(
+                                np.zeros(t.num_rows, np.int8))}),
+        batch_format="pyarrow")
+
+    def half(t: pa.Table) -> pa.Table:
+        n2 = t.column("node").to_numpy(zero_copy_only=False)
+        lab = t.column("component").to_numpy(zero_copy_only=False)
+        side = (n2 % 2).astype(np.int8)
+        return pa.table({"gkey": pa.array(n2 // 2),
+                         "payload": pa.array(lab),
+                         "tag": pa.array((side + 1).astype(np.int8))})
+
+    t2 = as_ds(cc2).map_batches(half, batch_format="pyarrow")
+
+    def meet(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[df["tag"] == 0][["gkey", "payload"]].rename(
+            columns={"payload": "comp"})
+        l0 = df[df["tag"] == 1][["gkey", "payload"]].rename(
+            columns={"payload": "lab0"})
+        l1 = df[df["tag"] == 2][["gkey", "payload"]].rename(
+            columns={"payload": "lab1"})
+        j = base.merge(l0, on="gkey").merge(l1, on="gkey")
+        j["odd"] = (j["lab0"] == j["lab1"]).astype(np.int64)
+        g = j.groupby("comp", sort=False).agg(
+            n_nodes=("gkey", "size"), odd=("odd", "max")).reset_index()
+        return g
+
+    partials = int_part_map(t1.union(t2), "gkey", meet,
+                            num_partitions=num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("comp", sort=True).agg(
+            n_nodes=("n_nodes", "sum"), odd=("odd", "max")) \
+            .reset_index()
+        return pd.DataFrame({
+            "component": g["comp"].astype(np.int64),
+            "n_nodes": g["n_nodes"].astype(np.int64),
+            "is_bipartite": (1 - g["odd"]).astype(np.int64)})
+
+    return int_part_map(partials, "comp", fold,
+                        num_partitions=num_partitions)

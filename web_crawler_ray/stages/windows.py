@@ -2085,3 +2085,108 @@ def sax_paa(ds, key_col: str = "user_id", ts_col: str = "ts",
             "sym": np.array(letters, dtype=object)[sym_idx]})
 
     return int_part_map(ds, "k", per_partition, prepare=prep)
+
+
+def seasonal_decompose(ds, key_col: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       half_window: int = 2, scale: int = 100):
+    """Classical additive seasonal decomposition of per-key hourly
+    series: y = trend + seasonal(hour-of-day) + resid — the
+    time-series audit primitive (statsmodels' seasonal_decompose
+    shape) made BIT-EXACT against SQL by keeping every reduction
+    integral or order-fixed:
+
+        y(t)        = hourly pooled mean  = sx/n           (1 division)
+        trend(t)    = POOLED centered MA  = (Σ_w sx)/(Σ_w n) over the
+                      ±half_window ROWS window (integer window sums ==
+                      SQL ROWS BETWEEN ... integer sums; edges use the
+                      partial window, so the series stays total)
+        detr(t)     = y − trend                            (exact sub)
+        seasonal(h) = ordered fold of detr over the key's rows with
+                      hour-of-day h (list(ORDER BY t)->list_sum twin)
+                      / count                              (1 division)
+        resid(t)    = detr − seasonal(h)
+
+    Scale shape: ONE per-batch (key, hour, n, sx) integer combiner —
+    no shuffle; the driver merges O(batches x key-hours) partials and
+    finishes the O(key-hours) float pipeline (720 hours/month — the
+    series itself is driver-small by construction). Returns a Table
+    (key, hour_ts, y, trend, seasonal, resid) sorted by (key,
+    hour_ts)."""
+    import pyarrow as pa
+
+    HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).combine_chunks().dictionary_encode()
+        codes = k.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keys = k.dictionary.to_pylist()
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        hr = (ts // HOUR) * HOUR
+        c = np.rint(t.column(value_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * scale).astype(np.int64)
+        hu, hinv = np.unique(hr, return_inverse=True)
+        cell = codes * np.int64(len(hu)) + hinv
+        uc, inv2 = np.unique(cell, return_inverse=True)
+        n = np.bincount(inv2).astype(np.int64)
+        sx = np.bincount(inv2, weights=c).astype(np.int64)
+        return pa.table({
+            "k": pa.array([keys[i] for i in uc // len(hu)]),
+            "hour_ts": pa.array(hu[uc % len(hu)]),
+            "n": pa.array(n), "sx": pa.array(sx)})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            kk = (tb.column("k")[i].as_py(),
+                  int(tb.column("hour_ts")[i].as_py()))
+            row = acc.setdefault(kk, [0, 0])
+            row[0] += int(tb.column("n")[i].as_py())
+            row[1] += int(tb.column("sx")[i].as_py())
+    out_k, out_t, out_y, out_tr, out_se, out_re = \
+        [], [], [], [], [], []
+    w = int(half_window)
+    for key in sorted({kk for kk, _ in acc}):
+        hours = np.array(sorted(t for kk, t in acc if kk == key),
+                         np.int64)
+        ns = np.array([acc[(key, t)][0] for t in hours], np.int64)
+        sxs = np.array([acc[(key, t)][1] for t in hours], np.int64)
+        h = len(hours)
+        ps_n = np.concatenate(([0], np.cumsum(ns)))
+        ps_s = np.concatenate(([0], np.cumsum(sxs)))
+        idx = np.arange(h)
+        lo = np.maximum(idx - w, 0)
+        hi = np.minimum(idx + w, h - 1)
+        wn = ps_n[hi + 1] - ps_n[lo]
+        wsx = ps_s[hi + 1] - ps_s[lo]
+        y = sxs.astype(np.float64) / ns.astype(np.float64)
+        trend = wsx.astype(np.float64) / wn.astype(np.float64)
+        detr = y - trend
+        hod = (hours // HOUR) % 24
+        seasonal = np.empty(h, np.float64)
+        for hh in range(24):
+            m = hod == hh
+            if not m.any():
+                continue
+            fold = 0.0
+            for x in detr[m]:        # ordered fold == SQL list_sum
+                fold = fold + x
+            seasonal[m] = fold / float(m.sum())
+        resid = detr - seasonal
+        out_k += [key] * h
+        out_t += hours.tolist()
+        out_y += y.tolist()
+        out_tr += trend.tolist()
+        out_se += seasonal.tolist()
+        out_re += resid.tolist()
+    return pa.table({
+        "key": pa.array(out_k),
+        "hour_ts": pa.array(out_t, pa.int64()),
+        "y": pa.array(out_y, pa.float64()),
+        "trend": pa.array(out_tr, pa.float64()),
+        "seasonal": pa.array(out_se, pa.float64()),
+        "resid": pa.array(out_re, pa.float64())})
