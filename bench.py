@@ -225,7 +225,8 @@ def run_queries(num_cpus: int) -> dict:
              "cdc_snapshot", "scc_components",
              "sax_users", "kcenter_coreset",
              "seasonal_events", "square_counts",
-             "bipartite_orders"]
+             "bipartite_orders", "gram_matrix",
+             "tree_score_events", "betweenness_landmarks"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -604,3 +604,131 @@ def test_bipartite_check_path_and_star(ray_session):
     out = bipartite_check(rd.from_arrow(t)).to_pandas()
     assert (out["is_bipartite"] == 1).all()
     assert sorted(out["n_nodes"].tolist()) == [4, 4]
+
+
+# --- Gram matrix -------------------------------------------------------------
+
+def test_gram_matrix_matches_brute(ray_session):
+    from web_crawler_ray.stages.similarity import gram_matrix
+    rng = np.random.default_rng(23)
+    n, d = 40, 10
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x[5] = 0.0
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    out = gram_matrix(rd.from_arrow(t).repartition(4)).to_pandas()
+    q = _quant_int8(x.astype(np.float64))
+    G = q.T @ q
+    assert len(out) == d * (d + 1) // 2
+    for _, r in out.iterrows():
+        assert G[r["dim_i"], r["dim_j"]] == r["g"]
+    # partition invariance (pure integer combiner)
+    out2 = gram_matrix(rd.from_arrow(t).repartition(1)).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+# --- decision-tree scoring ---------------------------------------------------
+
+def test_decision_tree_score_matches_brute(ray_session):
+    from web_crawler_ray.stages.classify import decision_tree_score
+    tree = {"feat": "a", "thr": 5,
+            "lo": {"leaf": 1},
+            "hi": {"feat": "b", "thr": 0,
+                   "lo": {"leaf": 2}, "hi": {"leaf": 3}}}
+    a = np.array([0, 5, 9, 4, 6], np.int64)
+    b = np.array([-1, -1, 1, 1, 0], np.int64)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    def feats(tb):
+        return {"a": tb.column("a").to_numpy(zero_copy_only=False),
+                "b": tb.column("b").to_numpy(zero_copy_only=False)}
+
+    out = decision_tree_score(rd.from_arrow(t).repartition(2),
+                              tree, feats).to_pandas()
+    want = []
+    for ai, bi in zip(a, b):
+        if ai < 5:
+            want.append(1)
+        elif bi < 0:
+            want.append(2)
+        else:
+            want.append(3)
+    assert sorted(zip(out["a"], out["score"])) \
+        == sorted(zip(a.tolist(), want))
+
+
+# --- radius-bounded Brandes betweenness --------------------------------------
+
+def _brute_bounded_brandes(edges, sources, radius):
+    import collections
+    adj = collections.defaultdict(set)
+    for s, t in edges:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    cb = {}
+    for s in sources:
+        h = {s: 0}
+        sig = {s: 1}
+        levels = [[s]]
+        for r in range(radius):
+            nxt = {}
+            for x in levels[-1]:
+                for y in adj[x]:
+                    if y not in h or h[y] == r + 1:
+                        h[y] = r + 1
+                        nxt[y] = nxt.get(y, 0) + sig[x]
+            if not nxt:
+                break
+            sig.update(nxt)
+            levels.append(sorted(nxt))
+        delta = {v: 0.0 for lev in levels for v in lev}
+        for lev in range(len(levels) - 2, -1, -1):
+            for x in levels[lev]:
+                acc = 0.0
+                for w in sorted(y for y in adj[x]
+                                if h.get(y) == lev + 1):
+                    acc = acc + (float(sig[x]) / float(sig[w])) \
+                        * (1.0 + delta[w])
+                delta[x] = acc
+        for v, d in delta.items():
+            if v == s:
+                continue
+            cb[v] = cb.get(v, 0.0) + d
+    return cb
+
+
+def test_betweenness_matches_brute_both_paths(ray_session):
+    from web_crawler_ray.stages.graph import betweenness_landmarks
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 30, 120).astype(np.int64)
+    dst = rng.integers(0, 30, 120).astype(np.int64)
+    edges = list(zip(src.tolist(), dst.tolist()))
+    nodes = sorted({x for e in edges if e[0] != e[1] for x in e})
+    want = _brute_bounded_brandes(edges, nodes[:2], 4)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    for dl in (10**6, 0):
+        out = betweenness_landmarks(
+            rd.from_arrow(t).repartition(3), n_sources=2, radius=4,
+            driver_limit=dl, num_partitions=4).to_pandas()
+        got = dict(zip(out["node"], out["cb"]))
+        assert set(got) == set(want), dl
+        for k in want:
+            assert got[k] == want[k], (dl, k)  # bit-exact fold parity
+
+
+def test_betweenness_path_graph(ray_session):
+    from web_crawler_ray.stages.graph import betweenness_landmarks
+    # path 0-1-2-3-4: from sources {0, 1} with radius 4:
+    # delta_0: 3-4 chain gives delta(1)=3, delta(2)=2, delta(3)=1
+    # delta_1: reaches 0,2,3,4; delta(2)=2, delta(3)=1 (0 is a leaf)
+    src = np.array([0, 1, 2, 3], np.int64)
+    dst = np.array([1, 2, 3, 4], np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    out = betweenness_landmarks(rd.from_arrow(t), n_sources=2,
+                                radius=4).to_pandas()
+    got = dict(zip(out["node"], out["cb"]))
+    assert got[2] == 2.0 + 2.0
+    assert got[3] == 1.0 + 1.0
+    assert got[4] == 0.0
+    assert got[1] == 3.0  # from source 0 only

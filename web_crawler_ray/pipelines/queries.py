@@ -5328,6 +5328,143 @@ _BIPARTITE_SQL = (
     "GROUP BY component ORDER BY component")
 
 
+def q_gram_matrix(sf_dir: str):
+    """Exact Gram matrix of the int8-quantized embeddings — the
+    covariance/kernel primitive (stages/similarity.py gram_matrix:
+    one int64 matmul partial per batch, driver sums O(batches)
+    dim×dim partials, NO shuffle, no floats)."""
+    from ..stages.similarity import gram_matrix
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return gram_matrix(ds)
+
+
+_GRAM_SQL = (
+    "WITH m AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, x -> abs(x)))::DOUBLE "
+    "AS maxabs FROM embeddings), "
+    "q AS (SELECT vec_id, i - 1 AS d, "
+    "CASE WHEN maxabs = 0 THEN 0 ELSE "
+    "CAST(round((embedding[i]::DOUBLE * 127.0) / maxabs) AS BIGINT) "
+    "END AS q FROM m, "
+    "UNNEST(generate_series(1, len(embedding))) AS t(i)) "
+    "SELECT a.d AS dim_i, b.d AS dim_j, "
+    "sum(a.q * b.q)::BIGINT AS g FROM q a "
+    "JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d "
+    "GROUP BY dim_i, dim_j ORDER BY dim_i, dim_j")
+
+
+_TREE = {"feat": "cents", "thr": 3000,
+         "lo": {"feat": "hour", "thr": 12,
+                "lo": {"leaf": 10}, "hi": {"leaf": 20}},
+         "hi": {"feat": "is_purchase", "thr": 1,
+                "lo": {"feat": "cents", "thr": 8000,
+                       "lo": {"leaf": 30}, "hi": {"leaf": 40}},
+                "hi": {"leaf": 50}}}
+
+
+def q_tree_score_events(sf_dir: str):
+    """Broadcast decision-tree inference over events: a fixed
+    depth-3 tree on (cents, hour-of-day, is_purchase) scores every
+    row — the model-scoring stage shape with exact integer features
+    and splits (stages/classify.py decision_tree_score: vectorized
+    mask cascade, tree in the task closure, NO shuffle)."""
+    from ..stages.classify import decision_tree_score
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "event_type", "value"])
+
+    def feats(t: pa.Table) -> dict:
+        cents = np.rint(t.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        hour = (t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 3_600_000_000) % 24
+        isp = np.array([1 if x == "purchase" else 0
+                        for x in t.column("event_type").to_pylist()],
+                       np.int64)
+        return {"cents": cents, "hour": hour, "is_purchase": isp}
+
+    out = decision_tree_score(ds, _TREE, feats)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "score"]),
+        batch_format="pyarrow")
+
+
+_TREESCORE_SQL = (
+    "WITH f AS (SELECT event_id, "
+    "CAST(round(value * 100) AS BIGINT) AS cents, "
+    "(epoch_us(ts) // 3600000000) % 24 AS hour, "
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp "
+    "FROM events) "
+    "SELECT event_id, CASE WHEN cents < 3000 THEN "
+    "(CASE WHEN hour < 12 THEN 10 ELSE 20 END) "
+    "ELSE (CASE WHEN isp < 1 THEN "
+    "(CASE WHEN cents < 8000 THEN 30 ELSE 40 END) "
+    "ELSE 50 END) END::BIGINT AS score "
+    "FROM f ORDER BY event_id")
+
+
+def q_betweenness_landmarks(sf_dir: str):
+    """Radius-4 Brandes betweenness from the 2 smallest landmarks
+    over the sparse lineitem graph — the bounded-distance betweenness
+    estimator (stages/graph.py betweenness_landmarks: exact integer
+    sigma sums; every float fold ordered — successors ascending, then
+    landmarks ascending — so driver, distributed and oracle agree
+    bit-for-bit)."""
+    from ..stages.graph import betweenness_landmarks
+    return betweenness_landmarks(_tri_edges(sf_dir), n_sources=2,
+                                 radius=4)
+
+
+def _betweenness_oracle_sql(radius: int = 4) -> str:
+    p = [
+        f"WITH e0 AS ({_TRI_E0}), "
+        "canon AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM e0 WHERE src <> dst), "
+        "sym AS MATERIALIZED (SELECT u, v FROM canon "
+        "UNION ALL SELECT v AS u, u AS v FROM canon), "
+        "smin AS (SELECT DISTINCT u FROM sym ORDER BY u LIMIT 2)"]
+    for si in range(2):
+        s = (f"(SELECT {'min' if si == 0 else 'max'}(u) FROM smin)")
+        p.append(
+            f", lev0_{si} AS MATERIALIZED (SELECT {s} AS node, "
+            f"1::HUGEINT AS sig)")
+        p.append(f", seen0_{si} AS MATERIALIZED "
+                 f"(SELECT node FROM lev0_{si})")
+        for r in range(1, radius + 1):
+            p.append(
+                f", lev{r}_{si} AS MATERIALIZED (SELECT e.v AS node, "
+                f"sum(l.sig) AS sig FROM lev{r - 1}_{si} l "
+                f"JOIN sym e ON e.u = l.node WHERE e.v NOT IN "
+                f"(SELECT node FROM seen{r - 1}_{si}) GROUP BY e.v)")
+            p.append(
+                f", seen{r}_{si} AS MATERIALIZED (SELECT node FROM "
+                f"seen{r - 1}_{si} UNION ALL SELECT node "
+                f"FROM lev{r}_{si})")
+        p.append(
+            f", del{radius}_{si} AS MATERIALIZED (SELECT node, sig, "
+            f"0.0::DOUBLE AS delta FROM lev{radius}_{si})")
+        for r in range(radius - 1, -1, -1):
+            p.append(
+                f", del{r}_{si} AS MATERIALIZED (SELECT l.node, "
+                f"l.sig, COALESCE(f.d, 0.0) AS delta FROM "
+                f"lev{r}_{si} l LEFT JOIN (SELECT e.u AS node, "
+                f"list_sum(list((lc.sig::DOUBLE / d.sig::DOUBLE) "
+                f"* (1.0 + d.delta) ORDER BY d.node)) AS d "
+                f"FROM sym e JOIN del{r + 1}_{si} d ON d.node = e.v "
+                f"JOIN lev{r}_{si} lc ON lc.node = e.u "
+                f"GROUP BY e.u) f ON f.node = l.node)")
+        dels = " UNION ALL ".join(
+            f"SELECT node, delta FROM del{r}_{si}"
+            for r in range(radius + 1))
+        p.append(f", cb_{si} AS MATERIALIZED (SELECT node, delta "
+                 f"FROM ({dels}) WHERE node <> {s})")
+    p.append(
+        " SELECT COALESCE(a.node, b.node) AS node, "
+        "COALESCE(a.delta, 0.0) + COALESCE(b.delta, 0.0) AS cb "
+        "FROM cb_0 a FULL OUTER JOIN cb_1 b ON b.node = a.node "
+        "ORDER BY node")
+    return "".join(p)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5471,6 +5608,9 @@ def registry() -> dict:
         "seasonal_events": q_seasonal_events,
         "square_counts": q_square_counts,
         "bipartite_orders": q_bipartite_orders,
+        "gram_matrix": q_gram_matrix,
+        "tree_score_events": q_tree_score_events,
+        "betweenness_landmarks": q_betweenness_landmarks,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -6514,6 +6654,9 @@ ORACLES: dict[str, str] = {
     "seasonal_events": _SEASONAL_SQL,
     "square_counts": _SQUARES_SQL,
     "bipartite_orders": _BIPARTITE_SQL,
+    "gram_matrix": _GRAM_SQL,
+    "tree_score_events": _TREESCORE_SQL,
+    "betweenness_landmarks": _betweenness_oracle_sql(4),
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 
 from ..functions.domlite import parse
@@ -97,3 +98,36 @@ def classify_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("page_priority", pa.array(prios, pa.int8()))
     out = out.append_column("strategy", pa.array(strats, pa.string()))
     return out
+
+
+def decision_tree_score(ds, tree, feature_fn, out_col: str = "score"):
+    """Broadcast-model inference: score every row with a small
+    decision tree — the model-scoring stage shape (quality
+    classifiers, fastText-style filters) reduced to its exact
+    skeleton: ``tree`` is a nested dict {feat, thr, lo, hi} with leaf
+    dicts {leaf}; features are EXACT integers from ``feature_fn``
+    (batch -> dict of int64 arrays), splits are integer compares
+    (feature < thr), so the scored output is bit-exact against a
+    nested-CASE SQL twin. The tree rides the task closure (one
+    broadcast); scoring is a vectorized mask cascade per batch, NO
+    shuffle."""
+    import pyarrow as pa
+
+    def kern(t: pa.Table) -> pa.Table:
+        feats = feature_fn(t)
+        n = t.num_rows
+        out = np.zeros(n, np.int64)
+
+        def walk(node, mask):
+            if "leaf" in node:
+                out[mask] = node["leaf"]
+                return
+            f = feats[node["feat"]]
+            lo = mask & (f < node["thr"])
+            walk(node["lo"], lo)
+            walk(node["hi"], mask & ~lo)
+
+        walk(tree, np.ones(n, bool))
+        return t.append_column(out_col, pa.array(out))
+
+    return ds.map_batches(kern, batch_format="pyarrow")

@@ -3989,3 +3989,287 @@ def bipartite_check(edges_ds, src: str = "src", dst: str = "dst",
 
     return int_part_map(partials, "comp", fold,
                         num_partitions=num_partitions)
+
+
+def betweenness_landmarks(edges_ds, n_sources: int = 2, radius: int = 4,
+                          src: str = "src", dst: str = "dst",
+                          driver_limit: int = DRIVER_CC_MAX,
+                          num_partitions: int = 8):
+    """RADIUS-BOUNDED Brandes betweenness from landmark sources over
+    the undirected simple graph: for each of the ``n_sources``
+    smallest node ids s, run Brandes' two phases restricted to
+    shortest paths of length <= radius (the published
+    bounded-distance / k-betweenness variant — exact betweenness is
+    O(nm) and needs every source; landmarks + radius is the scale
+    estimator), and report cb(v) = sum_s delta_s(v):
+
+        forward:  h(v), sigma(v) by BFS levels — sigma sums are EXACT
+                  integers (order-free)
+        backward: delta(v) = fold over successors w IN ASCENDING w
+                  ORDER of (sigma(v)::D / sigma(w)::D) * (1 + delta(w))
+                  — the ordered fold == SQL list(ORDER BY w)->list_sum,
+                  so driver, distributed and oracle agree bit-for-bit
+        cb(v)   = fold over sources in ascending s order (landmark's
+                  own delta term excluded)
+
+    Returns a Table (node, cb) over nodes reached by any landmark,
+    sorted by node.
+
+    Scale shape: below ``driver_limit`` edges the whole thing is
+    numpy level arrays on the driver. Above — or with
+    ``driver_limit=0`` — each level is ONE tagged keyed exchange
+    (frontier x edges rendezvous; integer sigma message sums), and
+    each backward level is ONE reversed rendezvous whose per-node
+    fold sorts successor terms by id inside the owner partition, so
+    float addition order is identical to the driver path."""
+    import ray
+
+    from .shuffles import int_part_map
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "cb": pa.array([], pa.float64())})
+    if n_edges == 0:
+        return empty
+
+    # --- collect the undirected distinct edge list handling ---------
+    def to_und(t: pa.Table) -> pa.Table:
+        a = t.column(src).cast(pa.int64()).combine_chunks()
+        b = t.column(dst).cast(pa.int64()).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    und = int_part_map(
+        edges_ds.map_batches(to_und, batch_format="pyarrow"),
+        "src", _distinct_edges,
+        num_partitions=num_partitions).materialize()
+
+    # landmarks: n_sources smallest node ids
+    @ray.remote
+    def _min_nodes(t: pa.Table, k: int):
+        u = np.unique(t.column("src").to_numpy(zero_copy_only=False))
+        return u[:k]
+
+    mins = ray.get([_min_nodes.remote(r, n_sources)
+                    for r in und.to_arrow_refs()])
+    sources = np.unique(np.concatenate(
+        [m for m in mins if len(m)]))[:n_sources].tolist()
+    if not sources:
+        return empty
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in und.iter_batches(
+                batch_format="pyarrow")])
+        u = cat.column("src").to_numpy(zero_copy_only=False)
+        v = cat.column("dst").to_numpy(zero_copy_only=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        nodes = np.unique(u)
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        order = np.argsort(ui, kind="stable")
+        su, sv = ui[order], vi[order]
+        indptr = np.searchsorted(su, np.arange(len(nodes) + 1))
+        cb = {}
+        for s in sources:
+            si = int(np.searchsorted(nodes, s))
+            h = np.full(len(nodes), -1, np.int64)
+            sig = np.zeros(len(nodes), object)
+            h[si] = 0
+            sig[si] = 1
+            levels = [[si]]
+            for r in range(radius):
+                nxt = {}
+                for x in levels[-1]:
+                    for j in range(indptr[x], indptr[x + 1]):
+                        y = int(sv[j])
+                        if h[y] == -1 or h[y] == r + 1:
+                            h[y] = r + 1
+                            nxt[y] = nxt.get(y, 0) + int(sig[x])
+                if not nxt:
+                    break
+                for y, sg in nxt.items():
+                    sig[y] = sg
+                levels.append(sorted(nxt))
+            delta = np.zeros(len(nodes), np.float64)
+            for lev in range(len(levels) - 2, -1, -1):
+                for x in levels[lev]:
+                    acc = 0.0
+                    succ = sorted(
+                        int(sv[j]) for j in range(indptr[x],
+                                                  indptr[x + 1])
+                        if h[sv[j]] == lev + 1)
+                    for w in succ:
+                        acc = acc + (float(sig[x]) / float(sig[w])) \
+                            * (1.0 + delta[w])
+                    delta[x] = acc
+            for lev in levels:
+                for x in lev:
+                    if int(nodes[x]) == s:
+                        continue
+                    nd = int(nodes[x])
+                    cb[nd] = cb.get(nd, 0.0) + float(delta[x])
+        ks = sorted(cb)
+        return pa.table({"node": pa.array(ks, pa.int64()),
+                         "cb": pa.array([cb[k] for k in ks],
+                                        pa.float64())})
+
+    # --- distributed path -------------------------------------------
+    cb_acc: dict = {}
+    for s in sources:
+        # forward: levels as (node, sig) tables; seen as marker rows
+        frontier = pa.table({"node": pa.array([s], pa.int64()),
+                             "sig": pa.array([1], pa.int64())})
+        levels = [frontier]
+        seen_tbl = frontier.select(["node"])
+        for r in range(radius):
+            f_ds = ray.data.from_arrow(levels[-1])
+            seen_ds = ray.data.from_arrow(seen_tbl)
+
+            def tag_e(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "gkey": t.column("src"), "pay": t.column("dst"),
+                    "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+            def tag_f(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "gkey": t.column("node"), "pay": t.column("sig"),
+                    "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+            def emit(df: pd.DataFrame) -> pd.DataFrame:
+                e = df[df["tag"] == 0][["gkey", "pay"]].rename(
+                    columns={"pay": "dst"})
+                f = df[df["tag"] == 1][["gkey", "pay"]].rename(
+                    columns={"pay": "sig"})
+                out = e.merge(f, on="gkey")[["dst", "sig"]]
+                return out.rename(columns={"dst": "node"})
+
+            msgs = int_part_map(
+                und.map_batches(tag_e, batch_format="pyarrow")
+                   .union(f_ds.map_batches(tag_f,
+                                           batch_format="pyarrow")),
+                "gkey", emit, num_partitions=num_partitions)
+
+            def tag_m(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "gkey": t.column("node"), "pay": t.column("sig"),
+                    "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+            def tag_seen(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "gkey": t.column("node"),
+                    "pay": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+            def comb(df: pd.DataFrame) -> pd.DataFrame:
+                m = df[df["tag"] == 0]
+                sn = set(df[df["tag"] == 1]["gkey"].tolist())
+                if not len(m):
+                    return pd.DataFrame(
+                        {"node": np.array([], np.int64),
+                         "sig": np.array([], np.int64)})
+                g = m.groupby("gkey", sort=True)["pay"].sum() \
+                     .reset_index()
+                g = g[~g["gkey"].isin(sn)]
+                return g.rename(columns={"gkey": "node",
+                                         "pay": "sig"})
+
+            nf = int_part_map(
+                msgs.map_batches(tag_m, batch_format="pyarrow")
+                    .union(seen_ds.map_batches(
+                        tag_seen, batch_format="pyarrow")),
+                "gkey", comb, num_partitions=num_partitions)
+            nf_tbl = pa.concat_tables(
+                [pa.table(b) for b in nf.iter_batches(
+                    batch_format="pyarrow")] or
+                [pa.table({"node": pa.array([], pa.int64()),
+                           "sig": pa.array([], pa.int64())})])
+            if nf_tbl.num_rows == 0:
+                break
+            nf_tbl = nf_tbl.sort_by("node")
+            levels.append(nf_tbl)
+            seen_tbl = pa.concat_tables(
+                [seen_tbl, nf_tbl.select(["node"])])
+        # backward: level tables are O(level) driver-side; the
+        # per-level exchange computes ordered folds per node
+        deltas = [None] * len(levels)
+        deltas[-1] = {int(n): 0.0 for n in
+                      levels[-1].column("node").to_pylist()}
+        for lev in range(len(levels) - 2, -1, -1):
+            cur = levels[lev]
+            nxt = levels[lev + 1]
+            dn = deltas[lev + 1]
+            nxt_sig = {int(n): int(g) for n, g in
+                       zip(nxt.column("node").to_pylist(),
+                           nxt.column("sig").to_pylist())}
+            cur_ref = ray.put({int(n): int(g) for n, g in
+                               zip(cur.column("node").to_pylist(),
+                                   cur.column("sig").to_pylist())})
+            info_ref = ray.put((nxt_sig, dn))
+
+            def tag_e2(t: pa.Table) -> pa.Table:
+                # keyed by the CURRENT-level node v so v's ENTIRE
+                # successor fold happens inside one partition (the
+                # ordered fold cannot be split); successor (sig,
+                # delta) level maps ride as broadcasts — level state
+                # is O(frontier), the radius-bounded landmark
+                # variant's accepted working set
+                return pa.table({
+                    "gkey": t.column("src"), "pay": t.column("dst"),
+                    "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+            def fold_kernel(df: pd.DataFrame, _cur=cur_ref,
+                            _info=info_ref) -> pd.DataFrame:
+                curmap = ray.get(_cur)
+                nsig, ndel = ray.get(_info)
+                e = df[df["tag"] == 0]
+                if not len(e):
+                    return pd.DataFrame(
+                        {"node": np.array([], np.int64),
+                         "delta": np.array([], np.float64)})
+                w = e["pay"].to_numpy(np.int64)
+                vv = e["gkey"].to_numpy(np.int64)
+                keep = np.array([x in nsig for x in w], bool) & \
+                    np.array([x in curmap for x in vv], bool)
+                w, vv = w[keep], vv[keep]
+                order = np.lexsort((w, vv))
+                w, vv = w[order], vv[order]
+                rows_n, rows_d = [], []
+                i = 0
+                while i < len(vv):
+                    j = i
+                    acc = 0.0
+                    sv = float(curmap[int(vv[i])])
+                    while j < len(vv) and vv[j] == vv[i]:
+                        ww = int(w[j])
+                        acc = acc + (sv / float(nsig[ww])) \
+                            * (1.0 + ndel[ww])
+                        j += 1
+                    rows_n.append(int(vv[i]))
+                    rows_d.append(acc)
+                    i = j
+                return pd.DataFrame({"node": rows_n, "delta": rows_d})
+
+            part = int_part_map(
+                und.map_batches(tag_e2, batch_format="pyarrow"),
+                "gkey", fold_kernel, num_partitions=num_partitions)
+            got = {}
+            for b in part.iter_batches(batch_format="pyarrow"):
+                tb = pa.table(b)
+                for n, d in zip(tb.column("node").to_pylist(),
+                                tb.column("delta").to_pylist()):
+                    got[int(n)] = float(d)
+            deltas[lev] = {
+                int(n): got.get(int(n), 0.0)
+                for n in cur.column("node").to_pylist()}
+        for lev, dmap in enumerate(deltas):
+            for n, d in dmap.items():
+                if n == s:
+                    continue
+                cb_acc[n] = cb_acc.get(n, 0.0) + d
+    ks = sorted(cb_acc)
+    return pa.table({"node": pa.array(ks, pa.int64()),
+                     "cb": pa.array([cb_acc[k] for k in ks],
+                                    pa.float64())})

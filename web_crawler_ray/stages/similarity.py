@@ -894,3 +894,50 @@ def random_projection(ds, k: int = 8, id_col: str = "vec_id",
             "y": pa.array(y.reshape(-1))})
 
     return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def gram_matrix(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact Gram matrix G = Q^T Q of the int8-quantized embedding
+    table — the covariance/kernel building block (feature
+    correlations, PCA preprocessing, linear-probe training) computed
+    as a PURE COMBINER: each batch contributes one dim x dim integer
+    partial (a single int64 matmul), the driver sums O(batches)
+    partials — NO shuffle, no floats, bit-exact by construction.
+    Returns a flattened Table (dim_i, dim_j, g) with i <= j."""
+
+    def kern(t: pa.Table) -> pa.Table:
+        col = t.column(vec_col).combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        dim = int(offs[1] - offs[0])
+        x = col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(t.num_rows, dim)
+        maxabs = np.abs(x).max(axis=1)
+        safe = np.where(maxabs == 0.0, 1.0, maxabs)
+        sc = (x * 127.0) / safe[:, None]
+        q = (np.sign(sc) * np.floor(np.abs(sc) + 0.5)).astype(np.int64)
+        q[maxabs == 0.0] = 0
+        G = q.T @ q
+        ii, jj = np.triu_indices(dim)
+        return pa.table({"i": pa.array(ii.astype(np.int64)),
+                         "j": pa.array(jj.astype(np.int64)),
+                         "g": pa.array(G[ii, jj])})
+
+    acc: dict = {}
+    for b in ds.map_batches(kern, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        ii = tb.column("i").to_numpy(zero_copy_only=False)
+        jj = tb.column("j").to_numpy(zero_copy_only=False)
+        gg = tb.column("g").to_numpy(zero_copy_only=False)
+        for a, bj, g in zip(ii, jj, gg):
+            key = (int(a), int(bj))
+            acc[key] = acc.get(key, 0) + int(g)
+    ks = sorted(acc)
+    return pa.table({
+        "dim_i": pa.array([k[0] for k in ks], pa.int64()),
+        "dim_j": pa.array([k[1] for k in ks], pa.int64()),
+        "g": pa.array([acc[k] for k in ks], pa.int64())})
