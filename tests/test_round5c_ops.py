@@ -547,8 +547,9 @@ def test_square_counts_matches_brute(ray_session):
     npairs, squares = _brute_squares(src, dst)
     assert squares > 0
     t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
-    for nb in (1, 5):
+    for nb, dl in ((1, 10**6), (5, 10**6), (5, 0)):
         out = square_counts(rd.from_arrow(t).repartition(nb),
+                            driver_limit=dl,
                             num_partitions=4).to_pandas().iloc[0]
         assert out["n_diag_pairs"] == npairs
         assert out["squares"] == squares

@@ -3821,6 +3821,7 @@ def scc_components(edges_ds, src: str = "src", dst: str = "dst",
 
 
 def square_counts(edges_ds, src: str = "src", dst: str = "dst",
+                  driver_limit: int = 100_000,
                   num_partitions: int = 16):
     """Global 4-cycle (square) count of the undirected simple graph —
     the motif signal one step past triangles (dense bipartite-ish
@@ -3837,7 +3838,12 @@ def square_counts(edges_ds, src: str = "src", dst: str = "dst",
     — the same E^1.5 wedge volume every motif counter pays, so use a
     sparsified graph), then ONE pair-keyed exchange counts codeg and
     folds C(codeg, 2) into one partial row per partition; the driver
-    sums O(partitions) ints. Returns a 1-row Table
+    sums O(partitions) ints. Below ``driver_limit`` edges the same
+    wedge emit + unique-count runs as flat numpy on the driver; the
+    crossover sits LOWER than the other graph ops' DRIVER_CC_MAX
+    because the work term is the E^1.5 wedge volume, not E — measured
+    at the 256k-edge sf0.1 graph (16M wedges) the exchanges win (3.1 s
+    distributed vs 3.9 s driver, both warm). Returns a 1-row Table
     (n_diag_pairs, squares)."""
     from .shuffles import int_part_map
 
@@ -3848,6 +3854,44 @@ def square_counts(edges_ds, src: str = "src", dst: str = "dst",
         b = t.column(dst).cast(pa.int64()).combine_chunks()
         return pa.table({"src": pa.concat_arrays([a, b]),
                          "dst": pa.concat_arrays([b, a])})
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= max(driver_limit, 0):
+        cols = [pa.table(b) for b in
+                edges_ds.select_columns([src, dst])
+                        .iter_batches(batch_format="pyarrow")]
+        if not cols:
+            return pa.table({"n_diag_pairs": pa.array([0], pa.int64()),
+                             "squares": pa.array([0], pa.int64())})
+        cat = pa.concat_tables(cols)
+        u = cat.column(src).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        cu = np.concatenate((u, v))
+        cv = np.concatenate((v, u))
+        uv = np.unique(cu * K + cv)
+        cu, cv = uv // K, uv % K
+        starts = np.concatenate(
+            ([0], np.flatnonzero(cu[1:] != cu[:-1]) + 1, [len(cu)]))
+        pk = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            nb = cv[s:e]
+            if len(nb) < 2:
+                continue
+            ii, jj = np.triu_indices(len(nb), k=1)
+            pk.append(nb[ii] * K + nb[jj])
+        if not pk:
+            return pa.table({"n_diag_pairs": pa.array([0], pa.int64()),
+                             "squares": pa.array([0], pa.int64())})
+        _, w = np.unique(np.concatenate(pk), return_counts=True)
+        w = w[w >= 2].astype(np.int64)
+        return pa.table({
+            "n_diag_pairs": pa.array([int(len(w))], pa.int64()),
+            "squares": pa.array(
+                [int((w * (w - 1) // 2).sum()) // 2], pa.int64())})
 
     def wedge_emit(df: pd.DataFrame) -> pd.DataFrame:
         # per center (src): distinct sorted neighbors -> diagonal pairs
