@@ -226,7 +226,9 @@ def run_queries(num_cpus: int) -> dict:
              "sax_users", "kcenter_coreset",
              "seasonal_events", "square_counts",
              "bipartite_orders", "gram_matrix",
-             "tree_score_events", "betweenness_landmarks"]
+             "tree_score_events", "betweenness_landmarks",
+             "temporal_reach", "knn_dist_outliers",
+             "consistent_hash"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

@@ -733,3 +733,108 @@ def test_betweenness_path_graph(ray_session):
     assert got[3] == 1.0 + 1.0
     assert got[4] == 0.0
     assert got[1] == 3.0  # from source 0 only
+
+
+# --- temporal reachability ---------------------------------------------------
+
+def _brute_temporal(edges, s):
+    import heapq
+    arr = {s: 0}
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in edges:
+            if u in arr and t >= arr[u] and t < arr.get(v, 2**62):
+                arr[v] = t
+                changed = True
+    return arr
+
+
+def test_temporal_reach_matches_brute_both_paths(ray_session):
+    from web_crawler_ray.stages.graph import temporal_reach
+    rng = np.random.default_rng(6)
+    n, m = 25, 100
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    tt = rng.integers(0, 1000, m).astype(np.int64)
+    s = int(min(src.min(), dst.min()))
+    want = _brute_temporal(list(zip(src.tolist(), dst.tolist(),
+                                    tt.tolist())), s)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "t": pa.array(tt)})
+    for dl in (10**6, 0):
+        out = temporal_reach(rd.from_arrow(t).repartition(3),
+                             driver_limit=dl,
+                             num_partitions=4).to_pandas()
+        got = dict(zip(out["node"], out["arrival_us"]))
+        assert got == want, dl
+
+
+def test_temporal_reach_respects_time(ray_session):
+    from web_crawler_ray.stages.graph import temporal_reach
+    # 1 -(t=10)-> 2 -(t=5)-> 3: edge into 3 is too EARLY, 3 unreachable;
+    # but 2 -(t=20)-> 4 works
+    t = pa.table({"src": pa.array([1, 2, 2], pa.int64()),
+                  "dst": pa.array([2, 3, 4], pa.int64()),
+                  "t": pa.array([10, 5, 20], pa.int64())})
+    out = temporal_reach(rd.from_arrow(t)).to_pandas()
+    got = dict(zip(out["node"], out["arrival_us"]))
+    assert got == {1: 0, 2: 10, 4: 20}
+
+
+# --- kNN distance outliers ---------------------------------------------------
+
+def test_knn_dist_outliers_matches_brute(ray_session):
+    from web_crawler_ray.stages.similarity import knn_dist_outliers
+    rng = np.random.default_rng(9)
+    n, d, k = 30, 8, 4
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    out = knn_dist_outliers(rd.from_arrow(t).repartition(3), k=k) \
+        .to_pandas().set_index("vec_id").sort_index()
+    q = _quant_int8(x.astype(np.float64))
+    for i in range(n):
+        d2 = ((q - q[i]) ** 2).sum(axis=1)
+        d2[i] = 2**62
+        want = np.sort(d2)[k - 1]
+        assert out.loc[i, "d_k"] == want
+
+
+def test_knn_dist_outliers_planted(ray_session):
+    from web_crawler_ray.stages.similarity import knn_dist_outliers
+    # a far-away point must have the largest d_k
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 0.05, size=(20, 6)).astype(np.float32)
+    x[7] = 50.0
+    t = pa.table({"vec_id": pa.array(np.arange(20, dtype=np.int64)),
+                  "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    out = knn_dist_outliers(rd.from_arrow(t), k=3).to_pandas()
+    assert out.loc[out["d_k"].idxmax(), "vec_id"] == 7
+
+
+# --- consistent hashing ------------------------------------------------------
+
+def test_consistent_hash_matches_brute_and_is_stable(ray_session):
+    import hashlib
+    from web_crawler_ray.stages.relational import consistent_hash_assign
+    MASK = (1 << 63) - 1
+    ring = []
+    for i in range(8):
+        for r in range(16):
+            h = int.from_bytes(hashlib.md5(
+                f"s{i}:{r}".encode()).digest()[8:], "little") & MASK
+            ring.append((h, f"s{i}"))
+    ring.sort()
+    keys = np.arange(1, 200, dtype=np.int64)
+    t = pa.table({"c_custkey": pa.array(keys)})
+    out = consistent_hash_assign(rd.from_arrow(t).repartition(3),
+                                 "c_custkey").to_pandas() \
+        .set_index("c_custkey")
+    for kk in keys:
+        h = int.from_bytes(hashlib.md5(
+            str(int(kk)).encode()).digest()[8:], "little") & MASK
+        match = next((s for p, s in ring if p >= h), ring[0][1])
+        assert out.loc[kk, "server"] == match
+    # every server owns some keys at n=199 (sanity of spread)
+    assert out["server"].nunique() >= 6

@@ -5465,6 +5465,102 @@ def _betweenness_oracle_sql(radius: int = 4) -> str:
     return "".join(p)
 
 
+def q_temporal_reach(sf_dir: str):
+    """Earliest-arrival temporal reachability over the order graph
+    (edge (custkey%500 → orderkey%500) live at its order date): a
+    journey may only continue on edges no earlier than its arrival —
+    the time-respecting-path primitive (stages/graph.py
+    temporal_reach: all-integer min relaxation; driver grouped-min
+    Bellman below 1M edges, tagged sssp-shape exchanges above)."""
+    from ..stages.graph import temporal_reach
+    ds = _rp(sf_dir, "orders",
+             columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def to_e(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"src": pa.array(ck % 500),
+                         "dst": pa.array(ok % 500),
+                         "t": pa.array(ts)})
+
+    return temporal_reach(ds.map_batches(to_e,
+                                         batch_format="pyarrow"))
+
+
+_TEMPORAL_SQL = (
+    "WITH RECURSIVE e AS (SELECT o_custkey % 500 AS u, "
+    "o_orderkey % 500 AS v, epoch_us(o_orderdate) AS t "
+    "FROM orders), "
+    "s AS (SELECT least(min(u), min(v)) AS s FROM e), "
+    "reach AS (SELECT s.s AS node, 0::BIGINT AS arr FROM s "
+    "UNION SELECT e.v, e.t FROM reach r "
+    "JOIN e ON e.u = r.node AND e.t >= r.arr) "
+    "SELECT node, min(arr)::BIGINT AS arrival_us FROM reach "
+    "GROUP BY node ORDER BY node")
+
+
+def q_knn_dist_outliers(sf_dir: str):
+    """Distance-based outlier scores: each embedding's EXACT integer
+    squared distance to its 5th nearest neighbor on the int8 codes
+    (stages/similarity.py knn_dist_outliers: broadcast code matrix +
+    one int64 distance block per batch — the brute ANN shape with a
+    documented bucketed scale path)."""
+    from ..stages.similarity import knn_dist_outliers
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_dist_outliers(ds, k=5)
+
+
+_KNN_DIST_SQL = (
+    "WITH m AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, x -> abs(x)))::DOUBLE "
+    "AS maxabs FROM embeddings), "
+    "q AS (SELECT vec_id, "
+    "list_transform(generate_series(1, len(embedding)), i -> "
+    "CASE WHEN maxabs = 0 THEN 0 ELSE "
+    "CAST(round((embedding[i]::DOUBLE * 127.0) / maxabs) AS BIGINT) "
+    "END) AS qv FROM m), "
+    "d AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+    "list_sum(list_transform(generate_series(1, len(a.qv)), x -> "
+    "(a.qv[x] - b.qv[x]) * (a.qv[x] - b.qv[x]))) AS d2 "
+    "FROM q a JOIN q b ON a.vec_id <> b.vec_id), "
+    "r AS (SELECT i, d2, row_number() OVER (PARTITION BY i "
+    "ORDER BY d2, j) AS rn FROM d) "
+    "SELECT i AS vec_id, d2::BIGINT AS d_k FROM r WHERE rn = 5 "
+    "ORDER BY vec_id")
+
+
+def q_consistent_hash(sf_dir: str):
+    """Consistent-hashing ring placement of customer keys over 8
+    servers × 16 vnodes — the shard-placement audit (stages/
+    relational.py consistent_hash_assign: 128-entry ring built once
+    per process, ONE searchsorted per batch, NO shuffle; 63-bit md5
+    positions — exact)."""
+    from ..stages.relational import consistent_hash_assign
+    ds = _rp(sf_dir, "customer", columns=["c_custkey"])
+    return consistent_hash_assign(ds, "c_custkey")
+
+
+_CONSHASH_SQL = (
+    "WITH ring AS (SELECT 's' || i::VARCHAR AS server, "
+    "(md5_number_lower('s' || i::VARCHAR || ':' || r::VARCHAR) "
+    "& 9223372036854775807)::BIGINT AS pos "
+    "FROM generate_series(0, 7) g(i), "
+    "generate_series(0, 15) h(r)), "
+    "k AS (SELECT c_custkey AS key, "
+    "(md5_number_lower(c_custkey::VARCHAR) "
+    "& 9223372036854775807)::BIGINT AS h FROM customer), "
+    "a AS (SELECT key, h, "
+    "(SELECT min(pos) FROM ring WHERE pos >= k.h) AS p1, "
+    "(SELECT min(pos) FROM ring) AS p0 FROM k) "
+    "SELECT a.key AS c_custkey, r.server, r.pos AS ring_pos "
+    "FROM a JOIN ring r ON r.pos = COALESCE(a.p1, a.p0) "
+    "ORDER BY c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5611,6 +5707,9 @@ def registry() -> dict:
         "gram_matrix": q_gram_matrix,
         "tree_score_events": q_tree_score_events,
         "betweenness_landmarks": q_betweenness_landmarks,
+        "temporal_reach": q_temporal_reach,
+        "knn_dist_outliers": q_knn_dist_outliers,
+        "consistent_hash": q_consistent_hash,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -6657,6 +6756,9 @@ ORACLES: dict[str, str] = {
     "gram_matrix": _GRAM_SQL,
     "tree_score_events": _TREESCORE_SQL,
     "betweenness_landmarks": _betweenness_oracle_sql(4),
+    "temporal_reach": _TEMPORAL_SQL,
+    "knn_dist_outliers": _KNN_DIST_SQL,
+    "consistent_hash": _CONSHASH_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -4317,3 +4317,159 @@ def betweenness_landmarks(edges_ds, n_sources: int = 2, radius: int = 4,
     return pa.table({"node": pa.array(ks, pa.int64()),
                      "cb": pa.array([cb_acc[k] for k in ks],
                                     pa.float64())})
+
+
+def temporal_reach(edges_ds, source: int | None = None,
+                   src: str = "src", dst: str = "dst",
+                   t_col: str = "t",
+                   driver_limit: int = DRIVER_CC_MAX,
+                   max_iters: int = 64, num_partitions: int = 8):
+    """Temporal reachability (earliest-arrival journeys): over a
+    directed TEMPORAL edge set (u, v, t), a journey may take edge
+    (u, v, t) only if t >= its arrival at u, and arrival(v) is the
+    minimum such t — the time-respecting-path primitive (information
+    spread, contact tracing, crawl recrawl scheduling). Source
+    defaults to the smallest node id, with arrival 0. All-integer
+    min-relaxation; exact.
+
+    Below ``driver_limit`` edges: grouped-min Bellman iterations on
+    the driver. Above: the sssp_weighted exchange shape — per round
+    ONE tagged rendezvous sends min(t | t >= arr(u)) messages along
+    out-edges, one grouped min folds them; arrivals only shrink and
+    are integers, so the (count, sum) scalar detects the fixed point
+    exactly. Returns (node, arrival_us) for reached nodes, sorted."""
+    import ray
+
+    from .shuffles import int_part_map
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "arrival_us": pa.array([], pa.int64())})
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables(
+            [pa.table(b) for b in edges_ds.select_columns(
+                [src, dst, t_col]).iter_batches(
+                    batch_format="pyarrow")])
+        u = cat.column(src).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = cat.column(dst).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tt = cat.column(t_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nodes = np.unique(np.concatenate((u, v)))
+        s = int(nodes[0]) if source is None else int(source)
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        INF = np.int64(2**62)
+        arr = np.full(len(nodes), INF, np.int64)
+        si = np.searchsorted(nodes, s)
+        if si >= len(nodes) or nodes[si] != s:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "arrival_us": pa.array([], pa.int64())})
+        arr[si] = 0
+        for _ in range(max_iters):
+            ok = tt >= arr[ui]
+            if not ok.any():
+                break
+            cand_v = vi[ok]
+            cand_t = tt[ok]
+            order = np.argsort(cand_v, kind="stable")
+            cv2, ct2 = cand_v[order], cand_t[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(cv2[1:] != cv2[:-1]) + 1))
+            mins = np.minimum.reduceat(ct2, starts)
+            new = arr.copy()
+            np.minimum.at(new, cv2[starts], mins)
+            if (new == arr).all():
+                break
+            arr = new
+        else:
+            import warnings
+            warnings.warn("temporal_reach: no fixed point within "
+                          f"max_iters={max_iters}", RuntimeWarning)
+        got = arr < INF
+        return pa.table({"node": pa.array(nodes[got]),
+                         "arrival_us": pa.array(arr[got])})
+
+    # distributed: tagged rendezvous per round (sssp shape)
+    def to_e(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column(src).cast(pa.int64()),
+            "dst": t.column(dst).cast(pa.int64()),
+            "t": t.column(t_col).cast(pa.int64())})
+
+    e_ds = edges_ds.map_batches(to_e,
+                                batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def _min_node(t: pa.Table):
+        a = t.column("src").to_numpy(zero_copy_only=False)
+        b = t.column("dst").to_numpy(zero_copy_only=False)
+        m = min(int(a.min()) if len(a) else 2**62,
+                int(b.min()) if len(b) else 2**62)
+        return m
+
+    s = (min(ray.get([_min_node.remote(r)
+                      for r in e_ds.to_arrow_refs()]))
+         if source is None else int(source))
+
+    arr = ray.data.from_arrow(pa.table(
+        {"node": pa.array([s], pa.int64()),
+         "val": pa.array([0], pa.int64())})).materialize()
+    prev = None
+    for _ in range(max_iters):
+        def tag_e(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "gkey": t.column("src"), "dst": t.column("dst"),
+                "tv": t.column("t"),
+                "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+        def tag_a(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "gkey": t.column("node"),
+                "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                "tv": t.column("val"),
+                "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            e = df[df["tag"] == 0][["gkey", "dst", "tv"]]
+            a = df[df["tag"] == 1][["gkey", "tv"]].rename(
+                columns={"tv": "arr"})
+            j = e.merge(a, on="gkey")
+            j = j[j["tv"] >= j["arr"]]
+            return j[["dst", "tv"]].rename(
+                columns={"dst": "node", "tv": "val"})
+
+        msgs = int_part_map(
+            e_ds.map_batches(tag_e, batch_format="pyarrow")
+                .union(arr.map_batches(tag_a,
+                                       batch_format="pyarrow")),
+            "gkey", emit, num_partitions=num_partitions)
+
+        def comb(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=True)["val"].min() \
+                  .reset_index()
+            return g
+
+        arr = int_part_map(msgs.union(arr), "node", comb,
+                           num_partitions=num_partitions) \
+            .materialize()
+        stats = ray.get([_val_sum.remote(r)
+                         for r in arr.to_arrow_refs()])
+        n = arr.count()
+        sig = (n, sum(stats))
+        if prev is not None and sig == prev:
+            break
+        prev = sig
+    else:
+        import warnings
+        warnings.warn("temporal_reach: no fixed point within "
+                      f"max_iters={max_iters}", RuntimeWarning)
+    cat = pa.concat_tables(
+        [pa.table(b) for b in arr.iter_batches(
+            batch_format="pyarrow")])
+    return cat.rename_columns(["node", "arrival_us"]) \
+        .sort_by("node")

@@ -1133,3 +1133,52 @@ def cdc_apply(ds, key_col: str = "key", ts_col: str = "ts_us",
                              "ts_us": t[keep]})
 
     return int_part_map(ds, key_col, per_partition)
+
+
+def consistent_hash_assign(ds, key_col: str, n_servers: int = 8,
+                           n_vnodes: int = 16):
+    """Consistent-hashing ring assignment audit: each key lands on
+    the server owning the first ring position clockwise from the
+    key's hash — the shard-placement primitive behind distributed
+    caches/stores, made exactly reproducible with 63-bit md5
+    positions (ring vnode r of server i at
+    md5_low64(f"s{i}:{r}") & (2^63−1); key k at
+    md5_low64(str(k)) & (2^63−1); wraparound to the smallest ring
+    position). Exact integers; the md5 convention is the
+    fingerprint/simhash twin's.
+
+    Scale shape: the ring (n_servers × n_vnodes positions) is built
+    once per process and the per-batch lookup is ONE searchsorted —
+    stateless, NO shuffle. Returns (key, server, ring_pos)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    MASK = (1 << 63) - 1
+    pos = []
+    srv = []
+    for i in range(n_servers):
+        for r in range(n_vnodes):
+            h = int.from_bytes(hashlib.md5(
+                f"s{i}:{r}".encode()).digest()[8:], "little") & MASK
+            pos.append(h)
+            srv.append(f"s{i}")
+    order = np.argsort(np.array(pos, np.uint64))
+    ring_pos = np.array(pos, np.uint64)[order]
+    ring_srv = np.array(srv, dtype=object)[order]
+
+    def kern(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = np.array([int.from_bytes(hashlib.md5(
+            str(int(kk)).encode()).digest()[8:], "little") & MASK
+            for kk in keys], np.uint64)
+        idx = np.searchsorted(ring_pos, h, side="left")
+        idx = np.where(idx == len(ring_pos), 0, idx)  # wraparound
+        return pa.table({
+            key_col: pa.array(keys),
+            "server": pa.array(ring_srv[idx].tolist()),
+            "ring_pos": pa.array(ring_pos[idx].view(np.int64))})
+
+    return ds.map_batches(kern, batch_format="pyarrow")

@@ -941,3 +941,77 @@ def gram_matrix(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
         "dim_i": pa.array([k[0] for k in ks], pa.int64()),
         "dim_j": pa.array([k[1] for k in ks], pa.int64()),
         "g": pa.array([acc[k] for k in ks], pa.int64())})
+
+
+def knn_dist_outliers(ds, k: int = 5, id_col: str = "vec_id",
+                      vec_col: str = "embedding"):
+    """k-NN distance outlier score: for every vector, the EXACT
+    integer squared euclidean distance to its k-th nearest neighbor
+    on the int8-quantized codes (ties and all — distances are ints,
+    k-th smallest is a selection, no floats) — the classic
+    distance-based outlier detector (Ramaswamy et al.) and the
+    density signal under LOF.
+
+    Scale shape: the quantized code matrix is broadcast ONCE
+    (ray.put) and each batch computes one (batch x n) int64 distance
+    block + a partial sort — the ANN brute-force shape; at larger n
+    the same kernel runs per IVF/LSH bucket with boundary refinement
+    (documented tradeoff, ann_topk precedent). Returns a Dataset of
+    (vec_id, d_k)."""
+    import ray
+
+    def quant_all() -> tuple:
+        rows = []
+        ids = []
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            col = t.column(vec_col).combine_chunks()
+            m = _as_matrix(col)
+            ids.append(t.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            rows.append(m)
+        x = np.concatenate(rows) if rows else np.zeros((0, 0))
+        iv = np.concatenate(ids) if ids else np.zeros(0, np.int64)
+        order = np.argsort(iv)
+        x, iv = x[order], iv[order]
+        maxabs = np.abs(x).max(axis=1) if x.size else np.zeros(0)
+        safe = np.where(maxabs == 0.0, 1.0, maxabs)
+        sc = (x * 127.0) / safe[:, None] if x.size else x
+        q = (np.sign(sc) * np.floor(np.abs(sc) + 0.5)).astype(np.int64)
+        if x.size:
+            q[maxabs == 0.0] = 0
+        return iv, q
+
+    iv, q = quant_all()
+    if not len(iv):
+        import ray.data as rd
+        return rd.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "d_k": pa.array([], pa.int64())}))
+    ref = ray.put((iv, q))
+
+    def kern(t: pa.Table, _ref=ref) -> pa.Table:
+        all_ids, all_q = ray.get(_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        col = t.column(vec_col).combine_chunks()
+        m = _as_matrix(col)
+        maxabs = np.abs(m).max(axis=1)
+        safe = np.where(maxabs == 0.0, 1.0, maxabs)
+        sc = (m * 127.0) / safe[:, None]
+        qb = (np.sign(sc) * np.floor(np.abs(sc) + 0.5)) \
+            .astype(np.int64)
+        qb[maxabs == 0.0] = 0
+        # (batch x n) exact int distances: |a|^2 + |b|^2 - 2ab
+        an = np.einsum("ij,ij->i", qb, qb)
+        bn = np.einsum("ij,ij->i", all_q, all_q)
+        d = an[:, None] + bn[None, :] - 2 * (qb @ all_q.T)
+        # self-distance excluded by id, not by value (duplicates count)
+        self_mask = ids[:, None] == all_ids[None, :]
+        d[self_mask] = np.int64(2**62)
+        kk = min(k, d.shape[1] - 1)
+        dk = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+        return pa.table({id_col: pa.array(ids),
+                         "d_k": pa.array(dk.astype(np.int64))})
+
+    return ds.map_batches(kern, batch_format="pyarrow")
