@@ -838,3 +838,80 @@ def test_consistent_hash_matches_brute_and_is_stable(ray_session):
         assert out.loc[kk, "server"] == match
     # every server owns some keys at n=199 (sanity of spread)
     assert out["server"].nunique() >= 6
+
+
+# --- LOF ---------------------------------------------------------------------
+
+def _brute_lof(q, k):
+    n = len(q)
+    d = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d, 2**62)
+    dk = np.sort(d, axis=1)[:, k - 1]
+    nbrs = [np.flatnonzero(d[i] <= dk[i]) for i in range(n)]
+    lrd = np.empty(n)
+    for i in range(n):
+        sr = sum(int(max(dk[j], d[i, j])) for j in nbrs[i])
+        lrd[i] = float(len(nbrs[i])) / float(sr)
+    lof = np.empty(n)
+    for i in range(n):
+        acc = 0.0
+        for j in sorted(nbrs[i]):
+            acc = acc + lrd[j]
+        lof[i] = (acc / float(len(nbrs[i]))) / lrd[i]
+    return [len(x) for x in nbrs], lof
+
+
+def test_lof_matches_brute(ray_session):
+    from web_crawler_ray.stages.similarity import lof_outliers
+    rng = np.random.default_rng(12)
+    n, d, k = 40, 6, 4
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x[11] = 30.0  # planted outlier
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    out = lof_outliers(rd.from_arrow(t).repartition(3), k=k) \
+        .to_pandas().set_index("vec_id").sort_index()
+    q = _quant_int8(x.astype(np.float64))
+    nns, lof = _brute_lof(q, k)
+    for i in range(n):
+        assert out.loc[i, "n_neighbors"] == nns[i]
+        assert out.loc[i, "lof"] == lof[i]  # bit-exact fold parity
+    # the planted point is the strongest outlier
+    assert out["lof"].idxmax() == 11
+    # int8 quantization is per-vector scale-invariant, so the planted
+    # point's LOF is modest — but still the maximum and > 1
+    assert out.loc[11, "lof"] > 1.2
+
+
+# --- CUPED -------------------------------------------------------------------
+
+def test_cuped_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import cuped_adjust
+    t = _events(n=600, n_users=9, seed=50)
+    cutoff = int(np.int64(1_700_000_000_000_000) + 3 * 3_600_000_000)
+    out = cuped_adjust(rd.from_arrow(t).repartition(4),
+                       cutoff_us=cutoff).to_pandas() \
+        .set_index("user_id").sort_index()
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    g = df.groupby("user_id").apply(
+        lambda s: pd.Series({
+            "x": int(s.loc[s["t"] < cutoff, "c"].sum()),
+            "y": int(s.loc[s["t"] >= cutoff, "c"].sum())}),
+        include_groups=False)
+    x = g["x"].to_numpy(np.int64)
+    y = g["y"].to_numpy(np.int64)
+    n = len(g)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    xbar = float(sx) / float(n)
+    for uid, xi, yi in zip(g.index, x, y):
+        row = out.loc[uid]
+        assert row["x_cents"] == xi and row["y_cents"] == yi
+        assert row["y_adj"] == float(yi) - theta * (float(xi) - xbar)
+    # variance reduction actually happened (cov(x,y) != 0 here)
+    yv = y - y.mean()
+    ya = out["y_adj"].to_numpy() - out["y_adj"].to_numpy().mean()
+    assert (ya ** 2).sum() <= (yv ** 2).sum()

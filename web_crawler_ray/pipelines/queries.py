@@ -5561,6 +5561,81 @@ _CONSHASH_SQL = (
     "ORDER BY c_custkey")
 
 
+def q_lof_outliers(sf_dir: str):
+    """Local Outlier Factor over the embeddings on squared int8
+    distances — the density-ratio outlier detector past plain k-NN
+    distance (stages/similarity.py lof_outliers: three broadcast
+    passes, exact integer reach sums, ordered lrd folds — bit-exact
+    incl. the k-distance tie semantics)."""
+    from ..stages.similarity import lof_outliers
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lof_outliers(ds, k=5)
+
+
+_LOF_SQL = (
+    "WITH m AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, x -> abs(x)))::DOUBLE "
+    "AS maxabs FROM embeddings), "
+    "q AS MATERIALIZED (SELECT vec_id, "
+    "list_transform(generate_series(1, len(embedding)), i -> "
+    "CASE WHEN maxabs = 0 THEN 0 ELSE "
+    "CAST(round((embedding[i]::DOUBLE * 127.0) / maxabs) AS BIGINT) "
+    "END) AS qv FROM m), "
+    "d AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j, "
+    "list_sum(list_transform(generate_series(1, len(a.qv)), x -> "
+    "(a.qv[x] - b.qv[x]) * (a.qv[x] - b.qv[x]))) AS d2 "
+    "FROM q a JOIN q b ON a.vec_id <> b.vec_id), "
+    "kd AS MATERIALIZED (SELECT i, d2 AS dk FROM "
+    "(SELECT i, d2, row_number() OVER (PARTITION BY i "
+    "ORDER BY d2, j) AS rn FROM d) WHERE rn = 5), "
+    "nb AS MATERIALIZED (SELECT d.i, d.j, d.d2 FROM d "
+    "JOIN kd ON kd.i = d.i AND d.d2 <= kd.dk), "
+    "reach AS (SELECT nb.i, nb.j, "
+    "greatest(kdo.dk, nb.d2) AS r FROM nb "
+    "JOIN kd kdo ON kdo.i = nb.j), "
+    "lrd AS MATERIALIZED (SELECT i, count(*)::BIGINT AS nn, "
+    "count(*)::DOUBLE / sum(r)::DOUBLE AS lrd FROM reach "
+    "GROUP BY i) "
+    "SELECT nb.i AS vec_id, l.nn AS n_neighbors, "
+    "(list_sum(list(lo.lrd ORDER BY nb.j)) / l.nn::DOUBLE) "
+    "/ l.lrd AS lof "
+    "FROM nb JOIN lrd lo ON lo.i = nb.j "
+    "JOIN lrd l ON l.i = nb.i "
+    "GROUP BY nb.i, l.nn, l.lrd ORDER BY vec_id")
+
+
+def q_cuped_users(sf_dir: str):
+    """CUPED-adjusted per-user spend: pre-period (before Jan 16)
+    covariate removes explainable variance from the post-period
+    metric — the experimentation-platform readout next to
+    abtest_lift (stages/aggregates.py cuped_adjust: one keyed
+    exchange + integer moment combiner + broadcast theta —
+    bit-exact)."""
+    from ..stages.aggregates import cuped_adjust
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "value"])
+    cutoff = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC in us
+    return cuped_adjust(ds, cutoff_us=cutoff)
+
+
+_CUPED_SQL = (
+    "WITH b AS (SELECT user_id, epoch_us(ts) AS t, "
+    "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+    "u AS (SELECT user_id, "
+    "sum(CASE WHEN t < 1705363200000000 THEN c ELSE 0 END)::BIGINT "
+    "AS x, "
+    "sum(CASE WHEN t >= 1705363200000000 THEN c ELSE 0 END)::BIGINT "
+    "AS y FROM b GROUP BY user_id), "
+    "s AS (SELECT count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx, "
+    "sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x::HUGEINT) AS sxx, "
+    "sum(x::HUGEINT * y::HUGEINT) AS sxy FROM u) "
+    "SELECT u.user_id, u.x AS x_cents, u.y AS y_cents, "
+    "u.y::DOUBLE - ((s.n * s.sxy - s.sx * s.sy)::DOUBLE "
+    "/ (s.n * s.sxx - s.sx * s.sx)::DOUBLE) "
+    "* (u.x::DOUBLE - s.sx::DOUBLE / s.n::DOUBLE) AS y_adj "
+    "FROM u, s ORDER BY user_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5710,6 +5785,8 @@ def registry() -> dict:
         "temporal_reach": q_temporal_reach,
         "knn_dist_outliers": q_knn_dist_outliers,
         "consistent_hash": q_consistent_hash,
+        "lof_outliers": q_lof_outliers,
+        "cuped_users": q_cuped_users,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -6759,6 +6836,8 @@ ORACLES: dict[str, str] = {
     "temporal_reach": _TEMPORAL_SQL,
     "knn_dist_outliers": _KNN_DIST_SQL,
     "consistent_hash": _CONSHASH_SQL,
+    "lof_outliers": _LOF_SQL,
+    "cuped_users": _CUPED_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -3106,3 +3106,89 @@ def cramers_v(ds, row_col: str, col_col: str):
         "dof": pa.array([(len(rt) - 1) * (len(ct) - 1)], pa.int64()),
         "chi2": pa.array([chi2], pa.float64()),
         "v": pa.array([v], pa.float64())})
+
+
+def cuped_adjust(ds, key_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value", cutoff_us: int = 0,
+                 scale: int = 100):
+    """CUPED variance reduction (Deng et al.): per-key pre-period
+    covariate x (cent sum before ``cutoff_us``) and metric y (cent
+    sum after), adjusted metric
+
+        theta = (n·Sxy − Sx·Sy)::D / (n·Sxx − Sx·Sx)::D
+        y_adj = y::D − theta · (x::D − Sx::D / n::D)
+
+    — the experimentation-platform primitive, BIT-EXACT because the
+    per-key sums and the five cross-moments are exact integers (the
+    welch/ols trick) and the finish is a fixed float tree mirrored by
+    the oracle.
+
+    Scale shape: ONE key-keyed exchange builds the per-key (x, y)
+    table; a per-batch integer combiner + driver bigint fold computes
+    the global moments; theta/xbar broadcast into a final stateless
+    map. Returns a Dataset (key, x_cents, y_cents, y_adj)."""
+    import pyarrow as pa
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "pre": pa.array(np.where(ts < cutoff_us, cents, 0)),
+            "post": pa.array(np.where(ts >= cutoff_us, cents, 0))})
+
+    def per_user(df):
+        import pandas as pd
+        g = df.groupby("k", sort=True).agg(
+            x=("pre", "sum"), y=("post", "sum")).reset_index()
+        g["x"] = g["x"].astype(np.int64)
+        g["y"] = g["y"].astype(np.int64)
+        return g
+
+    users = int_part_map(ds, "k", per_user, prepare=prep) \
+        .materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sx": pa.array([np.int64(x.sum())]),
+            "sy": pa.array([np.int64(y.sum())]),
+            "sxx": pa.array([np.int64((x * x).sum())]),
+            "sxy": pa.array([np.int64((x * y).sum())])})
+
+    # iter_batches CONCATENATES combiner outputs — fold EVERY row,
+    # never just row 0 (the target_encode landmine)
+    n = sx = sy = sxx = sxy = 0
+    for b in users.map_batches(partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            n += int(tb.column("n")[i].as_py())
+            sx += int(tb.column("sx")[i].as_py())
+            sy += int(tb.column("sy")[i].as_py())
+            sxx += int(tb.column("sxx")[i].as_py())
+            sxy += int(tb.column("sxy")[i].as_py())
+    den = n * sxx - sx * sx
+    theta = (float(n * sxy - sx * sy) / float(den)) if den else 0.0
+    xbar = float(sx) / float(n) if n else 0.0
+
+    def finish(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = t.column("y").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y_adj = y.astype(np.float64) \
+            - theta * (x.astype(np.float64) - xbar)
+        return pa.table({key_col: t.column("k"),
+                         "x_cents": pa.array(x),
+                         "y_cents": pa.array(y),
+                         "y_adj": pa.array(y_adj)})
+
+    return users.map_batches(finish, batch_format="pyarrow")

@@ -1015,3 +1015,137 @@ def knn_dist_outliers(ds, k: int = 5, id_col: str = "vec_id",
                          "d_k": pa.array(dk.astype(np.int64))})
 
     return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def lof_outliers(ds, k: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """Local Outlier Factor (Breunig et al.) on the int8-quantized
+    codes with SQUARED integer distances — LOF's density ratio with
+    every reduction exact or order-fixed, so the score is bit-exact
+    against SQL:
+
+        d_k(p)  = k-th smallest squared distance (ties by value)
+        N(p)    = {o != p : d(p,o) <= d_k(p)}      (>= k with ties)
+        reach   = max(d_k(o), d(p,o))              (exact ints)
+        lrd(p)  = |N(p)|::D / (Σ reach)::D         (one division)
+        LOF(p)  = (fold of lrd(o) over o IN ASCENDING o ORDER
+                   / |N(p)|::D) / lrd(p)
+
+    Scale shape: three broadcast passes over the same code matrix
+    (knn_dist_outliers' contract — per-bucket at larger n): pass A
+    computes d_k per point, pass B lrd per point against the
+    broadcast d_k map, pass C folds neighbor lrds against the
+    broadcast lrd map. Returns a Dataset (vec_id, n_neighbors, lof)."""
+    import ray
+
+    rows = []
+    ids = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        rows.append(_as_matrix(t.column(vec_col).combine_chunks()))
+        ids.append(t.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    if not ids or not sum(len(i) for i in ids):
+        import ray.data as rd
+        return rd.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "n_neighbors": pa.array([], pa.int64()),
+             "lof": pa.array([], pa.float64())}))
+    x = np.concatenate(rows)
+    iv = np.concatenate(ids)
+    order = np.argsort(iv)
+    x, iv = x[order], iv[order]
+    maxabs = np.abs(x).max(axis=1)
+    safe = np.where(maxabs == 0.0, 1.0, maxabs)
+    sc = (x * 127.0) / safe[:, None]
+    q = (np.sign(sc) * np.floor(np.abs(sc) + 0.5)).astype(np.int64)
+    q[maxabs == 0.0] = 0
+    base_ref = ray.put((iv, q))
+    n_all = len(iv)
+    kk = min(k, n_all - 1)
+
+    def _dists(qb, all_q):
+        an = np.einsum("ij,ij->i", qb, qb)
+        bn = np.einsum("ij,ij->i", all_q, all_q)
+        return an[:, None] + bn[None, :] - 2 * (qb @ all_q.T)
+
+    def _quant(t: pa.Table):
+        m = _as_matrix(t.column(vec_col).combine_chunks())
+        ma = np.abs(m).max(axis=1)
+        sf = np.where(ma == 0.0, 1.0, ma)
+        s2 = (m * 127.0) / sf[:, None]
+        qb = (np.sign(s2) * np.floor(np.abs(s2) + 0.5)) \
+            .astype(np.int64)
+        qb[ma == 0.0] = 0
+        return qb
+
+    def pass_a(t: pa.Table, _b=base_ref) -> pa.Table:
+        all_ids, all_q = ray.get(_b)
+        bids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = _dists(_quant(t), all_q)
+        d[bids[:, None] == all_ids[None, :]] = np.int64(2**62)
+        dk = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+        return pa.table({id_col: pa.array(bids),
+                         "dk": pa.array(dk.astype(np.int64))})
+
+    dk_tbl = pa.concat_tables(
+        [pa.table(b) for b in
+         ds.map_batches(pass_a, batch_format="pyarrow")
+           .iter_batches(batch_format="pyarrow")]).sort_by(id_col)
+    dk_map = dk_tbl.column("dk").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)  # aligned with iv (sorted ids)
+    dk_ref = ray.put(dk_map)
+
+    def pass_b(t: pa.Table, _b=base_ref, _dk=dk_ref) -> pa.Table:
+        all_ids, all_q = ray.get(_b)
+        dkm = ray.get(_dk)
+        bids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = _dists(_quant(t), all_q)
+        self_m = bids[:, None] == all_ids[None, :]
+        d[self_m] = np.int64(2**62)
+        my_dk = dkm[np.searchsorted(all_ids, bids)]
+        nb = d <= my_dk[:, None]
+        reach = np.maximum(dkm[None, :], d)
+        nn = nb.sum(axis=1).astype(np.int64)
+        sr = np.where(nb, reach, 0).sum(axis=1).astype(np.int64)
+        lrd = nn.astype(np.float64) / sr.astype(np.float64)
+        return pa.table({id_col: pa.array(bids),
+                         "nn": pa.array(nn),
+                         "lrd": pa.array(lrd)})
+
+    lrd_tbl = pa.concat_tables(
+        [pa.table(b) for b in
+         ds.map_batches(pass_b, batch_format="pyarrow")
+           .iter_batches(batch_format="pyarrow")]).sort_by(id_col)
+    lrd_map = lrd_tbl.column("lrd").to_numpy(zero_copy_only=False)
+    nn_map = lrd_tbl.column("nn").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lrd_ref = ray.put((lrd_map, nn_map))
+
+    def pass_c(t: pa.Table, _b=base_ref, _dk=dk_ref,
+               _l=lrd_ref) -> pa.Table:
+        all_ids, all_q = ray.get(_b)
+        dkm = ray.get(_dk)
+        lrdm, nnm = ray.get(_l)
+        bids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = _dists(_quant(t), all_q)
+        self_m = bids[:, None] == all_ids[None, :]
+        d[self_m] = np.int64(2**62)
+        pos = np.searchsorted(all_ids, bids)
+        my_dk = dkm[pos]
+        out_lof = np.empty(len(bids), np.float64)
+        for r in range(len(bids)):
+            nbr = np.flatnonzero(d[r] <= my_dk[r])
+            acc = 0.0
+            for j in nbr:  # all_ids ascending == fold by neighbor id
+                acc = acc + lrdm[j]
+            nn = float(len(nbr))
+            out_lof[r] = (acc / nn) / lrdm[pos[r]]
+        return pa.table({id_col: pa.array(bids),
+                         "n_neighbors": pa.array(nnm[pos]),
+                         "lof": pa.array(out_lof)})
+
+    return ds.map_batches(pass_c, batch_format="pyarrow")
