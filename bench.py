@@ -228,7 +228,8 @@ def run_queries(num_cpus: int) -> dict:
              "bipartite_orders", "gram_matrix",
              "tree_score_events", "betweenness_landmarks",
              "temporal_reach", "knn_dist_outliers",
-             "consistent_hash", "lof_outliers", "cuped_users"]
+             "consistent_hash", "lof_outliers", "cuped_users",
+             "kaplan_meier", "did_events", "partition_skew"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

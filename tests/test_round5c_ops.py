@@ -915,3 +915,96 @@ def test_cuped_matches_brute(ray_session):
     yv = y - y.mean()
     ya = out["y_adj"].to_numpy() - out["y_adj"].to_numpy().mean()
     assert (ya ** 2).sum() <= (yv ** 2).sum()
+
+
+# --- Kaplan-Meier ------------------------------------------------------------
+
+def test_kaplan_meier_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import kaplan_meier
+    rng = np.random.default_rng(31)
+    n = 500
+    ts = (np.int64(1_700_000_000_000_000)
+          + rng.integers(0, 10 * 3_600_000_000, n))
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "event_type": pa.array(
+            np.array(["click", "view", "error"])[rng.integers(0, 3, n)]),
+    })
+    out = kaplan_meier(rd.from_arrow(t).repartition(4)).to_pandas()
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    durs = {}
+    for uid, g in df.groupby("user_id"):
+        t0 = g["t"].min()
+        errs = g[(g["event_type"] == "error") & (g["t"] > t0)]
+        if len(errs):
+            durs[uid] = (int(errs["t"].min() - t0), 1)
+        else:
+            durs[uid] = (int(g["t"].max() - t0), 0)
+    for grp in (0, 1):
+        dd = np.array([d for u, (d, e) in durs.items()
+                       if u % 2 == grp])
+        ee = np.array([e for u, (d, e) in durs.items()
+                       if u % 2 == grp])
+        sub = out[out["grp"] == grp].reset_index(drop=True)
+        s = 1.0
+        i = 0
+        for ft in np.unique(dd[ee == 1]):
+            n_risk = int((dd >= ft).sum())
+            d_i = int(((dd == ft) & (ee == 1)).sum())
+            s = s * (float(n_risk - d_i) / float(n_risk))
+            row = sub.iloc[i]
+            assert row["duration_us"] == ft
+            assert row["n_risk"] == n_risk
+            assert row["n_events"] == d_i
+            assert row["survival"] == s
+            i += 1
+        assert i == len(sub)
+        # survival is non-increasing
+        assert (np.diff(sub["survival"].to_numpy()) <= 0).all()
+
+
+# --- DiD ---------------------------------------------------------------------
+
+def test_did_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import did_estimate
+    t = _events(n=700, n_users=8, seed=60)
+    cutoff = int(np.int64(1_700_000_000_000_000) + 3 * 3_600_000_000)
+    out = did_estimate(rd.from_arrow(t).repartition(3),
+                       cutoff_us=cutoff).to_pandas().iloc[0]
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    m = {}
+    for trt in (0, 1):
+        for post in (0, 1):
+            sel = df[(df["user_id"] % 2 == trt)
+                     & ((df["t"] >= cutoff) == bool(post))]
+            m[(trt, post)] = float(sel["c"].sum()) / float(len(sel))
+    assert out["m_c_pre"] == m[(0, 0)]
+    assert out["m_t_post"] == m[(1, 1)]
+    assert out["did"] == (m[(1, 1)] - m[(1, 0)]) \
+        - (m[(0, 1)] - m[(0, 0)])
+
+
+# --- partition skew ----------------------------------------------------------
+
+def test_partition_skew_counts(ray_session):
+    import hashlib
+    from web_crawler_ray.stages.relational import partition_skew
+    keys = np.concatenate((np.arange(1, 300),
+                           np.full(500, 7))).astype(np.int64)
+    t = pa.table({"k": pa.array(keys)})
+    out = partition_skew(rd.from_arrow(t).repartition(4), "k",
+                         n_partitions=16).to_pandas() \
+        .set_index("partition_id")
+    acc = {}
+    for kk in keys:
+        h = int.from_bytes(hashlib.md5(
+            str(int(kk)).encode()).digest()[8:], "little") & ((1 << 63) - 1)
+        acc[h % 16] = acc.get(h % 16, 0) + 1
+    assert out["n_rows"].to_dict() == acc
+    assert out["n_rows"].sum() == len(keys)
+    # the hot key shows up as visible skew
+    assert out["n_rows"].max() >= 500

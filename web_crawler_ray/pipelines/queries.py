@@ -5636,6 +5636,97 @@ _CUPED_SQL = (
     "FROM u, s ORDER BY user_id")
 
 
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan–Meier survival curves per user-parity cohort: duration
+    = first event → first 'error' strictly after it (censored at the
+    last event otherwise); product-limit steps at failure times
+    (stages/windows.py kaplan_meier: one keyed exchange for
+    durations, exact integer risk/failure counts, SEQUENTIAL
+    survival product == the oracle's recursive-CTE recurrence —
+    bit-exact)."""
+    from ..stages.windows import kaplan_meier
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type"])
+    return kaplan_meier(ds)
+
+
+_KM_SQL = (
+    "WITH RECURSIVE b AS (SELECT user_id AS k, epoch_us(ts) AS t, "
+    "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS f "
+    "FROM events), "
+    "u0 AS (SELECT k, min(t) AS t0, max(t) AS tmax FROM b "
+    "GROUP BY k), "
+    "uf AS (SELECT b.k, min(b.t) AS terr FROM b "
+    "JOIN u0 ON u0.k = b.k WHERE b.f = 1 AND b.t > u0.t0 "
+    "GROUP BY b.k), "
+    "d AS (SELECT u0.k, u0.k % 2 AS grp, "
+    "CASE WHEN uf.terr IS NOT NULL THEN uf.terr - u0.t0 "
+    "ELSE u0.tmax - u0.t0 END AS dur, "
+    "CASE WHEN uf.terr IS NOT NULL THEN 1 ELSE 0 END AS ev "
+    "FROM u0 LEFT JOIN uf ON uf.k = u0.k), "
+    "ft AS (SELECT grp, dur, count(*)::BIGINT AS d_i, "
+    "row_number() OVER (PARTITION BY grp ORDER BY dur) AS idx "
+    "FROM d WHERE ev = 1 GROUP BY grp, dur), "
+    "nr AS (SELECT ft.grp, ft.dur, ft.d_i, ft.idx, "
+    "(SELECT count(*) FROM d WHERE d.grp = ft.grp "
+    "AND d.dur >= ft.dur)::BIGINT AS n_risk FROM ft), "
+    "km AS (SELECT grp, idx, dur, n_risk, d_i, "
+    "(n_risk - d_i)::DOUBLE / n_risk::DOUBLE AS s FROM nr "
+    "WHERE idx = 1 "
+    "UNION ALL SELECT nr.grp, nr.idx, nr.dur, nr.n_risk, nr.d_i, "
+    "km.s * ((nr.n_risk - nr.d_i)::DOUBLE / nr.n_risk::DOUBLE) "
+    "FROM km JOIN nr ON nr.grp = km.grp AND nr.idx = km.idx + 1) "
+    "SELECT grp, dur AS duration_us, n_risk, d_i AS n_events, "
+    "s AS survival FROM km ORDER BY grp, duration_us")
+
+
+def q_did_events(sf_dir: str):
+    """Difference-in-differences of event spend: treatment = odd
+    user, period split at Jan 16 (stages/aggregates.py did_estimate:
+    four exact integer cells in a pure combiner, fixed float tree —
+    bit-exact)."""
+    from ..stages.aggregates import did_estimate
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "value"])
+    return did_estimate(ds, cutoff_us=1_705_363_200_000_000)
+
+
+_DID_SQL = (
+    "WITH b AS (SELECT (user_id % 2) AS trt, "
+    "CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END "
+    "AS post, CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+    "cell AS (SELECT trt, post, count(*)::HUGEINT AS n, "
+    "sum(c)::HUGEINT AS s FROM b GROUP BY trt, post), "
+    "m AS (SELECT "
+    "max(CASE WHEN trt = 0 AND post = 0 THEN s::DOUBLE / n::DOUBLE "
+    "END) AS m00, "
+    "max(CASE WHEN trt = 0 AND post = 1 THEN s::DOUBLE / n::DOUBLE "
+    "END) AS m01, "
+    "max(CASE WHEN trt = 1 AND post = 0 THEN s::DOUBLE / n::DOUBLE "
+    "END) AS m10, "
+    "max(CASE WHEN trt = 1 AND post = 1 THEN s::DOUBLE / n::DOUBLE "
+    "END) AS m11 FROM cell) "
+    "SELECT m00 AS m_c_pre, m01 AS m_c_post, m10 AS m_t_pre, "
+    "m11 AS m_t_post, (m11 - m10) - (m01 - m00) AS did FROM m")
+
+
+def q_partition_skew(sf_dir: str):
+    """Partition-skew audit of l_orderkey over 64 md5 hash buckets —
+    the load-balance check behind every keyed exchange (stages/
+    relational.py partition_skew: per-batch bincount combiner over
+    md5 partition ids, NO shuffle; exact counts)."""
+    from ..stages.relational import partition_skew
+    ds = _rp(sf_dir, "lineitem", columns=["l_orderkey"])
+    return partition_skew(ds, "l_orderkey", n_partitions=64)
+
+
+_PSKEW_SQL = (
+    "SELECT ((md5_number_lower(l_orderkey::VARCHAR) "
+    "& 9223372036854775807) % 64)::BIGINT AS partition_id, "
+    "count(*)::BIGINT AS n_rows FROM lineitem "
+    "GROUP BY partition_id ORDER BY partition_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5787,6 +5878,9 @@ def registry() -> dict:
         "consistent_hash": q_consistent_hash,
         "lof_outliers": q_lof_outliers,
         "cuped_users": q_cuped_users,
+        "kaplan_meier": q_kaplan_meier,
+        "did_events": q_did_events,
+        "partition_skew": q_partition_skew,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -6838,6 +6932,9 @@ ORACLES: dict[str, str] = {
     "consistent_hash": _CONSHASH_SQL,
     "lof_outliers": _LOF_SQL,
     "cuped_users": _CUPED_SQL,
+    "kaplan_meier": _KM_SQL,
+    "did_events": _DID_SQL,
+    "partition_skew": _PSKEW_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

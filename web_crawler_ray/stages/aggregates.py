@@ -3192,3 +3192,46 @@ def cuped_adjust(ds, key_col: str = "user_id", ts_col: str = "ts",
                          "y_adj": pa.array(y_adj)})
 
     return users.map_batches(finish, batch_format="pyarrow")
+
+
+def did_estimate(ds, key_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value", cutoff_us: int = 0,
+                 scale: int = 100):
+    """Difference-in-differences: treatment = odd ``key``, period =
+    before/after ``cutoff_us``; DiD = (m_t_post − m_t_pre) −
+    (m_c_post − m_c_pre) over cent means — the quasi-experimental
+    companion to abtest_lift/cuped_adjust. BIT-EXACT: four exact
+    integer (n, sum) cells folded by a pure combiner, four divisions
+    and three subtractions in a fixed tree. Returns a 1-row Table
+    (m_c_pre, m_c_post, m_t_pre, m_t_post, did)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        c = np.rint(t.column(value_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * scale).astype(np.int64)
+        cell = (k % 2) * 2 + (ts >= cutoff_us)
+        n = np.bincount(cell, minlength=4).astype(np.int64)
+        s = np.bincount(cell, weights=c, minlength=4).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(4, dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    n = [0] * 4
+    s = [0] * 4
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            c = int(tb.column("cell")[i].as_py())
+            n[c] += int(tb.column("n")[i].as_py())
+            s[c] += int(tb.column("s")[i].as_py())
+    m = [float(s[i]) / float(n[i]) if n[i] else 0.0 for i in range(4)]
+    did = (m[3] - m[2]) - (m[1] - m[0])
+    return pa.table({"m_c_pre": pa.array([m[0]], pa.float64()),
+                     "m_c_post": pa.array([m[1]], pa.float64()),
+                     "m_t_pre": pa.array([m[2]], pa.float64()),
+                     "m_t_post": pa.array([m[3]], pa.float64()),
+                     "did": pa.array([did], pa.float64())})

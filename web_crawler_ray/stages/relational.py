@@ -1182,3 +1182,43 @@ def consistent_hash_assign(ds, key_col: str, n_servers: int = 8,
             "ring_pos": pa.array(ring_pos[idx].view(np.int64))})
 
     return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def partition_skew(ds, key_col: str, n_partitions: int = 64):
+    """Partition-skew audit: md5-hash every key into
+    ``key % n_partitions`` buckets and report per-partition row
+    counts — the load-balance check behind every keyed exchange in
+    this engine (a skewed key column is the single biggest
+    multi-node risk the SCALE.md plan calls out). 63-bit md5
+    partition ids are SQL-replayable; exact integer counts via a
+    per-batch bincount combiner, NO shuffle. Returns
+    (partition_id, n_rows) for non-empty partitions."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    P = int(n_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        hu = np.array([int.from_bytes(hashlib.md5(
+            str(int(x)).encode()).digest()[8:], "little")
+            & ((1 << 63) - 1) for x in uk], np.int64)
+        pid = (hu % P)[inv]
+        n = np.bincount(pid, minlength=P).astype(np.int64)
+        return pa.table({"partition_id": pa.array(
+            np.arange(P, dtype=np.int64)), "n_rows": pa.array(n)})
+
+    acc = np.zeros(P, np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        pid = t.column("partition_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_rows").to_numpy(zero_copy_only=False)
+        np.add.at(acc, pid, n)
+    keep = np.flatnonzero(acc > 0)
+    return pa.table({"partition_id": pa.array(keep.astype(np.int64)),
+                     "n_rows": pa.array(acc[keep])})

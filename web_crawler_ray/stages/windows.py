@@ -2190,3 +2190,101 @@ def seasonal_decompose(ds, key_col: str = "event_type",
         "trend": pa.array(out_tr, pa.float64()),
         "seasonal": pa.array(out_se, pa.float64()),
         "resid": pa.array(out_re, pa.float64())})
+
+
+def kaplan_meier(ds, key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 failure_type: str = "error", group_mod: int = 2):
+    """Kaplan–Meier survival curves: per key, duration runs from the
+    first event to the first ``failure_type`` event (event = 1) or to
+    the last event (censored, event = 0); keys split into
+    ``key % group_mod`` cohorts and each cohort's product-limit curve
+    steps at its failure times:
+
+        S_i = S_{i-1} * ((n_i - d_i)::D / n_i::D)
+
+    — risk counts n_i and failure counts d_i are exact integers and
+    the survival product multiplies SEQUENTIALLY in ascending time
+    order, which is exactly the recursive-CTE recurrence the oracle
+    steps (list_product is NOT a sequential fold — probed; the
+    ewma/holt recursive-step twin is). Returns a Table
+    (grp, duration_us, n_risk, n_events, survival) at failure times.
+
+    Scale shape: ONE key-keyed exchange derives (key, duration,
+    event); per-cohort curves finish on the driver from O(distinct
+    failure times) exact counts (the anova/seasonal driver-finish
+    contract)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "fail": pa.array(np.array(
+                [1 if x == failure_type else 0
+                 for x in t.column(type_col).to_pylist()], np.int64))})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "k": np.array([], np.int64),
+                "dur": np.array([], np.int64),
+                "event": np.array([], np.int64)})
+        rows_k, rows_d, rows_e = [], [], []
+        for k, g in df.groupby("k", sort=True):
+            ts = g["ts"].to_numpy(np.int64)
+            fl = g["fail"].to_numpy(np.int64)
+            t0 = int(ts.min())
+            ft = ts[(fl == 1) & (ts > t0)]
+            if len(ft):
+                rows_d.append(int(ft.min()) - t0)
+                rows_e.append(1)
+            else:
+                rows_d.append(int(ts.max()) - t0)
+                rows_e.append(0)
+            rows_k.append(int(k))
+        return pd.DataFrame({"k": rows_k, "dur": rows_d,
+                             "event": rows_e})
+
+    users = int_part_map(ds, "k", per_user, prepare=prep)
+    cat = pa.concat_tables(
+        [pa.table(b) for b in users.iter_batches(
+            batch_format="pyarrow")] or
+        [pa.table({"k": pa.array([], pa.int64()),
+                   "dur": pa.array([], pa.int64()),
+                   "event": pa.array([], pa.int64())})])
+    k = cat.column("k").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    dur = cat.column("dur").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ev = cat.column("event").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    out_g, out_t, out_n, out_d, out_s = [], [], [], [], []
+    for grp in range(group_mod):
+        m = (k % group_mod) == grp
+        if not m.any():
+            continue
+        dd, ee = dur[m], ev[m]
+        sorted_d = np.sort(dd)
+        fail_times = np.unique(dd[ee == 1])
+        s = 1.0
+        for t in fail_times:
+            n_risk = int(len(sorted_d)
+                         - np.searchsorted(sorted_d, t, side="left"))
+            d_i = int(((dd == t) & (ee == 1)).sum())
+            s = s * (float(n_risk - d_i) / float(n_risk))
+            out_g.append(grp)
+            out_t.append(int(t))
+            out_n.append(n_risk)
+            out_d.append(d_i)
+            out_s.append(s)
+    return pa.table({"grp": pa.array(out_g, pa.int64()),
+                     "duration_us": pa.array(out_t, pa.int64()),
+                     "n_risk": pa.array(out_n, pa.int64()),
+                     "n_events": pa.array(out_d, pa.int64()),
+                     "survival": pa.array(out_s, pa.float64())})
