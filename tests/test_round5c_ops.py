@@ -1008,3 +1008,99 @@ def test_partition_skew_counts(ray_session):
     assert out["n_rows"].sum() == len(keys)
     # the hot key shows up as visible skew
     assert out["n_rows"].max() >= 500
+
+
+# --- diameter double sweep ---------------------------------------------------
+
+def test_diameter_sweep_path_and_random(ray_session):
+    from web_crawler_ray.stages.graph import diameter_sweep
+
+    def und(src, dst):
+        s = np.asarray(src + dst, np.int64)
+        d = np.asarray(dst + src, np.int64)
+        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+    # path 0-1-2-3-4-5: diameter 5, exact for double sweep
+    t = und([0, 1, 2, 3, 4], [1, 2, 3, 4, 5])
+    out = diameter_sweep(rd.from_arrow(t)).to_pandas().iloc[0]
+    assert out["start_node"] == 0
+    assert out["ecc_start"] == 5 and out["far_node"] == 5
+    assert out["diameter_lb"] == 5 and out["end_node"] == 0
+    # random connected graph: diameter_lb <= true diameter,
+    # >= ecc(start)
+    rng = np.random.default_rng(14)
+    src = list(range(29)) + rng.integers(0, 30, 20).tolist()
+    dst = list(range(1, 30)) + rng.integers(0, 30, 20).tolist()
+    t2 = und([int(x) for x in src], [int(x) for x in dst])
+    out2 = diameter_sweep(rd.from_arrow(t2)).to_pandas().iloc[0]
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in zip(src, dst):
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs_ecc(s):
+        h = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for x in q:
+                for y in adj[x]:
+                    if y not in h:
+                        h[y] = h[x] + 1
+                        nq.append(y)
+            q = nq
+        return h
+
+    true_diam = max(max(bfs_ecc(s).values()) for s in adj)
+    assert out2["ecc_start"] <= out2["diameter_lb"] <= true_diam
+
+
+# --- video scene detection ---------------------------------------------------
+
+def test_video_scenes_recovers_planting(ray_session):
+    from web_crawler_ray.stages import multimodal as M
+    refs = [f"vid://{i}" for i in range(12)]
+    tbl = M.synth_y4m_table_scenes(refs)
+    out = M.VideoSceneStage(thresh_per_px=30)(tbl).to_pandas()
+    # brute: recompute SAD cuts straight from the decoded frames
+    for ref, payload in zip(tbl.column("media_ref").to_pylist(),
+                            tbl.column("payload").to_pylist()):
+        frames, _ = M.decode_y4m(payload)
+        y = frames[:, :, :, 0].astype(np.int64)
+        sad = np.abs(y[1:] - y[:-1]).sum(axis=(1, 2))
+        want = (np.flatnonzero(
+            sad > 30 * y.shape[1] * y.shape[2]) + 1).tolist()
+        got = sorted(out[(out["media_ref"] == ref)
+                         & (out["cut_idx"] >= 0)]["cut_idx"])
+        assert got == want
+        sent = out[(out["media_ref"] == ref) & (out["cut_idx"] == -1)]
+        assert sent["sad"].iloc[0] == len(frames)
+    # planting worked: at least one stream has >= 1 cut
+    assert (out["cut_idx"] >= 0).sum() > 0
+
+
+# --- audio fingerprinting ----------------------------------------------------
+
+def test_audio_fingerprint_planted_tones(ray_session):
+    from web_crawler_ray.stages import multimodal as M
+    rate, F = 16000, 256
+    # two pure tones, switched halfway: peak bins must follow
+    bin1, bin2 = 20, 50
+    f1 = bin1 * rate / F
+    f2 = bin2 * rate / F
+    tt = np.arange(4096) / rate
+    x = np.concatenate((
+        (10000 * np.sin(2 * np.pi * f1 * tt[:2048])),
+        (10000 * np.sin(2 * np.pi * f2 * tt[:2048])))).astype(np.int16)
+    payload = M.encode_wav(x, rate=rate)
+    tbl = pa.table({"media_ref": pa.array(["a"], pa.string()),
+                    "payload": pa.array([payload], pa.large_binary())})
+    out = M.AudioFingerprintStage(frame=F, hop=128)(tbl).to_pandas()
+    hashes = out["fp_hash"].to_numpy()
+    # steady-state landmarks are (bin, bin) pairs of the active tone
+    assert (hashes == bin1 * 4096 + bin1).sum() > 5
+    assert (hashes == bin2 * 4096 + bin2).sum() > 5
+    # determinism
+    out2 = M.AudioFingerprintStage(frame=F, hop=128)(tbl).to_pandas()
+    assert (out2["fp_hash"].to_numpy() == hashes).all()

@@ -5727,6 +5727,87 @@ _PSKEW_SQL = (
     "GROUP BY partition_id ORDER BY partition_id")
 
 
+def q_diameter_sweep(sf_dir: str):
+    """Double-sweep diameter lower bound of the sparse lineitem
+    graph: BFS from the min node, re-BFS from the farthest node found
+    (stages/graph.py diameter_sweep — pure composition of two
+    bfs_hops runs, exact ints)."""
+    from ..stages.graph import diameter_sweep
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("src").combine_chunks()
+        b = t.column("dst").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    return diameter_sweep(
+        _tri_edges(sf_dir).map_batches(sym, batch_format="pyarrow"))
+
+
+_DIAM_SQL = (
+    f"WITH RECURSIVE e0 AS ({_TRI_E0}), "
+    "e AS (SELECT DISTINCT src, dst FROM "
+    "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)), "
+    "r1 AS (SELECT (SELECT MIN(least(src, dst)) FROM e) AS node, "
+    "0 AS hops UNION SELECT e.dst, r1.hops + 1 FROM r1 "
+    "JOIN e ON e.src = r1.node WHERE r1.hops < 24), "
+    "h1 AS (SELECT node, MIN(hops) AS hops FROM r1 GROUP BY node), "
+    "f AS (SELECT node, hops FROM h1 "
+    "ORDER BY hops DESC, node LIMIT 1), "
+    "r2 AS (SELECT (SELECT node FROM f) AS node, 0 AS hops "
+    "UNION SELECT e.dst, r2.hops + 1 FROM r2 "
+    "JOIN e ON e.src = r2.node WHERE r2.hops < 24), "
+    "h2 AS (SELECT node, MIN(hops) AS hops FROM r2 GROUP BY node), "
+    "g AS (SELECT node, hops FROM h2 "
+    "ORDER BY hops DESC, node LIMIT 1) "
+    "SELECT (SELECT MIN(least(src, dst)) FROM e)::BIGINT "
+    "AS start_node, f.hops::BIGINT AS ecc_start, "
+    "f.node::BIGINT AS far_node, g.hops::BIGINT AS diameter_lb, "
+    "g.node::BIGINT AS end_node FROM f, g")
+
+
+def q_video_scenes(sf_dir: str):
+    """REAL video scene-cut detection: planted-scene y4m streams →
+    exact integer Y-plane SAD between consecutive frames, cut where
+    SAD exceeds 30/px (stages/multimodal.py VideoSceneStage +
+    synth_y4m_table_scenes). Rows-only at the gate like the other
+    binary-decode rows; the planting and SAD math are pinned in
+    pytest."""
+    from ..stages import multimodal as M
+    refs = _media_refs(sf_dir)
+    n = refs.num_rows
+    k = max(2, min(16, n // 32 + 1))
+    slices = [refs.slice(i * n // k, (i + 1) * n // k - i * n // k)
+              for i in range(k)]
+    uniq = rd.from_arrow([s for s in slices if s.num_rows])
+    blob = uniq.map_batches(
+        lambda t: M.synth_y4m_table_scenes(
+            t.column("media_ref").to_pylist()),
+        batch_format="pyarrow", batch_size=32)
+    return blob.map_batches(M.VideoSceneStage(thresh_per_px=30),
+                            batch_format="pyarrow", batch_size=32)
+
+
+def q_audio_fingerprint(sf_dir: str):
+    """REAL audio landmark fingerprints: RIFF/WAV decode → 256-sample
+    rfft frames → per-frame peak bin → consecutive-peak landmark
+    hashes (stages/multimodal.py AudioFingerprintStage). Rows-only at
+    the gate (FFT is not SQL); peak determinism and planted-sinusoid
+    recovery pinned in pytest."""
+    from ..stages import multimodal as M
+    refs = _media_refs(sf_dir)
+    n = refs.num_rows
+    k = max(2, min(16, n // 32 + 1))
+    slices = [refs.slice(i * n // k, (i + 1) * n // k - i * n // k)
+              for i in range(k)]
+    uniq = rd.from_arrow([s for s in slices if s.num_rows])
+    blob = uniq.map_batches(
+        lambda t: M.synth_wav_table(t.column("media_ref").to_pylist()),
+        batch_format="pyarrow", batch_size=32)
+    return blob.map_batches(M.AudioFingerprintStage(),
+                            batch_format="pyarrow", batch_size=32)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5881,6 +5962,9 @@ def registry() -> dict:
         "kaplan_meier": q_kaplan_meier,
         "did_events": q_did_events,
         "partition_skew": q_partition_skew,
+        "diameter_sweep": q_diameter_sweep,
+        "video_scenes": q_video_scenes,
+        "audio_fingerprint": q_audio_fingerprint,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -6935,6 +7019,7 @@ ORACLES: dict[str, str] = {
     "kaplan_meier": _KM_SQL,
     "did_events": _DID_SQL,
     "partition_skew": _PSKEW_SQL,
+    "diameter_sweep": _DIAM_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

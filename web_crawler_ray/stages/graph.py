@@ -4473,3 +4473,45 @@ def temporal_reach(edges_ds, source: int | None = None,
             batch_format="pyarrow")])
     return cat.rename_columns(["node", "arrival_us"]) \
         .sort_by("node")
+
+
+def diameter_sweep(edges_ds, src: str = "src", dst: str = "dst",
+                   driver_limit: int = DRIVER_CC_MAX,
+                   num_partitions: int = 8):
+    """Double-sweep diameter lower bound: BFS from the minimum node,
+    hop to the farthest node found (ties -> min id), BFS again — the
+    standard 2-BFS diameter estimator (exact on trees, a tight lower
+    bound in practice). Pure composition of two bfs_hops runs (each
+    with its own driver/distributed crossover), so the scale story is
+    bfs_hops'. Expects a DIRECTED edge list (append reversed edges
+    for undirected semantics, as bfs_hops documents). Returns a
+    1-row Table (start_node, ecc_start, far_node, diameter_lb,
+    end_node) — all exact ints."""
+    edges_ds = edges_ds.materialize()
+
+    h1 = bfs_hops(edges_ds, src=src, dst=dst,
+                  driver_limit=driver_limit,
+                  num_partitions=num_partitions)
+    if h1.num_rows == 0:
+        return pa.table({"start_node": pa.array([], pa.int64()),
+                         "ecc_start": pa.array([], pa.int64()),
+                         "far_node": pa.array([], pa.int64()),
+                         "diameter_lb": pa.array([], pa.int64()),
+                         "end_node": pa.array([], pa.int64())})
+    n1 = h1.column("node").to_numpy(zero_copy_only=False)
+    hp1 = h1.column("hops").to_numpy(zero_copy_only=False)
+    start = int(n1[hp1 == 0][0])
+    far_i = np.lexsort((n1, -hp1))[0]
+    far, ecc1 = int(n1[far_i]), int(hp1[far_i])
+    h2 = bfs_hops(edges_ds, source=far, src=src, dst=dst,
+                  driver_limit=driver_limit,
+                  num_partitions=num_partitions)
+    n2 = h2.column("node").to_numpy(zero_copy_only=False)
+    hp2 = h2.column("hops").to_numpy(zero_copy_only=False)
+    end_i = np.lexsort((n2, -hp2))[0]
+    return pa.table({
+        "start_node": pa.array([start], pa.int64()),
+        "ecc_start": pa.array([ecc1], pa.int64()),
+        "far_node": pa.array([far], pa.int64()),
+        "diameter_lb": pa.array([int(hp2[end_i])], pa.int64()),
+        "end_node": pa.array([int(n2[end_i])], pa.int64())})

@@ -534,3 +534,108 @@ def image_dedup_groups(blob_ds, num_partitions: int = 16):
 
     return int_part_map(hashed, "ahash", per_partition,
                         num_partitions=num_partitions)
+
+
+def synth_y4m_table_scenes(refs: list[str], seed: int = 42,
+                           n_scenes_max: int = 4) -> pa.Table:
+    """synth_y4m_table twin that PLANTS abrupt scene cuts: each ref's
+    stream has 1..n_scenes_max scenes; frames drift gently within a
+    scene (small successive SAD) and jump to a fresh hash-derived
+    base at each cut (large SAD). Scene count/positions are pure
+    functions of (seed, ref) so tests can recompute the planted
+    truth."""
+    payloads = []
+    for r in refs:
+        hsh = hashlib.blake2b(f"{seed}|scenes|{r}".encode(),
+                              digest_size=24).digest()
+        n_scenes = 1 + hsh[0] % n_scenes_max
+        w = 8 + hsh[1] % 9
+        h = 8 + hsh[2] % 9
+        frames = []
+        for si in range(n_scenes):
+            ln = 3 + hsh[3 + si] % 5
+            base = int(hsh[8 + si]) * 97 % 251
+            yy, xx = np.mgrid[0:h, 0:w]
+            for fi in range(ln):
+                frames.append(np.stack([
+                    (xx * 2 + base + fi) % 256,
+                    (yy * 3 + base * 2 + fi) % 256,
+                    ((xx + yy) + base * 3 + fi) % 256,
+                ], axis=-1).astype(np.uint8))
+        payloads.append(encode_y4m(np.stack(frames), fps=25))
+    return pa.table({"media_ref": pa.array(refs, pa.string()),
+                     "payload": pa.array(payloads, pa.large_binary())})
+
+
+class VideoSceneStage:
+    """Worker-singleton stage: REAL y4m decode + scene-cut detection
+    by EXACT integer SAD on the Y plane — a cut at frame t whenever
+    sum|Y_t − Y_{t−1}| > thresh_per_px · h · w. Emits one row per
+    detected cut (media_ref, cut_idx, sad) plus a sentinel row
+    (cut_idx = -1, sad = n_frames) per stream so fully-smooth videos
+    still report their frame count. Integer arithmetic only —
+    deterministic across partitionings."""
+
+    def __init__(self, thresh_per_px: int = 30):
+        self.thresh = int(thresh_per_px)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, cuts, sads = [], [], []
+        for ref, payload in zip(
+                batch.column("media_ref").to_pylist(),
+                batch.column("payload").to_pylist()):
+            frames, _fps = decode_y4m(payload)
+            n = len(frames)
+            refs.append(ref)
+            cuts.append(-1)
+            sads.append(n)
+            if n < 2:
+                continue
+            y = frames[:, :, :, 0].astype(np.int64)
+            sad = np.abs(y[1:] - y[:-1]).sum(axis=(1, 2))
+            lim = self.thresh * y.shape[1] * y.shape[2]
+            for i in np.flatnonzero(sad > lim):
+                refs.append(ref)
+                cuts.append(int(i) + 1)
+                sads.append(int(sad[i]))
+        return pa.table({"media_ref": pa.array(refs, pa.string()),
+                         "cut_idx": pa.array(cuts, pa.int64()),
+                         "sad": pa.array(sads, pa.int64())})
+
+
+class AudioFingerprintStage:
+    """Worker-singleton stage: REAL RIFF/WAV decode + spectral-peak
+    landmark fingerprints (the Shazam shape): 256-sample frames, hop
+    128, rfft magnitude per frame, peak bin per frame (ties -> lower
+    bin), landmark hash = peak[i] * 4096 + peak[i+1] for consecutive
+    frames. FFT magnitudes are floats but only the ARGMAX is kept, so
+    the fingerprint is deterministic for a given numpy. Emits
+    (media_ref, frame_idx, fp_hash)."""
+
+    def __init__(self, frame: int = 256, hop: int = 128):
+        self.frame = int(frame)
+        self.hop = int(hop)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, idxs, hashes = [], [], []
+        for ref, payload in zip(
+                batch.column("media_ref").to_pylist(),
+                batch.column("payload").to_pylist()):
+            samples, _rate = decode_wav(payload)
+            x = np.asarray(samples, np.float64)
+            F, H = self.frame, self.hop
+            if len(x) < F + H:
+                continue
+            n_frames = (len(x) - F) // H + 1
+            idx = (np.arange(F)[None, :]
+                   + H * np.arange(n_frames)[:, None])
+            mags = np.abs(np.fft.rfft(x[idx], axis=1))
+            mags[:, 0] = 0.0  # ignore DC
+            peaks = np.argmax(mags, axis=1)
+            for i in range(n_frames - 1):
+                refs.append(ref)
+                idxs.append(i)
+                hashes.append(int(peaks[i]) * 4096 + int(peaks[i + 1]))
+        return pa.table({"media_ref": pa.array(refs, pa.string()),
+                         "frame_idx": pa.array(idxs, pa.int64()),
+                         "fp_hash": pa.array(hashes, pa.int64())})
