@@ -1104,3 +1104,55 @@ def test_audio_fingerprint_planted_tones(ray_session):
     # determinism
     out2 = M.AudioFingerprintStage(frame=F, hop=128)(tbl).to_pandas()
     assert (out2["fp_hash"].to_numpy() == hashes).all()
+
+
+# --- bitmap index ------------------------------------------------------------
+
+def test_bitmap_index_matches_brute(ray_session):
+    from web_crawler_ray.stages.relational import bitmap_index
+    rng = np.random.default_rng(44)
+    keys = rng.permutation(400)[:300].astype(np.int64)
+    vals = np.array(["A", "B", "C"])[rng.integers(0, 3, 300)]
+    t = pa.table({"v": pa.array(vals), "k": pa.array(keys)})
+    out = bitmap_index(rd.from_arrow(t).repartition(4), "v", "k") \
+        .to_pandas()
+    acc = {}
+    for v, k in zip(vals, keys):
+        cell = (v, int(k) // 63)
+        acc[cell] = acc.get(cell, 0) | (1 << (int(k) % 63))
+    got = {(r["value"], r["chunk"]): r["bits"]
+           for _, r in out.iterrows()}
+    assert got == acc
+    # popcounts reconstruct exact per-value distinct counts
+    for v in "ABC":
+        n = out[out["value"] == v]["n_set"].sum()
+        assert n == (vals == v).sum()  # keys are distinct here
+
+
+# --- Benford audit -----------------------------------------------------------
+
+def test_benford_audit_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import (BENFORD_P,
+                                                   benford_audit)
+    rng = np.random.default_rng(3)
+    # log-uniform values follow Benford closely
+    # an INTEGER number of decades makes the log-uniform Benford-exact
+    v = np.exp(rng.uniform(0, 4 * np.log(10.0), 4000))
+    t = pa.table({"x": pa.array(np.round(v, 2))})
+    out = benford_audit(rd.from_arrow(t).repartition(4), "x") \
+        .to_pandas()
+    cents = np.rint(np.round(v, 2) * 100).astype(np.int64)
+    cents = cents[cents > 0]
+    digs = np.array([int(str(c)[0]) for c in cents])
+    total = len(digs)
+    chi2 = 0.0
+    for i in range(9):
+        n_obs = int((digs == i + 1).sum())
+        assert out.iloc[i]["n_obs"] == n_obs
+        e = float(total) * BENFORD_P[i]
+        assert out.iloc[i]["expected"] == e
+        dd = float(n_obs) - e
+        chi2 = chi2 + dd * dd / e
+    assert out.iloc[0]["chi2"] == chi2
+    # log-uniform data should LOOK Benford: chi2 below gross misfit
+    assert chi2 < 30.0

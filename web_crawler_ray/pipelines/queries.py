@@ -5808,6 +5808,65 @@ def q_audio_fingerprint(sf_dir: str):
                             batch_format="pyarrow", batch_size=32)
 
 
+def q_bitmap_index(sf_dir: str):
+    """Bitmap-index build over order status: per (status, 63-key
+    chunk) packed bit words + popcounts (stages/relational.py
+    bitmap_index: per-batch OR combiner, driver ORs O(values×chunks)
+    words, NO shuffle — exact; Σ n_set per value == exact distinct
+    keys)."""
+    from ..stages.relational import bitmap_index
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderstatus", "o_orderkey"])
+    return bitmap_index(ds, "o_orderstatus", "o_orderkey")
+
+
+_BITMAP_SQL = (
+    "SELECT o_orderstatus AS value, "
+    "(o_orderkey // 63)::BIGINT AS chunk, "
+    "bit_or(1::BIGINT << (o_orderkey % 63)::INT)::BIGINT AS bits, "
+    "bit_count(bit_or(1::BIGINT << (o_orderkey % 63)::INT))::BIGINT "
+    "AS n_set FROM orders GROUP BY 1, 2 ORDER BY 1, 2")
+
+
+def q_benford_orders(sf_dir: str):
+    """Benford's-law first-digit audit of order totals (cents) —
+    the fraud/synthetic-data smell test (stages/aggregates.py
+    benford_audit: integer digit combiner, shared double LITERAL
+    constants, digit-ordered chi2 fold — bit-exact)."""
+    from ..stages.aggregates import benford_audit
+    ds = _rp(sf_dir, "orders", columns=["o_totalprice"])
+    return benford_audit(ds, "o_totalprice")
+
+
+_BENFORD_SQL = (
+    "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+    "AS v FROM orders WHERE round(o_totalprice * 100) > 0), "
+    "d AS (SELECT CAST(left(v::VARCHAR, 1) AS BIGINT) AS digit "
+    "FROM c), "
+    "n AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d "
+    "GROUP BY digit), "
+    "digs AS (SELECT * FROM (VALUES "
+    "(1, '0.3010299956639812'::DOUBLE), "
+    "(2, '0.17609125905568124'::DOUBLE), "
+    "(3, '0.12493873660829993'::DOUBLE), "
+    "(4, '0.09691001300805642'::DOUBLE), "
+    "(5, '0.07918124604762482'::DOUBLE), "
+    "(6, '0.06694678963061322'::DOUBLE), "
+    "(7, '0.05799194697768673'::DOUBLE), "
+    "(8, '0.05115252244738129'::DOUBLE), "
+    "(9, '0.04575749056067514'::DOUBLE)) AS t(digit, p)), "
+    "j AS (SELECT digs.digit::BIGINT AS digit, "
+    "COALESCE(n.n_obs, 0)::BIGINT AS n_obs, digs.p FROM digs "
+    "LEFT JOIN n ON n.digit = digs.digit), "
+    "t AS (SELECT sum(n_obs)::BIGINT AS total FROM j), "
+    "x AS (SELECT list_sum(list("
+    "(n_obs::DOUBLE - total::DOUBLE * p) "
+    "* (n_obs::DOUBLE - total::DOUBLE * p) "
+    "/ (total::DOUBLE * p) ORDER BY digit)) AS chi2 FROM j, t) "
+    "SELECT j.digit, j.n_obs, t.total::DOUBLE * j.p AS expected, "
+    "x.chi2 FROM j, t, x ORDER BY digit")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5965,6 +6024,8 @@ def registry() -> dict:
         "diameter_sweep": q_diameter_sweep,
         "video_scenes": q_video_scenes,
         "audio_fingerprint": q_audio_fingerprint,
+        "bitmap_index": q_bitmap_index,
+        "benford_orders": q_benford_orders,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -7020,6 +7081,8 @@ ORACLES: dict[str, str] = {
     "did_events": _DID_SQL,
     "partition_skew": _PSKEW_SQL,
     "diameter_sweep": _DIAM_SQL,
+    "bitmap_index": _BITMAP_SQL,
+    "benford_orders": _BENFORD_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

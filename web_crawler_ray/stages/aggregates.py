@@ -3235,3 +3235,55 @@ def did_estimate(ds, key_col: str = "user_id", ts_col: str = "ts",
                      "m_t_pre": pa.array([m[2]], pa.float64()),
                      "m_t_post": pa.array([m[3]], pa.float64()),
                      "did": pa.array([did], pa.float64())})
+
+
+# Benford first-digit probabilities log10(1 + 1/d), written as the
+# EXACT double literals both engines parse identically.
+BENFORD_P = (0.3010299956639812, 0.17609125905568124,
+             0.12493873660829993, 0.09691001300805642,
+             0.07918124604762482, 0.06694678963061322,
+             0.05799194697768673, 0.05115252244738129,
+             0.04575749056067514)
+
+
+def benford_audit(ds, value_col: str, scale: int = 100):
+    """Benford's-law audit of a positive value column: observed
+    first-digit counts vs the Benford expectation, chi2 folded in
+    digit order — the fraud/synthetic-data smell test. BIT-EXACT:
+    counts are a pure integer combiner, the nine Benford constants
+    are shared double LITERALS, and each term ((o::D − n::D·p)² /
+    (n::D·p)) folds 1..9 sequentially — mirrored by the oracle.
+    Returns one row per digit (digit, n_obs, expected) plus the
+    chi2 repeated per row for single-query grading."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column(value_col).to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * scale).astype(np.int64)
+        c = c[c > 0]
+        while (c >= 10).any():
+            c = np.where(c >= 10, c // 10, c)
+        n = np.bincount(c, minlength=10)[1:10].astype(np.int64)
+        return pa.table({"digit": pa.array(
+            np.arange(1, 10, dtype=np.int64)), "n": pa.array(n)})
+
+    n = np.zeros(9, np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        d = tb.column("digit").to_numpy(zero_copy_only=False)
+        nn = tb.column("n").to_numpy(zero_copy_only=False)
+        np.add.at(n, d - 1, nn)
+    total = int(n.sum())
+    chi2 = 0.0
+    exp = []
+    for i in range(9):
+        e = float(total) * BENFORD_P[i]
+        exp.append(e)
+        d = float(int(n[i])) - e
+        chi2 = chi2 + (d * d) / e
+    return pa.table({
+        "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+        "n_obs": pa.array(n),
+        "expected": pa.array(exp, pa.float64()),
+        "chi2": pa.array([chi2] * 9, pa.float64())})

@@ -1222,3 +1222,51 @@ def partition_skew(ds, key_col: str, n_partitions: int = 64):
     keep = np.flatnonzero(acc > 0)
     return pa.table({"partition_id": pa.array(keep.astype(np.int64)),
                      "n_rows": pa.array(acc[keep])})
+
+
+def bitmap_index(ds, value_col: str, key_col: str, chunk_bits: int = 63):
+    """Bitmap-index build: for every distinct ``value_col`` value, the
+    set of ``key_col`` ids packed into 63-bit chunk words (chunk =
+    key // 63, bit = key % 63) — the columnar secondary-index layout
+    (roaring/bitmap indexes) as an exact-integer op: per-batch OR
+    combiner, driver ORs O(values × chunks) words, NO shuffle.
+    Returns (value, chunk, bits, n_set) sorted — n_set is the word's
+    popcount, so Σ n_set per value is the exact distinct-key count."""
+    import pyarrow as pa
+
+    C = int(chunk_bits)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).combine_chunks().dictionary_encode()
+        codes = v.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vals = v.dictionary.to_pylist()
+        k = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        chunk = k // C
+        bit = np.int64(1) << (k % C)
+        cu, cinv = np.unique(chunk, return_inverse=True)
+        cell = codes * np.int64(len(cu)) + cinv
+        uc, inv2 = np.unique(cell, return_inverse=True)
+        bits = np.zeros(len(uc), np.int64)
+        np.bitwise_or.at(bits, inv2, bit)
+        return pa.table({
+            "value": pa.array([str(vals[x]) for x in uc // len(cu)]),
+            "chunk": pa.array(cu[uc % len(cu)]),
+            "bits": pa.array(bits)})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        for i in range(tb.num_rows):
+            kk = (tb.column("value")[i].as_py(),
+                  int(tb.column("chunk")[i].as_py()))
+            acc[kk] = acc.get(kk, 0) | int(tb.column("bits")[i].as_py())
+    ks = sorted(acc)
+    return pa.table({
+        "value": pa.array([k[0] for k in ks]),
+        "chunk": pa.array([k[1] for k in ks], pa.int64()),
+        "bits": pa.array([acc[k] for k in ks], pa.int64()),
+        "n_set": pa.array([bin(acc[k]).count("1") for k in ks],
+                          pa.int64())})
