@@ -231,7 +231,8 @@ def run_queries(num_cpus: int) -> dict:
              "consistent_hash", "lof_outliers", "cuped_users",
              "kaplan_meier", "did_events", "partition_skew",
              "diameter_sweep", "video_scenes", "audio_fingerprint",
-             "bitmap_index", "benford_orders"]
+             "bitmap_index", "benford_orders",
+             "katz_centrality", "golden_record"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

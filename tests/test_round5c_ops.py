@@ -1156,3 +1156,60 @@ def test_benford_audit_matches_brute(ray_session):
     assert out.iloc[0]["chi2"] == chi2
     # log-uniform data should LOOK Benford: chi2 below gross misfit
     assert chi2 < 30.0
+
+
+# --- Katz centrality ---------------------------------------------------------
+
+def test_katz_matches_brute_both_paths(ray_session):
+    from web_crawler_ray.stages.graph import katz_centrality
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 20, 80).astype(np.int64)
+    dst = rng.integers(0, 20, 80).astype(np.int64)
+    nodes = np.unique(np.concatenate((src, dst)))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), np.int64)
+    for a, b in zip(src, dst):
+        A[idx[a], idx[b]] += 1  # multigraph counts
+    w = np.ones(len(nodes), np.int64)
+    ws = []
+    for _ in range(4):
+        w = w @ A
+        ws.append(w.copy())
+    katz = np.zeros(len(nodes))
+    for k, wk in enumerate(ws, start=1):
+        katz = katz + wk.astype(np.float64) / float(2 ** k)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    for dl in (10**6, 0):
+        out = katz_centrality(rd.from_arrow(t).repartition(3),
+                              driver_limit=dl,
+                              num_partitions=4).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert out["node"].tolist() == nodes.tolist()
+        for k in range(1, 5):
+            assert out[f"w{k}"].tolist() == ws[k - 1].tolist(), dl
+        assert out["katz"].tolist() == katz.tolist(), dl
+
+
+# --- golden record -----------------------------------------------------------
+
+def test_golden_record_survivorship(ray_session):
+    from web_crawler_ray.stages.relational import golden_record
+    # key 1: high-priority row has NULL note -> note survives from a
+    # lower-priority row; cents survives from the high-priority row
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "prio": pa.array([1, 2, 3, 1, 1], pa.int64()),
+        "ts_us": pa.array([10, 50, 99, 5, 9], pa.int64()),
+        "seq": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "f_cents": pa.array([100, 200, 300, 400, 500], pa.int64()),
+        "f_note": pa.array([None, "b", "c", None, "e"], pa.string()),
+    })
+    out = golden_record(rd.from_arrow(t).repartition(3), "k", "prio",
+                        "ts_us", "seq", ["f_cents", "f_note"]) \
+        .to_pandas().set_index("k").sort_index()
+    assert out.loc[1, "f_cents"] == 100   # best priority
+    assert out.loc[1, "f_note"] == "b"    # first non-null in order
+    # key 2: same priority -> later ts wins
+    assert out.loc[2, "f_cents"] == 500
+    assert out.loc[2, "f_note"] == "e"
+    assert out["n_rows"].tolist() == [3, 2]

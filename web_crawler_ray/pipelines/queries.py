@@ -5867,6 +5867,104 @@ _BENFORD_SQL = (
     "x.chi2 FROM j, t, x ORDER BY digit")
 
 
+def q_katz_centrality(sf_dir: str):
+    """Truncated Katz centrality (beta = 1/2, 4 steps) over the
+    directed lineitem multigraph — exact integer walk counts + dyadic
+    attenuation (stages/graph.py katz_centrality: pagerank-shaped
+    integer message sums, driver CSR below 1M edges; ascending-k
+    dyadic fold — bit-exact)."""
+    from ..stages.graph import katz_centrality
+    return katz_centrality(_tri_edges(sf_dir), n_steps=4)
+
+
+_KATZ_SQL = (
+    f"WITH e0 AS ({_TRI_E0}), "
+    "nodes AS (SELECT src AS node FROM e0 "
+    "UNION SELECT dst FROM e0), "
+    "w1 AS MATERIALIZED (SELECT n.node, "
+    "COALESCE(c.c, 0)::HUGEINT AS w FROM nodes n LEFT JOIN "
+    "(SELECT dst, count(*)::HUGEINT AS c FROM e0 GROUP BY dst) c "
+    "ON c.dst = n.node), "
+    "w2 AS MATERIALIZED (SELECT n.node, "
+    "COALESCE(s.c, 0)::HUGEINT AS w FROM nodes n LEFT JOIN "
+    "(SELECT e0.dst, sum(w1.w) AS c FROM e0 "
+    "JOIN w1 ON w1.node = e0.src GROUP BY e0.dst) s "
+    "ON s.dst = n.node), "
+    "w3 AS MATERIALIZED (SELECT n.node, "
+    "COALESCE(s.c, 0)::HUGEINT AS w FROM nodes n LEFT JOIN "
+    "(SELECT e0.dst, sum(w2.w) AS c FROM e0 "
+    "JOIN w2 ON w2.node = e0.src GROUP BY e0.dst) s "
+    "ON s.dst = n.node), "
+    "w4 AS MATERIALIZED (SELECT n.node, "
+    "COALESCE(s.c, 0)::HUGEINT AS w FROM nodes n LEFT JOIN "
+    "(SELECT e0.dst, sum(w3.w) AS c FROM e0 "
+    "JOIN w3 ON w3.node = e0.src GROUP BY e0.dst) s "
+    "ON s.dst = n.node) "
+    "SELECT w1.node, w1.w::BIGINT AS w1, w2.w::BIGINT AS w2, "
+    "w3.w::BIGINT AS w3, w4.w::BIGINT AS w4, "
+    "w1.w::DOUBLE / 2 + w2.w::DOUBLE / 4 + w3.w::DOUBLE / 8 "
+    "+ w4.w::DOUBLE / 16 AS katz "
+    "FROM w1 JOIN w2 ON w2.node = w1.node "
+    "JOIN w3 ON w3.node = w1.node JOIN w4 ON w4.node = w1.node "
+    "ORDER BY w1.node")
+
+
+def q_golden_record(sf_dir: str):
+    """MDM survivorship over a multi-source feed derived from events
+    (source priority purchase > signup > click > view > error;
+    recency then id break ties; the note field is NULL for view/error
+    rows so non-null survivorship actually exercises) — stages/
+    relational.py golden_record: one keyed exchange + per-field
+    first-valid pick; values copied — exact."""
+    from ..stages.relational import golden_record
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "event_type",
+                      "value"])
+    PRIO = {"purchase": 1, "signup": 2, "click": 3, "view": 4,
+            "error": 5}
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        eid = t.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.rint(t.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        note = [None if x in ("error", "view") else f"note-{i}"
+                for x, i in zip(et, eid)]
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "prio": pa.array([PRIO[x] for x in et], pa.int64()),
+            "ts_us": pa.array(t.column("ts")
+                              .to_numpy(zero_copy_only=False)
+                              .astype("datetime64[us]")
+                              .astype(np.int64)),
+            "seq": pa.array(eid),
+            "f_cents": pa.array(cents),
+            "f_note": pa.array(note, pa.string())})
+
+    return golden_record(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "prio", "ts_us", "seq", ["f_cents", "f_note"])
+
+
+_GOLDEN_SQL = (
+    "WITH b AS (SELECT user_id AS k, CASE event_type "
+    "WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2 "
+    "WHEN 'click' THEN 3 WHEN 'view' THEN 4 ELSE 5 END AS prio, "
+    "epoch_us(ts) AS t, event_id AS seq, "
+    "CAST(round(value * 100) AS BIGINT) AS f_cents, "
+    "CASE WHEN event_type IN ('error', 'view') THEN NULL "
+    "ELSE 'note-' || event_id::VARCHAR END AS f_note FROM events), "
+    "g AS (SELECT k, first_value(f_cents IGNORE NULLS) OVER w "
+    "AS f_cents, first_value(f_note IGNORE NULLS) OVER w AS f_note, "
+    "count(*) OVER (PARTITION BY k) AS n_rows, "
+    "row_number() OVER w AS rn FROM b WINDOW w AS "
+    "(PARTITION BY k ORDER BY prio, t DESC, seq DESC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
+    "SELECT k AS user_id, n_rows::BIGINT AS n_rows, f_cents, f_note "
+    "FROM g WHERE rn = 1 ORDER BY user_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6026,6 +6124,8 @@ def registry() -> dict:
         "audio_fingerprint": q_audio_fingerprint,
         "bitmap_index": q_bitmap_index,
         "benford_orders": q_benford_orders,
+        "katz_centrality": q_katz_centrality,
+        "golden_record": q_golden_record,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -7083,6 +7183,8 @@ ORACLES: dict[str, str] = {
     "diameter_sweep": _DIAM_SQL,
     "bitmap_index": _BITMAP_SQL,
     "benford_orders": _BENFORD_SQL,
+    "katz_centrality": _KATZ_SQL,
+    "golden_record": _GOLDEN_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

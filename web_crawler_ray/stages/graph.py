@@ -4515,3 +4515,132 @@ def diameter_sweep(edges_ds, src: str = "src", dst: str = "dst",
         "far_node": pa.array([far], pa.int64()),
         "diameter_lb": pa.array([int(hp2[end_i])], pa.int64()),
         "end_node": pa.array([int(n2[end_i])], pa.int64())})
+
+
+def katz_centrality(edges_ds, n_steps: int = 4,
+                    src: str = "src", dst: str = "dst",
+                    driver_limit: int = DRIVER_CC_MAX,
+                    num_partitions: int = 8):
+    """Truncated Katz centrality with DYADIC attenuation beta = 1/2:
+    katz(v) = sum_{k=1..n_steps} walks_k(v) / 2^k, where walks_k(v)
+    counts directed length-k walks ending at v (w_0 = 1 everywhere).
+    Walk counts are EXACT integer message sums (the pagerank exchange
+    without divisions) and the attenuated fold adds w_k::D / 2^k in
+    ascending k — every term an exact dyadic, so the result is
+    bit-exact against the unrolled-CTE oracle. Returns
+    (node, w1..w{n_steps}, katz) sorted by node.
+
+    Scale shape: below driver_limit edges, n_steps CSR gather-sums on
+    the driver; above, one tagged keyed rendezvous per step (emit
+    w_{k-1}(u) along each out-edge, grouped integer sum per dst)."""
+    import ray
+
+    from .shuffles import int_part_map
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    cols = [f"w{k}" for k in range(1, n_steps + 1)]
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      **{c: pa.array([], pa.int64()) for c in cols},
+                      "katz": pa.array([], pa.float64())})
+    if n_edges == 0:
+        return empty
+
+    def to_e(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column(src).cast(pa.int64()),
+                         "dst": t.column(dst).cast(pa.int64())})
+
+    e_ds = edges_ds.map_batches(to_e,
+                                batch_format="pyarrow").materialize()
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables([pa.table(b) for b in e_ds.iter_batches(
+            batch_format="pyarrow")])
+        u = cat.column("src").to_numpy(zero_copy_only=False)
+        v = cat.column("dst").to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate((u, v)))
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        w = np.ones(len(nodes), np.int64)
+        ws = []
+        for _ in range(n_steps):
+            nw = np.zeros(len(nodes), np.int64)
+            np.add.at(nw, vi, w[ui])
+            ws.append(nw)
+            w = nw
+        katz = np.zeros(len(nodes), np.float64)
+        for k, wk in enumerate(ws, start=1):
+            katz = katz + wk.astype(np.float64) / float(2 ** k)
+        return pa.table({"node": pa.array(nodes),
+                         **{c: pa.array(wk)
+                            for c, wk in zip(cols, ws)},
+                         "katz": pa.array(katz)})
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        a = t.column("src").combine_chunks()
+        b = t.column("dst").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b])})
+
+    nodes_ds = int_part_map(
+        e_ds.map_batches(node_rows, batch_format="pyarrow"),
+        "node", _distinct_nodes,
+        num_partitions=num_partitions).materialize()
+
+    w_ds = nodes_ds.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "val": pa.array(np.ones(t.num_rows,
+                                                    np.int64))}),
+        batch_format="pyarrow").materialize()
+    w_tbls = []
+    for _k in range(n_steps):
+        def tag_e(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "gkey": t.column("src"), "dst": t.column("dst"),
+                "val": pa.array(np.zeros(t.num_rows, np.int64)),
+                "tag": pa.array(np.zeros(t.num_rows, np.int8))})
+
+        def tag_w(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "gkey": t.column("node"),
+                "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                "val": t.column("val"),
+                "tag": pa.array(np.ones(t.num_rows, np.int8))})
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            e = df[df["tag"] == 0][["gkey", "dst"]]
+            wv = df[df["tag"] == 1][["gkey", "val"]]
+            out = e.merge(wv, on="gkey")[["dst", "val"]]
+            return out.rename(columns={"dst": "node"})
+
+        def zero_nodes(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column("node"),
+                             "val": pa.array(
+                                 np.zeros(t.num_rows, np.int64))})
+
+        msgs = int_part_map(
+            e_ds.map_batches(tag_e, batch_format="pyarrow")
+                .union(w_ds.map_batches(tag_w,
+                                        batch_format="pyarrow")),
+            "gkey", emit, num_partitions=num_partitions)
+
+        def comb(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("node", sort=True)["val"].sum() \
+                     .reset_index()
+
+        w_ds = int_part_map(
+            msgs.union(nodes_ds.map_batches(
+                zero_nodes, batch_format="pyarrow")),
+            "node", comb, num_partitions=num_partitions).materialize()
+        w_tbls.append(pa.concat_tables(
+            [pa.table(b) for b in w_ds.iter_batches(
+                batch_format="pyarrow")]).sort_by("node"))
+    nodes = w_tbls[0].column("node")
+    katz = np.zeros(len(nodes), np.float64)
+    out = {"node": nodes}
+    for k, wt in enumerate(w_tbls, start=1):
+        wk = wt.column("val").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out[f"w{k}"] = pa.array(wk)
+        katz = katz + wk.astype(np.float64) / float(2 ** k)
+    out["katz"] = pa.array(katz)
+    return pa.table(out)

@@ -1270,3 +1270,36 @@ def bitmap_index(ds, value_col: str, key_col: str, chunk_bits: int = 63):
         "bits": pa.array([acc[k] for k in ks], pa.int64()),
         "n_set": pa.array([bin(acc[k]).count("1") for k in ks],
                           pa.int64())})
+
+
+def golden_record(ds, key_col: str, prio_col: str, ts_col: str,
+                  seq_col: str, field_cols: list):
+    """MDM survivorship ("golden record"): per key, each field takes
+    its value from the first NON-NULL row in (priority asc, ts desc,
+    seq desc) order — the multi-source entity-consolidation rule
+    (best source wins, recency breaks ties, nulls never overwrite).
+    Values are copied, never combined — exact.
+
+    Scale shape: ONE key-keyed exchange; per-partition lexsort +
+    per-field first-valid pick (pandas first() skips NaN/None at C
+    speed). Returns (key, n_rows, *field_cols)."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = {key_col: np.array([], np.int64),
+                   "n_rows": np.array([], np.int64)}
+            for f in field_cols:
+                out[f] = np.array([], object)
+            return pd.DataFrame(out)
+        df = df.sort_values([key_col, prio_col, ts_col, seq_col],
+                            ascending=[True, True, False, False],
+                            kind="mergesort")
+        g = df.groupby(key_col, sort=True)
+        out = g.agg(**{f: (f, "first") for f in field_cols})
+        out["n_rows"] = g.size()
+        return out.reset_index()[[key_col, "n_rows"] + field_cols]
+
+    return int_part_map(ds, key_col, per_key)
