@@ -1213,3 +1213,96 @@ def test_golden_record_survivorship(ray_session):
     assert out.loc[2, "f_cents"] == 500
     assert out.loc[2, "f_note"] == "e"
     assert out["n_rows"].tolist() == [3, 2]
+
+
+# --- Shapley channel attribution ---------------------------------------------
+
+def test_shapley_matches_brute_and_efficiency(ray_session):
+    import itertools
+    import math
+    from web_crawler_ray.stages.aggregates import shapley_channels
+    rng = np.random.default_rng(77)
+    n_ev = 900
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 60, n_ev).astype(np.int64)),
+        "event_type": pa.array(np.array(
+            ["click", "error", "signup", "view", "purchase"])[
+                rng.integers(0, 5, n_ev)])})
+    out = shapley_channels(rd.from_arrow(t).repartition(4)) \
+        .to_pandas().set_index("channel")
+    chan = ["click", "error", "signup", "view"]
+    df = t.to_pandas()
+    masks = {}
+    for uid, g in df.groupby("user_id"):
+        if (g["event_type"] == "purchase").any():
+            m = 0
+            for i, c in enumerate(chan):
+                if (g["event_type"] == c).any():
+                    m |= 1 << i
+            masks[uid] = m
+
+    def v(S):
+        return sum((m & S) == m for m in masks.values())
+
+    # brute Shapley via permutations
+    phi = {c: 0.0 for c in chan}
+    for perm in itertools.permutations(range(4)):
+        S = 0
+        for c in perm:
+            phi[chan[c]] += v(S | (1 << c)) - v(S)
+            S |= 1 << c
+    for c in chan:
+        phi[c] /= math.factorial(4)
+        assert out.loc[c, "phi"] == phi[c]
+    # efficiency: sum of numerators == 24 * (v(N) - v({}))
+    assert out["numer"].sum() == 24 * (v(15) - v(0))
+
+
+# --- RANSAC line fit ---------------------------------------------------------
+
+def test_ransac_recovers_planted_line(ray_session):
+    from web_crawler_ray.stages.aggregates import ransac_line
+    rng = np.random.default_rng(21)
+    n = 300
+    x = np.arange(n, dtype=np.int64)
+    y = 7 * x + 100  # planted line
+    noise = rng.integers(0, n, 80)
+    y = y.copy()
+    y[noise] += rng.integers(3000, 50000, 80)  # outliers way off
+    t = pa.table({"id": pa.array(x), "x": pa.array(x),
+                  "y": pa.array(y.astype(np.int64))})
+    out = ransac_line(rd.from_arrow(t).repartition(3), "id", "x", "y",
+                      n_sample=8, tol=10).to_pandas().iloc[0]
+    # the winning candidate lies on the planted line: slope 7 exactly
+    assert out["dy"] == 7 * out["dx"]
+    assert out["slope"] == 7.0
+    assert out["n_inliers"] >= n - 80 - 8
+
+
+def test_ransac_tie_and_count_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import ransac_line
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 50, 120).astype(np.int64)
+    y = rng.integers(0, 10000, 120).astype(np.int64)
+    ids = np.arange(120, dtype=np.int64)
+    t = pa.table({"id": pa.array(ids), "x": pa.array(x),
+                  "y": pa.array(y)})
+    tol = 1500
+    out = ransac_line(rd.from_arrow(t), "id", "x", "y",
+                      n_sample=6, tol=tol).to_pandas().iloc[0]
+    # brute over the same candidate set
+    order = np.argsort(ids)[:6]
+    best = None
+    for a in range(6):
+        for b in range(a + 1, 6):
+            ia, ib = order[a], order[b]
+            if x[ia] == x[ib]:
+                continue
+            lhs = np.abs((y - y[ia]) * (x[ib] - x[ia])
+                         - (y[ib] - y[ia]) * (x - x[ia]))
+            n_in = int((lhs <= tol * abs(x[ib] - x[ia])).sum())
+            cand = (-n_in, int(ids[ia]), int(ids[ib]))
+            if best is None or cand < best:
+                best = cand
+    assert out["n_inliers"] == -best[0]
+    assert out["i_key"] == best[1] and out["j_key"] == best[2]

@@ -5965,6 +5965,85 @@ _GOLDEN_SQL = (
     "FROM g WHERE rn = 1 ORDER BY user_id")
 
 
+def q_shapley_channels(sf_dir: str):
+    """Exact Shapley channel attribution over user event-type
+    coalitions (converted = any purchase; v(S) = converted users
+    whose touched set ⊆ S) — game-theoretic credit next to
+    attr_last_touch (stages/aggregates.py shapley_channels: one keyed
+    exchange to (mask, converted), 16-cell integer combiner, driver
+    zeta transform + integer Shapley numerators over the literal
+    4! — bit-exact)."""
+    from ..stages.aggregates import shapley_channels
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    return shapley_channels(ds)
+
+
+_SHAPLEY_SQL = (
+    "WITH u AS (SELECT user_id, bit_or(CASE event_type "
+    "WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 4 "
+    "WHEN 'view' THEN 8 ELSE 0 END)::BIGINT AS mask, "
+    "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "AS conv FROM events GROUP BY user_id), "
+    "cu AS (SELECT mask FROM u WHERE conv = 1), "
+    "ss AS (SELECT s FROM generate_series(0, 15) g(s)), "
+    "v AS (SELECT s, (SELECT count(*) FROM cu "
+    "WHERE (cu.mask & s) = cu.mask)::BIGINT AS v FROM ss), "
+    "ch AS (SELECT * FROM (VALUES ('click', 0), ('error', 1), "
+    "('signup', 2), ('view', 3)) AS t(channel, ci)), "
+    "terms AS (SELECT ch.channel, sum((CASE bit_count(ss.s) "
+    "WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END) "
+    "* (vb.v - va.v))::BIGINT AS numer FROM ch, ss "
+    "JOIN v va ON va.s = ss.s "
+    "JOIN v vb ON vb.s = (ss.s | (1 << ch.ci)) "
+    "WHERE (ss.s & (1 << ch.ci)) = 0 GROUP BY ch.channel) "
+    "SELECT channel, numer, numer::DOUBLE / 24::DOUBLE AS phi "
+    "FROM terms ORDER BY channel")
+
+
+def q_ransac_orders(sf_dir: str):
+    """Deterministic RANSAC trend fit of (order day, total cents):
+    candidate lines through the 8 smallest order keys, inliers via
+    the integer cross-multiplied vertical-distance test (stages/
+    aggregates.py ransac_line: min-k sample combiner + broadcast
+    candidates + inlier-count combiner — no division, exact
+    argmax)."""
+    from ..stages.aggregates import ransac_line
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = t.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        y = np.rint(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"id": t.column("o_orderkey").cast(pa.int64()),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    return ransac_line(ds.map_batches(prep, batch_format="pyarrow"),
+                       "id", "x", "y")
+
+
+_RANSAC_SQL = (
+    "WITH p AS (SELECT o_orderkey AS id, "
+    "(epoch_us(o_orderdate) // 86400000000)::BIGINT AS x, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders), "
+    "s AS (SELECT id, x, y, row_number() OVER (ORDER BY id) AS rn "
+    "FROM p ORDER BY id LIMIT 8), "
+    "c AS (SELECT a.id AS ia, b.id AS ib, a.x AS x1, a.y AS y1, "
+    "b.x AS x2, b.y AS y2 FROM s a JOIN s b ON a.rn < b.rn "
+    "WHERE a.x <> b.x), "
+    "cnt AS (SELECT c.ia, c.ib, c.x1, c.y1, c.x2, c.y2, "
+    "count(*)::BIGINT AS n_in FROM c JOIN p ON "
+    "abs((p.y - c.y1) * (c.x2 - c.x1) "
+    "- (c.y2 - c.y1) * (p.x - c.x1)) <= 200000 * abs(c.x2 - c.x1) "
+    "GROUP BY ALL) "
+    "SELECT ia AS i_key, ib AS j_key, n_in AS n_inliers, "
+    "(y2 - y1)::BIGINT AS dy, (x2 - x1)::BIGINT AS dx, "
+    "(y2 - y1)::DOUBLE / (x2 - x1)::DOUBLE AS slope FROM cnt "
+    "ORDER BY n_in DESC, i_key, j_key LIMIT 1")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6126,6 +6205,8 @@ def registry() -> dict:
         "benford_orders": q_benford_orders,
         "katz_centrality": q_katz_centrality,
         "golden_record": q_golden_record,
+        "shapley_channels": q_shapley_channels,
+        "ransac_orders": q_ransac_orders,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -7185,6 +7266,8 @@ ORACLES: dict[str, str] = {
     "benford_orders": _BENFORD_SQL,
     "katz_centrality": _KATZ_SQL,
     "golden_record": _GOLDEN_SQL,
+    "shapley_channels": _SHAPLEY_SQL,
+    "ransac_orders": _RANSAC_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -3287,3 +3287,175 @@ def benford_audit(ds, value_col: str, scale: int = 100):
         "n_obs": pa.array(n),
         "expected": pa.array(exp, pa.float64()),
         "chi2": pa.array([chi2] * 9, pa.float64())})
+
+
+def shapley_channels(ds, key_col: str = "user_id",
+                     type_col: str = "event_type",
+                     channels=("click", "error", "signup", "view"),
+                     convert_type: str = "purchase"):
+    """EXACT Shapley-value channel attribution: users touch a subset
+    of ``channels`` and convert iff they have a ``convert_type``
+    event; the coalition value v(S) = number of CONVERTED users whose
+    touched set is contained in S, and each channel's Shapley value
+
+        phi_c = (1/n!) * sum over S without c of
+                |S|! (n-1-|S|)! * (v(S + c) - v(S))
+
+    is computed as an exact integer numerator (the factorial weights
+    are integers once 1/n! is factored out) over the literal n! = 24
+    — ONE division, bit-exact. The marketing-attribution op next to
+    attr_last_touch, with game-theoretic credit instead of last-touch.
+
+    Scale shape: ONE key-keyed exchange reduces users to (mask,
+    converted); a 2^n-cell integer count combiner reaches the driver,
+    which runs the zeta transform (subset sums) and the 2^n-term
+    Shapley fold entirely on exact ints. Returns
+    (channel, numer, phi) sorted by channel."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from .shuffles import int_part_map
+
+    chan = list(channels)
+    n = len(chan)
+    cmap = {c: i for i, c in enumerate(chan)}
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column(type_col).to_pylist()
+        bit = np.array([1 << cmap[x] if x in cmap else 0
+                        for x in et], np.int64)
+        conv = np.array([1 if x == convert_type else 0 for x in et],
+                        np.int64)
+        return pa.table({"k": t.column(key_col).cast(pa.int64()),
+                         "bit": pa.array(bit),
+                         "conv": pa.array(conv)})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=True)
+        mask = g["bit"].agg(lambda s: int(np.bitwise_or.reduce(
+            s.to_numpy(np.int64)))).astype(np.int64)
+        conv = (g["conv"].max() > 0).astype(np.int64)
+        out = pd.DataFrame({"mask": mask, "conv": conv}).reset_index()
+        return out[["mask", "conv"]][out["conv"] == 1]
+
+    counts = np.zeros(1 << n, np.int64)
+    for b in int_part_map(ds, "k", per_user, prepare=prep) \
+            .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        m = tb.column("mask").to_numpy(zero_copy_only=False)
+        np.add.at(counts, m, 1)
+    # zeta transform: v[S] = sum of counts over subsets of S
+    v = counts.copy()
+    for i in range(n):
+        for S in range(1 << n):
+            if S & (1 << i):
+                v[S] += v[S ^ (1 << i)]
+    fact = [math.factorial(i) for i in range(n + 1)]
+    numer = []
+    for c in range(n):
+        acc = 0
+        for S in range(1 << n):
+            if S & (1 << c):
+                continue
+            s = bin(S).count("1")
+            acc += fact[s] * fact[n - 1 - s] * \
+                (int(v[S | (1 << c)]) - int(v[S]))
+        numer.append(acc)
+    denom = float(fact[n])
+    return pa.table({
+        "channel": pa.array(sorted(chan)),
+        "numer": pa.array([numer[cmap[c]] for c in sorted(chan)],
+                          pa.int64()),
+        "phi": pa.array([float(numer[cmap[c]]) / denom
+                         for c in sorted(chan)], pa.float64())})
+
+
+def ransac_line(ds, id_col: str, x_col: str, y_col: str,
+                n_sample: int = 8, tol: int = 200_000):
+    """Deterministic RANSAC line fit: candidate lines through every
+    pair of the ``n_sample`` points with the SMALLEST ids (the
+    deterministic stand-in for random sampling), inliers counted by
+    the CROSS-MULTIPLIED vertical distance test
+
+        |(y - y1)(x2 - x1) - (y2 - y1)(x - x1)| <= tol * |x2 - x1|
+
+    — all integers, no division anywhere; the winner maximizes the
+    inlier count (ties -> smallest (i, j)). The robust-estimation
+    primitive (outlier-immune trend fit) with an exact argmax.
+
+    Scale shape: the sample is a tiny per-batch min-k combiner; the
+    O(n_sample^2) candidate set rides every batch's closure and each
+    batch emits one inlier-count row per candidate — NO shuffle,
+    driver folds O(batches x candidates) ints. Returns 1 row
+    (i_key, j_key, n_inliers, dy, dx, slope)."""
+    import pyarrow as pa
+
+    # pass 1: n_sample smallest ids with their coords
+    def min_k(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ids, kind="stable")[:n_sample]
+        return pa.table({
+            "id": pa.array(ids[order]),
+            "x": pa.array(t.column(x_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)[order]),
+            "y": pa.array(t.column(y_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)[order])})
+
+    cand_rows = []
+    for b in ds.map_batches(min_k, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        cand_rows.append(pa.table(b))
+    sample = pa.concat_tables(cand_rows).sort_by("id") \
+        .slice(0, n_sample)
+    sid = sample.column("id").to_numpy(zero_copy_only=False)
+    sx = sample.column("x").to_numpy(zero_copy_only=False)
+    sy = sample.column("y").to_numpy(zero_copy_only=False)
+    cands = []
+    for a in range(len(sid)):
+        for bi in range(a + 1, len(sid)):
+            if sx[a] != sx[bi]:
+                cands.append((int(sid[a]), int(sid[bi]),
+                              int(sx[a]), int(sy[a]),
+                              int(sx[bi]), int(sy[bi])))
+    if not cands:
+        return pa.table({"i_key": pa.array([], pa.int64()),
+                         "j_key": pa.array([], pa.int64()),
+                         "n_inliers": pa.array([], pa.int64()),
+                         "dy": pa.array([], pa.int64()),
+                         "dx": pa.array([], pa.int64()),
+                         "slope": pa.array([], pa.float64())})
+    carr = np.array(cands, np.int64)
+
+    def count_in(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out = np.empty(len(carr), np.int64)
+        for ci, (ia, ib, x1, y1, x2, y2) in enumerate(carr):
+            lhs = np.abs((y - y1) * (x2 - x1) - (y2 - y1) * (x - x1))
+            out[ci] = int((lhs <= tol * abs(x2 - x1)).sum())
+        return pa.table({"ci": pa.array(np.arange(len(carr),
+                                                  dtype=np.int64)),
+                         "n": pa.array(out)})
+
+    tot = np.zeros(len(carr), np.int64)
+    for b in ds.map_batches(count_in, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        np.add.at(tot, tb.column("ci").to_numpy(zero_copy_only=False),
+                  tb.column("n").to_numpy(zero_copy_only=False))
+    best = min(range(len(carr)),
+               key=lambda i: (-int(tot[i]), cands[i][0], cands[i][1]))
+    ia, ib, x1, y1, x2, y2 = cands[best]
+    return pa.table({
+        "i_key": pa.array([ia], pa.int64()),
+        "j_key": pa.array([ib], pa.int64()),
+        "n_inliers": pa.array([int(tot[best])], pa.int64()),
+        "dy": pa.array([y2 - y1], pa.int64()),
+        "dx": pa.array([x2 - x1], pa.int64()),
+        "slope": pa.array([float(y2 - y1) / float(x2 - x1)],
+                          pa.float64())})
