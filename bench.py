@@ -233,7 +233,8 @@ def run_queries(num_cpus: int) -> dict:
              "diameter_sweep", "video_scenes", "audio_fingerprint",
              "bitmap_index", "benford_orders",
              "katz_centrality", "golden_record",
-             "shapley_channels", "ransac_orders"]
+             "shapley_channels", "ransac_orders",
+             "viterbi_users", "mst_forest"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

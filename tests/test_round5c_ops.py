@@ -1306,3 +1306,97 @@ def test_ransac_tie_and_count_brute(ray_session):
                 best = cand
     assert out["n_inliers"] == -best[0]
     assert out["i_key"] == best[1] and out["j_key"] == best[2]
+
+
+# --- Viterbi -----------------------------------------------------------------
+
+def test_viterbi_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import (VITERBI_EMIT,
+                                                VITERBI_TRANS,
+                                                viterbi_sessions)
+    t = _events(n=400, n_users=6, seed=70)
+    # _events uses types click/view/buy: remap buy -> purchase
+    et = ["purchase" if x == "buy" else x
+          for x in t.column("event_type").to_pylist()]
+    t = t.set_column(3, "event_type", pa.array(et))
+    out = viterbi_sessions(rd.from_arrow(t).repartition(4)) \
+        .to_pandas().set_index("key").sort_index()
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    (t00, t01), (t10, t11) = VITERBI_TRANS
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["t", "event_id"], kind="mergesort")
+        seq = g["event_type"].tolist()
+        c0, c1 = VITERBI_EMIT[seq[0]][0], VITERBI_EMIT[seq[0]][1]
+        for s in seq[1:]:
+            e0, e1 = VITERBI_EMIT[s]
+            c0, c1 = (e0 + min(c0 + t00, c1 + t10),
+                      e1 + min(c0 + t01, c1 + t11))
+        row = out.loc[uid]
+        assert row["n_events"] == len(seq)
+        assert row["cost_0"] == c0 and row["cost_1"] == c1
+        assert row["best_cost"] == min(c0, c1)
+        assert row["best_state"] == (1 if c1 < c0 else 0)
+
+
+# --- MST ---------------------------------------------------------------------
+
+def _brute_kruskal(edges):
+    par = {}
+
+    def find(x):
+        while par.get(x, x) != x:
+            par[x] = par.get(par[x], par[x])
+            x = par[x]
+        return x
+
+    out = []
+    for w, lo, hi in sorted((w, lo, hi) for lo, hi, w in edges):
+        a, b = find(lo), find(hi)
+        if a != b:
+            par[a] = b
+            out.append((lo, hi, w))
+    return sorted(out)
+
+
+def test_mst_matches_kruskal_both_paths(ray_session):
+    from web_crawler_ray.stages.graph import mst_forest
+    rng = np.random.default_rng(15)
+    n, m = 40, 160
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.permutation(10_000)[:m].astype(np.int64)  # distinct
+    edges = {}
+    for a, b, ww in zip(src, dst, w):
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key not in edges or int(ww) < edges[key]:
+            edges[key] = int(ww)
+    # engine dedupes by min (w, lo, hi); rebuild its effective set
+    lst = [(lo, hi, ww) for (lo, hi), ww in edges.items()]
+    want = _brute_kruskal(lst)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "w": pa.array(w)})
+    for dl in (10**6, 0):
+        out = mst_forest(rd.from_arrow(t).repartition(3),
+                         driver_limit=dl,
+                         num_partitions=4).to_pandas()
+        got = sorted(zip(out["lo"], out["hi"], out["w"]))
+        assert got == want, dl
+    # forest: |edges| = n_present - n_components
+    nodes = {x for e in lst for x in e[:2]}
+    comp = {}
+
+    def find(x):
+        while comp.get(x, x) != x:
+            x = comp[x]
+        return x
+
+    nc = 0
+    for lo, hi, _ in lst:
+        a, b = find(lo), find(hi)
+        if a != b:
+            comp[a] = b
+    roots = {find(x) for x in nodes}
+    assert len(want) == len(nodes) - len(roots)

@@ -6044,6 +6044,102 @@ _RANSAC_SQL = (
     "ORDER BY n_in DESC, i_key, j_key LIMIT 1")
 
 
+def q_viterbi_users(sf_dir: str):
+    """Per-user 2-state Viterbi decode of the event-type sequence
+    under fixed integer HMM costs — the sequence-labeling DP next to
+    sequence_match (stages/windows.py viterbi_sessions: keyed
+    exchange, DP vectorized across keys per step, exact integers)."""
+    from ..stages.windows import viterbi_sessions
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    return viterbi_sessions(ds)
+
+
+_VITERBI_SQL = (
+    "WITH RECURSIVE b AS (SELECT user_id AS k, epoch_us(ts) AS t, "
+    "event_id AS oc, "
+    "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 "
+    "WHEN 'signup' THEN 2 WHEN 'purchase' THEN 4 ELSE 2 END AS e0, "
+    "CASE event_type WHEN 'view' THEN 3 WHEN 'click' THEN 2 "
+    "WHEN 'signup' THEN 1 WHEN 'purchase' THEN 0 ELSE 2 END AS e1, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS rn, count(*) OVER (PARTITION BY user_id) AS n FROM events), "
+    "st AS (SELECT k, rn, n, e0 AS c0, e1 AS c1 FROM b WHERE rn = 1 "
+    "UNION ALL SELECT b.k, b.rn, b.n, "
+    "b.e0 + least(st.c0 + 0, st.c1 + 2), "
+    "b.e1 + least(st.c0 + 2, st.c1 + 0) FROM st "
+    "JOIN b ON b.k = st.k AND b.rn = st.rn + 1) "
+    "SELECT k AS key, n::BIGINT AS n_events, c0::BIGINT AS cost_0, "
+    "c1::BIGINT AS cost_1, "
+    "(CASE WHEN c1 < c0 THEN 1 ELSE 0 END)::BIGINT AS best_state, "
+    "least(c0, c1)::BIGINT AS best_cost FROM st WHERE rn = n "
+    "ORDER BY key")
+
+
+_MST_CHORD = (
+    "SELECT (o_orderkey % 200) * 8 + ((o_orderkey // 200) "
+    "% (3 + (o_orderkey % 200) % 5)) AS u, "
+    "(o_orderkey % 200) * 8 + (((o_orderkey // 200) "
+    "% (3 + (o_orderkey % 200) % 5)) + 2) "
+    "% (3 + (o_orderkey % 200) % 5) AS v FROM orders "
+    "WHERE o_orderkey % 3 = 0")
+
+
+def q_mst_forest(sf_dir: str):
+    """Minimum spanning forest of the 200-cycle + chords order graph
+    under distinct md5 edge weights — Kruskal on the driver, Borůvka
+    exchanges above driver_limit, both under the same (w, lo, hi)
+    total order (stages/graph.py mst_forest; driver ≡ distributed
+    parity pinned in pytest). Oracle: the CYCLE PROPERTY — an edge is
+    in the forest iff its endpoints are NOT connected by strictly
+    lighter edges."""
+    import hashlib
+
+    from ..stages.graph import mst_forest
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey"])
+
+    def to_e(t: pa.Table) -> pa.Table:
+        o = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = o % 200
+        L = 3 + g % 5
+        i = (o // 200) % L
+        u1, v1 = g * 8 + i, g * 8 + (i + 1) % L
+        ch = o % 3 == 0
+        u2, v2 = (g * 8 + i)[ch], (g * 8 + (i + 2) % L)[ch]
+        u = np.concatenate((u1, u2))
+        v = np.concatenate((v1, v2))
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        w = np.array([int.from_bytes(hashlib.md5(
+            f"{a}:{b}".encode()).digest()[8:], "little")
+            & ((1 << 63) - 1) for a, b in zip(lo, hi)], np.int64)
+        return pa.table({"src": pa.array(lo), "dst": pa.array(hi),
+                         "w": pa.array(w)})
+
+    return mst_forest(ds.map_batches(to_e, batch_format="pyarrow"))
+
+
+_MST_SQL = (
+    f"WITH RECURSIVE e0 AS (SELECT least(u, v) AS lo, "
+    f"greatest(u, v) AS hi FROM ({_BIP_E0} UNION ALL {_MST_CHORD}) "
+    "WHERE u <> v), "
+    "ed AS (SELECT DISTINCT lo, hi FROM e0), "
+    "ew AS MATERIALIZED (SELECT row_number() OVER "
+    "(ORDER BY lo, hi) AS eid, lo, hi, "
+    "(md5_number_lower(lo::VARCHAR || ':' || hi::VARCHAR) "
+    "& 9223372036854775807)::BIGINT AS w FROM ed), "
+    "symw AS (SELECT lo AS a, hi AS b, w FROM ew "
+    "UNION ALL SELECT hi AS a, lo AS b, w FROM ew), "
+    "r AS (SELECT ew.eid, ew.lo AS node, ew.w AS lim FROM ew "
+    "UNION SELECT r.eid, s.b, r.lim FROM r "
+    "JOIN symw s ON s.a = r.node AND s.w < r.lim) "
+    "SELECT lo, hi, w FROM ew WHERE NOT EXISTS "
+    "(SELECT 1 FROM r WHERE r.eid = ew.eid AND r.node = ew.hi) "
+    "ORDER BY lo, hi")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6207,6 +6303,8 @@ def registry() -> dict:
         "golden_record": q_golden_record,
         "shapley_channels": q_shapley_channels,
         "ransac_orders": q_ransac_orders,
+        "viterbi_users": q_viterbi_users,
+        "mst_forest": q_mst_forest,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -7268,6 +7366,8 @@ ORACLES: dict[str, str] = {
     "golden_record": _GOLDEN_SQL,
     "shapley_channels": _SHAPLEY_SQL,
     "ransac_orders": _RANSAC_SQL,
+    "viterbi_users": _VITERBI_SQL,
+    "mst_forest": _MST_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -4644,3 +4644,177 @@ def katz_centrality(edges_ds, n_steps: int = 4,
         katz = katz + wk.astype(np.float64) / float(2 ** k)
     out["katz"] = pa.array(katz)
     return pa.table(out)
+
+
+def mst_forest(edges_ds, src: str = "src", dst: str = "dst",
+               w_col: str = "w", driver_limit: int = DRIVER_CC_MAX,
+               max_rounds: int = 32, num_partitions: int = 8):
+    """Minimum spanning FOREST of the undirected weighted graph —
+    Kruskal on the driver below ``driver_limit`` edges, BORŮVKA above
+    (the textbook distributed MST): per round every component selects
+    its minimum outgoing edge and the selected edges merge
+    components, halving the component count, so O(log n) rounds.
+    Edge identity is the lexicographic tuple (w, lo, hi), which makes
+    the forest UNIQUE even under weight ties (both engines and the
+    oracle use the same total order). Returns (lo, hi, w) of the
+    forest edges, sorted.
+
+    Distributed round shape: ONE node-keyed rendezvous attaches
+    component labels to edge endpoints, ONE component-keyed exchange
+    picks each component's min outgoing edge, and the selected edges
+    (O(components), geometrically shrinking) merge on the driver's
+    union-find with the new label map broadcast back — the same
+    O(result)-driver contract as the LSH pair resolution."""
+    import ray
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(src).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t.column(dst).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = t.column(w_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = u != v
+        u, v, w = u[keep], v[keep], w[keep]
+        return pa.table({"lo": pa.array(np.minimum(u, v)),
+                         "hi": pa.array(np.maximum(u, v)),
+                         "w": pa.array(w)})
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["lo", "hi", "w"]) \
+            .drop_duplicates(subset=["lo", "hi"])
+
+    edges = int_part_map(edges_ds.map_batches(
+        prep, batch_format="pyarrow"), "lo", dedupe,
+        num_partitions=num_partitions).materialize()
+    n_edges = edges.count()
+    empty = pa.table({"lo": pa.array([], pa.int64()),
+                      "hi": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return empty
+
+    def _uf_new():
+        return {}
+
+    def _find(par, x):
+        r = x
+        while par.get(r, r) != r:
+            r = par[r]
+        while par.get(x, x) != x:
+            par[x], x = r, par[x]
+        return r
+
+    if n_edges <= driver_limit:
+        cat = pa.concat_tables([pa.table(b) for b in
+                                edges.iter_batches(
+                                    batch_format="pyarrow")])
+        lo = cat.column("lo").to_numpy(zero_copy_only=False)
+        hi = cat.column("hi").to_numpy(zero_copy_only=False)
+        w = cat.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi, lo, w))
+        par = _uf_new()
+        out_l, out_h, out_w = [], [], []
+        for i in order:
+            a, b = _find(par, int(lo[i])), _find(par, int(hi[i]))
+            if a == b:
+                continue
+            par[a] = b
+            out_l.append(int(lo[i]))
+            out_h.append(int(hi[i]))
+            out_w.append(int(w[i]))
+        t = pa.table({"lo": pa.array(out_l, pa.int64()),
+                      "hi": pa.array(out_h, pa.int64()),
+                      "w": pa.array(out_w, pa.int64())})
+        return t.sort_by([("lo", "ascending"), ("hi", "ascending")])
+
+    # --- Borůvka ----------------------------------------------------
+    par: dict = {}
+    chosen: list = []
+    label_ref = ray.put({})
+    for _ in range(max_rounds):
+        def attach(df: pd.DataFrame, _l=label_ref) -> pd.DataFrame:
+            lab = ray.get(_l)
+            if not len(df):
+                return pd.DataFrame({
+                    "ca": np.array([], np.int64),
+                    "cb": np.array([], np.int64),
+                    "lo": np.array([], np.int64),
+                    "hi": np.array([], np.int64),
+                    "w": np.array([], np.int64)})
+            lo = df["lo"].to_numpy(np.int64)
+            hi = df["hi"].to_numpy(np.int64)
+            ca = np.array([lab.get(int(x), int(x)) for x in lo],
+                          np.int64)
+            cb = np.array([lab.get(int(x), int(x)) for x in hi],
+                          np.int64)
+            keep = ca != cb
+            return pd.DataFrame({
+                "ca": ca[keep], "cb": cb[keep],
+                "lo": lo[keep], "hi": hi[keep],
+                "w": df["w"].to_numpy(np.int64)[keep]})
+
+        live = int_part_map(edges, "lo", attach,
+                            num_partitions=num_partitions) \
+            .materialize()
+        if live.count() == 0:
+            break
+
+        def emit_two(t: pa.Table) -> pa.Table:
+            # each live edge competes for BOTH endpoint components
+            ca = t.column("ca").combine_chunks()
+            cb = t.column("cb").combine_chunks()
+            lo = t.column("lo").combine_chunks()
+            hi = t.column("hi").combine_chunks()
+            w = t.column("w").combine_chunks()
+            return pa.table({
+                "comp": pa.concat_arrays([ca, cb]),
+                "lo": pa.concat_arrays([lo, lo]),
+                "hi": pa.concat_arrays([hi, hi]),
+                "w": pa.concat_arrays([w, w])})
+
+        def min_per_comp(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df[["comp", "lo", "hi", "w"]]
+            df = df.sort_values(["comp", "w", "lo", "hi"])
+            return df.groupby("comp", sort=False).head(1)
+
+        sel = int_part_map(
+            live.map_batches(emit_two, batch_format="pyarrow"),
+            "comp", min_per_comp, num_partitions=num_partitions)
+        sel_cat = pa.concat_tables(
+            [pa.table(b) for b in sel.iter_batches(
+                batch_format="pyarrow")] or [empty])
+        if sel_cat.num_rows == 0:
+            break
+        slo = sel_cat.column("lo").to_numpy(zero_copy_only=False)
+        shi = sel_cat.column("hi").to_numpy(zero_copy_only=False)
+        sw = sel_cat.column("w").to_numpy(zero_copy_only=False)
+        merged = False
+        seen_pairs = set()
+        for i in np.lexsort((shi, slo, sw)):
+            e = (int(slo[i]), int(shi[i]))
+            if e in seen_pairs:
+                continue
+            seen_pairs.add(e)
+            a, b = _find(par, e[0]), _find(par, e[1])
+            if a == b:
+                continue
+            par[a] = b
+            chosen.append((e[0], e[1], int(sw[i])))
+            merged = True
+        if not merged:
+            break
+        roots = {x: _find(par, x) for x in list(par.keys())}
+        label_ref = ray.put(roots)
+    else:
+        import warnings
+        warnings.warn("mst_forest: Borůvka did not converge within "
+                      f"max_rounds={max_rounds}", RuntimeWarning)
+    chosen.sort()
+    return pa.table({
+        "lo": pa.array([c[0] for c in chosen], pa.int64()),
+        "hi": pa.array([c[1] for c in chosen], pa.int64()),
+        "w": pa.array([c[2] for c in chosen], pa.int64())})

@@ -2288,3 +2288,89 @@ def kaplan_meier(ds, key_col: str = "user_id", ts_col: str = "ts",
                      "n_risk": pa.array(out_n, pa.int64()),
                      "n_events": pa.array(out_d, pa.int64()),
                      "survival": pa.array(out_s, pa.float64())})
+
+
+# Integer Viterbi cost tables: state 0 = "browsing", state 1 =
+# "buying". Emission costs per event type and state, transition
+# costs between states — small integers, broadcast as literals in
+# both engines.
+VITERBI_EMIT = {"view": (0, 3), "click": (1, 2), "signup": (2, 1),
+                "purchase": (4, 0), "error": (2, 2)}
+VITERBI_TRANS = ((0, 2), (2, 0))  # trans[i][j]: state i -> j
+
+
+def viterbi_sessions(ds, key_col: str = "user_id", ts_col: str = "ts",
+                     order_col: str = "event_id",
+                     type_col: str = "event_type"):
+    """Per-key Viterbi decoding of a 2-state integer-cost HMM over
+    the (ts, order)-ordered event-type sequence — the
+    sequence-labeling primitive (session intent segmentation) with
+    EXACT integer DP, so the min path cost is bit-exact vs SQL:
+
+        c_j(t) = emit[type_t][j] + min(c_0(t-1) + trans[0][j],
+                                       c_1(t-1) + trans[1][j])
+
+    (init c_j(0) = emit[type_0][j]). Returns per key
+    (key, n_events, cost_0, cost_1, best_state, best_cost) where
+    best_state prefers state 0 on ties — all exact ints.
+
+    Scale shape: ONE keyed exchange; the DP advances every key one
+    step at a time but VECTORIZED ACROSS KEYS per step (the
+    ewma/cusum idiom) — wall time O(max run length) numpy steps per
+    partition, no per-row Python."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    emit = VITERBI_EMIT
+    (t00, t01), (t10, t11) = VITERBI_TRANS
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column(type_col).to_pylist()
+        e0 = np.array([emit[x][0] for x in et], np.int64)
+        e1 = np.array([emit[x][1] for x in et], np.int64)
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(order_col).cast(pa.int64()),
+            "e0": pa.array(e0), "e1": pa.array(e1)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key": np.array([], np.int64),
+                "n_events": np.array([], np.int64),
+                "cost_0": np.array([], np.int64),
+                "cost_1": np.array([], np.int64),
+                "best_state": np.array([], np.int64),
+                "best_cost": np.array([], np.int64)})
+        k = df["k"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        e0 = df["e0"].to_numpy(np.int64)
+        e1 = df["e1"].to_numpy(np.int64)
+        order = np.lexsort((oc, ts, k))
+        k, e0, e1 = k[order], e0[order], e1[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        runlen = np.diff(np.concatenate((starts, [len(k)])))
+        c0 = e0[starts].copy()
+        c1 = e1[starts].copy()
+        max_len = int(runlen.max())
+        for step in range(1, max_len):
+            live = runlen > step
+            pos = starts[live] + step
+            n0 = e0[pos] + np.minimum(c0[live] + t00, c1[live] + t10)
+            n1 = e1[pos] + np.minimum(c0[live] + t01, c1[live] + t11)
+            c0[live] = n0
+            c1[live] = n1
+        best_state = (c1 < c0).astype(np.int64)
+        return pd.DataFrame({
+            "key": k[starts], "n_events": runlen.astype(np.int64),
+            "cost_0": c0, "cost_1": c1,
+            "best_state": best_state,
+            "best_cost": np.minimum(c0, c1)})
+
+    return int_part_map(ds, "k", per_partition, prepare=prep)
