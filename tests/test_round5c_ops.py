@@ -1400,3 +1400,30 @@ def test_mst_matches_kruskal_both_paths(ray_session):
             comp[a] = b
     roots = {find(x) for x in nodes}
     assert len(want) == len(nodes) - len(roots)
+
+
+# --- WKT polygon area --------------------------------------------------------
+
+def test_wkt_area_known_shapes(ray_session):
+    from web_crawler_ray.stages.extract import wkt_polygon_area_batch
+    t = pa.table({
+        "poly_id": pa.array([1, 2, 3], pa.int64()),
+        "wkt": pa.array([
+            "POLYGON((0 0, 4 0, 4 3, 0 3, 0 0))",    # 4x3 rect, CCW
+            "POLYGON((0 0, 0 3, 4 3, 4 0, 0 0))",    # same, CW
+            "POLYGON((0 0, 2 0, 1 2, 0 0))",         # triangle area 2
+        ])})
+    out = wkt_polygon_area_batch(t).to_pandas().set_index("poly_id")
+    assert out.loc[1, "area2"] == 24 and out.loc[1, "n_vertices"] == 4
+    assert out.loc[2, "area2"] == -24                # signed
+    assert out.loc[3, "area2"] == 4
+    # unclosed ring (no repeated first vertex) also works
+    t2 = pa.table({"poly_id": pa.array([9], pa.int64()),
+                   "wkt": pa.array(["POLYGON((0 0, 4 0, 4 3, 0 3))"])})
+    out2 = wkt_polygon_area_batch(t2).to_pandas().iloc[0]
+    assert out2["area2"] == 24 and out2["n_vertices"] == 4
+    # negative coordinates parse
+    t3 = pa.table({"poly_id": pa.array([5], pa.int64()),
+                   "wkt": pa.array(
+                       ["POLYGON((-2 -2, 2 -2, 2 2, -2 2, -2 -2))"])})
+    assert wkt_polygon_area_batch(t3).to_pandas().iloc[0]["area2"] == 32

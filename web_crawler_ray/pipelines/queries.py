@@ -6140,6 +6140,72 @@ _MST_SQL = (
     "ORDER BY lo, hi")
 
 
+def q_wkt_polygon_area(sf_dir: str):
+    """WKT footprint parsing + EXACT shoelace area: 500 synthetic
+    integer-vertex POLYGON strings (md5-derived vertices — the
+    reference stores building footprints as WKT MULTIPOLYGON text,
+    crawler.service.js:508) parsed and measured by
+    stages/extract.py wkt_polygon_area_batch (doubled signed area,
+    all integers). The oracle never sees the string — it regenerates
+    the vertices relationally and folds the same shoelace, so the
+    parse itself is what's graded."""
+    import hashlib
+
+    from ..stages.extract import wkt_polygon_area_batch
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        o = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        gs = np.unique(o % 500)
+        ids, wkts = [], []
+        for g in gs.tolist():
+            k = 3 + g % 5
+            pts = []
+            for j in range(k):
+                hx = int.from_bytes(hashlib.md5(
+                    f"{g}:{j}:x".encode()).digest()[8:], "little")
+                hy = int.from_bytes(hashlib.md5(
+                    f"{g}:{j}:y".encode()).digest()[8:], "little")
+                pts.append((hx % 101 - 50, hy % 101 - 50))
+            ring = ", ".join(f"{x} {y}" for x, y in pts)
+            x0, y0 = pts[0]
+            ids.append(g)
+            wkts.append(f"POLYGON(({ring}, {x0} {y0}))")
+        return pa.table({"poly_id": pa.array(ids, pa.int64()),
+                         "wkt": pa.array(wkts, pa.string())})
+
+    polys = ds.map_batches(mk, batch_format="pyarrow")
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas().drop_duplicates(subset=["poly_id"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # distinct across batches: tiny table, one-partition reduce
+    polys = polys.repartition(1).map_batches(dedupe,
+                                             batch_format="pyarrow")
+    return polys.map_batches(wkt_polygon_area_batch,
+                             batch_format="pyarrow")
+
+
+_WKT_SQL = (
+    "WITH g AS (SELECT DISTINCT (o_orderkey % 500)::BIGINT AS pid "
+    "FROM orders), "
+    "v AS (SELECT g.pid, j, "
+    "((md5_number_lower(g.pid::VARCHAR || ':' || j::VARCHAR "
+    "|| ':x') % 101)::BIGINT - 50) AS x, "
+    "((md5_number_lower(g.pid::VARCHAR || ':' || j::VARCHAR "
+    "|| ':y') % 101)::BIGINT - 50) AS y "
+    "FROM g, UNNEST(generate_series(0, 2 + (g.pid % 5))) AS t(j)), "
+    "w AS (SELECT a.pid, a.j, a.x, a.y, b.x AS xn, b.y AS yn "
+    "FROM v a JOIN v b ON b.pid = a.pid "
+    "AND b.j = (a.j + 1) % (3 + (a.pid % 5))) "
+    "SELECT pid AS poly_id, count(*)::BIGINT AS n_vertices, "
+    "sum(x * yn - xn * y)::BIGINT AS area2 FROM w GROUP BY pid "
+    "ORDER BY poly_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6305,6 +6371,7 @@ def registry() -> dict:
         "ransac_orders": q_ransac_orders,
         "viterbi_users": q_viterbi_users,
         "mst_forest": q_mst_forest,
+        "wkt_polygon_area": q_wkt_polygon_area,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -7368,6 +7435,7 @@ ORACLES: dict[str, str] = {
     "ransac_orders": _RANSAC_SQL,
     "viterbi_users": _VITERBI_SQL,
     "mst_forest": _MST_SQL,
+    "wkt_polygon_area": _WKT_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

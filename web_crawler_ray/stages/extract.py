@@ -707,3 +707,36 @@ class SpanAssemblyStage:
                                      ("media_ref", pa.string()), ("offset", pa.int32())]))
         return pa.table({"doc_id": pa.array(urls, pa.string()),
                          "spans": pa.array(spans, span_t)})
+
+
+_WKT_PAIR_RE = re.compile(r"(-?\d+)\s+(-?\d+)")
+
+
+def wkt_polygon_area_batch(t: pa.Table, wkt_col: str = "wkt",
+                           id_col: str = "poly_id") -> pa.Table:
+    """Parse WKT POLYGON strings (the reference's footprint payload
+    shape, crawler.service.js building footprints) and compute the
+    EXACT doubled signed shoelace area over integer vertices:
+    2A = Σ (x_j · y_{j+1} − x_{j+1} · y_j) around the closed ring —
+    all integers, no trig, no floats. Returns
+    (poly_id, n_vertices, area2); n_vertices excludes the closing
+    repeat vertex."""
+    ids, nv, a2 = [], [], []
+    for pid, wkt in zip(t.column(id_col).to_pylist(),
+                        t.column(wkt_col).to_pylist()):
+        pts = [(int(x), int(y))
+               for x, y in _WKT_PAIR_RE.findall(wkt or "")]
+        if len(pts) >= 2 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        acc = 0
+        n = len(pts)
+        for j in range(n):
+            x1, y1 = pts[j]
+            x2, y2 = pts[(j + 1) % n]
+            acc += x1 * y2 - x2 * y1
+        ids.append(pid)
+        nv.append(n)
+        a2.append(acc)
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "n_vertices": pa.array(nv, pa.int64()),
+                     "area2": pa.array(a2, pa.int64())})
