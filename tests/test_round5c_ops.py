@@ -1427,3 +1427,50 @@ def test_wkt_area_known_shapes(ray_session):
                    "wkt": pa.array(
                        ["POLYGON((-2 -2, 2 -2, 2 2, -2 2, -2 -2))"])})
     assert wkt_polygon_area_batch(t3).to_pandas().iloc[0]["area2"] == 32
+
+
+# --- point in polygon --------------------------------------------------------
+
+def test_point_in_polygon_known_shapes(ray_session):
+    from web_crawler_ray.stages.extract import point_in_polygons_batch
+    square = (1, [(0, 0), (10, 0), (10, 10), (0, 10)])
+    tri = (2, [(20, 0), (30, 0), (25, 10)])
+    concave = (3, [(0, 20), (10, 20), (10, 30), (5, 22), (0, 30)])
+    pts = pa.table({
+        "pt_id": pa.array(np.arange(7, dtype=np.int64)),
+        "x": pa.array(np.array([5, 15, 25, 28, 5, 5, 2], np.int64)),
+        "y": pa.array(np.array([5, 5, 3, 9, 29, 21, 25], np.int64))})
+    out = point_in_polygons_batch(pts, [square, tri, concave]) \
+        .to_pandas()
+    got = set(zip(out["pt_id"], out["poly_id"]))
+    assert (0, 1) in got          # inside square
+    assert (1, 1) not in got      # right of square
+    assert (2, 2) in got          # inside triangle
+    assert (3, 2) not in got      # outside the right slanted edge
+    assert (4, 3) not in got      # inside the concave notch
+    assert (5, 3) in got          # in the solid part
+    assert (6, 3) in got          # left lobe of the concave shape
+
+
+def test_point_in_polygon_matches_mpl_if_available(ray_session):
+    from web_crawler_ray.stages.extract import point_in_polygons_batch
+    try:
+        from matplotlib.path import Path
+    except ImportError:
+        import pytest
+        pytest.skip("matplotlib not installed")
+    rng = np.random.default_rng(33)
+    ring = [(int(x), int(y)) for x, y in
+            rng.integers(-40, 40, (7, 2))]
+    px = rng.integers(-50, 50, 200).astype(np.int64)
+    py = rng.integers(-50, 50, 200).astype(np.int64)
+    pts = pa.table({"pt_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "x": pa.array(px), "y": pa.array(py)})
+    out = point_in_polygons_batch(pts, [(1, ring)]).to_pandas()
+    got = set(out["pt_id"])
+    path = Path(np.array(ring + [ring[0]], float))
+    want = {i for i in range(200)
+            if path.contains_point((float(px[i]), float(py[i])))}
+    # boundary-point conventions may differ; interior points agree
+    diff = got.symmetric_difference(want)
+    assert len(diff) <= 3

@@ -6206,6 +6206,76 @@ _WKT_SQL = (
     "ORDER BY poly_id")
 
 
+def q_point_in_polygon(sf_dir: str):
+    """Point-in-polygon containment join: 100 md5-derived integer
+    footprint rings × customer points, EXACT integer ray casting
+    (stages/extract.py point_in_polygons_batch — cross-multiplied
+    crossing test, no division; polygons broadcast, one vectorized
+    pass per batch)."""
+    import hashlib
+
+    from ..stages.extract import point_in_polygons_batch
+
+    def h(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                              "little")
+
+    # polygon set: every 5th of the 500 wkt rings (driver-built —
+    # O(polys) work, broadcast into the batch closure)
+    polys = []
+    for g in range(0, 500, 5):
+        k = 3 + g % 5
+        ring = [(h(f"{g}:{j}:x") % 101 - 50,
+                 h(f"{g}:{j}:y") % 101 - 50) for j in range(k)]
+        polys.append((g, ring))
+
+    ds = _rp(sf_dir, "customer", columns=["c_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        kk = t.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = np.array([h(f"{int(v)}:px") % 101 - 50 for v in kk],
+                     np.int64)
+        y = np.array([h(f"{int(v)}:py") % 101 - 50 for v in kk],
+                     np.int64)
+        return pa.table({"pt_id": pa.array(kk), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    pts = ds.map_batches(prep, batch_format="pyarrow")
+    return pts.map_batches(
+        lambda t: point_in_polygons_batch(t, polys),
+        batch_format="pyarrow")
+
+
+_PIP_SQL = (
+    "WITH g AS (SELECT DISTINCT (o_orderkey % 500)::BIGINT AS pid "
+    "FROM orders WHERE (o_orderkey % 500) % 5 = 0), "
+    "v AS (SELECT g.pid, j, "
+    "((md5_number_lower(g.pid::VARCHAR || ':' || j::VARCHAR "
+    "|| ':x') % 101)::BIGINT - 50) AS x, "
+    "((md5_number_lower(g.pid::VARCHAR || ':' || j::VARCHAR "
+    "|| ':y') % 101)::BIGINT - 50) AS y "
+    "FROM g, UNNEST(generate_series(0, 2 + (g.pid % 5))) AS t(j)), "
+    "e AS (SELECT a.pid, a.x AS x1, a.y AS y1, b.x AS x2, "
+    "b.y AS y2 FROM v a JOIN v b ON b.pid = a.pid "
+    "AND b.j = (a.j + 1) % (3 + (a.pid % 5))), "
+    "p AS (SELECT c_custkey AS pt_id, "
+    "((md5_number_lower(c_custkey::VARCHAR || ':px') "
+    "% 101)::BIGINT - 50) AS x, "
+    "((md5_number_lower(c_custkey::VARCHAR || ':py') "
+    "% 101)::BIGINT - 50) AS y FROM customer), "
+    "cr AS (SELECT p.pt_id, e.pid, count(*) AS c FROM p JOIN e ON "
+    "((e.y1 > p.y) <> (e.y2 > p.y)) AND "
+    "(CASE WHEN e.y2 - e.y1 > 0 THEN "
+    "p.x * (e.y2 - e.y1) < e.x1 * (e.y2 - e.y1) "
+    "+ (e.x2 - e.x1) * (p.y - e.y1) "
+    "ELSE p.x * (e.y2 - e.y1) > e.x1 * (e.y2 - e.y1) "
+    "+ (e.x2 - e.x1) * (p.y - e.y1) END) "
+    "GROUP BY p.pt_id, e.pid) "
+    "SELECT pt_id, pid AS poly_id FROM cr WHERE c % 2 = 1 "
+    "ORDER BY pt_id, poly_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6372,6 +6442,7 @@ def registry() -> dict:
         "viterbi_users": q_viterbi_users,
         "mst_forest": q_mst_forest,
         "wkt_polygon_area": q_wkt_polygon_area,
+        "point_in_polygon": q_point_in_polygon,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -7436,6 +7507,7 @@ ORACLES: dict[str, str] = {
     "viterbi_users": _VITERBI_SQL,
     "mst_forest": _MST_SQL,
     "wkt_polygon_area": _WKT_SQL,
+    "point_in_polygon": _PIP_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

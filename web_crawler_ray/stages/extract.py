@@ -21,6 +21,7 @@ import json
 import re
 from urllib.parse import parse_qs, urlsplit
 
+import numpy as np
 import pyarrow as pa
 
 from ..functions.domlite import Doc, Node, parse
@@ -740,3 +741,40 @@ def wkt_polygon_area_batch(t: pa.Table, wkt_col: str = "wkt",
     return pa.table({id_col: pa.array(ids, pa.int64()),
                      "n_vertices": pa.array(nv, pa.int64()),
                      "area2": pa.array(a2, pa.int64())})
+
+
+def point_in_polygons_batch(t: pa.Table, polys: list,
+                            id_col: str = "pt_id") -> pa.Table:
+    """EXACT integer ray-casting point-in-polygon test against a
+    broadcast polygon list (the reference's map/geo core works over
+    exactly this footprint-contains-point relation). ``polys`` is a
+    list of (poly_id, [(x, y), ...]) integer rings. A horizontal
+    ray to +inf crosses edge (p1, p2) iff (y1 > py) != (y2 > py) and
+    px · dy [<|>] x1 · dy + (x2 − x1)(py − y1) with the comparison
+    flipped when dy < 0 — cross-multiplied, NO division, so the
+    odd-crossings parity is bit-exact vs SQL. Emits one row per
+    (point, containing polygon)."""
+    px = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+    py = t.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    out_p, out_g = [], []
+    for pid, ring in polys:
+        cross = np.zeros(len(px), np.int64)
+        n = len(ring)
+        for j in range(n):
+            x1, y1 = ring[j]
+            x2, y2 = ring[(j + 1) % n]
+            straddle = (y1 > py) != (y2 > py)
+            if not straddle.any():
+                continue
+            dy = y2 - y1
+            lhs = px * dy
+            rhs = x1 * dy + (x2 - x1) * (py - y1)
+            hit = straddle & ((lhs < rhs) if dy > 0 else (lhs > rhs))
+            cross += hit
+        inside = (cross % 2) == 1
+        out_p.extend(ids[inside].tolist())
+        out_g.extend([pid] * int(inside.sum()))
+    return pa.table({id_col: pa.array(out_p, pa.int64()),
+                     "poly_id": pa.array(out_g, pa.int64())})
