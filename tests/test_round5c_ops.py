@@ -1474,3 +1474,67 @@ def test_point_in_polygon_matches_mpl_if_available(ray_session):
     # boundary-point conventions may differ; interior points agree
     diff = got.symmetric_difference(want)
     assert len(diff) <= 3
+
+
+# --- bandit replay -----------------------------------------------------------
+
+def _brute_bandit(rows):
+    """rows: ordered (arm in 1..3 or 0, is_reward). Returns
+    (n_logged, matched, reward_sum) replaying the greedy policy."""
+    r = [rows[i + 1][1] if i + 1 < len(rows) else 0
+         for i in range(len(rows))]
+    seq = [(a, rr) for (a, _), rr in zip(rows, r) if a > 0]
+    n = [0, 0, 0]
+    s = [0, 0, 0]
+    matched = rew = 0
+    for a, rr in seq:
+        pick = None
+        for j in range(3):
+            if n[j] == 0:
+                pick = j
+                break
+        if pick is None:
+            if s[0] * n[1] >= s[1] * n[0] and s[0] * n[2] >= s[2] * n[0]:
+                pick = 0
+            elif s[1] * n[2] >= s[2] * n[1]:
+                pick = 1
+            else:
+                pick = 2
+        if pick == a - 1:
+            matched += 1
+            rew += rr
+            n[pick] += 1
+            s[pick] += rr
+    return len(seq), matched, rew
+
+
+def test_bandit_replay_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import bandit_replay
+    rng = np.random.default_rng(91)
+    n_ev = 800
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 12, n_ev).astype(np.int64)),
+        "ts": pa.array((np.int64(1_700_000_000_000_000)
+                        + rng.integers(0, 10**9, n_ev))
+                       .astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+        "event_type": pa.array(np.array(
+            ["click", "view", "signup", "purchase", "error"])[
+                rng.integers(0, 5, n_ev)])})
+    out = bandit_replay(rd.from_arrow(t).repartition(4)) \
+        .to_pandas().set_index("key").sort_index()
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    amap = {"click": 1, "view": 2, "signup": 3}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["t", "event_id"], kind="mergesort")
+        rows = [(amap.get(x, 0), 1 if x == "purchase" else 0)
+                for x in g["event_type"]]
+        nl, m, rr = _brute_bandit(rows)
+        if nl == 0:
+            assert uid not in out.index
+            continue
+        row = out.loc[uid]
+        assert row["n_logged"] == nl
+        assert row["matched"] == m
+        assert row["reward_sum"] == rr

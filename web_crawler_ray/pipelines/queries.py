@@ -6276,6 +6276,68 @@ _PIP_SQL = (
     "ORDER BY pt_id, poly_id")
 
 
+def q_bandit_replay(sf_dir: str):
+    """Off-policy greedy-bandit evaluation by rejection-sampling
+    replay over the logged arm stream (arms click/view/signup,
+    reward = next event is a purchase) — the counterfactual policy
+    readout next to attr/shapley (stages/windows.py bandit_replay:
+    one keyed exchange, replay vectorized across keys, all-integer
+    state with cross-multiplied mean compares — bit-exact)."""
+    from ..stages.windows import bandit_replay
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"])
+    return bandit_replay(ds)
+
+
+def _bandit_oracle_sql() -> str:
+    pick = ("CASE WHEN st.n1 = 0 THEN 1 WHEN st.n2 = 0 THEN 2 "
+            "WHEN st.n3 = 0 THEN 3 "
+            "WHEN st.s1 * st.n2 >= st.s2 * st.n1 "
+            "AND st.s1 * st.n3 >= st.s3 * st.n1 THEN 1 "
+            "WHEN st.s2 * st.n3 >= st.s3 * st.n2 THEN 2 "
+            "ELSE 3 END")
+    hit = f"(CASE WHEN ({pick}) = b.arm THEN 1 ELSE 0 END)"
+    return (
+        "WITH RECURSIVE b0 AS (SELECT user_id AS k, epoch_us(ts) "
+        "AS t, event_id AS oc, CASE event_type WHEN 'click' THEN 1 "
+        "WHEN 'view' THEN 2 WHEN 'signup' THEN 3 ELSE 0 END AS arm, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isr "
+        "FROM events), "
+        "b1 AS (SELECT k, t, oc, arm, COALESCE(lead(isr) OVER "
+        "(PARTITION BY k ORDER BY t, oc), 0) AS r FROM b0), "
+        "b AS (SELECT k, arm, r, row_number() OVER (PARTITION BY k "
+        "ORDER BY t, oc) AS rn, count(*) OVER (PARTITION BY k) "
+        "AS nl FROM b1 WHERE arm > 0), "
+        "st AS (SELECT k, rn, nl, "
+        "(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1, "
+        "(CASE WHEN arm = 1 THEN r ELSE 0 END)::BIGINT AS s1, "
+        "0::BIGINT AS n2, 0::BIGINT AS s2, "
+        "0::BIGINT AS n3, 0::BIGINT AS s3, "
+        "(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS matched, "
+        "(CASE WHEN arm = 1 THEN r ELSE 0 END)::BIGINT "
+        "AS reward_sum FROM b WHERE rn = 1 "
+        "UNION ALL SELECT b.k, b.rn, b.nl, "
+        f"st.n1 + (CASE WHEN {hit} = 1 AND b.arm = 1 THEN 1 "
+        "ELSE 0 END), "
+        f"st.s1 + (CASE WHEN {hit} = 1 AND b.arm = 1 THEN b.r "
+        "ELSE 0 END), "
+        f"st.n2 + (CASE WHEN {hit} = 1 AND b.arm = 2 THEN 1 "
+        "ELSE 0 END), "
+        f"st.s2 + (CASE WHEN {hit} = 1 AND b.arm = 2 THEN b.r "
+        "ELSE 0 END), "
+        f"st.n3 + (CASE WHEN {hit} = 1 AND b.arm = 3 THEN 1 "
+        "ELSE 0 END), "
+        f"st.s3 + (CASE WHEN {hit} = 1 AND b.arm = 3 THEN b.r "
+        "ELSE 0 END), "
+        f"st.matched + {hit}, "
+        f"st.reward_sum + {hit} * b.r "
+        "FROM st JOIN b ON b.k = st.k AND b.rn = st.rn + 1) "
+        "SELECT k AS key, nl::BIGINT AS n_logged, "
+        "matched::BIGINT AS matched, "
+        "reward_sum::BIGINT AS reward_sum FROM st WHERE rn = nl "
+        "ORDER BY key")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6443,6 +6505,7 @@ def registry() -> dict:
         "mst_forest": q_mst_forest,
         "wkt_polygon_area": q_wkt_polygon_area,
         "point_in_polygon": q_point_in_polygon,
+        "bandit_replay": q_bandit_replay,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -7508,6 +7571,7 @@ ORACLES: dict[str, str] = {
     "mst_forest": _MST_SQL,
     "wkt_polygon_area": _WKT_SQL,
     "point_in_polygon": _PIP_SQL,
+    "bandit_replay": _bandit_oracle_sql(),
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

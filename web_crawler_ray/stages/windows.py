@@ -2374,3 +2374,107 @@ def viterbi_sessions(ds, key_col: str = "user_id", ts_col: str = "ts",
             "best_cost": np.minimum(c0, c1)})
 
     return int_part_map(ds, "k", per_partition, prepare=prep)
+
+
+def bandit_replay(ds, key_col: str = "user_id", ts_col: str = "ts",
+                  order_col: str = "event_id",
+                  type_col: str = "event_type",
+                  arms=("click", "view", "signup"),
+                  reward_type: str = "purchase"):
+    """Off-policy bandit evaluation by REJECTION SAMPLING (Li et
+    al.'s replay method): per key, walk the logged arm-event stream
+    in (ts, order) order; the greedy policy picks the arm with the
+    best running mean reward (unseen arms first in arm order; means
+    compared CROSS-MULTIPLIED — s_a·n_b vs s_b·n_a, no division;
+    ties -> lower arm index), and only rounds where the policy's
+    pick equals the logged arm count: the policy's state updates
+    with that round's reward (1 iff the key's next logged event of
+    ANY type is ``reward_type``) and (matched, reward_sum)
+    accumulate. All-integer state => bit-exact vs the recursive-CTE
+    oracle. Returns (key, n_logged, matched, reward_sum).
+
+    Scale shape: ONE keyed exchange; the replay advances every key
+    one step at a time but vectorized ACROSS keys (viterbi idiom)."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    arm_idx = {a: i + 1 for i, a in enumerate(arms)}
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column(type_col).to_pylist()
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(order_col).cast(pa.int64()),
+            "arm": pa.array(np.array(
+                [arm_idx.get(x, 0) for x in et], np.int64)),
+            "is_rew": pa.array(np.array(
+                [1 if x == reward_type else 0 for x in et],
+                np.int64))})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key": np.array([], np.int64),
+                "n_logged": np.array([], np.int64),
+                "matched": np.array([], np.int64),
+                "reward_sum": np.array([], np.int64)})
+        k = df["k"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        arm = df["arm"].to_numpy(np.int64)
+        isr = df["is_rew"].to_numpy(np.int64)
+        order = np.lexsort((oc, ts, k))
+        k, arm, isr = k[order], arm[order], isr[order]
+        # reward of row t = is_rew of the key's NEXT row (0 at end)
+        nxt = np.concatenate((isr[1:], [0]))
+        last_of_key = np.concatenate((k[1:] != k[:-1], [True]))
+        r = np.where(last_of_key, 0, nxt)
+        keep = arm > 0
+        k, arm, r = k[keep], arm[keep], r[keep]
+        if not len(k):
+            return pd.DataFrame({
+                "key": np.array([], np.int64),
+                "n_logged": np.array([], np.int64),
+                "matched": np.array([], np.int64),
+                "reward_sum": np.array([], np.int64)})
+        starts = np.concatenate(
+            ([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        runlen = np.diff(np.concatenate((starts, [len(k)])))
+        nu = len(starts)
+        n = np.zeros((nu, 3), np.int64)
+        s = np.zeros((nu, 3), np.int64)
+        matched = np.zeros(nu, np.int64)
+        rew = np.zeros(nu, np.int64)
+        for step in range(int(runlen.max())):
+            live = runlen > step
+            pos = starts[live] + step
+            a = arm[pos] - 1
+            rr = r[pos]
+            nl, sl = n[live], s[live]
+            # pick: unseen arms first (in order), else cross-mult argmax
+            pick = np.full(len(pos), -1, np.int64)
+            for j in range(3):
+                pick = np.where((pick < 0) & (nl[:, j] == 0), j, pick)
+            undecided = pick < 0
+            m12 = sl[:, 0] * nl[:, 1] >= sl[:, 1] * nl[:, 0]
+            m13 = sl[:, 0] * nl[:, 2] >= sl[:, 2] * nl[:, 0]
+            m23 = sl[:, 1] * nl[:, 2] >= sl[:, 2] * nl[:, 1]
+            pick = np.where(undecided & m12 & m13, 0, pick)
+            pick = np.where((pick < 0) & m23, 1, pick)
+            pick = np.where(pick < 0, 2, pick)
+            hit = pick == a
+            li = np.flatnonzero(live)
+            hi = li[hit]
+            matched[hi] += 1
+            rew[hi] += rr[hit]
+            n[hi, a[hit]] += 1
+            s[hi, a[hit]] += rr[hit]
+        return pd.DataFrame({
+            "key": k[starts], "n_logged": runlen.astype(np.int64),
+            "matched": matched, "reward_sum": rew})
+
+    return int_part_map(ds, "k", per_partition, prepare=prep)
