@@ -1538,3 +1538,90 @@ def test_bandit_replay_matches_brute(ray_session):
         assert row["n_logged"] == nl
         assert row["matched"] == m
         assert row["reward_sum"] == rr
+
+
+# --- runs test ---------------------------------------------------------------
+
+def test_runs_test_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import runs_test
+    t = _events(n=300, n_users=5, seed=80)
+    out = runs_test(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .set_index("key").sort_index()
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["t", "event_id"], kind="mergesort")
+        c = g["c"].to_numpy()
+        med = np.sort(c)[-(-len(c) // 2) - 1]
+        sign = c[c != med] > med
+        row = out.loc[uid]
+        assert row["n_above"] == sign.sum()
+        assert row["n_below"] == len(sign) - sign.sum()
+        want_runs = 1 + int((sign[1:] != sign[:-1]).sum()) \
+            if len(sign) else 0
+        assert row["n_runs"] == want_runs
+
+
+def test_runs_test_alternating_and_blocked(ray_session):
+    from web_crawler_ray.stages.windows import runs_test
+    # user 1 alternates low/high around a 4-value spread; user 2 is
+    # blocked. Expectations computed by the same brute rule.
+    vals = [1.0, 8.0, 2.0, 9.0] * 5 + [1.0] * 10 + [9.0] * 10
+    uid = [1] * 20 + [2] * 20
+    t = pa.table({
+        "user_id": pa.array(np.array(uid, np.int64)),
+        "ts": pa.array((np.int64(1_700_000_000_000_000)
+                        + np.arange(40) * 1_000_000)
+                       .astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(40, dtype=np.int64)),
+        "value": pa.array(np.array(vals))})
+    out = runs_test(rd.from_arrow(t)).to_pandas().set_index("key")
+
+    def brute(c):
+        c = np.asarray(c, np.int64)
+        med = np.sort(c)[-(-len(c) // 2) - 1]
+        sign = c[c != med] > med
+        runs = 1 + int((sign[1:] != sign[:-1]).sum()) if len(sign) \
+            else 0
+        return int(sign.sum()), int(len(sign) - sign.sum()), runs
+
+    c1 = np.rint(np.array(vals[:20]) * 100).astype(np.int64)
+    c2 = np.rint(np.array(vals[20:]) * 100).astype(np.int64)
+    for uid_, cc in ((1, c1), (2, c2)):
+        na, nb, nr = brute(cc)
+        assert out.loc[uid_, "n_above"] == na
+        assert out.loc[uid_, "n_below"] == nb
+        assert out.loc[uid_, "n_runs"] == nr
+    # the alternating user has strictly more runs than the blocked one
+    assert out.loc[1, "n_runs"] > out.loc[2, "n_runs"]
+
+
+# --- Tukey fences ------------------------------------------------------------
+
+def test_tukey_outliers_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import tukey_outliers
+    rng = np.random.default_rng(19)
+    n = 600
+    t = pa.table({
+        "g": pa.array(np.array(["A", "B"])[rng.integers(0, 2, n)]),
+        "value": pa.array(np.concatenate((
+            np.round(rng.normal(50, 5, n - 10), 2),
+            np.round(rng.uniform(200, 400, 10), 2))))})
+    out = tukey_outliers(rd.from_arrow(t).repartition(4), "g",
+                         "value").to_pandas().set_index("key")
+    df = t.to_pandas()
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    for g, gg in df.groupby("g"):
+        c = np.sort(gg["c"].to_numpy())
+        nn = len(c)
+        q1 = int(c[-(-nn // 4) - 1])
+        q3 = int(c[-(-(3 * nn) // 4) - 1])
+        lo = float(q1) - 1.5 * float(q3 - q1)
+        hi = float(q3) + 1.5 * float(q3 - q1)
+        row = out.loc[g]
+        assert row["n"] == nn and row["q1"] == q1 and row["q3"] == q3
+        assert row["n_low"] == int((c < lo).sum())
+        assert row["n_high"] == int((c > hi).sum())
+    # the planted far tail shows up
+    assert out["n_high"].sum() >= 10

@@ -6338,6 +6338,66 @@ def _bandit_oracle_sql() -> str:
         "ORDER BY key")
 
 
+def q_runs_test_users(sf_dir: str):
+    """Wald–Wolfowitz runs test per user: sign runs of event values
+    around the user's discrete median, median-equal rows excluded
+    (stages/windows.py runs_test: one keyed exchange, exact integers
+    only in the graded row)."""
+    from ..stages.windows import runs_test
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return runs_test(ds)
+
+
+_RUNS_SQL = (
+    "WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t, "
+    "event_id AS oc, CAST(round(value * 100) AS BIGINT) AS c "
+    "FROM events), "
+    "m AS (SELECT k, quantile_disc(c, 0.5) AS med FROM b "
+    "GROUP BY k), "
+    "s AS (SELECT b.k, b.t, b.oc, "
+    "CASE WHEN b.c > m.med THEN 1 ELSE 0 END AS sgn FROM b "
+    "JOIN m ON m.k = b.k WHERE b.c <> m.med), "
+    "r AS (SELECT k, sgn, lag(sgn) OVER (PARTITION BY k "
+    "ORDER BY t, oc) AS prev FROM s), "
+    "agg AS (SELECT k, sum(sgn)::BIGINT AS n_above, "
+    "(count(*) - sum(sgn))::BIGINT AS n_below, "
+    "(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev "
+    "THEN 1 ELSE 0 END))::BIGINT AS n_runs FROM r GROUP BY k), "
+    "allk AS (SELECT DISTINCT k FROM b) "
+    "SELECT f.k AS key, COALESCE(a.n_above, 0)::BIGINT AS n_above, "
+    "COALESCE(a.n_below, 0)::BIGINT AS n_below, "
+    "COALESCE(a.n_runs, 0)::BIGINT AS n_runs FROM allk f "
+    "LEFT JOIN agg a ON a.k = f.k ORDER BY key")
+
+
+def q_tukey_lineitem(sf_dir: str):
+    """Tukey-fence outlier audit of extended price per return flag:
+    discrete quartiles (exact value copies), dyadic 1.5·IQR fences,
+    exact outlier counts (stages/aggregates.py tukey_outliers —
+    one keyed exchange with a consistent string-hash partition
+    key)."""
+    from ..stages.aggregates import tukey_outliers
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_extendedprice"])
+    return tukey_outliers(ds, "l_returnflag", "l_extendedprice")
+
+
+_TUKEY_SQL = (
+    "WITH b AS (SELECT l_returnflag AS k, "
+    "CAST(round(l_extendedprice * 100) AS BIGINT) AS c "
+    "FROM lineitem), "
+    "q AS (SELECT k, count(*)::BIGINT AS n, "
+    "quantile_disc(c, 0.25)::BIGINT AS q1, "
+    "quantile_disc(c, 0.75)::BIGINT AS q3 FROM b GROUP BY k) "
+    "SELECT q.k AS key, q.n, q.q1, q.q3, "
+    "(SELECT count(*) FROM b WHERE b.k = q.k AND b.c::DOUBLE < "
+    "q.q1::DOUBLE - 1.5 * (q.q3 - q.q1)::DOUBLE)::BIGINT AS n_low, "
+    "(SELECT count(*) FROM b WHERE b.k = q.k AND b.c::DOUBLE > "
+    "q.q3::DOUBLE + 1.5 * (q.q3 - q.q1)::DOUBLE)::BIGINT AS n_high "
+    "FROM q ORDER BY key")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6506,6 +6566,8 @@ def registry() -> dict:
         "wkt_polygon_area": q_wkt_polygon_area,
         "point_in_polygon": q_point_in_polygon,
         "bandit_replay": q_bandit_replay,
+        "runs_test_users": q_runs_test_users,
+        "tukey_lineitem": q_tukey_lineitem,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -7572,6 +7634,8 @@ ORACLES: dict[str, str] = {
     "wkt_polygon_area": _WKT_SQL,
     "point_in_polygon": _PIP_SQL,
     "bandit_replay": _bandit_oracle_sql(),
+    "runs_test_users": _RUNS_SQL,
+    "tukey_lineitem": _TUKEY_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

