@@ -236,7 +236,8 @@ def run_queries(num_cpus: int) -> dict:
              "shapley_channels", "ransac_orders",
              "viterbi_users", "mst_forest", "wkt_polygon_area",
              "point_in_polygon", "bandit_replay",
-             "runs_test_users", "tukey_lineitem"]
+             "runs_test_users", "tukey_lineitem",
+             "mcnemar_events", "sign_test_users"]
     reg = Q.registry()
     # untimed warmup: spin up worker processes + page cache before timing;
     # the media query's world/refs build stands in for the network and is

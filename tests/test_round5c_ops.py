@@ -1625,3 +1625,60 @@ def test_tukey_outliers_matches_brute(ray_session):
         assert row["n_high"] == int((c > hi).sum())
     # the planted far tail shows up
     assert out["n_high"].sum() >= 10
+
+
+# --- McNemar -----------------------------------------------------------------
+
+def test_mcnemar_matches_brute(ray_session):
+    from web_crawler_ray.stages.aggregates import mcnemar_test
+    rng = np.random.default_rng(83)
+    n_ev = 1200
+    cutoff = int(np.int64(1_700_000_000_000_000) + 3 * 3_600_000_000)
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 30, n_ev).astype(np.int64)),
+        "ts": pa.array((np.int64(1_700_000_000_000_000)
+                        + rng.integers(0, 6 * 3_600_000_000, n_ev))
+                       .astype("datetime64[us]")),
+        "event_type": pa.array(np.array(
+            ["click", "purchase"])[rng.integers(0, 2, n_ev)])})
+    out = mcnemar_test(rd.from_arrow(t).repartition(4),
+                       cutoff_us=cutoff, min_count=7) \
+        .to_pandas().iloc[0]
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    cells = {k: 0 for k in range(4)}
+    for uid, g in df.groupby("user_id"):
+        p = g[g["event_type"] == "purchase"]
+        pre = int((p["t"] < cutoff).sum() >= 7)
+        post = int((p["t"] >= cutoff).sum() >= 7)
+        cells[pre * 2 + post] += 1
+    assert out["n_both"] == cells[3]
+    assert out["n_pre_only"] == cells[2]
+    assert out["n_post_only"] == cells[1]
+    assert out["n_neither"] == cells[0]
+    b, c = cells[2], cells[1]
+    assert b + c > 0
+    assert out["chi2"] == float((b - c) ** 2) / float(b + c)
+
+
+# --- sign test ---------------------------------------------------------------
+
+def test_sign_test_matches_brute(ray_session):
+    from web_crawler_ray.stages.windows import sign_test
+    t = _events(n=350, n_users=6, seed=88)
+    out = sign_test(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .set_index("key").sort_index()
+    df = t.to_pandas()
+    df["t"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["t", "event_id"], kind="mergesort")
+        c = g["c"].to_numpy()
+        m = len(c) // 2
+        a, b = c[0:2 * m:2], c[1:2 * m:2]
+        row = out.loc[uid]
+        assert row["n_pairs"] == m
+        assert row["n_plus"] == int((b > a).sum())
+        assert row["n_minus"] == int((b < a).sum())
+        assert row["n_tie"] == int((b == a).sum())
+        assert row["n_plus"] + row["n_minus"] + row["n_tie"] == m

@@ -6398,6 +6398,69 @@ _TUKEY_SQL = (
     "FROM q ORDER BY key")
 
 
+def q_mcnemar_events(sf_dir: str):
+    """McNemar's paired test of purchase behaviour before vs after
+    Jan 16 per user (behaviour = >= 7 purchases in the half; the
+    any-occurrence version is degenerate and NaNs chi2) —
+    discordant-cell chi2, one division (stages/
+    aggregates.py mcnemar_test: keyed exchange to two bits, 4-cell
+    integer combiner — bit-exact)."""
+    from ..stages.aggregates import mcnemar_test
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type"])
+    return mcnemar_test(ds, cutoff_us=1_705_363_200_000_000)
+
+
+_MCNEMAR_SQL = (
+    "WITH b AS (SELECT user_id AS k, "
+    "CASE WHEN sum(CASE WHEN event_type = 'purchase' AND "
+    "epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END) >= 7 "
+    "THEN 1 ELSE 0 END AS pre, "
+    "CASE WHEN sum(CASE WHEN event_type = 'purchase' AND "
+    "epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END) >= 7 "
+    "THEN 1 ELSE 0 END AS post FROM events "
+    "GROUP BY user_id), "
+    "c AS (SELECT count(*)::BIGINT AS n_keys, "
+    "sum(pre * post)::BIGINT AS n_both, "
+    "sum(pre * (1 - post))::BIGINT AS n_pre_only, "
+    "sum((1 - pre) * post)::BIGINT AS n_post_only, "
+    "sum((1 - pre) * (1 - post))::BIGINT AS n_neither FROM b) "
+    "SELECT n_keys, n_both, n_pre_only, n_post_only, n_neither, "
+    "((n_pre_only - n_post_only) * (n_pre_only - n_post_only))"
+    "::DOUBLE / (n_pre_only + n_post_only)::DOUBLE AS chi2 FROM c")
+
+
+def q_sign_test_users(sf_dir: str):
+    """Paired sign test per user over consecutive event-value pairs
+    (stages/windows.py sign_test: one keyed exchange, stride-2
+    compares — exact integers)."""
+    from ..stages.windows import sign_test
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"])
+    return sign_test(ds)
+
+
+_SIGNTEST_SQL = (
+    "WITH b AS (SELECT user_id AS k, "
+    "CAST(round(value * 100) AS BIGINT) AS c, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS rn FROM events), "
+    "p AS (SELECT a.k, a.c AS ca, b2.c AS cb FROM b a "
+    "JOIN b b2 ON b2.k = a.k AND b2.rn = a.rn + 1 "
+    "WHERE a.rn % 2 = 1), "
+    "agg AS (SELECT k, count(*)::BIGINT AS n_pairs, "
+    "sum(CASE WHEN cb > ca THEN 1 ELSE 0 END)::BIGINT AS n_plus, "
+    "sum(CASE WHEN cb < ca THEN 1 ELSE 0 END)::BIGINT AS n_minus, "
+    "sum(CASE WHEN cb = ca THEN 1 ELSE 0 END)::BIGINT AS n_tie "
+    "FROM p GROUP BY k), "
+    "allk AS (SELECT DISTINCT k FROM b) "
+    "SELECT f.k AS key, COALESCE(a.n_pairs, 0)::BIGINT AS n_pairs, "
+    "COALESCE(a.n_plus, 0)::BIGINT AS n_plus, "
+    "COALESCE(a.n_minus, 0)::BIGINT AS n_minus, "
+    "COALESCE(a.n_tie, 0)::BIGINT AS n_tie FROM allk f "
+    "LEFT JOIN agg a ON a.k = f.k ORDER BY key")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6568,6 +6631,8 @@ def registry() -> dict:
         "bandit_replay": q_bandit_replay,
         "runs_test_users": q_runs_test_users,
         "tukey_lineitem": q_tukey_lineitem,
+        "mcnemar_events": q_mcnemar_events,
+        "sign_test_users": q_sign_test_users,
         "resample_ffill": q_resample_ffill,
         "profile_events": q_profile_events,
         "merge_upsert": q_merge_upsert,
@@ -7636,6 +7701,8 @@ ORACLES: dict[str, str] = {
     "bandit_replay": _bandit_oracle_sql(),
     "runs_test_users": _RUNS_SQL,
     "tukey_lineitem": _TUKEY_SQL,
+    "mcnemar_events": _MCNEMAR_SQL,
+    "sign_test_users": _SIGNTEST_SQL,
 }
 
 # composed after the literal: the RRF oracle embeds ORACLES["bm25"]

@@ -3516,3 +3516,69 @@ def tukey_outliers(ds, key_col: str, value_col: str,
                                            "n_low", "n_high"])
 
     return int_part_map(ds, "k", per_partition, prepare=prep)
+
+
+def mcnemar_test(ds, key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 target: str = "purchase", cutoff_us: int = 0,
+                 min_count: int = 7):
+    """McNemar's paired-proportion test: each key is a PAIRED binary
+    observation (did it reach >= ``min_count`` target events before
+    vs after ``cutoff_us`` — a COUNT threshold because any-occurrence
+    is p=1-degenerate on this population and NaNs the statistic, the
+    abtest_lift landmine), and the statistic uses only the DISCORDANT
+    cells
+    b (pre-only) and c (post-only): chi2 = (b − c)² / (b + c) — one
+    exact integer numerator over one integer denominator, ONE
+    division, bit-exact. The before/after retention readout next to
+    did_events. Returns 1 row (n_keys, n_both, n_pre_only,
+    n_post_only, n_neither, chi2; chi2 null when b + c = 0).
+
+    Scale shape: ONE key-keyed exchange folds each key to two bits;
+    a 4-cell integer combiner reaches the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column(type_col).to_pylist()
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        hit = np.array([1 if x == target else 0 for x in et],
+                       np.int64)
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "pre": pa.array(hit * (ts < cutoff_us)),
+            "post": pa.array(hit * (ts >= cutoff_us))})
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=True).agg(
+            pre=("pre", "sum"), post=("post", "sum")).reset_index()
+        cell = (g["pre"].to_numpy(np.int64) >= min_count) * 2 \
+            + (g["post"].to_numpy(np.int64) >= min_count)
+        n = np.bincount(cell, minlength=4).astype(np.int64)
+        return pd.DataFrame({"cell": np.arange(4, dtype=np.int64),
+                             "n": n})
+
+    cells = np.zeros(4, np.int64)
+    for b in int_part_map(ds, "k", per_key, prepare=prep) \
+            .iter_batches(batch_format="pyarrow"):
+        tb = pa.table(b)
+        np.add.at(cells,
+                  tb.column("cell").to_numpy(zero_copy_only=False),
+                  tb.column("n").to_numpy(zero_copy_only=False))
+    neither, post_only, pre_only, both = (int(cells[0]),
+                                          int(cells[1]),
+                                          int(cells[2]),
+                                          int(cells[3]))
+    bc = pre_only + post_only
+    chi2 = (float((pre_only - post_only) ** 2) / float(bc)
+            if bc else None)
+    return pa.table({
+        "n_keys": pa.array([int(cells.sum())], pa.int64()),
+        "n_both": pa.array([both], pa.int64()),
+        "n_pre_only": pa.array([pre_only], pa.int64()),
+        "n_post_only": pa.array([post_only], pa.int64()),
+        "n_neither": pa.array([neither], pa.int64()),
+        "chi2": pa.array([chi2], pa.float64())})

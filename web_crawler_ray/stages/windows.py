@@ -2539,3 +2539,63 @@ def runs_test(ds, key_col: str = "user_id", ts_col: str = "ts",
                              "n_below": nb, "n_runs": nr})
 
     return int_part_map(ds, "k", per_partition, prepare=prep)
+
+
+def sign_test(ds, key_col: str = "user_id", ts_col: str = "ts",
+              order_col: str = "event_id", value_col: str = "value",
+              scale: int = 100):
+    """Paired sign test per key: consecutive event values pair up
+    (rows 1&2, 3&4, ... in (ts, order) order) and the test counts
+    pairs where the later value rose, fell, or tied — the
+    nonparametric before/after check next to runs_test. Exact
+    integers only: (key, n_pairs, n_plus, n_minus, n_tie).
+
+    Scale shape: ONE keyed exchange; per-partition lexsort +
+    stride-2 compares."""
+    import pandas as pd
+
+    from .shuffles import int_part_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column(value_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * scale).astype(np.int64)
+        return pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "ts": pa.array(t.column(ts_col)
+                           .to_numpy(zero_copy_only=False)
+                           .astype("datetime64[us]").astype(np.int64)),
+            "oc": t.column(order_col).cast(pa.int64()),
+            "c": pa.array(cents)})
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key": np.array([], np.int64),
+                "n_pairs": np.array([], np.int64),
+                "n_plus": np.array([], np.int64),
+                "n_minus": np.array([], np.int64),
+                "n_tie": np.array([], np.int64)})
+        k = df["k"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        oc = df["oc"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        order = np.lexsort((oc, ts, k))
+        k, c = k[order], c[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(k[1:] != k[:-1]) + 1, [len(k)]))
+        keys, np_, npl, nmi, nti = [], [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            seg = c[s:e]
+            m = len(seg) // 2
+            a, b = seg[0:2 * m:2], seg[1:2 * m:2]
+            keys.append(int(k[s]))
+            np_.append(m)
+            npl.append(int((b > a).sum()))
+            nmi.append(int((b < a).sum()))
+            nti.append(int((b == a).sum()))
+        return pd.DataFrame({"key": keys, "n_pairs": np_,
+                             "n_plus": npl, "n_minus": nmi,
+                             "n_tie": nti})
+
+    return int_part_map(ds, "k", per_partition, prepare=prep)
